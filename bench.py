@@ -1,0 +1,53 @@
+"""Benchmark harness: times the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully executed via the noop sink (forces every operator
+to run, skips driver-side row serialization, like a real write job).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_btc_spark.plans.queries import REGISTRY  # noqa: E402
+from etl_btc_spark.session import get_spark  # noqa: E402
+
+
+def run_query(spark, q, sf_dir: str) -> float:
+    t0 = time.time()
+    q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("etl-btc-spark-bench")
+    headline = [q for _, q in sorted(REGISTRY.items()) if q.headline]
+    # one warm-up pass on the smallest query to absorb JVM/codegen startup
+    run_query(spark, headline[0], sf_dir)
+    timings: dict[str, float] = {}
+    for q in headline:
+        timings[q.name] = round(run_query(spark, q, sf_dir), 3)
+    out = {
+        "metric": "headline query wall-clock (noop sink), local[%s]"
+        % os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Operator library — each module maps to a SURVEY.md §2 family.
+
+- window_ops:  sliding-window analytics (SMA, Bollinger, rolling
+               median repair, Gaussian kernel smoothing, crossovers,
+               tumbling candles) — pure Window/groupBy expressions.
+- recurrence:  sequential per-series recurrences (EMA/SES, MACD, PPO,
+               RSI, ADX, Kalman, Savitzky-Golay, wavelet) as
+               Arrow-batched grouped-map pandas UDFs.
+- relational:  thin declarative helpers for scan/filter/join/top-k.
+- asof:        as-of (most-recent-prior) join.
+- textops:     text analysis (HTML strip, tokens, quality, lang-id,
+               fingerprints) as JVM-side column expressions.
+- dedup:       exact + near-duplicate detection (hash, n-gram
+               Jaccard, MinHash LSH, SimHash, embedding cosine).
+- similarity:  vector top-k (exact brute force + LSH/IVF scale path).
+- scoring:     deterministic sentiment/embedding scoring UDF plumbing
+               (the reference's ML-scoring surface, stubbed).
+- multimodal:  binary-column (image/audio) plumbing with stubbed
+               decoders.
+"""

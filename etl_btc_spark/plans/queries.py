@@ -1,0 +1,724 @@
+"""Named query registry — one entry per SURVEY.md §2 operator.
+
+Each :class:`Query` couples an idiomatic-Spark DataFrame program with
+(where ANSI-SQL-expressible) a DuckDB oracle computing the same
+result, aliased column-for-column. The driver hash-compares the two
+at sf0.01 (order-insensitive); bench.py times the ``headline`` subset
+at sf0.1.
+
+Float policy: every computed double is ``round(x, N)`` on BOTH sides
+so last-ulp differences from summation order / libm never flip the
+hash. Booleans are NULL-coerced to false per the warm-up semantics in
+SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_btc_spark.tables import PRICE_SERIES_SQL, load_table, price_series
+from etl_btc_spark.operators import window_ops as WO
+from etl_btc_spark.operators import recurrence as RC
+from etl_btc_spark.operators.asof import asof_join
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    headline: bool = False  # timed by bench.py at sf0.1
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+#: Epsilon nudge for rounding aggregate-derived doubles. Sums/stddevs
+#: differ between engines by ~1 ulp (different accumulation order /
+#: segment-tree partials), and averages of k 2-decimal inputs land
+#: EXACTLY on .xxx5 rounding boundaries, so a bare round() can flip
+#: the last digit between Spark and the oracle. Adding 1e-9 on BOTH
+#: sides moves every terminating-decimal boundary case decisively off
+#: the half-way point; it is far larger than any ulp noise and far
+#: smaller than the 1e-4 quantum we keep.
+EPS = 1e-9
+
+
+def sround(c, n: int = 4):
+    return F.round(c + F.lit(EPS), n)
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, headline=headline, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. Core relational layer (SURVEY §2.1-§2.5, §2.7-§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_scan_project_filter",
+    oracle="""
+        SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+               l_quantity AS qty,
+               round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate <  TIMESTAMP '2000-01-01'
+    """,
+    doc="P1/P2/P5 + F8: projection, rename, time-range predicate pushed to parquet",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_quantity").alias("qty"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q02_filter_in_eq",
+    oracle="""
+        SELECT p_partkey AS part_key, p_name AS name, p_size AS size
+        FROM part
+        WHERE p_size IN (5, 15, 25) AND p_brand = 'Brand#12'
+    """,
+    doc="P3: equality + IN-list predicates (pushed filters)",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_size").isin(5, 15, 25) & (F.col("p_brand") == "Brand#12"))
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("name"),
+            F.col("p_size").alias("size"),
+        )
+    )
+
+
+@register(
+    "q03_topk_orders",
+    oracle="""
+        SELECT o_orderkey AS order_key, round(o_totalprice, 2) AS total_price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="O4/O5: global top-k => TakeOrderedAndProject, no full sort",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q04_last_event_per_series",
+    oracle="""
+        SELECT user_id % 8 AS series_id, max(ts) AS last_ts,
+               arg_max(event_id, ts) AS last_event_id,
+               round(arg_max(value, ts), 4) AS last_value
+        FROM events GROUP BY user_id % 8
+    """,
+    doc="S5/A1: InfluxDB last() == max_by per key; single partial-aggregated shuffle",
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "events")
+        .groupBy((F.col("user_id") % 8).cast("bigint").alias("series_id"))
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            F.round(F.max_by("value", "ts"), 4).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q05_union_counts",
+    oracle="""
+        SELECT event_type, count(*) AS n FROM (
+            SELECT * FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT * FROM events WHERE event_type = 'purchase'
+        ) GROUP BY event_type
+    """,
+    doc="J2: unionByName of two branches, then group-count",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    u = ev.filter(F.col("event_type") == "click").unionByName(
+        ev.filter(F.col("event_type") == "purchase")
+    )
+    return u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q06_join_segment_revenue",
+    oracle="""
+        SELECT c_mktsegment AS segment, count(*) AS n_orders,
+               round(1e-9 + sum(o_totalprice), 2) AS total_revenue,
+               round(1e-9 + avg(o_totalprice), 4) AS avg_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="J1: equi-join; customer side broadcasts (small dim)",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sround(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            sround(F.avg("o_totalprice"), 4).alias("avg_revenue"),
+        )
+    )
+
+
+@register(
+    "q07_star_join_revenue",
+    oracle="""
+        SELECT r_name AS region, n_name AS nation,
+               round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY r_name, n_name
+    """,
+    headline=True,
+    doc="J1 at scale: fact-to-dims star join; dims broadcast, one fact shuffle for the agg",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            sround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q08_pricing_summary",
+    oracle="""
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+               round(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
+               round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(1e-9 + avg(l_quantity), 4) AS avg_qty,
+               round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
+               round(1e-9 + avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="A-layer flagship: TPC-H-Q1-shape pricing summary, map-side partial agg",
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            sround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            sround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            sround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            sround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            sround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            sround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            sround(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q09_group_count_lang",
+    oracle="SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    doc="A2: value_counts == groupBy().count()",
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q10_pivot_source_lang",
+    oracle="""
+        SELECT source,
+               count(*) FILTER (WHERE lang = 'de') AS de,
+               count(*) FILTER (WHERE lang = 'en') AS en,
+               count(*) FILTER (WHERE lang = 'es') AS es,
+               count(*) FILTER (WHERE lang = 'fr') AS fr,
+               count(*) FILTER (WHERE lang = 'zh') AS zh
+        FROM documents GROUP BY source
+    """,
+    doc="A3: pivot_table == groupBy().pivot() with explicit value list (single shuffle)",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        load_table(spark, sf, "documents")
+        .groupBy("source")
+        .pivot("lang", langs)
+        .count()
+        .na.fill(0, langs)
+    )
+
+
+@register(
+    "q11_rollup_pricing",
+    oracle="""
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               count(*) AS n, round(1e-9 + sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="beyond-reference (SURVEY §2.5 note): ROLLUP hierarchical totals",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "lineitem")
+        .rollup(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), sround(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "q12_distinct_flags",
+    oracle="SELECT DISTINCT l_returnflag AS return_flag, l_linestatus AS line_status FROM lineitem",
+    doc="P6: distinct (partial-aggregated, no row explosion)",
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q13_time_arithmetic",
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+               ts + INTERVAL 298 HOUR AS ts_plus_lookback,
+               CAST(ts AS DATE) AS event_date
+        FROM events WHERE event_id % 100 = 0
+    """,
+    doc="F5-F7: date_format, interval arithmetic, date cast",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") % 100 == 0)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"),
+            (F.col("ts") + F.expr("INTERVAL 298 HOURS")).alias("ts_plus_lookback"),
+            F.col("ts").cast("date").alias("event_date"),
+        )
+    )
+
+
+@register(
+    "q14_content_hash_ids",
+    oracle="""
+        SELECT doc_id, sha256(text) AS content_id FROM documents
+    """,
+    doc="F10: deterministic content-hash ids replacing the reference's uuid4 (fixes its duplicate-insert flaw, news_etl_dag.py:147)",
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Sliding-window layer (SURVEY §2.6 SQL-expressible subset)
+# ---------------------------------------------------------------------------
+
+_SERIES_CTE = f"WITH series AS ({PRICE_SERIES_SQL})"
+
+
+@register(
+    "q15_sma30",
+    oracle=_SERIES_CTE
+    + """
+        SELECT series_id, ts, round(1e-9 + avg(close) OVER (
+            PARTITION BY series_id ORDER BY ts
+            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS close_sma
+        FROM series
+    """,
+    headline=True,
+    doc="A6/W10: SMA(30) min_periods=1; one shuffle per series key, codegen window",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    s = price_series(spark, sf)
+    w = WO.series_window()
+    return s.select(
+        "series_id", "ts", sround(WO.sma("close", 30, w), 4).alias("close_sma")
+    )
+
+
+@register(
+    "q16_rolling_median_repair",
+    oracle="""
+        WITH dirty AS (
+            SELECT user_id % 8 AS series_id, ts,
+                   CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        )
+        SELECT series_id, ts, round(coalesce(v, median(v) OVER (
+            PARTITION BY series_id ORDER BY ts
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)), 4) AS v_repaired
+        FROM dirty
+    """,
+    doc="P7/A5: NULL repair via rolling median (fillna(rolling(5).median()))",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 8).cast("bigint").alias("series_id"),
+        "ts",
+        F.when(F.col("event_id") % 97 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    w = WO.series_window()
+    return ev.select(
+        "series_id", "ts", F.round(WO.rolling_median_repair("v", w), 4).alias("v_repaired")
+    )
+
+
+@register(
+    "q17_bollinger_signals",
+    oracle=_SERIES_CTE
+    + """
+        , bands AS (
+            SELECT series_id, ts, close,
+                   avg(close) OVER w AS mid,
+                   stddev_pop(close) OVER w AS sd
+            FROM series
+            WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ), sig AS (
+            SELECT series_id, ts, close,
+                   mid - 2 * sd AS lower, mid + 2 * sd AS upper,
+                   lag(close) OVER v AS p_close,
+                   lag(mid - 2 * sd) OVER v AS p_lower,
+                   lag(mid + 2 * sd) OVER v AS p_upper
+            FROM bands
+            WINDOW v AS (PARTITION BY series_id ORDER BY ts)
+        )
+        SELECT series_id, ts, round(1e-9 + lower, 4) AS bb_lower, round(1e-9 + upper, 4) AS bb_upper,
+               coalesce(p_lower < p_close AND lower > close, false) AS bbands_buy_signal,
+               coalesce(p_close < p_upper AND close > upper, false) AS bbands_sell_signal
+        FROM sig
+    """,
+    headline=True,
+    doc="W3: Bollinger(20,2) bands + strict-crossover signals, NULL warm-up -> false",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    s = WO.bollinger(price_series(spark, sf))
+    return s.select(
+        "series_id",
+        "ts",
+        sround(F.col("bb_lower"), 4).alias("bb_lower"),
+        sround(F.col("bb_upper"), 4).alias("bb_upper"),
+        "bbands_buy_signal",
+        "bbands_sell_signal",
+    )
+
+
+@register(
+    "q18_sma_crossover_counts",
+    oracle=_SERIES_CTE
+    + """
+        , s AS (
+            SELECT series_id, ts, close, avg(close) OVER (
+                PARTITION BY series_id ORDER BY ts
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma
+            FROM series
+        ), x AS (
+            SELECT series_id,
+                   coalesce(lag(close) OVER v < lag(sma) OVER v AND close > sma, false) AS up,
+                   coalesce(lag(sma) OVER v < lag(close) OVER v AND sma > close, false) AS dn
+            FROM s WINDOW v AS (PARTITION BY series_id ORDER BY ts)
+        )
+        SELECT series_id, count(*) FILTER (WHERE up) AS n_golden,
+               count(*) FILTER (WHERE dn) AS n_death
+        FROM x GROUP BY series_id
+    """,
+    doc="W1: lag-based strict crossovers (price vs SMA20), counted per series",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    s = price_series(spark, sf)
+    w = WO.series_window()
+    sma = WO.sma("close", 20, w)
+    s = s.withColumn("up", WO.crossover_up(F.col("close"), sma, w)).withColumn(
+        "dn", WO.crossover_up(sma, F.col("close"), w)
+    )
+    return s.groupBy("series_id").agg(
+        F.count_if(F.col("up")).alias("n_golden"),
+        F.count_if(F.col("dn")).alias("n_death"),
+    )
+
+
+@register(
+    "q19_gaussian_smooth",
+    oracle=_SERIES_CTE
+    + """
+        , s AS (
+            SELECT series_id, ts, close,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
+            FROM series
+        )
+        SELECT a.series_id, a.ts,
+               round(1e-9 + sum(b.close * exp(-((b.rn - a.rn)*(b.rn - a.rn)) / (2.0 * (20.0/6.0) * (20.0/6.0))))
+                     / sum(exp(-((b.rn - a.rn)*(b.rn - a.rn)) / (2.0 * (20.0/6.0) * (20.0/6.0)))), 4)
+                   AS close_gauss
+        FROM s a JOIN s b
+          ON a.series_id = b.series_id AND b.rn BETWEEN a.rn - 13 AND a.rn + 13
+        GROUP BY a.series_id, a.ts
+    """,
+    doc="W10: Gaussian kernel smoothing (sigma=20/6, truncated 4sigma, edge-renormalized) as codegen'd lead/lag weighted sum — no join, no Python",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    s = price_series(spark, sf)
+    w = WO.series_window()
+    return s.select(
+        "series_id", "ts", sround(WO.gaussian_smooth("close", w), 4).alias("close_gauss")
+    )
+
+
+@register(
+    "q20_hourly_candles",
+    oracle="""
+        SELECT user_id % 8 AS series_id, date_trunc('hour', ts) AS bucket_ts,
+               round(arg_min(value, ts), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(arg_max(value, ts), 4) AS close,
+               round(1e-9 + sum(value), 4) AS volume,
+               count(*) AS n_ticks
+        FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="T7: tumbling 1h candles from ticks — hash-agg with map-side combine, no window needed",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 8).cast("bigint").alias("series_id"),
+        "ts",
+        F.col("value").alias("close"),
+    )
+    c = WO.tumbling_candles(ev, price="close")
+    return c.select(
+        "series_id",
+        "bucket_ts",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        sround(F.col("volume"), 4).alias("volume"),
+        "n_ticks",
+    )
+
+
+@register(
+    "q21_asof_join",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               c.ts AS ts_asof, c.event_id AS click_event_id,
+               round(c.value, 4) AS click_value
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    headline=True,
+    doc="as-of join via union + last_value(ignoreNulls) window: one key shuffle, no range probe (scale path for large-large joins)",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"), F.col("value")
+    )
+    joined = asof_join(purchases, clicks, on="user_id", ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_asof",
+        "click_event_id",
+        F.round("value", 4).alias("click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Recurrence layer (SURVEY §2.6 W2,W4-W9,W11) — applyInPandas;
+#    EMA additionally oracle-checked via a recursive-CTE DuckDB query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_exponential_smoothing",
+    oracle=_SERIES_CTE
+    + """
+        , s AS (
+            SELECT series_id, close,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn,
+                   ts
+            FROM series
+        ), r AS (
+            WITH RECURSIVE rec AS (
+                SELECT series_id, rn, ts, close, close AS ema
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.series_id, s.rn, s.ts, s.close,
+                       0.2 * s.close + 0.8 * rec.ema
+                FROM rec JOIN s ON s.series_id = rec.series_id AND s.rn = rec.rn + 1
+            )
+            SELECT * FROM rec
+        )
+        SELECT series_id, ts, round(1e-9 + ema, 6) AS close_ses
+        FROM r
+    """,
+    doc="W11: SES(alpha=0.2) recurrence in applyInPandas; oracle = recursive CTE computing the identical recurrence",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    s = price_series(spark, sf).select("series_id", "ts", "close")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        pdf["close_ses"] = (RC.ses(pdf["close"].to_numpy("float64"), alpha=0.2) + 1e-9).round(6)
+        return pdf[["series_id", "ts", "close_ses"]]
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            s.schema["series_id"],
+            s.schema["ts"],
+            T.StructField("close_ses", T.DoubleType()),
+        ]
+    )
+    return s.groupBy("series_id").applyInPandas(fn, schema)
+
+
+@register(
+    "q23_series_features",
+    oracle=None,  # sequential recurrences: rows-only driver check; pytest goldens
+    headline=True,
+    doc="W2,W4-W9,W11: full feature stack (Kalman/SavGol/wavelet/Gauss/SES + MACD/PPO/RSI/ADX signals) in ONE grouped-map pass",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    s = RC.with_series_features(price_series(spark, sf))
+    dbl = [
+        "close_kalman_filter",
+        "close_savitzky_golay_filter",
+        "close_wavelet_filter",
+        "close_gaussian_smoothing",
+        "close_exponential_smoothing",
+        "rsi",
+        "adx",
+    ]
+    cols = [F.col("series_id"), F.col("ts")]
+    cols += [F.round(c, 4).alias(c) for c in dbl]
+    cols += [
+        F.col(c)
+        for c in (
+            "macd_buy_signal",
+            "macd_sell_signal",
+            "ppo_buy_signal",
+            "ppo_sell_signal",
+            "rsi_buy_signal",
+            "rsi_sell_signal",
+            "adx_buy_signal",
+            "adx_sell_signal",
+        )
+    ]
+    return s.select(*cols)
+
+
+@register(
+    "q24_signal_feature_join",
+    oracle=None,
+    doc="§3.1 pipeline shape: features branch ⋈ signals branch on (series, ts) — the reference's J1 merge, expressed as one plan",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    base = price_series(spark, sf)
+    w = WO.series_window()
+    features = base.select(
+        "series_id", "ts", sround(WO.sma("close", 30, w), 4).alias("close_sma_smoothing")
+    )
+    signals = WO.bollinger(base).select(
+        "series_id", "ts", "bbands_buy_signal", "bbands_sell_signal"
+    )
+    return features.join(signals, ["series_id", "ts"], "inner")

@@ -1,0 +1,96 @@
+"""Table loading + canonical derived views over the driver testdata.
+
+TESTDATA.md tables: region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table at
+``/root/testdata/sf{0.001,0.01,0.1}``.
+
+At 100 TB these would be partitioned parquet/Delta datasets (date- or
+hash-partitioned); ``spark.read.parquet`` on a directory keeps the
+exact same call shape, and every query in plans/queries.py expresses
+filters/projections declaratively so partition pruning + predicate
+pushdown apply unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: number of synthetic price series derived from `events`
+#: (FIXTURES.md §1: one series per ``user_id % N_SERIES``). On real
+#: data the series key is the instrument symbol — cardinality scales
+#: with the data, so per-series work stays partition-parallel.
+N_SERIES = 8
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
+        # refuses (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos and
+        # rebuild a TIMESTAMP_NTZ at microsecond precision (truncation
+        # — matching DuckDB's ns→us parquet read). convert_timezone
+        # pins wall-clock UTC regardless of the session timezone.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        return raw.withColumn(
+            "ts",
+            F.convert_timezone(
+                F.lit("UTC"), F.lit("UTC"), F.timestamp_micros(F.expr("ts DIV 1000"))
+            ),
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def price_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical OHLC-ish fixture series (FIXTURES.md §1).
+
+    Maps `events` onto the reference's hourly-candle shape
+    (airflow/dags/btc_usdt_etl_dag.py:46): one price series per
+    ``series_id = user_id % N_SERIES``, time axis ``ts``, price
+    ``close = value``, and deterministic High/Low bracketing for the
+    ADX-style H/L/C operators.
+
+    Columns: series_id, ts, close, high, low.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") % F.lit(N_SERIES)).cast("bigint").alias("series_id"),
+        F.col("ts"),
+        F.col("value").alias("close"),
+        (F.col("value") * F.lit(1.01)).alias("high"),
+        (F.col("value") * F.lit(0.99)).alias("low"),
+    )
+
+
+#: SQL fragment producing the identical series for the DuckDB oracle.
+PRICE_SERIES_SQL = (
+    "SELECT user_id % 8 AS series_id, ts, value AS close, "
+    "value * 1.01 AS high, value * 0.99 AS low FROM events"
+)

@@ -1,0 +1,72 @@
+"""Differential tests: every registry query with an oracle must
+hash-match DuckDB at sf0.001 (the driver runs the same comparison at
+sf0.01 — see scripts/selfcheck.py for the standalone harness)."""
+
+import hashlib
+import math
+
+import pytest
+
+from etl_btc_spark.plans.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, ddb, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols), "column names must match oracle"
+    assert len(srows) == len(orows), "row count mismatch"
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_nonempty_and_stable_schema(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_SMOKE)
+    assert df.count() > 0
+    # re-planning must give the same schema (determinism smoke)
+    assert q.fn(spark, SF_SMOKE).schema == df.schema
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() >= 0
+    qs = mod.queries()
+    os = mod.oracle_sql()
+    assert set(os) <= set(qs)
+    assert len(qs) == len(REGISTRY)
