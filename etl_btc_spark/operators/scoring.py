@@ -1,0 +1,137 @@
+"""ML-scoring UDF surface (SURVEY.md §2.9 U1-U6).
+
+The reference scores every news article with 5 sentiment models and a
+768-d embedding behind a per-row HTTP service
+(news_etl_dag.py:90-122 → sentiment_analysis_service). The engine
+collapses that to Arrow-batched pandas UDFs: one struct-returning UDF
+per model family, NULL-on-failure + downstream filter for the
+reference's per-article error-continue semantics (U6).
+
+Real model weights are NOT a runtime dependency. Each scorer takes a
+``model_fn``; the default is :func:`stub_model_fn` — a deterministic
+hash-free formula that a DuckDB oracle can replicate exactly, so the
+*plumbing* (batching, struct returns, null handling, vectorization)
+is itself correctness-gated. Swap in a HuggingFace pipeline via
+``model_fn`` on a GPU cluster (cryptobert.py:1-23 / finbert.py:1-17 /
+llm.py:26-108 describe the reference's models); the Spark plan is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_btc_spark._pickle import ensure_serializable
+
+#: labels follow the reference's whitelist (llm.py:96-106): raw model
+#: tokens remap Bullish→Positive / Bearish→Negative (cryptobert.py:18-21)
+RAW_LABELS = ["Bullish", "Bearish", "Neutral"]
+LABEL_REMAP = {"Bullish": "Positive", "Bearish": "Negative", "Neutral": "Neutral"}
+
+SENTIMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+#: per-model salt so the three stub "models" disagree like real ones
+MODEL_SALTS = {"cryptobert": 0, "finbert": 7, "llm": 13}
+
+
+def stub_model_fn(texts: pd.Series, salt: int = 0) -> pd.DataFrame:
+    """Deterministic stand-in scorer: raw label cycles through
+    RAW_LABELS by ``(len + first codepoint + salt) % 3``; score is
+    ``((len*31 + first codepoint + salt) % 1000) / 1000``. Rows whose
+    length is divisible by 29 simulate a model failure → NULL row
+    (U6). Oracle SQL equivalent: stub_sentiment_sql().
+    """
+    n = texts.str.len().fillna(0).astype("int64")
+    first = texts.str.slice(0, 1).map(lambda s: ord(s) if s else 0).astype("int64")
+    raw = (n + first + salt) % 3
+    label = raw.map(lambda i: LABEL_REMAP[RAW_LABELS[int(i)]])
+    score = ((n * 31 + first + salt) % 1000) / 1000.0
+    fail = (n % 29) == 0
+    out = pd.DataFrame({"label": label, "score": score})
+    out.loc[fail, "label"] = None
+    out.loc[fail, "score"] = None
+    return out
+
+
+def stub_sentiment_sql(col: str, salt: int = 0) -> tuple[str, str]:
+    """DuckDB expression pair replicating stub_model_fn (label, score);
+    failure rows (len % 29 == 0) must be filtered by the caller."""
+    n = f"length({col})"
+    first = f"unicode(substring({col}, 1, 1))"
+    label = (
+        f"CASE ({n} + {first} + {salt}) % 3 WHEN 0 THEN 'Positive' "
+        f"WHEN 1 THEN 'Negative' ELSE 'Neutral' END"
+    )
+    score = f"((({n} * 31 + {first} + {salt}) % 1000) / 1000.0)"
+    return label, score
+
+
+def sentiment_udf(
+    model_fn: Callable[[pd.Series], pd.DataFrame] | None = None, salt: int = 0
+):
+    """Series→struct pandas UDF wrapping a batch scorer (U1/U3/U4
+    shape). Arrow-batched: one python roundtrip per ~10k rows, not
+    per row like the reference's HTTP fan-out."""
+    ensure_serializable()
+    fn = model_fn or (lambda texts: stub_model_fn(texts, salt))
+
+    @F.pandas_udf(SENTIMENT_SCHEMA)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        return fn(texts)
+
+    return _udf
+
+
+def stub_embedding_fn(texts: pd.Series, dim: int = 8) -> pd.Series:
+    """Deterministic embedding stand-in (U2 shape): component j is
+    ``((len*(j+1) + first) % 97) / 97``. Unit tests + the vector
+    layer cover real similarity math; this covers the
+    ArrayType(FloatType) UDF plumbing."""
+    n = texts.str.len().fillna(0).astype("int64")
+    first = texts.str.slice(0, 1).map(lambda s: ord(s) if s else 0).astype("int64")
+    return pd.Series(
+        [[float(((ln * (j + 1) + fc) % 97) / 97.0) for j in range(dim)] for ln, fc in zip(n, first)]
+    )
+
+
+def embedding_udf(dim: int = 8):
+    ensure_serializable()
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        return stub_embedding_fn(texts, dim)
+
+    return _udf
+
+
+def score_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    models: tuple[str, ...] = ("cryptobert", "finbert", "llm"),
+) -> DataFrame:
+    """Score ``text_col`` with every model column-pair (U5's 21-field
+    response collapsed into one plan) and drop rows where every model
+    failed (news_etl_dag.py:100-118's ≥1-success rule)."""
+    out = df
+    for m in models:
+        udf = sentiment_udf(salt=MODEL_SALTS.get(m, 0))
+        out = out.withColumn(f"__{m}", udf(F.col(text_col)))
+        out = out.withColumn(f"{m}_label", F.col(f"__{m}.label")).withColumn(
+            f"{m}_score", F.col(f"__{m}.score")
+        ).drop(f"__{m}")
+    any_ok: Column = F.lit(False)
+    for m in models:
+        any_ok = any_ok | F.col(f"{m}_label").isNotNull()
+    return out.filter(any_ok)

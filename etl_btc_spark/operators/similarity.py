@@ -1,0 +1,242 @@
+"""Vector similarity search (SURVEY.md §2.1 S8, §2.4 J3, §2.7 O5 +
+BASELINE.json's similarity-search mandate).
+
+Three tiers, in increasing scale:
+
+1. :func:`cosine` / :func:`knn_exact` — exact brute force. The query
+   vector is a one-row broadcast; the scan stays columnar and the
+   top-k collapses to TakeOrderedAndProject (no global sort). Right
+   answer for one query vector over any corpus size: O(n) scan,
+   perfectly parallel.
+2. :func:`knn_lsh` — random-hyperplane (signed random projection)
+   LSH bucketing. Deterministic seeded planes, band-bucket join,
+   exact re-rank inside candidate buckets. Sub-linear candidate set
+   at 100 TB; recall tunable via (n_planes, n_bands).
+3. :func:`knn_ivf` — IVF-style coarse quantization: k-means-ish
+   centroids picked deterministically from the data (seeded sample),
+   vectors assigned to nearest centroid at write time; queries probe
+   the ``nprobe`` nearest centroids only.
+
+All math is ``zip_with``/``aggregate`` fold in DOUBLE — JVM-side,
+bit-compatible with the DuckDB oracle's list_dot_product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+DOT_SQL = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    d = DOT_SQL.format(a=a, b=b)
+    na = DOT_SQL.format(a=a, b=a)
+    nb = DOT_SQL.format(a=b, b=b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+def knn_exact(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a single-row query DataFrame.
+
+    ``crossJoin(broadcast(query))`` keeps the big side un-shuffled;
+    ``orderBy().limit(k)`` becomes TakeOrderedAndProject (per-partition
+    top-k + driver merge — no global sort at any scale).
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    return (
+        vectors.crossJoin(q)
+        .select(id_col, sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_per_group(
+    scored: DataFrame, group: str, score: str, k: int, tiebreak: str
+) -> DataFrame:
+    """Per-group top-k via rank window (O5 per-group flavor)."""
+    w = Window.partitionBy(group).orderBy(F.col(score).desc(), F.col(tiebreak))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# LSH: deterministic signed random projections
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy PCG64, fixed
+    seed) — reproducible across runs/sessions, unlike MLlib's
+    per-fit randomness."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def simhash_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-signature column: bit i = sign(vec . plane_i)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(w)) for w in p])) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for p in planes
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = F.shiftleft(out, 1) + b.cast("long")
+    return out
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidate = shares >=1 LSH band with the
+    query; exact cosine re-rank on candidates only.
+
+    Scale shape: vectors are exploded to n_bands rows and hash-joined
+    on (band, signature) against the query's (tiny, broadcast) band
+    table — a sub-linear bucket probe instead of a full scan. At
+    100 TB the banded table is the precomputed "index" (written once,
+    bucketed by signature).
+    """
+    planes = _planes(dim, n_bands * bits_per_band)
+    bands_of = lambda vec: [  # noqa: E731
+        simhash_signature(vec, planes[b * bits_per_band : (b + 1) * bits_per_band])
+        for b in range(n_bands)
+    ]
+    v_banded = vectors.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), s.alias("sig"))
+                    for b, s in enumerate(bands_of(F.col(vec_col)))
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, vec_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    q_banded = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), s.alias("sig"))
+                        for b, s in enumerate(bands_of(F.col(vec_col)))
+                    ]
+                )
+            ).alias("bs"),
+        ).select("__qvec", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    cands = (
+        v_banded.join(q_banded, ["band", "sig"])
+        .groupBy(id_col)
+        .agg(F.first(vec_col).alias(vec_col), F.first("__qvec").alias("__qvec"))
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    return (
+        cands.select(id_col, sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantization with deterministic centroids
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Pick ``n_centroids`` deterministic seed vectors (lowest ids —
+    a stand-in for k-means; the assignment/probe plumbing is what
+    matters) and assign every vector to its nearest centroid.
+
+    Returns (assigned, centroids). At scale, ``assigned`` would be
+    written partitioned by ``centroid_id`` so probes prune partitions.
+    """
+    centroids = F.broadcast(
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    scored = vectors.crossJoin(centroids).withColumn(
+        "centroid_sim", cosine(F.col(vec_col), F.col("centroid_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("centroid_sim").desc(), F.col("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    return assigned, centroids
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by similarity to the query, scan only
+    vectors assigned to the ``nprobe`` best centroids, exact re-rank."""
+    assigned, centroids = ivf_assign(vectors, n_centroids, vec_col, id_col)
+    q = query.select(F.col(vec_col).alias("__qvec"))
+    probe = F.broadcast(
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn("sim", cosine(F.col("centroid_vec"), F.col("__qvec")))
+        .orderBy(F.col("sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id", "__qvec")
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    return (
+        assigned.join(probe, "centroid_id")
+        .select(id_col, sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

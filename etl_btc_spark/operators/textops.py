@@ -1,0 +1,179 @@
+"""Text analysis operators (SURVEY.md §2.8 F1-F4 + the
+training-data-pipeline text surface mandated by BASELINE.json §2.11):
+HTML strip, whitespace normalization, tokenization/token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything is JVM-side column expressions (regexp/array functions) —
+no Python on the hot path, so these run at full codegen speed over
+100 TB of documents and every one of them has an exact ANSI-SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# reference news_etl_dag.py:65-67 strips HTML via BeautifulSoup
+# get_text(separator=' ', strip=True); the engine's regex chain gives
+# the same result for well-formed markup without a Python UDF.
+_TAG_RE = "<[^>]+>"
+
+
+def html_strip(c: Column) -> Column:
+    """Strip tags → collapse whitespace → trim (F1)."""
+    no_tags = F.regexp_replace(c, _TAG_RE, " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+HTML_STRIP_SQL = (
+    "trim(regexp_replace(regexp_replace({col}, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase + squeezed
+    whitespace + trim."""
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+NORMALIZE_SQL = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+def fingerprint(c: Column) -> Column:
+    """Deterministic 256-bit document fingerprint over the normalized
+    text (F10 — replaces the reference's uuid4 identity,
+    news_etl_dag.py:147, making re-ingestion idempotent)."""
+    return F.sha2(normalize_text(c), 256)
+
+
+FINGERPRINT_SQL = f"sha256({NORMALIZE_SQL})"
+
+#: word-ish tokenizer: letter runs, digit runs, or single punctuation
+#: (a BPE-ish pre-tokenization split — same regex class both engines)
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def ws_tokens(c: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    return F.split(F.trim(c), r"\s+")
+
+
+def ws_token_count(c: Column) -> Column:
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(ws_tokens(c)))
+
+
+WS_TOKEN_COUNT_SQL = (
+    "CASE WHEN trim({col}) = '' THEN 0 ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
+)
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+BPE_ISH_TOKEN_COUNT_SQL = "len(regexp_extract_all({col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))"
+
+#: tiny per-language marker vocabularies for the n-gram/stopword
+#: language-ID heuristic. Deterministic and oracle-expressible; a
+#: production system would swap in a trained model via pandas_udf.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "las", "es", "y", "que"],
+    "fr": ["le", "les", "est", "et", "une", "dans", "que"],
+    "zh": ["de5", "shi4", "le5"],  # romanized placeholders
+}
+#: fixed priority order for argmax ties (higher-priority first)
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(F.array_intersect(tokens, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(c: Column) -> Column:
+    """Marker-vocabulary language ID with deterministic tie-break:
+    a language wins only by strictly beating every higher-priority
+    language; all-zero scores → 'und'."""
+    toks = F.array_distinct(ws_tokens(F.lower(c)))
+    scores = lang_scores(toks)
+    expr = F.lit("und")
+    # build CASE from lowest priority up so higher priority wins ties
+    for lang in reversed(LANG_PRIORITY):
+        higher = LANG_PRIORITY[: LANG_PRIORITY.index(lang)]
+        cond = scores[lang] > 0
+        for h in higher:
+            cond = cond & (scores[lang] > scores[h])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(col: str) -> str:
+    toks = f"list_distinct(regexp_split_to_array(trim(lower({col})), '\\s+'))"
+    score = {
+        lang: f"len(list_intersect({toks}, {markers!r}))".replace("'", "'")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # duckdb list literal: ['the', 'a', ...]
+    score = {
+        lang: "len(list_intersect(%s, [%s]))" % (toks, ", ".join(f"'{m}'" for m in markers))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    case = "'und'"
+    for lang in reversed(LANG_PRIORITY):
+        higher = LANG_PRIORITY[: LANG_PRIORITY.index(lang)]
+        conds = [f"{score[lang]} > 0"] + [f"{score[lang]} > {score[h]}" for h in higher]
+        case = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {case} END"
+    return case
+
+
+#: English stopwords for the quality heuristic
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "is", "in", "that", "it", "for"]
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword heuristics used for document
+    quality scoring in LLM-data pipelines. All ratios are guarded
+    against zero denominators."""
+    n_chars = F.length(c)
+    toks = ws_tokens(F.lower(c))
+    n_words = ws_token_count(c)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in QUALITY_STOPWORDS]))
+    )
+    n_punct = F.regexp_count(c, F.lit("[^A-Za-z0-9 ]"))
+    safe_words = F.greatest(n_words, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": (n_chars - (n_words - 1)) / safe_words.cast("double"),
+        "stopword_ratio": n_stop / safe_words.cast("double"),
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)).cast("double"),
+    }
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1]-ish quality score: rewards mid-length docs with
+    natural stopword density, penalizes punctuation soup."""
+    f = quality_features(c)
+    len_score = F.least(f["n_chars"].cast("double") / 500.0, F.lit(1.0))
+    return 0.4 * len_score + 0.4 * f["stopword_ratio"] + 0.2 * (1.0 - f["punct_ratio"])
+
+
+def quality_score_sql(col: str) -> str:
+    toks = f"regexp_split_to_array(trim(lower({col})), '\\s+')"
+    stop = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    n_words = f"(CASE WHEN trim({col}) = '' THEN 0 ELSE len({toks}) END)"
+    safe_words = f"greatest({n_words}, 1)"
+    n_stop = f"len(list_filter({toks}, t -> list_contains([{stop}], t)))"
+    n_punct = f"len(regexp_extract_all({col}, '[^A-Za-z0-9 ]'))"
+    n_chars = f"length({col})"
+    return (
+        f"0.4 * least({n_chars}::DOUBLE / 500.0, 1.0) "
+        f"+ 0.4 * ({n_stop}::DOUBLE / {safe_words}) "
+        f"+ 0.2 * (1.0 - {n_punct}::DOUBLE / greatest({n_chars}, 1))"
+    )

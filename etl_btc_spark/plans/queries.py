@@ -722,3 +722,421 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
         "series_id", "ts", "bbands_buy_signal", "bbands_sell_signal"
     )
     return features.join(signals, ["series_id", "ts"], "inner")
+
+
+# ---------------------------------------------------------------------------
+# 4. Text layer (SURVEY §2.8 F1-F4 + §2.11 text analysis)
+# ---------------------------------------------------------------------------
+
+from etl_btc_spark.operators import textops as TX  # noqa: E402
+from etl_btc_spark.operators import dedup as DD  # noqa: E402
+from etl_btc_spark.operators import multimodal as MM  # noqa: E402
+from etl_btc_spark.operators import scoring as SC  # noqa: E402
+from etl_btc_spark.operators import similarity as SIM  # noqa: E402
+
+
+@register(
+    "q25_html_strip",
+    oracle=f"""
+        SELECT doc_id,
+               {TX.HTML_STRIP_SQL.format(col="'<p><b>' || text || '</b></p> <br/>'")} AS clean_text
+        FROM documents
+    """,
+    doc="F1: HTML strip as a JVM regex chain (BeautifulSoup parity for well-formed markup, news_etl_dag.py:65-67)",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    html = F.concat(F.lit("<p><b>"), F.col("text"), F.lit("</b></p> <br/>"))
+    return docs.select("doc_id", TX.html_strip(html).alias("clean_text"))
+
+
+@register(
+    "q26_concat_title_desc",
+    oracle="""
+        SELECT doc_id, source || ' ' || text AS title_and_description,
+               CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+                         WHEN 'es' THEN 'Spanish' WHEN 'fr' THEN 'French'
+                         ELSE 'Other' END AS lang_name
+        FROM documents
+    """,
+    doc="F2/F4: concat (title+' '+description shape, news_etl_dag.py:80) + CASE label remap",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.col("source"), F.col("text")).alias("title_and_description"),
+        F.when(F.col("lang") == "en", "English")
+        .when(F.col("lang") == "de", "German")
+        .when(F.col("lang") == "es", "Spanish")
+        .when(F.col("lang") == "fr", "French")
+        .otherwise("Other")
+        .alias("lang_name"),
+    )
+
+
+@register(
+    "q27_regex_extract_props",
+    oracle="""
+        SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k,
+               count(*) AS n, round(1e-9 + avg(value), 4) AS avg_value
+        FROM events GROUP BY 1
+    """,
+    doc="F3: regex field extraction from semi-structured text + cast + agg (llm.py:57-70 shape)",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), sround(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "q28_token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               {TX.WS_TOKEN_COUNT_SQL.format(col="text")} AS ws_tokens,
+               {TX.BPE_ISH_TOKEN_COUNT_SQL.format(col="text")} AS bpe_ish_tokens
+        FROM documents
+    """,
+    doc="§2.11 text analysis: whitespace + BPE-ish regex token counting, pure codegen",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").select(
+        "doc_id",
+        TX.ws_token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "q29_quality_scores",
+    oracle=f"""
+        SELECT doc_id, length(text) AS n_chars,
+               {TX.WS_TOKEN_COUNT_SQL.format(col="text")} AS n_words,
+               round({TX.quality_score_sql("text")}, 6) AS quality
+        FROM documents
+    """,
+    headline=True,
+    doc="§2.11: document quality scoring (length/stopword/punct heuristics) as one codegen stage",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@register(
+    "q30_lang_id",
+    oracle=f"""
+        SELECT doc_id, lang, {TX.lang_id_sql("text")} AS predicted_lang
+        FROM documents
+    """,
+    doc="§2.11: marker-vocabulary language ID with deterministic priority tie-break",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").select(
+        "doc_id", "lang", TX.lang_id(F.col("text")).alias("predicted_lang")
+    )
+
+
+@register(
+    "q31_exact_dedup",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT {TX.FINGERPRINT_SQL.format(col='text')} AS content_id,
+               min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM u GROUP BY 1
+    """,
+    headline=True,
+    doc="P6/F10 + §2.11 exact dedup: content-fingerprint groupBy with deterministic min-id representative (fixes reference's uuid4 duplicate flaw)",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return DD.exact_dedup(docs.unionByName(dup))
+
+
+# ---------------------------------------------------------------------------
+# 5. ML-scoring layer (SURVEY §2.9 U1-U6) — pandas UDFs with exact oracles
+# ---------------------------------------------------------------------------
+
+
+def _sentiment_oracle() -> str:
+    cols = []
+    for m in ("cryptobert", "finbert", "llm"):
+        label, score = SC.stub_sentiment_sql("text", SC.MODEL_SALTS[m])
+        cols.append(f"{label} AS {m}_label")
+        cols.append(f"round({score}, 6) AS {m}_score")
+    return (
+        "SELECT doc_id, "
+        + ", ".join(cols)
+        + " FROM documents WHERE length(text) % 29 <> 0"
+    )
+
+
+@register(
+    "q32_sentiment_scores",
+    oracle=_sentiment_oracle(),
+    headline=True,
+    doc="U1/U3/U4/U5/U6: 3-model struct-returning pandas UDFs (deterministic stub models), NULL-on-failure + >=1-success filter; Arrow-batched, not per-row HTTP",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    scored = SC.score_documents(docs)
+    cols = [F.col("doc_id")]
+    for m in ("cryptobert", "finbert", "llm"):
+        cols.append(F.col(f"{m}_label"))
+        cols.append(F.round(F.col(f"{m}_score"), 6).alias(f"{m}_score"))
+    return scored.select(*cols)
+
+
+def _votes_oracle() -> str:
+    parts = []
+    for m in ("cryptobert", "finbert", "llm"):
+        label, _ = SC.stub_sentiment_sql("text", SC.MODEL_SALTS[m])
+        parts.append(
+            f"SELECT {label} AS label FROM documents WHERE length(text) % 29 <> 0"
+        )
+    return (
+        "SELECT label, count(*) AS votes FROM ("
+        + " UNION ALL ".join(parts)
+        + ") GROUP BY label"
+    )
+
+
+@register(
+    "q33_sentiment_votes",
+    oracle=_votes_oracle(),
+    doc="A4: unpivot (stack) of per-model sentiment labels -> vote tally (3_Sentiment_Analysis.py:89-103)",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    scored = q32(spark, sf)
+    stacked = scored.select(
+        F.expr(
+            "stack(3, cryptobert_label, finbert_label, llm_label) AS label"
+        )
+    )
+    return stacked.groupBy("label").agg(F.count(F.lit(1)).alias("votes"))
+
+
+# ---------------------------------------------------------------------------
+# 6. Vector layer (SURVEY §2.1 S8, §2.4 J3, §2.7 O5, §2.11 similarity)
+# ---------------------------------------------------------------------------
+
+_COS_Q = SIM.cosine_sql("e.embedding", "q.qv")
+
+
+@register(
+    "q34_knn_exact",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round(1e-9 + {_COS_Q}, 6) AS cosine_sim
+        FROM embeddings e, q
+        ORDER BY {_COS_Q} DESC, e.vec_id
+        LIMIT 10
+    """,
+    headline=True,
+    doc="V1/J3/O5: exact cosine top-k, broadcast query + TakeOrderedAndProject (no global sort)",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = SIM.knn_exact(emb, query, k=10)
+    return out.select("vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim"))
+
+
+@register(
+    "q35_knn_per_label",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.label, e.vec_id, {_COS_Q} AS sim,
+                   row_number() OVER (PARTITION BY e.label
+                                      ORDER BY {_COS_Q} DESC, e.vec_id) AS rank
+            FROM embeddings e, q
+        )
+        SELECT label, vec_id, round(1e-9 + sim, 6) AS cosine_sim, rank
+        FROM scored WHERE rank <= 3
+    """,
+    doc="O5 per-group flavor: top-3 nearest per label via rank window",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    query = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    )
+    scored = emb.crossJoin(query).select(
+        "label", "vec_id", SIM.cosine(F.col("embedding"), F.col("__qvec")).alias("sim")
+    )
+    top = SIM.topk_per_group(scored, group="label", score="sim", k=3, tiebreak="vec_id")
+    return top.select(
+        "label", "vec_id", sround(F.col("sim"), 6).alias("cosine_sim"), "rank"
+    )
+
+
+_COS_AB = SIM.cosine_sql("a.embedding", "b.embedding")
+
+
+@register(
+    "q36_embedding_near_dupes",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(1e-9 + {_COS_AB}, 6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= 0.3
+    """,
+    doc="§2.11 embedding-cosine near-dup pairs (O(n^2) verifier shape; scale path = LSH candidates + re-rank)",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    pairs = DD.embedding_near_dupes(emb, threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
+
+
+@register(
+    "q37_knn_lsh",
+    oracle=None,  # approximate: verified against exact knn in pytest (recall)
+    headline=True,
+    doc="V1 scale path: random-hyperplane LSH band-bucket candidates + exact re-rank (sub-linear probe)",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = SIM.knn_lsh(emb, query, k=10, dim=64)
+    return out.select("vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
+
+
+@register(
+    "q38_knn_ivf",
+    oracle=None,  # approximate: verified against exact knn in pytest (recall)
+    doc="V1 scale path 2: IVF coarse quantization, nprobe nearest centroids scanned only",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = SIM.knn_ivf(emb, query, k=10, n_centroids=16, nprobe=4)
+    return out.select("vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
+# 7. Near-dup dedup layer (§2.11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q39_jaccard_pairs",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), d AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+            FROM w
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(1e-9 + len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.8
+    """,
+    doc="§2.11 n-gram Jaccard near-dup (word 3-gram shingles); O(n^2) verifier for the MinHash path",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.jaccard_pairs(docs, threshold=0.8, ngram=3)
+    return pairs.select("id_a", "id_b", sround(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@register(
+    "q40_minhash_near_dupes",
+    oracle=None,  # probabilistic banding; recall vs q39 asserted in pytest
+    headline=True,
+    doc="§2.11 MinHash+LSH near-dup at scale: deterministic 32-perm signatures, 8-band bucket join, exact-Jaccard re-rank of candidates only",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_near_dupes(docs, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@register(
+    "q41_simhash",
+    oracle=None,  # crc32 basis not available in DuckDB; invariants in pytest
+    doc="§2.11 SimHash 64-bit signatures (crc32 token votes); near-dups = small hamming distance",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", DD.simhash64(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# 8. Multimodal layer (§2.11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q42_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+               CAST(64 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+               CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames,
+               'fake/' || (octet_length(encode(text)) % 3) AS format
+        FROM documents
+    """,
+    doc="§2.11 multimodal: opaque binary payload + mapInPandas decode (deterministic stub codec; real PIL/ffmpeg is a drop-in)",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    with_payload = MM.attach_binary_payload(docs)
+    return MM.extract_media_meta(with_payload)
+
+
+@register(
+    "q43_news_pipeline",
+    oracle=None,  # composite pipeline; components individually oracle-checked (q25/q32/q34)
+    headline=True,
+    doc="§3.2+§3.3 end-to-end news shape: clean -> stub-score -> stub-embed -> top-10 cosine neighbors of doc 0 -> sentiment vote tally, one lazy plan",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clean = docs.select("doc_id", TX.html_strip(F.col("text")).alias("text"))
+    scored = SC.score_documents(clean)
+    emb = scored.withColumn("embedding", SC.embedding_udf(8)(F.col("text")))
+    query = emb.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("__qvec"))
+    sim = SIM.cosine(F.col("embedding"), F.col("__qvec"))
+    neighbors = (
+        emb.crossJoin(F.broadcast(query))
+        .select("doc_id", "cryptobert_label", "finbert_label", "llm_label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+    return (
+        neighbors.select(
+            F.expr("stack(3, cryptobert_label, finbert_label, llm_label) AS label")
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
