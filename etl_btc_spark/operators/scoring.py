@@ -96,13 +96,19 @@ def sentiment_udf(
 
 def stub_embedding_fn(texts: pd.Series, dim: int = 8) -> pd.Series:
     """Deterministic embedding stand-in (U2 shape): component j is
-    ``((len*(j+1) + first) % 97) / 97``. Unit tests + the vector
-    layer cover real similarity math; this covers the
+    ``((len*(j+1) + first) % 97) / 97`` for j < dim-1; the LAST
+    component is a constant 1.0 so the vector can never be all-zero
+    (a zero-norm vector would make cosine degenerate — round-2
+    VERDICT.md "What's wrong" #1). Unit tests + the vector layer
+    cover real similarity math; this covers the
     ArrayType(FloatType) UDF plumbing."""
     n = texts.str.len().fillna(0).astype("int64")
     first = texts.str.slice(0, 1).map(lambda s: ord(s) if s else 0).astype("int64")
     return pd.Series(
-        [[float(((ln * (j + 1) + fc) % 97) / 97.0) for j in range(dim)] for ln, fc in zip(n, first)]
+        [
+            [float(((ln * (j + 1) + fc) % 97) / 97.0) for j in range(dim - 1)] + [1.0]
+            for ln, fc in zip(n, first)
+        ]
     )
 
 

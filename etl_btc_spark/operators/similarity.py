@@ -40,7 +40,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm-safe cosine: ``try_divide`` yields NULL instead of
+    raising DIVIDE_BY_ZERO under ANSI mode (Spark 4.x default); the
+    NULL is coalesced to 0.0 so degenerate vectors sort last
+    deterministically instead of aborting the job."""
+    return F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
 
 
 DOT_SQL = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
@@ -50,7 +54,7 @@ def cosine_sql(a: str, b: str) -> str:
     d = DOT_SQL.format(a=a, b=b)
     na = DOT_SQL.format(a=a, b=a)
     nb = DOT_SQL.format(a=b, b=b)
-    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+    return f"coalesce({d} / nullif(sqrt({na}) * sqrt({nb}), 0), 0.0)"
 
 
 def knn_exact(
