@@ -23,8 +23,11 @@ bit-compatible with the DuckDB oracle's list_dot_product.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -103,18 +106,43 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def simhash_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-signature column: bit i = sign(vec . plane_i)."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(w)) for w in p])) >= 0, F.lit(1)).otherwise(
-            F.lit(0)
-        )
-        for p in planes
-    ]
-    out = F.lit(0).cast("long")
-    for b in bits:
-        out = F.shiftleft(out, 1) + b.cast("long")
-    return out
+def lsh_band_sig_udf(dim: int, n_bands: int, bits_per_band: int, seed: int = 42):
+    """Arrow-batched pandas UDF: array<float> vector → array<long> of
+    ``n_bands`` band signatures (bit i of a band = sign(vec·plane_i)).
+
+    All ``n_bands * bits_per_band`` hyperplane projections happen in
+    ONE numpy matmul per Arrow batch ((batch, dim) @ (dim, planes)),
+    replacing round 2's per-plane interpreted ``aggregate`` folds that
+    made the "sub-linear" LSH path 7× slower than brute force
+    (VERDICT.md "What's wrong" #2).
+    """
+    import numpy as np
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    n_planes = n_bands * bits_per_band
+    planes = np.array(_planes(dim, n_planes, seed), dtype=np.float64)  # (planes, dim)
+    weights = np.left_shift(
+        1, np.arange(bits_per_band - 1, -1, -1, dtype=np.int64)
+    )  # big-endian bit order == round 2's shiftleft loop
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (mat @ planes.T >= 0).astype(np.int64)  # (batch, planes)
+        sigs = bits.reshape(len(mat), n_bands, bits_per_band) @ weights  # (batch, bands)
+        return pd.Series(sigs.tolist())
+
+    return _udf
+
+
+def _banded(df: DataFrame, sig_udf, vec_col: str, keep: list[str]) -> DataFrame:
+    """Explode per-vector band signatures to (band, sig) rows."""
+    return df.select(
+        *keep,
+        F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"),
+    )
 
 
 def knn_lsh(
@@ -130,41 +158,17 @@ def knn_lsh(
     """Approximate top-k: candidate = shares >=1 LSH band with the
     query; exact cosine re-rank on candidates only.
 
-    Scale shape: vectors are exploded to n_bands rows and hash-joined
-    on (band, signature) against the query's (tiny, broadcast) band
-    table — a sub-linear bucket probe instead of a full scan. At
-    100 TB the banded table is the precomputed "index" (written once,
-    bucketed by signature).
+    Scale shape: vectors are exploded to n_bands (band, sig) rows —
+    signatures materialized once by the vectorized UDF — and
+    hash-joined against the query's (tiny, broadcast) band table: a
+    sub-linear bucket probe instead of a full scan. At 100 TB the
+    banded table is the precomputed "index" (written once, bucketed
+    by signature — see :mod:`etl_btc_spark.operators.ann_index`).
     """
-    planes = _planes(dim, n_bands * bits_per_band)
-    bands_of = lambda vec: [  # noqa: E731
-        simhash_signature(vec, planes[b * bits_per_band : (b + 1) * bits_per_band])
-        for b in range(n_bands)
-    ]
-    v_banded = vectors.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), s.alias("sig"))
-                    for b, s in enumerate(bands_of(F.col(vec_col)))
-                ]
-            )
-        ).alias("bs"),
-    ).select(id_col, vec_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
+    v_banded = _banded(vectors, sig_udf, vec_col, [id_col, vec_col])
     q_banded = F.broadcast(
-        query.select(
-            F.col(vec_col).alias("__qvec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band"), s.alias("sig"))
-                        for b, s in enumerate(bands_of(F.col(vec_col)))
-                    ]
-                )
-            ).alias("bs"),
-        ).select("__qvec", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        _banded(query.select(F.col(vec_col).alias("__qvec")), sig_udf, "__qvec", ["__qvec"])
     )
     cands = (
         v_banded.join(q_banded, ["band", "sig"])

@@ -1011,9 +1011,9 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q37_knn_lsh",
-    oracle=None,  # approximate: verified against exact knn in pytest (recall)
+    oracle=None,  # approximate: recall@10 vs knn_exact asserted in tests/test_approx_search.py
     headline=True,
-    doc="V1 scale path: random-hyperplane LSH band-bucket candidates + exact re-rank (sub-linear probe)",
+    doc="V1 scale path: random-hyperplane LSH band-bucket candidates + exact re-rank (sub-linear probe; signatures = one vectorized matmul per Arrow batch)",
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
@@ -1024,7 +1024,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q38_knn_ivf",
-    oracle=None,  # approximate: verified against exact knn in pytest (recall)
+    oracle=None,  # approximate: recall@10 vs knn_exact asserted in tests/test_approx_search.py
     doc="V1 scale path 2: IVF coarse quantization, nprobe nearest centroids scanned only",
 )
 def q38(spark: SparkSession, sf: str) -> DataFrame:
@@ -1070,7 +1070,7 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q40_minhash_near_dupes",
-    oracle=None,  # probabilistic banding; recall vs q39 asserted in pytest
+    oracle=None,  # probabilistic banding; subset+recall vs q39 asserted in tests/test_approx_search.py
     headline=True,
     doc="§2.11 MinHash+LSH near-dup at scale: deterministic 32-perm signatures, 8-band bucket join, exact-Jaccard re-rank of candidates only",
 )
@@ -1082,7 +1082,7 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q41_simhash",
-    oracle=None,  # crc32 basis not available in DuckDB; invariants in pytest
+    oracle=None,  # crc32 basis not in DuckDB; Hamming-separation invariants in tests/test_approx_search.py
     doc="§2.11 SimHash 64-bit signatures (crc32 token votes); near-dups = small hamming distance",
 )
 def q41(spark: SparkSession, sf: str) -> DataFrame:
