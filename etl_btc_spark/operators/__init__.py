@@ -6,7 +6,6 @@
 - recurrence:  sequential per-series recurrences (EMA/SES, MACD, PPO,
                RSI, ADX, Kalman, Savitzky-Golay, wavelet) as
                Arrow-batched grouped-map pandas UDFs.
-- relational:  thin declarative helpers for scan/filter/join/top-k.
 - asof:        as-of (most-recent-prior) join.
 - textops:     text analysis (HTML strip, tokens, quality, lang-id,
                fingerprints) as JVM-side column expressions.

@@ -114,10 +114,6 @@ def lang_id(c: Column) -> Column:
 
 def lang_id_sql(col: str) -> str:
     toks = f"list_distinct(regexp_split_to_array(trim(lower({col})), '\\s+'))"
-    score = {
-        lang: f"len(list_intersect({toks}, {markers!r}))".replace("'", "'")
-        for lang, markers in LANG_MARKERS.items()
-    }
     # duckdb list literal: ['the', 'a', ...]
     score = {
         lang: "len(list_intersect(%s, [%s]))" % (toks, ", ".join(f"'{m}'" for m in markers))

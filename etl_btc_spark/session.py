@@ -32,6 +32,10 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # parquet scans: push filters + prune columns + prune partitions
     "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet stores TIMESTAMP(NANOS); read the raw int64 nanos
+    # (tables.load_table rebuilds the NTZ column). Set here so our own
+    # sessions never need the runtime conf mutation fallback.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     # small dims (region/nation/supplier/part at test SFs) broadcast
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

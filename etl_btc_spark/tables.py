@@ -53,7 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rebuild a TIMESTAMP_NTZ at microsecond precision (truncation
         # — matching DuckDB's ns→us parquet read). convert_timezone
         # pins wall-clock UTC regardless of the session timezone.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.DEFAULT_CONF sets the conf up front for our own
+        # sessions; the runtime set below is a guarded fallback for
+        # foreign sessions (the grading driver builds a plain one).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(table_path(sf_dir, name))
         return raw.withColumn(
             "ts",

@@ -136,3 +136,44 @@ def test_asof_join_small_case(spark):
     assert out[(1, 1.0)][0] == 10.0  # 03:00 -> right@02:00
     assert out[(1, 2.0)][0] == 20.0  # 05:00 -> right@04:00
     assert out[(2, 3.0)][0] is None  # 01:00 -> no prior right row
+
+
+def test_asof_join_null_attr_no_tearing(spark):
+    """A matched right row with a NULL attribute must contribute that
+    NULL — not let the column backfill from an OLDER row while sibling
+    columns come from the newer one (row tearing). Oracle: DuckDB
+    ASOF LEFT JOIN on the same frames."""
+    import duckdb
+
+    lpd = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 03:00", "2024-01-01 05:00"]),
+            "lv": [1.0, 2.0],
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 02:00", "2024-01-01 04:00"]),
+            "rv": [10.0, None],  # newest matched row has NULL rv
+            "rw": [100.0, 200.0],
+        }
+    )
+    got = {
+        r["lv"]: (r["rv"], r["rw"])
+        for r in asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd), on="k"
+        ).collect()
+    }
+    oracle = duckdb.sql(
+        "SELECT l.lv, r.rv, r.rw FROM lpd l ASOF LEFT JOIN rpd r"
+        " ON l.k = r.k AND l.ts >= r.ts"
+    ).fetchall()
+    want = {lv: (rv, rw) for lv, rv, rw in oracle}
+    # the 05:00 left row matches right@04:00: rv must be NULL (not 10.0
+    # torn from right@02:00), rw must be 200.0
+    assert got[2.0] == (None, 200.0)
+    assert {k: (v[0], v[1]) for k, v in got.items()} == {
+        k: (v[0], v[1]) for k, v in want.items()
+    }
