@@ -1140,3 +1140,117 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Sink & landing-source layer (SURVEY §2.1 S3/S4, §2.2 K1-K5)
+# ---------------------------------------------------------------------------
+
+from etl_btc_spark import sinks as SK  # noqa: E402
+from etl_btc_spark import sources as SRC  # noqa: E402
+
+
+@register(
+    "q44_partitioned_write_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc=(
+        "K1 partitioned table write (reference init_influxdb.py:135-149): "
+        "documents written partitionBy(lang) to the artifact root, read back "
+        "— lang-filtered scans over the written table prune whole directories"
+    ),
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    path = SK.artifact_path(sf, "q44_docs_by_lang")
+    SK.write_partitioned(docs, path, ["lang"])
+    return spark.read.parquet(path).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "q45_incremental_append",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    doc=(
+        "K2 incremental append (reference btc_usdt_etl_dag.py:217 writes only "
+        "the new rows per hourly run): base batch overwrite + new batch append "
+        "— per-run cost is O(batch), history is never rewritten"
+    ),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
+    path = SK.artifact_path(sf, "q45_events_append")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    increment = ev.filter(F.col("event_id") % 2 == 1)
+    base.write.mode("overwrite").parquet(path)  # bootstrap (clears prior runs)
+    SK.append_rows(increment, path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "q46_json_dump_roundtrip",
+    oracle="""
+        SELECT doc_id, text, lang, source FROM documents
+        WHERE lang = 'en' ORDER BY doc_id LIMIT 100
+    """,
+    doc=(
+        "K5 JSON dump (research cells 50/103) + S3 JSON landing scan "
+        "(news_etl_dag.py:34-61): write line-JSON, re-read with an explicit "
+        "schema (no inference pass), filter + deterministic limit"
+    ),
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    path = SK.artifact_path(sf, "q46_docs_json")
+    SK.write_json(docs, path)
+    return (
+        SRC.read_json_docs(spark, path)
+        .filter(F.col("lang") == "en")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q47_csv_scan_filter_limit",
+    oracle="""
+        SELECT doc_id, text, lang, source FROM documents
+        WHERE source = 'src0' ORDER BY doc_id LIMIT 500
+    """,
+    doc=(
+        "S4 CSV scan + equality filter + head-N (init_qdrant.py:276-281: "
+        "read_csv -> subject=='bitcoin' -> iloc[:500]), with a declared "
+        "schema and a deterministic ORDER BY under the LIMIT"
+    ),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    path = SK.artifact_path(sf, "q47_docs_csv")
+    SK.write_csv(docs, path)
+    return (
+        SRC.read_csv_docs(spark, path)
+        .filter(F.col("source") == "src0")
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@register(
+    "q48_idempotent_upsert",
+    oracle=f"""
+        SELECT {TX.FINGERPRINT_SQL.format(col='text')} AS content_id,
+               min(doc_id) AS doc_id
+        FROM documents GROUP BY 1
+    """,
+    doc=(
+        "K3 idempotent hash-keyed upsert (MERGE): same batch ingested twice "
+        "yields an identical one-row-per-content table — fixes the "
+        "reference's uuid4 duplicate flaw (news_etl_dag.py:147)"
+    ),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    batch = SK.with_content_id(docs)
+    path = SK.artifact_path(sf, "q48_upsert")
+    SK.upsert_by_key(spark, batch, path, key="content_id", order_col="doc_id")
+    # re-ingest the identical batch: MERGE semantics must make this a no-op
+    SK.upsert_by_key(spark, batch, path, key="content_id", order_col="doc_id")
+    return spark.read.parquet(path).select("content_id", "doc_id")

@@ -1,0 +1,62 @@
+"""Sink-layer semantics (SURVEY §2.2 K1-K5) beyond the registry
+round-trip oracles: upsert update/idempotence behavior and partition
+pruning of the written table."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_btc_spark import sinks as SK
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _rows(spark, path):
+    return {
+        r["content_id"]: (r["doc_id"], r["text"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_idempotent_then_updates(spark, tmp_table):
+    batch = spark.createDataFrame(
+        pd.DataFrame({"content_id": ["a", "b"], "doc_id": [1, 2], "text": ["x", "y"]})
+    )
+    SK.upsert_by_key(spark, batch, tmp_table, order_col="doc_id")
+    SK.upsert_by_key(spark, batch, tmp_table, order_col="doc_id")
+    assert _rows(spark, tmp_table) == {"a": (1, "x"), "b": (2, "y")}
+
+    update = spark.createDataFrame(
+        pd.DataFrame({"content_id": ["b", "c"], "doc_id": [9, 3], "text": ["y2", "z"]})
+    )
+    SK.upsert_by_key(spark, update, tmp_table, order_col="doc_id")
+    # b updated in place (batch wins), a untouched, c inserted — no dups
+    assert _rows(spark, tmp_table) == {"a": (1, "x"), "b": (9, "y2"), "c": (3, "z")}
+
+
+def test_upsert_dedupes_batch_keys(spark, tmp_table):
+    """A batch repeating a key lands as ONE row (order_col tie-break)."""
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"content_id": ["a", "a"], "doc_id": [5, 2], "text": ["late", "early"]}
+        )
+    )
+    SK.upsert_by_key(spark, batch, tmp_table, order_col="doc_id")
+    assert _rows(spark, tmp_table) == {"a": (2, "early")}
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_table):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6), "lang": ["en", "es", "de"] * 2})
+    )
+    SK.write_partitioned(df, tmp_table, ["lang"])
+    scan = spark.read.parquet(tmp_table).filter(F.col("lang") == "en")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate must land in PartitionFilters (directory
+    # pruning), not as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+    assert scan.count() == 2
