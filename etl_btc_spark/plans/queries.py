@@ -1254,3 +1254,130 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     # re-ingest the identical batch: MERGE semantics must make this a no-op
     SK.upsert_by_key(spark, batch, path, key="content_id", order_col="doc_id")
     return spark.read.parquet(path).select("content_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 10. Incremental / streaming layer (SURVEY §2.6 W12, §2.10 T1-T6)
+# ---------------------------------------------------------------------------
+
+import shutil  # noqa: E402
+
+from etl_btc_spark.streaming import incremental as INC  # noqa: E402
+
+
+def _q49_enrich(df: DataFrame) -> DataFrame:
+    """The feature stack applied per micro-batch: SMA(30) + Bollinger
+    bands/signals — all causal bounded windows (width ≤ 30 « the
+    299-row lookback), so incremental == full recompute exactly."""
+    w = WO.series_window()
+    return WO.bollinger(df.withColumn("close_sma", WO.sma("close", 30, w)))
+
+
+@register(
+    "q49_incremental_lookback_append",
+    oracle=_SERIES_CTE
+    + """
+        , bands AS (
+            SELECT series_id, ts, close,
+                   avg(close) OVER w30 AS sma30,
+                   avg(close) OVER w20 AS mid,
+                   stddev_pop(close) OVER w20 AS sd
+            FROM series
+            WINDOW w30 AS (PARTITION BY series_id ORDER BY ts
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+                   w20 AS (PARTITION BY series_id ORDER BY ts
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ), sig AS (
+            SELECT series_id, ts, sma30, close,
+                   mid - 2 * sd AS lower, mid + 2 * sd AS upper,
+                   lag(close) OVER v AS p_close,
+                   lag(mid - 2 * sd) OVER v AS p_lower,
+                   lag(mid + 2 * sd) OVER v AS p_upper
+            FROM bands WINDOW v AS (PARTITION BY series_id ORDER BY ts)
+        )
+        SELECT series_id, ts, round(1e-9 + sma30, 4) AS close_sma,
+               round(1e-9 + lower, 4) AS bb_lower,
+               round(1e-9 + upper, 4) AS bb_upper,
+               coalesce(p_lower < p_close AND lower > close, false) AS bbands_buy_signal,
+               coalesce(p_close < p_upper AND close > upper, false) AS bbands_sell_signal
+        FROM sig
+    """,
+    doc=(
+        "W12/T2 incremental lookback append (reference btc_usdt_etl_dag.py:"
+        "31,72,217): bootstrap history, then append the 2 newest bars per "
+        "series via 299-row-lookback recompute; oracle is a FULL-table "
+        "recompute, so a hash match IS the incremental-equivalence proof "
+        "(SURVEY §5 item 4)"
+    ),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    s = price_series(spark, sf)
+    rank_w = Window.partitionBy("series_id").orderBy(F.col("ts").desc())
+    ranked = s.withColumn("__rn", F.row_number().over(rank_w))
+    hist = ranked.filter(F.col("__rn") > 2).drop("__rn")
+    bar1 = ranked.filter(F.col("__rn") == 2).drop("__rn")  # hourly run N
+    bar2 = ranked.filter(F.col("__rn") == 1).drop("__rn")  # hourly run N+1
+    path = SK.artifact_path(sf, "q49_feature_store")
+    INC.bootstrap_feature_store(hist, _q49_enrich, path)
+    INC.lookback_increment(spark, path, bar1, _q49_enrich)
+    INC.lookback_increment(spark, path, bar2, _q49_enrich)
+    return spark.read.parquet(path).select(
+        "series_id",
+        "ts",
+        sround(F.col("close_sma"), 4).alias("close_sma"),
+        sround(F.col("bb_lower"), 4).alias("bb_lower"),
+        sround(F.col("bb_upper"), 4).alias("bb_upper"),
+        "bbands_buy_signal",
+        "bbands_sell_signal",
+    )
+
+
+@register(
+    "q50_stream_watermark_dedup",
+    oracle=f"""
+        SELECT DISTINCT {TX.FINGERPRINT_SQL.format(col='text')} AS content_id
+        FROM documents
+    """,
+    doc=(
+        "T1/T3/T4/T5/T6 streaming ingestion (reference news_etl_dag.py:38 "
+        "25h-overlap re-read): two overlapping landing batches drained by a "
+        "checkpointed availableNow stream, watermark + content-hash "
+        "dropDuplicatesWithinWatermark, idempotent foreachBatch upsert — "
+        "overlap collapses instead of duplicating (fixes the uuid4 flaw)"
+    ),
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    docs = SK.with_content_id(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    ).withColumn(
+        # synthetic event time: one doc per hour, offset a year past
+        # epoch 0 (the stream's initial watermark — a doc AT epoch 0
+        # would be dropped as late). The overlap spans far beyond the
+        # 25 h watermark delay, so the late-data policy is exercised,
+        # not just satisfied trivially.
+        "published_at",
+        F.timestamp_millis((F.col("doc_id") + F.lit(9000)) * F.lit(3_600_000)),
+    ).select("content_id", "doc_id", "text", "published_at")
+
+    landing = SK.artifact_path(sf, "q50_landing")
+    table = SK.artifact_path(sf, "q50_news_store")
+    ckpt = SK.artifact_path(sf, "q50_checkpoint")
+    for p in (landing, table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    n = docs.count()
+    cut_hi = int(n * 0.6)  # batch1: [0, 60%) ; batch2: [40%, n) -> 20% overlap
+    cut_lo = int(n * 0.4)
+    docs.filter(F.col("doc_id") < cut_hi).write.parquet(f"{landing}/batch1")
+    docs.filter(F.col("doc_id") >= cut_lo).write.parquet(f"{landing}/batch2")
+
+    INC.stream_ingest_dedup(
+        spark,
+        f"{landing}/*",
+        docs.schema,
+        table,
+        ckpt,
+        key_col="content_id",
+        ts_col="published_at",
+    )
+    return spark.read.parquet(table).select("content_id").distinct()

@@ -1,0 +1,148 @@
+"""Incremental recompute + streaming ingestion (SURVEY.md §2.10).
+
+The reference's defining execution shape is an hourly micro-batch
+that does NOT reprocess history:
+
+- The candle job reloads exactly the last 299 rows as warm-up
+  context, recomputes every window/recurrence feature over
+  (warm-up ∪ new bar), and appends only the new bar
+  (airflow/dags/btc_usdt_etl_dag.py:31,72,217) → W12/T2 here as
+  :func:`lookback_increment`.
+- The news job re-reads an overlapping 25 h window every hour
+  (news_etl_dag.py:38) and — because ids are uuid4 — duplicates every
+  overlapped article. T3/T6 here keep the overlap policy but make it
+  correct: event-time watermark + content-hash dedup +
+  idempotent upsert sink (:func:`stream_ingest_dedup`).
+- Empty batches are skipped (news_etl_dag.py:56-57 AirflowSkipException)
+  → T4, a guard in the foreachBatch sink.
+- At-least-once retries (Airflow retries=5) become checkpointed
+  Structured Streaming + an idempotent sink → effectively-exactly-once
+  (T5).
+
+Scale posture: per-run cost of :func:`lookback_increment` is
+O(lookback × n_series + batch), independent of table size — the
+frontier/tail reads are bounded by ``prune_interval`` so a
+date-partitioned 100 TB feature store only scans its newest
+partitions. The streaming path holds only the watermark-bounded dedup
+state per executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_btc_spark.sinks import append_rows, upsert_by_key
+
+#: the reference's warm-up depth (btc_usdt_etl_dag.py:31)
+DEFAULT_LOOKBACK = 299
+
+
+def lookback_increment(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    feature_fn,
+    lookback: int = DEFAULT_LOOKBACK,
+    series: str = "series_id",
+    ts: str = "ts",
+    prune_interval: str = "30 days",
+) -> int:
+    """W12/T2: append ``batch`` to the feature store at ``table_path``
+    with features recomputed over (last ``lookback`` rows per series ∪
+    batch) — never the full table.
+
+    ``feature_fn: DataFrame -> DataFrame`` is the full enrichment
+    stack (window/recurrence features); it sees enough trailing
+    context that every bounded-window feature of the appended rows is
+    EXACTLY what a full-table recompute would produce (window width ≤
+    lookback), and every recurrence (EMA-family) is converged far
+    below double precision — the same guarantee the reference designs
+    for. Returns the number of appended rows.
+
+    Scan discipline: the existing table is read with a ``ts >=
+    batch_min_ts - prune_interval`` predicate FIRST, so a
+    date-partitioned store prunes to its newest partitions before the
+    per-series tail ranking; the tail keeps only raw input columns
+    (column pruning) and the rank window shuffles lookback-bounded
+    rows once on the series key.
+    """
+    if batch.isEmpty():  # T4: empty micro-batch is a no-op
+        return 0
+    lo = batch.agg(F.min(ts)).first()[0]  # one scalar to the driver
+
+    existing = spark.read.parquet(table_path).filter(
+        F.col(ts) >= F.lit(lo) - F.expr(f"INTERVAL {prune_interval}")
+    )
+    frontier = existing.groupBy(series).agg(F.max(ts).alias("__maxts"))
+    rank_w = Window.partitionBy(series).orderBy(F.col(ts).desc())
+    tail = (
+        existing.select(batch.columns)  # raw inputs only (prune features)
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= lookback)
+        .drop("__rn")
+    )
+    enriched = feature_fn(tail.unionByName(batch))
+    new_rows = (
+        enriched.join(frontier, series, "left")
+        .filter(F.col("__maxts").isNull() | (F.col(ts) > F.col("__maxts")))
+        .drop("__maxts")
+    )
+    n = new_rows.count()
+    append_rows(new_rows, table_path)
+    return n
+
+
+def bootstrap_feature_store(
+    history: DataFrame, feature_fn, table_path: str
+) -> str:
+    """One-shot backfill (reference init_influxdb.py:32-60 shape):
+    full recompute over all history, overwrite the store."""
+    feature_fn(history).write.mode("overwrite").parquet(table_path)
+    return table_path
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "content_id",
+    ts_col: str = "published_at",
+    delay: str = "25 hours",
+) -> None:
+    """T1/T3/T5/T6: Structured Streaming ingestion of a landing zone
+    with the reference's 25 h-overlap re-read policy made correct.
+
+    - file source (new landing files per trigger; ``availableNow``
+      drains the backlog exactly once — swap for
+      ``trigger(processingTime='1 hour')`` for the reference's hourly
+      cadence, T1)
+    - event-time watermark of ``delay`` (T6: the reference's implicit
+      "older than 25 h is never reprocessed" horizon, made explicit)
+    - ``dropDuplicatesWithinWatermark`` on the content-hash key (T3:
+      overlapped re-reads collapse; state is watermark-bounded, not
+      unbounded)
+    - foreachBatch sink doing an idempotent hash-keyed upsert with an
+      empty-batch guard (T4/T5: checkpoint + idempotent sink =
+      effectively-exactly-once under at-least-once redelivery)
+    """
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+    deduped = src.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([key_col])
+
+    def sink(micro_batch: DataFrame, epoch_id: int) -> None:
+        if micro_batch.isEmpty():  # T4
+            return
+        upsert_by_key(
+            micro_batch.sparkSession, micro_batch, table_path, key=key_col, order_col=ts_col
+        )
+
+    (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,125 @@
+"""Incremental-equivalence + streaming-policy tests (SURVEY §5 item
+4, §2.10). q49/q50's oracle rows are the driver-facing proof; these
+pin the exact (unrounded) guarantees and edge policies."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_btc_spark.operators import window_ops as WO
+from etl_btc_spark.streaming import incremental as INC
+from etl_btc_spark.tables import load_table, price_series
+
+from conftest import SF_SMOKE
+
+
+def _enrich(df):
+    w = WO.series_window()
+    return WO.bollinger(df.withColumn("close_sma", WO.sma("close", 30, w)))
+
+
+def test_lookback_increment_bit_identical_to_full(spark, tmp_path):
+    """The appended bar's features must equal a full-table recompute
+    EXACTLY (not just to rounding): every feature is a causal window
+    of width <= 30 over the same ordered inputs, so the lookback run
+    sums the identical values in the identical order."""
+    s = price_series(spark, SF_SMOKE)
+    rank_w = Window.partitionBy("series_id").orderBy(F.col("ts").desc())
+    ranked = s.withColumn("__rn", F.row_number().over(rank_w))
+    hist = ranked.filter(F.col("__rn") > 1).drop("__rn")
+    bar = ranked.filter(F.col("__rn") == 1).drop("__rn")
+
+    path = str(tmp_path / "store")
+    INC.bootstrap_feature_store(hist, _enrich, path)
+    n = INC.lookback_increment(spark, path, bar, _enrich)
+    assert n == bar.count()
+
+    full = _enrich(s)
+    latest_full = {
+        r["series_id"]: r
+        for r in full.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .collect()
+    }
+    latest_inc = {
+        r["series_id"]: r
+        for r in spark.read.parquet(path)
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .collect()
+    }
+    assert set(latest_inc) == set(latest_full)
+    for k, want in latest_full.items():
+        got = latest_inc[k]
+        for c in ("close_sma", "bb_mid", "bb_upper", "bb_lower"):
+            assert got[c] == want[c], (k, c)  # bit-identical, no tolerance
+        for c in ("bbands_buy_signal", "bbands_sell_signal"):
+            assert got[c] == want[c], (k, c)
+
+
+def test_lookback_increment_empty_batch_noop(spark, tmp_path):
+    s = price_series(spark, SF_SMOKE)
+    path = str(tmp_path / "store")
+    INC.bootstrap_feature_store(s, _enrich, path)
+    before = spark.read.parquet(path).count()
+    empty = s.filter(F.lit(False))
+    assert INC.lookback_increment(spark, path, empty, _enrich) == 0
+    assert spark.read.parquet(path).count() == before
+
+
+def test_stream_dedup_collapses_overlap_and_drops_late(spark, tmp_path):
+    """Two landing batches with an overlapping window: the overlap
+    must collapse by content key; a row arriving with an event time
+    older than (max seen - delay) must be dropped (T6 policy)."""
+    base = pd.Timestamp("2024-06-01")
+    b1 = pd.DataFrame(
+        {
+            "content_id": ["a", "b", "c"],
+            "published_at": [base, base + pd.Timedelta(hours=1), base + pd.Timedelta(hours=2)],
+        }
+    )
+    # overlap re-read: b and c again; d is new and far ahead
+    b2 = pd.DataFrame(
+        {
+            "content_id": ["b", "c", "d"],
+            "published_at": [
+                base + pd.Timedelta(hours=1),
+                base + pd.Timedelta(hours=2),
+                base + pd.Timedelta(hours=100),
+            ],
+        }
+    )
+    # e arrives AFTER the watermark advanced to 100h - 25h = 75h
+    # (watermarks move between micro-batches, not within one)
+    b3 = pd.DataFrame(
+        {
+            "content_id": ["e"],
+            "published_at": [base + pd.Timedelta(hours=50)],
+        }
+    )
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    sdf1 = spark.createDataFrame(b1)
+    spark.createDataFrame(b1).write.parquet(f"{landing}/b1")
+    INC.stream_ingest_dedup(
+        spark, f"{landing}/*", sdf1.schema, table, ckpt, key_col="content_id",
+        ts_col="published_at", delay="25 hours",
+    )
+    spark.createDataFrame(b2).write.parquet(f"{landing}/b2")
+    INC.stream_ingest_dedup(
+        spark, f"{landing}/*", sdf1.schema, table, ckpt, key_col="content_id",
+        ts_col="published_at", delay="25 hours",
+    )
+    spark.createDataFrame(b3).write.parquet(f"{landing}/b3")
+    INC.stream_ingest_dedup(
+        spark, f"{landing}/*", sdf1.schema, table, ckpt, key_col="content_id",
+        ts_col="published_at", delay="25 hours",
+    )
+    got = set(r.content_id for r in spark.read.parquet(table).collect())
+    # a,b,c from batch1; d new; e dropped as late (50h < 100h - 25h)
+    assert got == {"a", "b", "c", "d"}
