@@ -1013,24 +1013,42 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     "q37_knn_lsh",
     oracle=None,  # approximate: recall@10 vs knn_exact asserted in tests/test_approx_search.py
     headline=True,
-    doc="V1 scale path: random-hyperplane LSH band-bucket candidates + exact re-rank (sub-linear probe; signatures = one vectorized matmul per Arrow batch)",
+    doc=(
+        "V1 scale path: persisted hyperplane-LSH band index (K4, built once "
+        "like the reference's write-time HNSW, init_qdrant.py:38-58) probed "
+        "by (band, sig) + exact re-rank of candidates joined back by id"
+    ),
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    out = SIM.knn_lsh(emb, query, k=10, dim=64)
+    idx = _SK.artifact_path(sf, "lsh_index")
+    ANN.ensure_lsh_index(spark, emb, idx, dim=64, n_bands=8, bits_per_band=4)
+    out = ANN.knn_lsh_indexed(spark, idx, emb, query, k=10, dim=64)
     return out.select("vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
 
 @register(
     "q38_knn_ivf",
     oracle=None,  # approximate: recall@10 vs knn_exact asserted in tests/test_approx_search.py
-    doc="V1 scale path 2: IVF coarse quantization, nprobe nearest centroids scanned only",
+    doc=(
+        "V1 scale path 2: persisted IVF index (K4) — Lloyd-refined "
+        "centroids, assignment table partitioned by centroid_id; the probe "
+        "scans only the nprobe best partitions (directory pruning)"
+    ),
 )
 def q38(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    out = SIM.knn_ivf(emb, query, k=10, n_centroids=16, nprobe=4)
+    idx = _SK.artifact_path(sf, "ivf_index")
+    ANN.ensure_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
+    out = ANN.knn_ivf_indexed(spark, idx, query, k=10, nprobe=4)
     return out.select("vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
 

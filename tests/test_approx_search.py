@@ -70,6 +70,44 @@ def test_ivf_recall_at_10(spark, emb, exact_top10):
     assert len(got & exact_top10) / 10 >= 0.8
 
 
+def test_ivf_indexed_recall_and_pruned_probe(spark, emb, exact_top10, tmp_path):
+    """The persisted IVF index (K4) must (a) keep recall parity with
+    the in-memory path and (b) probe via directory pruning — the
+    assignment scan's plan must carry a centroid_id PartitionFilter,
+    proving the index is scanned, not rebuilt."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    q = emb.filter(F.col("vec_id") == 0)
+    idx = str(tmp_path / "ivf")
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
+    out = ANN.knn_ivf_indexed(spark, idx, q, k=10, nprobe=4)
+    got = set(r.vec_id for r in out.collect())
+    assert len(got & exact_top10) / 10 >= 0.8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_lsh_indexed_recall_matches_inmemory(spark, emb, exact_top10, tmp_path):
+    """Persisted band table probe returns the same top-k as the
+    in-memory LSH path (same plane family, same candidates)."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    q = emb.filter(F.col("vec_id") == 0)
+    idx = str(tmp_path / "lsh")
+    ANN.build_lsh_index(spark, emb, idx, dim=64, n_bands=8, bits_per_band=4)
+    got = set(
+        r.vec_id
+        for r in ANN.knn_lsh_indexed(spark, idx, emb, q, k=10, dim=64).collect()
+    )
+    mem = set(
+        r.vec_id
+        for r in SIM.knn_lsh(emb, q, k=10, dim=64, n_bands=8, bits_per_band=4).collect()
+    )
+    assert got == mem
+    assert len(got & exact_top10) / 10 >= 0.6
+
+
 def test_minhash_pairs_subset_and_recall(spark, docs):
     """LSH candidates are re-ranked by EXACT Jaccard, so q40's output
     must be a subset of the all-pairs q39 truth; banding (32 hashes,
