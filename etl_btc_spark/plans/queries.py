@@ -1399,3 +1399,310 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
         ts_col="published_at",
     )
     return spark.read.parquet(table).select("content_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# 11. Recurrence oracles (W2/W4/W5/W7) — recursive-CTE differential checks
+# ---------------------------------------------------------------------------
+# q23 computes the full stack golden-tested; these pin the individual
+# recurrences against DuckDB WITH RECURSIVE programs computing the
+# IDENTICAL state updates, upgrading MACD/PPO/RSI/Kalman from
+# golden-only to oracle-green.
+
+import pandas as pd_mod  # noqa: E402
+
+from pyspark.sql import types as T_mod  # noqa: E402
+
+
+def _recurrence_query(out_cols: list[str], compute):
+    """Shared applyInPandas scaffold: sort by ts, run ``compute`` on
+    the close array, round(EPS +, 6)."""
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from etl_btc_spark._pickle import ensure_serializable
+
+        ensure_serializable()
+        s = price_series(spark, sf).select("series_id", "ts", "close")
+
+        def fn(pdf: pd_mod.DataFrame) -> pd_mod.DataFrame:
+            pdf = pdf.sort_values("ts").reset_index(drop=True)
+            vals = compute(pdf["close"].to_numpy("float64"))
+            for name, arr in zip(out_cols, vals):
+                pdf[name] = pd_mod.Series(arr).add(EPS).round(6)
+            return pdf[["series_id", "ts", *out_cols]]
+
+        schema = T_mod.StructType(
+            [
+                s.schema["series_id"],
+                s.schema["ts"],
+                *[T_mod.StructField(c, T_mod.DoubleType()) for c in out_cols],
+            ]
+        )
+        return s.groupBy("series_id").applyInPandas(fn, schema)
+
+    return q
+
+
+#: WITH RECURSIVE prelude shared by the recurrence oracles: the
+#: row-numbered series
+_REC_PRELUDE = _SERIES_CTE + """
+    , s AS (
+        SELECT series_id, ts, close,
+               row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
+        FROM series
+    )
+"""
+
+
+@register(
+    "q51_macd",
+    oracle=_REC_PRELUDE
+    + """
+        , r AS (
+            WITH RECURSIVE rec AS (
+                SELECT series_id, rn, ts, close,
+                       close AS e12, close AS e26, 0.0::DOUBLE AS sig
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.series_id, s.rn, s.ts, s.close,
+                       (2.0/13.0) * s.close + (1 - 2.0/13.0) * rec.e12,
+                       (2.0/27.0) * s.close + (1 - 2.0/27.0) * rec.e26,
+                       (2.0/10.0) * ((2.0/13.0) * s.close + (1 - 2.0/13.0) * rec.e12
+                                     - ((2.0/27.0) * s.close + (1 - 2.0/27.0) * rec.e26))
+                       + (1 - 2.0/10.0) * rec.sig
+                FROM rec JOIN s ON s.series_id = rec.series_id AND s.rn = rec.rn + 1
+            )
+            SELECT * FROM rec
+        )
+        SELECT series_id, ts,
+               round(1e-9 + e12 - e26, 6) AS macd_line,
+               round(1e-9 + sig, 6) AS macd_signal,
+               round(1e-9 + (e12 - e26) - sig, 6) AS macd_hist
+        FROM r
+    """,
+    doc=(
+        "W4 MACD(12,26,9): EMA recurrences in applyInPandas; oracle = "
+        "recursive CTE carrying (e12, e26, signal) state through the "
+        "identical updates (seed s_0 = x_0, pandas ewm(adjust=False))"
+    ),
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    return _recurrence_query(
+        ["macd_line", "macd_signal", "macd_hist"], lambda x: RC.macd(x)
+    )(spark, sf)
+
+
+@register(
+    "q52_ppo",
+    oracle=_REC_PRELUDE
+    + """
+        , r AS (
+            WITH RECURSIVE rec AS (
+                SELECT series_id, rn, ts, close,
+                       close AS e12, close AS e26, 0.0::DOUBLE AS sig
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.series_id, s.rn, s.ts, s.close,
+                       (2.0/13.0) * s.close + (1 - 2.0/13.0) * rec.e12,
+                       (2.0/27.0) * s.close + (1 - 2.0/27.0) * rec.e26,
+                       (2.0/10.0) * (((2.0/13.0) * s.close + (1 - 2.0/13.0) * rec.e12)
+                                     - ((2.0/27.0) * s.close + (1 - 2.0/27.0) * rec.e26))
+                             / ((2.0/27.0) * s.close + (1 - 2.0/27.0) * rec.e26) * 100.0
+                       + (1 - 2.0/10.0) * rec.sig
+                FROM rec JOIN s ON s.series_id = rec.series_id AND s.rn = rec.rn + 1
+            )
+            SELECT * FROM rec
+        )
+        SELECT series_id, ts,
+               round(1e-9 + (e12 - e26) / e26 * 100.0, 6) AS ppo_line,
+               round(1e-9 + sig, 6) AS ppo_signal
+        FROM r
+    """,
+    doc="W5 PPO(12,26)+EMA(9): percentage oscillator recurrence, recursive-CTE oracle",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    return _recurrence_query(["ppo_line", "ppo_signal"], lambda x: RC.ppo(x))(spark, sf)
+
+
+@register(
+    "q53_rsi14",
+    oracle=_REC_PRELUDE
+    + """
+        , d AS (
+            SELECT series_id, rn, ts,
+                   greatest(close - lag(close) OVER w, 0) AS gain,
+                   greatest(lag(close) OVER w - close, 0) AS loss
+            FROM s WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+        ), seed AS (
+            SELECT series_id, avg(gain) AS ag, avg(loss) AS al
+            FROM d WHERE rn BETWEEN 2 AND 15 GROUP BY series_id
+        ), r AS (
+            WITH RECURSIVE rec AS (
+                SELECT d.series_id, d.rn, d.ts, seed.ag, seed.al
+                FROM d JOIN seed USING (series_id) WHERE d.rn = 15
+                UNION ALL
+                SELECT d.series_id, d.rn, d.ts,
+                       (rec.ag * 13 + d.gain) / 14,
+                       (rec.al * 13 + d.loss) / 14
+                FROM rec JOIN d ON d.series_id = rec.series_id AND d.rn = rec.rn + 1
+            )
+            SELECT * FROM rec
+        )
+        SELECT s.series_id, s.ts,
+               CASE WHEN r.rn IS NULL THEN NULL
+                    WHEN r.al = 0 THEN round(1e-9 + 100.0, 6)
+                    ELSE round(1e-9 + 100.0 - 100.0 / (1.0 + r.ag / r.al), 6)
+               END AS rsi
+        FROM s LEFT JOIN r ON s.series_id = r.series_id AND s.rn = r.rn
+    """,
+    doc=(
+        "W2 Wilder RSI(14): talib seeding (mean of first 14 deltas), NaN "
+        "warm-up emitted as NULL; oracle = recursive CTE over (avg gain, "
+        "avg loss) state"
+    ),
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    # NaN -> NULL so the warm-up rows compare equal to the oracle
+    df = _recurrence_query(["rsi"], lambda x: [RC.wilder_rsi(x, 14)])(spark, sf)
+    return df.withColumn("rsi", F.when(F.isnan(F.col("rsi")), None).otherwise(F.col("rsi")))
+
+
+@register(
+    "q54_kalman",
+    oracle=_REC_PRELUDE
+    + """
+        , r AS (
+            WITH RECURSIVE rec AS (
+                SELECT series_id, rn, ts, close AS est,
+                       (1.0 + 1e-4) / (1.0 + 1e-4 + 1e-3) * 1e-3
+                       + (1 - (1.0 + 1e-4) / (1.0 + 1e-4 + 1e-3)) * 0.0 AS p
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.series_id, s.rn, s.ts,
+                       rec.est + (rec.p + 1e-4) / (rec.p + 1e-4 + 1e-3)
+                                 * (s.close - rec.est),
+                       (1 - (rec.p + 1e-4) / (rec.p + 1e-4 + 1e-3)) * (rec.p + 1e-4)
+                FROM rec JOIN s ON s.series_id = rec.series_id AND s.rn = rec.rn + 1
+            )
+            SELECT * FROM rec
+        )
+        SELECT series_id, ts, round(1e-9 + est, 6) AS close_kalman
+        FROM r
+    """,
+    doc=(
+        "W7 1-d Kalman (q=1e-4, r=1e-3, x0=x[0], P0=1): predict/update "
+        "recurrence; oracle = recursive CTE carrying (est, P) state"
+    ),
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    return _recurrence_query(["close_kalman"], lambda x: [RC.kalman_1d(x)])(spark, sf)
+
+
+@register(
+    "q55_adx",
+    oracle=_SERIES_CTE
+    + """
+        , s AS (
+            SELECT series_id, ts, high, low, close,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
+            FROM series
+        ), d AS (
+            SELECT series_id, rn, ts,
+                   greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) AS tr,
+                   CASE WHEN (high - lag(high) OVER w) > (lag(low) OVER w - low)
+                             AND (high - lag(high) OVER w) > 0
+                        THEN high - lag(high) OVER w ELSE 0 END AS pdm,
+                   CASE WHEN (lag(low) OVER w - low) > (high - lag(high) OVER w)
+                             AND (lag(low) OVER w - low) > 0
+                        THEN lag(low) OVER w - low ELSE 0 END AS mdm
+            FROM s WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+        ), seed AS (
+            SELECT series_id, sum(tr) AS str, sum(pdm) AS spdm, sum(mdm) AS smdm
+            FROM d WHERE rn BETWEEN 2 AND 15 GROUP BY series_id
+        ), r AS (
+            -- ONE recursion carries the whole chained state: Wilder
+            -- (TR,+DM,-DM) running sums, the first-14 DX accumulator,
+            -- and the ADX smoothing that takes over at rn 28.
+            -- (DuckDB lateral column aliases let each member derive
+            -- pdi/mdi/dx from the just-updated sums.)
+            WITH RECURSIVE rec AS (
+                SELECT d.series_id, d.rn, d.ts,
+                       seed.str AS str, seed.spdm AS spdm, seed.smdm AS smdm,
+                       CASE WHEN seed.str = 0 THEN 0.0
+                            ELSE 100.0 * seed.spdm / seed.str END AS pdi,
+                       CASE WHEN seed.str = 0 THEN 0.0
+                            ELSE 100.0 * seed.smdm / seed.str END AS mdi,
+                       CASE WHEN pdi + mdi = 0 THEN 0.0
+                            ELSE 100.0 * abs(pdi - mdi) / (pdi + mdi) END AS dx,
+                       dx AS dxsum,
+                       NULL::DOUBLE AS adx
+                FROM d JOIN seed USING (series_id) WHERE d.rn = 15
+                UNION ALL
+                SELECT d.series_id, d.rn, d.ts,
+                       rec.str - rec.str / 14 + d.tr AS nstr,
+                       rec.spdm - rec.spdm / 14 + d.pdm AS nspdm,
+                       rec.smdm - rec.smdm / 14 + d.mdm AS nsmdm,
+                       CASE WHEN nstr = 0 THEN 0.0
+                            ELSE 100.0 * nspdm / nstr END AS npdi,
+                       CASE WHEN nstr = 0 THEN 0.0
+                            ELSE 100.0 * nsmdm / nstr END AS nmdi,
+                       CASE WHEN npdi + nmdi = 0 THEN 0.0
+                            ELSE 100.0 * abs(npdi - nmdi) / (npdi + nmdi) END AS ndx,
+                       rec.dxsum + ndx AS ndxsum,
+                       CASE WHEN d.rn < 28 THEN NULL
+                            WHEN d.rn = 28 THEN (rec.dxsum + ndx) / 14
+                            ELSE (rec.adx * 13 + ndx) / 14 END AS nadx
+                FROM rec JOIN d ON d.series_id = rec.series_id AND d.rn = rec.rn + 1
+            )
+            SELECT * FROM rec
+        )
+        SELECT s.series_id, s.ts,
+               round(1e-9 + r.pdi, 6) AS plus_di,
+               round(1e-9 + r.mdi, 6) AS minus_di,
+               round(1e-9 + r.adx, 6) AS adx
+        FROM s
+        LEFT JOIN r ON s.series_id = r.series_id AND s.rn = r.rn
+    """,
+    doc=(
+        "W6 Wilder ADX(14)/+DI/-DI: two chained recurrences — (TR, +DM, "
+        "-DM) running sums seeded at rn=15, then ADX smoothing of DX "
+        "seeded with its first-14 mean at rn=28 — both reproduced as "
+        "recursive CTEs; NaN warm-ups emitted as NULL"
+    ),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    s = price_series(spark, sf).select("series_id", "ts", "high", "low", "close")
+
+    def fn(pdf: pd_mod.DataFrame) -> pd_mod.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        adx, pdi, mdi = RC.wilder_adx(
+            pdf["high"].to_numpy("float64"),
+            pdf["low"].to_numpy("float64"),
+            pdf["close"].to_numpy("float64"),
+            period=14,
+        )
+        for name, arr in (("plus_di", pdi), ("minus_di", mdi), ("adx", adx)):
+            pdf[name] = np.round(arr + EPS, 6)
+        return pdf[["series_id", "ts", "plus_di", "minus_di", "adx"]]
+
+    schema = T_mod.StructType(
+        [
+            s.schema["series_id"],
+            s.schema["ts"],
+            T_mod.StructField("plus_di", T_mod.DoubleType()),
+            T_mod.StructField("minus_di", T_mod.DoubleType()),
+            T_mod.StructField("adx", T_mod.DoubleType()),
+        ]
+    )
+    out = s.groupBy("series_id").applyInPandas(fn, schema)
+    # NaN warm-up -> NULL for the oracle compare
+    for c in ("plus_di", "minus_di", "adx"):
+        out = out.withColumn(c, F.when(F.isnan(F.col(c)), None).otherwise(F.col(c)))
+    return out
