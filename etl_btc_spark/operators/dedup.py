@@ -311,3 +311,52 @@ def embedding_near_dupes(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def embedding_near_dupes_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """Scale path for :func:`embedding_near_dupes`: hyperplane-LSH
+    band buckets generate candidate pairs (ids only — the ×n_bands
+    expansion never carries vectors), then the exact cosine re-rank
+    runs on candidates joined back by id.
+
+    Cost is O(sum of bucket sizes²) candidate pairs instead of the
+    O(n²) cross product — near-linear when near-dups are sparse.
+    Probabilistic recall: a pair at cosine θ shares ≥1 band with
+    p = 1-(1-p_bit^bits)^bands, p_bit = 1-arccos(θ)/π; the subset
+    property (output ⊆ exact-verifier output) is absolute because the
+    re-rank is exact (asserted in tests/test_approx_search.py).
+    """
+    from etl_btc_spark.operators.similarity import cosine, lsh_band_sig_udf
+
+    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
+    banded = df.select(
+        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1706,3 +1706,20 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     for c in ("plus_di", "minus_di", "adx"):
         out = out.withColumn(c, F.when(F.isnan(F.col(c)), None).otherwise(F.col(c)))
     return out
+
+
+@register(
+    "q56_embedding_near_dupes_lsh",
+    oracle=None,  # probabilistic banding; subset-of-q36 + recall asserted in tests/test_approx_search.py
+    doc=(
+        "§2.11 embedding near-dup SCALE path: hyperplane-LSH band buckets "
+        "(ids only) -> exact cosine re-rank of candidates -- replaces q36's "
+        "O(n^2) cross product with O(sum bucket^2) when near-dups are sparse"
+    ),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    pairs = DD.embedding_near_dupes_lsh(emb, threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

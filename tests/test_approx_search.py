@@ -151,3 +151,18 @@ def test_simhash_identical_text_identical_hash(spark, docs):
         DD.simhash64(F.upper(F.concat(F.lit("  "), F.col("text")))).alias("h")
     ).collect()
     assert [r.h for r in h1] == [r.h for r in h2]
+
+
+def test_embedding_lsh_pairs_subset_and_recall(spark, emb):
+    """LSH-bucketed near-dup pairs re-rank by EXACT cosine, so the
+    output must be a subset of the O(n^2) verifier; recall on this
+    near-random corpus (pairs at cosine ~0.3, per-bit collision ~0.6)
+    is theory-bound to ~0.67 for (8 bands, 4 bits) -- 0.6 is the
+    honest floor (measured 0.71 at sf0.001)."""
+    exact = set((r.id_a, r.id_b) for r in DD.embedding_near_dupes(emb, 0.3).collect())
+    lsh = set(
+        (r.id_a, r.id_b) for r in DD.embedding_near_dupes_lsh(emb, 0.3).collect()
+    )
+    assert exact, "fixture must contain pairs above threshold"
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.6
