@@ -1723,3 +1723,54 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q57_stream_candles",
+    oracle="""
+        WITH e AS (
+            SELECT user_id % 8 AS series_id, ts, value FROM events
+        ), m AS (SELECT max(ts) AS mx FROM e)
+        SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+               round(arg_min(value, ts), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(arg_max(value, ts), 4) AS close,
+               round(1e-9 + sum(value), 4) AS volume,
+               count(*) AS n_ticks
+        FROM e GROUP BY 1, 2
+        HAVING bucket_ts + INTERVAL 1 HOUR <= (SELECT mx FROM m) - INTERVAL 1 HOUR
+    """,
+    doc=(
+        "T7 streaming: tumbling 1h candles as a watermarked window() "
+        "aggregation in append mode, drained by availableNow — each candle "
+        "emits exactly once when the watermark passes its window end; "
+        "oracle = batch candles restricted to closed windows"
+    ),
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 8).cast("bigint").alias("series_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").alias("close"),
+    )
+    landing = SK.artifact_path(sf, "q57_landing")
+    out = SK.artifact_path(sf, "q57_candles")
+    ckpt = SK.artifact_path(sf, "q57_checkpoint")
+    for p in (landing, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.write.parquet(landing)
+    INC.stream_tumbling_candles(
+        spark, landing, ev.schema, out, ckpt, delay="1 hour"
+    )
+    c = spark.read.parquet(out)
+    return c.select(
+        "series_id",
+        F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts"),
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        sround(F.col("volume"), 4).alias("volume"),
+        "n_ticks",
+    )

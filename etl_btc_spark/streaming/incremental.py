@@ -146,3 +146,60 @@ def stream_ingest_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def stream_tumbling_candles(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint_dir: str,
+    series: str = "series_id",
+    ts: str = "ts",
+    price: str = "close",
+    delay: str = "1 hour",
+) -> None:
+    """T7 in its Structured Streaming form: tumbling event-time
+    ``window()`` aggregation over a tick stream with a watermark, in
+    append output mode — a candle row is emitted exactly once, when
+    the watermark passes its window end (the batch shape of the same
+    op is :func:`etl_btc_spark.operators.window_ops.tumbling_candles`).
+
+    ``availableNow`` drains the landing backlog; Spark's no-data
+    micro-batch then advances the watermark to (max event time −
+    delay) and flushes every closed window, so the emitted set is
+    deterministic: all windows with end ≤ max(ts) − delay. State held
+    is one row per open window per series — watermark-bounded, not
+    history-bounded."""
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+    agg = (
+        src.withWatermark(ts, delay)
+        .groupBy(F.window(F.col(ts), "1 hour").alias("w"), F.col(series))
+        .agg(
+            F.min_by(price, ts).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, ts).alias("close"),
+            F.sum(price).alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            series,
+            F.col("w.start").alias("bucket_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_ticks",
+        )
+    )
+    (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
