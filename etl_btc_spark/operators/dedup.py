@@ -360,3 +360,57 @@ def embedding_near_dupes_lsh(
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= ``max_hamming``
+    (a < b), found by chunk banding instead of an O(n^2) scan.
+
+    The 64-bit signature splits into 4 16-bit chunks; by pigeonhole,
+    any pair within Hamming distance 3 agrees EXACTLY on >= 1 chunk,
+    so the band join loses nothing — for ``max_hamming`` <= 3 the
+    result is exactly the all-pairs answer, at hash-join cost on
+    16-bit keys (the standard Google/Manku near-dup shape). The
+    Hamming re-check on candidates is exact, so false bucket
+    collisions never leak through.
+    """
+    n_chunks = 4
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    chunks = sig.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

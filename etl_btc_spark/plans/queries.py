@@ -1774,3 +1774,17 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         sround(F.col("volume"), 4).alias("volume"),
         "n_ticks",
     )
+
+
+@register(
+    "q58_simhash_near_dupes",
+    oracle=None,  # crc32 basis not in DuckDB; exactness-vs-brute-force asserted in tests/test_approx_search.py
+    doc=(
+        "§2.11 SimHash near-dup pairs at scale: 4x16-bit chunk banding -- "
+        "pigeonhole-EXACT for Hamming <= 3 (any such pair shares a chunk) "
+        "-- with an exact Hamming re-check; hash-join cost, no O(n^2) scan"
+    ),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return DD.simhash_near_dupes(docs, max_hamming=3)

@@ -166,3 +166,27 @@ def test_embedding_lsh_pairs_subset_and_recall(spark, emb):
     assert exact, "fixture must contain pairs above threshold"
     assert lsh <= exact
     assert len(lsh & exact) / len(exact) >= 0.6
+
+
+def test_simhash_near_dupes_exact_for_radius_3(spark, docs):
+    """Chunk banding is pigeonhole-complete for Hamming <= 3 (4 chunks,
+    64 bits): the banded result must EQUAL the brute-force all-pairs
+    Hamming join, not just approximate it."""
+    sig = docs.select("doc_id", DD.simhash64(F.col("text")).alias("sh"))
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = set(
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            DD.hamming64(F.col("a.sh"), F.col("b.sh")).alias("d"),
+        )
+        .filter(F.col("d") <= 3)
+        .collect()
+    )
+    banded = set(
+        (r.id_a, r.id_b) for r in DD.simhash_near_dupes(docs, max_hamming=3).collect()
+    )
+    assert banded == brute
+    assert brute, "fixture must contain simhash near-dups"
