@@ -1788,3 +1788,59 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 def q58(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return DD.simhash_near_dupes(docs, max_hamming=3)
+
+
+@register(
+    "q59_corpus_prep",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, text, source,
+                   row_number() OVER (
+                       PARTITION BY {TX.FINGERPRINT_SQL.format(col='text')}
+                       ORDER BY doc_id) AS rn
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, text, source FROM ranked WHERE rn = 1
+        ), scored AS (
+            SELECT doc_id, text, source,
+                   round(1e-9 + {TX.quality_score_sql('text')}, 6) AS quality
+            FROM kept
+            WHERE {TX.lang_id_sql('text')} = 'en'
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum({TX.WS_TOKEN_COUNT_SQL.format(col='text')}) AS total_tokens,
+               round(1e-9 + avg(quality), 6) AS avg_quality
+        FROM scored
+        WHERE quality >= 0.45
+        GROUP BY source
+    """,
+    headline=True,
+    doc=(
+        "§2.11 end-to-end training-data prep composite, fully "
+        "oracle-checked: exact dedup (fingerprint representative) -> "
+        "language gate (en) -> quality gate (rounded boundary so both "
+        "engines agree on edge docs) -> per-source corpus stats. One lazy "
+        "plan, all JVM codegen, two shuffles (dedup window + final agg)"
+    ),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators.textops import fingerprint
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    scored = (
+        kept.filter(TX.lang_id(F.col("text")) == "en")
+        .withColumn("quality", sround(TX.quality_score(F.col("text")), 6))
+        .filter(F.col("quality") >= 0.45)
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.ws_token_count(F.col("text"))).alias("total_tokens"),
+        sround(F.avg("quality"), 6).alias("avg_quality"),
+    )
