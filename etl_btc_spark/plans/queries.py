@@ -1844,3 +1844,85 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(TX.ws_token_count(F.col("text"))).alias("total_tokens"),
         sround(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+def _savgol_oracle_sql() -> str:
+    """W8 oracle generator: Savitzky-Golay(21,4) with polynomial edge
+    interpolation is LINEAR in the inputs — interior rows are a dot
+    product with the center LSQ weights, and each edge row is a dot
+    product of the first/last 21 values with a fixed projection row
+    (obtained by pushing the 21 unit vectors through the identical
+    numpy polyfit/polyval path, so both engines share coefficients to
+    the last bit; verified 1e-12 max deviation). DuckDB evaluates the
+    dot products with list_dot_product over literal coefficient
+    lists."""
+    import numpy as np
+
+    window, poly, half = 21, 4, 10
+    pos = np.arange(window, dtype=np.float64)
+    H = np.empty((half, window))
+    T = np.empty((half, window))
+    for j in range(window):
+        e = np.zeros(window)
+        e[j] = 1.0
+        coef = np.polynomial.polynomial.polyfit(pos, e, poly)
+        H[:, j] = np.polynomial.polynomial.polyval(pos[:half], coef)
+        T[:, j] = np.polynomial.polynomial.polyval(pos[half + 1 :], coef)
+    c = RC.savgol_coeffs(window, poly)
+
+    def lst(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    h_case = (
+        "CASE s.rn "
+        + " ".join(f"WHEN {i + 1} THEN {lst(H[i])}" for i in range(half))
+        + " END"
+    )
+    t_case = (
+        "CASE s.rn - s.cnt + 20 "
+        + " ".join(f"WHEN {11 + i} THEN {lst(T[i])}" for i in range(half))
+        + " END"
+    )
+    return (
+        _SERIES_CTE
+        + f"""
+        , s AS (
+            SELECT series_id, ts, close,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn,
+                   count(*) OVER (PARTITION BY series_id) AS cnt
+            FROM series
+        ), arrs AS (
+            SELECT series_id, rn,
+                   list(close) OVER (PARTITION BY series_id ORDER BY rn
+                        ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS w
+            FROM s
+        ), ends AS (
+            SELECT series_id,
+                   list(close ORDER BY rn) FILTER (WHERE rn <= 21) AS h21,
+                   list(close ORDER BY rn) FILTER (WHERE rn > cnt - 21) AS t21
+            FROM s GROUP BY series_id
+        )
+        SELECT s.series_id, s.ts,
+               round(1e-9 + CASE
+                   WHEN s.rn <= 10 THEN list_dot_product(e.h21, {h_case})
+                   WHEN s.rn >= s.cnt - 9 THEN list_dot_product(e.t21, {t_case})
+                   ELSE list_dot_product(a.w, {lst(c)}) END, 6) AS close_savgol
+        FROM s
+        JOIN arrs a ON s.series_id = a.series_id AND s.rn = a.rn
+        JOIN ends e ON s.series_id = e.series_id
+    """
+    )
+
+
+@register(
+    "q60_savgol",
+    oracle=_savgol_oracle_sql(),
+    doc=(
+        "W8 Savitzky-Golay(21,4), scipy mode='interp' semantics: "
+        "applyInPandas numpy kernel vs a DuckDB oracle evaluating the "
+        "identical linear map (center FIR + edge projection rows) with "
+        "list_dot_product over shared literal coefficients"
+    ),
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    return _recurrence_query(["close_savgol"], lambda x: [RC.savgol(x)])(spark, sf)
