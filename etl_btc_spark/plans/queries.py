@@ -1926,3 +1926,83 @@ def _savgol_oracle_sql() -> str:
 )
 def q60(spark: SparkSession, sf: str) -> DataFrame:
     return _recurrence_query(["close_savgol"], lambda x: [RC.savgol(x)])(spark, sf)
+
+
+def _wavelet_oracle_sql() -> str:
+    """W9 oracle generator: with all detail coefficients zeroed, sym4
+    level-2 denoise is a pure lowpass filter-bank cascade — two
+    (symmetric-pad → convolve → downsample) stages followed by two
+    zero-stuffed reconstruction convolutions, every step linear. The
+    oracle evaluates exactly that chain per series with DuckDB list
+    lambdas over the shared literal sym4 filter taps (prototype
+    agreement vs the numpy kernel: 3e-14). The whole-series list
+    collect is oracle-/test-scale only — the scalable engine path is
+    the grouped-map pandas UDF."""
+    LO = RC._SYM4_DEC_LO
+
+    def dwt_terms(p: str, k: str) -> str:
+        return " + ".join(f"{p}[2*{k}+{j}] * {float(LO[7 - j])!r}" for j in range(8))
+
+    rec_lst = "[" + ", ".join(repr(float(v)) for v in RC._SYM4_REC_LO) + "]"
+    idwt = (
+        "list_transform(generate_series(1, {n}), i -> "
+        "list_sum(list_transform("
+        "generate_series(greatest(1, (i + 1) // 2), least(len({ca}), (i + 7) // 2)), "
+        f"kk -> {{ca}}[kk] * ({rec_lst})[8 + i - 2*kk])))"
+    )
+    return (
+        _SERIES_CTE
+        + f"""
+        , agg AS (
+            SELECT series_id, list(close ORDER BY ts) AS x, count(*) AS n
+            FROM series GROUP BY series_id
+        ), l1 AS (
+            SELECT series_id, x, n,
+                   list_reverse(x[1:7]) || x || list_reverse(x[n-6:n]) AS p1,
+                   (n + 7) // 2 AS n1
+            FROM agg
+        ), c1t AS (
+            SELECT series_id, x, n, n1,
+                   list_transform(generate_series(1, n1), k -> {dwt_terms("p1", "k")}) AS c1
+            FROM l1
+        ), l2 AS (
+            SELECT series_id, x, n, n1, c1,
+                   list_reverse(c1[1:7]) || c1 || list_reverse(c1[n1-6:n1]) AS p2,
+                   (n1 + 7) // 2 AS n2
+            FROM c1t
+        ), c2t AS (
+            SELECT series_id, x, n, n1, n2,
+                   list_transform(generate_series(1, n2), k -> {dwt_terms("p2", "k")}) AS c2
+            FROM l2
+        ), r1t AS (
+            SELECT series_id, x, n, n1, c2, {idwt.format(n="n1", ca="c2")} AS r1
+            FROM c2t
+        ), fint AS (
+            SELECT series_id, n, {idwt.format(n="n", ca="r1")} AS fin
+            FROM r1t
+        ), rows_ AS (
+            SELECT series_id, ts,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
+            FROM series
+        )
+        SELECT r.series_id, r.ts,
+               round(1e-9 + f.fin[r.rn], 6) AS close_wavelet
+        FROM rows_ r JOIN fint f ON r.series_id = f.series_id
+    """
+    )
+
+
+@register(
+    "q61_wavelet",
+    oracle=_wavelet_oracle_sql(),
+    doc=(
+        "W9 sym4 level-2 wavelet denoise (detail coeffs zeroed): "
+        "applyInPandas numpy filter bank vs a DuckDB oracle running the "
+        "identical lowpass cascade as list-lambda convolutions over shared "
+        "literal sym4 taps"
+    ),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    return _recurrence_query(["close_wavelet"], lambda x: [RC.wavelet_denoise(x)])(
+        spark, sf
+    )
