@@ -10,6 +10,11 @@ Float policy: every computed double is ``round(x, N)`` on BOTH sides
 so last-ulp differences from summation order / libm never flip the
 hash. Booleans are NULL-coerced to false per the warm-up semantics in
 SURVEY §2.6.
+
+Designed-away reference operators: S7 (XCom JSON inter-stage IR) —
+the Catalyst logical plan IS the IR, stages are lazy transforms in
+one job; P9 (empty-column scaffolding) — schemas are declared at
+compute time with ``withColumn``, never pre-allocated.
 """
 
 from __future__ import annotations
@@ -76,7 +81,7 @@ def register(name: str, oracle: str | None = None, headline: bool = False, doc: 
         WHERE l_shipdate >= TIMESTAMP '1999-01-01'
           AND l_shipdate <  TIMESTAMP '2000-01-01'
     """,
-    doc="P1/P2/P5 + F8: projection, rename, time-range predicate pushed to parquet",
+    doc="S1/S2/S6 + P1/P2/P5 + O1 + F8: batch scan, projection, rename, time-range predicate pushed to parquet, time sort",
 )
 def q01(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -123,7 +128,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 10
     """,
-    doc="O4/O5: global top-k => TakeOrderedAndProject, no full sort",
+    doc="O2/O3/O4/O5: sort desc + head-N == global top-k => TakeOrderedAndProject, no full sort",
 )
 def q03(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -365,7 +370,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
                CAST(ts AS DATE) AS event_date
         FROM events WHERE event_id % 100 = 0
     """,
-    doc="F5-F7: date_format, interval arithmetic, date cast",
+    doc="F5-F7/F9: date_format, string<->datetime, interval arithmetic, casts",
 )
 def q13(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -506,7 +511,7 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
                count(*) FILTER (WHERE dn) AS n_death
         FROM x GROUP BY series_id
     """,
-    doc="W1: lag-based strict crossovers (price vs SMA20), counted per series",
+    doc="W1/P4: lag-based strict crossovers (price vs SMA20), boolean-column filter semantics, counted per series",
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     s = price_series(spark, sf)
@@ -561,7 +566,7 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     """,
     headline=True,
-    doc="T7: tumbling 1h candles from ticks — hash-agg with map-side combine, no window needed",
+    doc="T7/A7: tumbling 1h candles (open/high=max/low/close/volume) from ticks — hash-agg with map-side combine, no window needed",
 )
 def q20(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
@@ -674,9 +679,13 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q23_series_features",
-    oracle=None,  # sequential recurrences: rows-only driver check; pytest goldens
+    # composite: every component is individually oracle-checked
+    # (SES q22, MACD q51, PPO q52, RSI q53, Kalman q54, ADX q55,
+    # SavGol q60, wavelet q61, Gaussian q19); this single-pass fusion
+    # keeps the rows-only driver check plus pytest goldens
+    oracle=None,
     headline=True,
-    doc="W2,W4-W9,W11: full feature stack (Kalman/SavGol/wavelet/Gauss/SES + MACD/PPO/RSI/ADX signals) in ONE grouped-map pass",
+    doc="W2,W4-W9,W11: full feature stack (Kalman/SavGol/wavelet/Gauss/SES + MACD/PPO/RSI/ADX signals) in ONE grouped-map pass; components oracle-checked via q19/q22/q51-q55/q60/q61",
 )
 def q23(spark: SparkSession, sf: str) -> DataFrame:
     s = RC.with_series_features(price_series(spark, sf))
@@ -759,7 +768,7 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
                          ELSE 'Other' END AS lang_name
         FROM documents
     """,
-    doc="F2/F4: concat (title+' '+description shape, news_etl_dag.py:80) + CASE label remap",
+    doc="F2/F4/F11: concat lit+col prompt-templating shape (news_etl_dag.py:80) + CASE label remap",
 )
 def q26(spark: SparkSession, sf: str) -> DataFrame:
     return load_table(spark, sf, "documents").select(
@@ -781,7 +790,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
                count(*) AS n, round(1e-9 + avg(value), 4) AS avg_value
         FROM events GROUP BY 1
     """,
-    doc="F3: regex field extraction from semi-structured text + cast + agg (llm.py:57-70 shape)",
+    doc="F3/F9: regex field extraction from semi-structured text + cast + agg (llm.py:57-70 shape)",
 )
 def q27(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -892,7 +901,7 @@ def _sentiment_oracle() -> str:
     "q32_sentiment_scores",
     oracle=_sentiment_oracle(),
     headline=True,
-    doc="U1/U3/U4/U5/U6: 3-model struct-returning pandas UDFs (deterministic stub models), NULL-on-failure + >=1-success filter; Arrow-batched, not per-row HTTP",
+    doc="U1/U3/U4/U5/U6 + P8: 3-model struct-returning pandas UDFs (deterministic stub models), NULL-on-failure dropna + >=1-success filter; Arrow-batched, not per-row HTTP",
 )
 def q32(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -972,7 +981,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         SELECT label, vec_id, round(1e-9 + sim, 6) AS cosine_sim, rank
         FROM scored WHERE rank <= 3
     """,
-    doc="O5 per-group flavor: top-3 nearest per label via rank window",
+    doc="O5/O6 per-group flavor: top-3 nearest per label via rank-window ordinal row ids",
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
@@ -1136,7 +1145,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     "q43_news_pipeline",
     oracle=None,  # composite pipeline; components individually oracle-checked (q25/q32/q34)
     headline=True,
-    doc="§3.2+§3.3 end-to-end news shape: clean -> stub-score -> stub-embed -> top-10 cosine neighbors of doc 0 -> sentiment vote tally, one lazy plan",
+    doc="§3.2+§3.3 end-to-end news shape (U2 embed + S8 kNN read): clean -> stub-score -> stub-embed -> top-10 cosine neighbors of doc 0 -> A4 sentiment vote tally, one lazy plan",
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
