@@ -29,15 +29,19 @@ _MERSENNE = (1 << 61) - 1
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Repartition a small single-split input across the cluster.
+    """Repartition a small/few-split input across the cluster.
 
     Shingling/signature work is CPU-bound per row; a one-file parquet
     fixture arrives as ONE input split, serializing everything onto a
-    single core. At 100 TB inputs have thousands of splits and this
-    shuffle is a no-op cost-wise (it moves only the raw text bytes
-    once, before any per-row expansion)."""
+    single core. The shuffle only happens when the input has fewer
+    splits than cores — at 100 TB inputs already carry thousands of
+    splits and this is a no-op (checking the plan's partition count
+    triggers no job)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
