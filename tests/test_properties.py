@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): laws that must hold for ANY
+input, not just the fixtures — targeted at the operators where a
+hand-picked example can hide a bug (as-of join NULL handling, upsert
+merge semantics, fingerprint normalization)."""
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_btc_spark import sinks as SK
+from etl_btc_spark.operators.asof import asof_join
+from etl_btc_spark.operators.textops import normalize_text
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# small integer grids keep frames tiny and collisions (equal ts, equal
+# keys, NULL attrs) likely — that's where the bugs live
+_ts = st.integers(min_value=0, max_value=5)
+_key = st.integers(min_value=1, max_value=2)
+_val = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+
+
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=6),
+    right=st.lists(st.tuples(_key, _ts, _val, _val), min_size=1, max_size=6),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_duckdb(spark, left, right):
+    """asof_join == DuckDB ASOF LEFT JOIN for arbitrary frames with
+    duplicate keys/timestamps and NULL right attributes."""
+    lpd = pd.DataFrame(
+        {
+            "k": [k for k, _ in left],
+            "ts": pd.to_datetime([t for _, t in left], unit="h"),
+            "lv": range(len(left)),
+        }
+    )
+    # dedupe right on (k, ts): at equal timestamps ASOF semantics are
+    # tie-ambiguous between engines, and real event streams key time
+    rpd = pd.DataFrame(
+        {
+            "k": [k for k, *_ in right],
+            "ts": pd.to_datetime([t for _, t, *_ in right], unit="h"),
+            "rv": pd.array([v for *_, v, _ in right], dtype="Int64"),
+            "rw": pd.array([v for *_, _, v in right], dtype="Int64"),
+        }
+    ).drop_duplicates(subset=["k", "ts"], keep="first")
+
+    got = {
+        r["lv"]: (r["rv"], r["rw"])
+        for r in asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd), on="k"
+        ).collect()
+    }
+    want = {
+        lv: (rv, rw)
+        for lv, rv, rw in duckdb.sql(
+            "SELECT l.lv, r.rv, r.rw FROM lpd l ASOF LEFT JOIN rpd r"
+            " ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    norm = lambda d: {k: tuple(None if pd.isna(x) else int(x) for x in v) for k, v in d.items()}  # noqa: E731
+    assert norm(got) == norm(want)
+
+
+@given(
+    b1=st.lists(st.tuples(st.sampled_from("abcd"), st.integers(0, 9)), min_size=1, max_size=5),
+    b2=st.lists(st.tuples(st.sampled_from("abcd"), st.integers(0, 9)), min_size=1, max_size=5),
+)
+@settings(**_SETTINGS)
+def test_upsert_laws(spark, tmp_path_factory, b1, b2):
+    """For any two batches: (1) one row per key, (2) re-upserting the
+    last batch is a no-op, (3) surviving rows come from the latest
+    batch that contained the key (min order_col within it)."""
+    path = str(tmp_path_factory.mktemp("upsert") / "t")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"content_id": [k for k, _ in rows], "doc_id": [v for _, v in rows]})
+    )
+    SK.upsert_by_key(spark, mk(b1), path, order_col="doc_id")
+    SK.upsert_by_key(spark, mk(b2), path, order_col="doc_id")
+    once = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+    SK.upsert_by_key(spark, mk(b2), path, order_col="doc_id")
+    twice = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert once == twice  # idempotent re-ingest
+
+    want = {}
+    for batch in (b1, b2):
+        per_key = {}
+        for k, v in batch:
+            per_key[k] = min(per_key.get(k, v), v)
+        want.update(per_key)
+    assert once == want
+
+
+@given(s=st.text(alphabet=" \t\naAbB.,", max_size=30))
+@settings(**_SETTINGS)
+def test_fingerprint_normalization_invariance(spark, s):
+    """Case + whitespace variants of the same content hash equal."""
+    df = spark.createDataFrame(pd.DataFrame({"t": [s, "  " + s.upper() + "\t"]}))
+    out = df.select(F.sha2(normalize_text(F.col("t")), 256).alias("h")).collect()
+    assert out[0]["h"] == out[1]["h"]
