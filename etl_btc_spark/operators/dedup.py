@@ -124,11 +124,19 @@ def _minhash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 61)) for _ in range(n_hashes)]
 
 
-def minhash_signature_udf(n_hashes: int = 32, seed: int = 7):
-    """Arrow-batched pandas UDF: array<string> shingles → array<bigint>
+def minhash_signature_udf(n_hashes: int = 32, seed: int = 7, ngram: int | None = None):
+    """Arrow-batched pandas UDF: array<string> input → array<bigint>
     MinHash signature, all ``n_hashes`` permutation minima in ONE
     vectorized numpy pass (outer product (n_hashes, n_shingles) → min
     over axis 1).
+
+    With ``ngram=None`` the input column is already a shingle array.
+    With an integer ``ngram``, the input is a *token* array and the
+    word n-gram shingling happens inside the same pass — mirroring
+    :func:`word_shingles` exactly (truncated single gram when the doc
+    has < n words, distinct grams) while skipping the much more
+    expensive interpreted ``transform``+``slice``+``concat_ws``
+    JVM expression tree.
 
     This replaces the round-2 formulation — ``n_hashes`` independent
     interpreted ``transform``+``array_min`` expressions per row, each
@@ -149,13 +157,26 @@ def minhash_signature_udf(n_hashes: int = 32, seed: int = 7):
     B = np.array([b for _, b in params], dtype=np.uint64)[:, None]
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _udf(shingles: pd.Series) -> pd.Series:
+    def _udf(arrays: pd.Series) -> pd.Series:
         out = []
-        for sh in shingles:
-            if sh is None or len(sh) == 0:
+        for arr in arrays:
+            if arr is None:
                 out.append([_MERSENNE] * len(A))
                 continue
-            h = np.fromiter((crc32(s.encode("utf-8")) for s in sh), dtype=np.uint64)
+            if ngram is None:
+                sh = set(arr)
+            else:
+                toks = list(arr)
+                sh = {
+                    " ".join(toks[i : i + ngram])
+                    for i in range(max(len(toks) - (ngram - 1), 1))
+                }
+            if not sh:
+                out.append([_MERSENNE] * len(A))
+                continue
+            h = np.fromiter(
+                (crc32(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=len(sh)
+            )
             sig = ((A * h[None, :] + B) % np.uint64(_MERSENNE)).min(axis=1)
             out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)
@@ -186,18 +207,29 @@ def minhash_lsh_candidates(
     ngram: int = 1,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding: signature
-    (materialized once per row by a vectorized pandas UDF) → ``n_bands``
-    scalar band keys → self-join on identical keys → distinct pairs
-    (a < b).
+    (tokens → shingles → minima in ONE vectorized pandas-UDF pass) →
+    ``n_bands`` scalar band keys → self-join on identical keys →
+    distinct pairs (a < b).
 
-    The self-join is a hash join on a single long key, so total cost
-    is O(sum of bucket sizes squared) — near-linear when near-dups are
-    sparse. Exact-Jaccard verify on the candidate set afterward.
+    The (id, bkey) table is **persisted before the self-join** so the
+    signature pass runs exactly once — a plain self-join would
+    re-evaluate the whole scan+UDF subtree on both probe and build
+    sides. It is ids+longs only (no text, no arrays), so the cached
+    footprint is ~16 bytes × n_bands per doc; at 100 TB the same
+    table is written once as an index artifact instead (see
+    :mod:`etl_btc_spark.operators.ann_index` for the vector
+    equivalent). The self-join is a hash join on a single long key,
+    so total cost is O(sum of bucket sizes squared) — near-linear
+    when near-dups are sparse. Exact-Jaccard verify on the candidate
+    set afterward.
     """
-    sig = minhash_signature_udf(n_hashes)(word_shingles(F.col(text_col), ngram))
+    sig = minhash_signature_udf(n_hashes, ngram=ngram)(
+        ws_tokens(normalize_text(F.col(text_col)))
+    )
     banded = (
         spread(df).select(F.col(id_col), sig.alias("sig"))
         .select(id_col, F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bkey"))
+        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -228,8 +260,17 @@ def minhash_near_dupes(
     unigram Jaccard), which floods LSH buckets; 3-gram overlap of
     non-duplicates is ~0.001, so candidate volume ≈ true-dup volume.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, ngram=ngram, **lsh_kwargs)
-    sh = spread(df).select(F.col(id_col), word_shingles(F.col(text_col), ngram).alias("sh"))
+    cands = minhash_lsh_candidates(df, id_col, text_col, ngram=ngram, **lsh_kwargs).persist()
+    # re-shingle ONLY docs that appear in some candidate pair (a tiny
+    # semi-joined subset when near-dups are sparse) instead of the
+    # whole corpus — and never twice for the two pair sides
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(cand_ids, id_col, "semi")
+    sh = sub.select(F.col(id_col), word_shingles(F.col(text_col), ngram).alias("sh")).persist()
     j = (
         cands.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
         .join(sh.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
@@ -338,12 +379,14 @@ def embedding_near_dupes_lsh(
     property (output ⊆ exact-verifier output) is absolute because the
     re-rank is exact (asserted in tests/test_approx_search.py).
     """
-    from etl_btc_spark.operators.similarity import cosine, lsh_band_sig_udf
+    from etl_btc_spark.operators.similarity import lsh_band_sig_udf
 
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
+    # persisted before the self-join: the projection UDF runs once,
+    # and the cached table is ids+ints only (vectors stay behind)
     banded = df.select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -357,7 +400,12 @@ def embedding_near_dupes_lsh(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
+    # vectorized re-rank: candidate volume is O(sum bucket²) — far
+    # more rows than the corpus — so the cosine runs as one numpy
+    # einsum per Arrow batch, not an interpreted per-row fold
+    from etl_btc_spark.operators.similarity import pair_cosine_udf
+
+    sim = pair_cosine_udf()(F.col("__va"), F.col("__vb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
@@ -384,7 +432,9 @@ def simhash_near_dupes(
     collisions never leak through.
     """
     n_chunks = 4
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    # persisted: the SimHash UDF pass runs once, not once per
+    # self-join side; the cache is (id, int64) only
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh")).persist()
     chunks = sig.select(
         id_col,
         "sh",

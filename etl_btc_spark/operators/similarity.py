@@ -50,6 +50,36 @@ def cosine(a: Column, b: Column) -> Column:
     return F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
 
 
+def pair_cosine_udf():
+    """Arrow-batched pandas UDF: cosine of two equal-length vector
+    columns, one numpy ``einsum`` per batch. The expression form
+    (:func:`cosine`) is an interpreted higher-order-function fold —
+    fine on O(n) rows, but a candidate-pair re-rank evaluates it on
+    O(sum bucket²) rows where interpretation overhead dominates
+    (~65 µs/pair vs ~10 ns/pair vectorized). Zero-norm pairs yield
+    0.0, same as :func:`cosine`."""
+    import numpy as np
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.array(va.tolist(), dtype=np.float64)
+        b = np.array(vb.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", a, b)
+        denom = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(np.einsum("ij,ij->i", b, b))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = dots / denom
+        c[~np.isfinite(c)] = 0.0
+        return pd.Series(c)
+
+    return _udf
+
+
 DOT_SQL = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
