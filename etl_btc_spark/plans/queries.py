@@ -627,10 +627,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q22_exponential_smoothing",
-    oracle=_SERIES_CTE
-    + """
+_SES_R = _SERIES_CTE + """
         , s AS (
             SELECT series_id, close,
                    row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn,
@@ -647,6 +644,13 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
             )
             SELECT * FROM rec
         )
+"""
+
+
+@register(
+    "q22_exponential_smoothing",
+    oracle=_SES_R
+    + """
         SELECT series_id, ts, round(1e-9 + ema, 6) AS close_ses
         FROM r
     """,
@@ -679,13 +683,13 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q23_series_features",
-    # composite: every component is individually oracle-checked
-    # (SES q22, MACD q51, PPO q52, RSI q53, Kalman q54, ADX q55,
-    # SavGol q60, wavelet q61, Gaussian q19); this single-pass fusion
-    # keeps the rows-only driver check plus pytest goldens
+    # oracle attached at the end of this module (dataclasses.replace):
+    # it composes the recurrence CTE bodies (_MACD_R/_PPO_R/_RSI_R/
+    # _KALMAN_R/_ADX_R/_SES_R + savgol/wavelet/gauss generators) that
+    # are defined further down, next to their per-operator queries
     oracle=None,
     headline=True,
-    doc="W2,W4-W9,W11: full feature stack (Kalman/SavGol/wavelet/Gauss/SES + MACD/PPO/RSI/ADX signals) in ONE grouped-map pass; components oracle-checked via q19/q22/q51-q55/q60/q61",
+    doc="W2,W4-W9,W11: full feature stack (Kalman/SavGol/wavelet/Gauss/SES + MACD/PPO/RSI/ADX signals) in ONE grouped-map pass; full-composite DuckDB oracle joins the component CTEs",
 )
 def q23(spark: SparkSession, sf: str) -> DataFrame:
     s = RC.with_series_features(price_series(spark, sf))
@@ -699,7 +703,11 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
         "adx",
     ]
     cols = [F.col("series_id"), F.col("ts")]
-    cols += [F.round(c, 4).alias(c) for c in dbl]
+    for c in dbl:
+        col = F.col(c)
+        if c in ("rsi", "adx"):  # NaN warm-up -> NULL for the oracle compare
+            col = F.when(F.isnan(col), None).otherwise(col)
+        cols.append(sround(col, 6).alias(c))
     cols += [
         F.col(c)
         for c in (
@@ -718,7 +726,39 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q24_signal_feature_join",
-    oracle=None,
+    oracle=_SERIES_CTE
+    + """
+        , features AS (
+            SELECT series_id, ts, round(1e-9 + avg(close) OVER (
+                PARTITION BY series_id ORDER BY ts
+                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS close_sma_smoothing
+            FROM series
+        ), bands AS (
+            SELECT series_id, ts, close,
+                   avg(close) OVER w AS mid,
+                   stddev_pop(close) OVER w AS sd
+            FROM series
+            WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ), sig AS (
+            SELECT series_id, ts, close,
+                   mid - 2 * sd AS lower, mid + 2 * sd AS upper,
+                   lag(close) OVER v AS p_close,
+                   lag(mid - 2 * sd) OVER v AS p_lower,
+                   lag(mid + 2 * sd) OVER v AS p_upper
+            FROM bands
+            WINDOW v AS (PARTITION BY series_id ORDER BY ts)
+        ), signals AS (
+            SELECT series_id, ts,
+                   coalesce(p_lower < p_close AND lower > close, false) AS bbands_buy_signal,
+                   coalesce(p_close < p_upper AND close > upper, false) AS bbands_sell_signal
+            FROM sig
+        )
+        SELECT f.series_id, f.ts, f.close_sma_smoothing,
+               s.bbands_buy_signal, s.bbands_sell_signal
+        FROM features f JOIN signals s
+          ON f.series_id = s.series_id AND f.ts = s.ts
+    """,
     doc="§3.1 pipeline shape: features branch ⋈ signals branch on (series, ts) — the reference's J1 merge, expressed as one plan",
 )
 def q24(spark: SparkSession, sf: str) -> DataFrame:
@@ -1141,9 +1181,51 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return MM.extract_media_meta(with_payload)
 
 
+def _news_pipeline_oracle() -> str:
+    """Full-composite DuckDB mirror of q43: every stub stage is a
+    deterministic closed-form formula, so the end-to-end pipeline —
+    clean → ≥1-success filter → embed → top-10 cosine → vote tally —
+    is SQL-expressible. The three stub models share one failure
+    predicate (len % 29 == 0, scoring.stub_model_fn), so the U6
+    ≥1-success filter reduces to a single WHERE clause."""
+    clean = TX.HTML_STRIP_SQL.format(col="text")
+    n = "length(text)"
+    first = "unicode(substring(text, 1, 1))"
+    comps = ", ".join(
+        f"CAST((({n} * {j + 1} + {first}) % 97) / 97.0 AS FLOAT)" for j in range(7)
+    )
+    emb = f"[{comps}, CAST(1.0 AS FLOAT)]"
+    labels = []
+    for m in ("cryptobert", "finbert", "llm"):
+        label, _ = SC.stub_sentiment_sql("text", SC.MODEL_SALTS[m])
+        labels.append(f"SELECT {label} AS label FROM nb")
+    return f"""
+        WITH clean AS (
+            SELECT doc_id, {clean} AS text FROM documents
+        ),
+        ok AS (
+            SELECT doc_id, text FROM clean WHERE length(text) % 29 <> 0
+        ),
+        emb AS (
+            SELECT doc_id, text, {emb} AS embedding FROM ok
+        ),
+        q AS (SELECT embedding AS qvec FROM emb WHERE doc_id = 0),
+        nb AS (
+            SELECT doc_id, text,
+                   {SIM.cosine_sql('embedding', 'qvec')} AS sim
+            FROM emb, q
+            ORDER BY sim DESC, doc_id
+            LIMIT 10
+        )
+        SELECT label, count(*) AS votes
+        FROM ({' UNION ALL '.join(labels)})
+        GROUP BY label
+    """
+
+
 @register(
     "q43_news_pipeline",
-    oracle=None,  # composite pipeline; components individually oracle-checked (q25/q32/q34)
+    oracle=_news_pipeline_oracle(),
     headline=True,
     doc="§3.2+§3.3 end-to-end news shape (U2 embed + S8 kNN read): clean -> stub-score -> stub-embed -> top-10 cosine neighbors of doc 0 -> A4 sentiment vote tally, one lazy plan",
 )
@@ -1463,10 +1545,10 @@ _REC_PRELUDE = _SERIES_CTE + """
 """
 
 
-@register(
-    "q51_macd",
-    oracle=_REC_PRELUDE
-    + """
+#: shared recursion bodies — used verbatim by the per-operator oracles
+#: (q51-q55) AND as subqueries of the q23 full-composite oracle, so the
+#: two stay definitionally in sync
+_MACD_R = _REC_PRELUDE + """
         , r AS (
             WITH RECURSIVE rec AS (
                 SELECT series_id, rn, ts, close,
@@ -1483,6 +1565,13 @@ _REC_PRELUDE = _SERIES_CTE + """
             )
             SELECT * FROM rec
         )
+"""
+
+
+@register(
+    "q51_macd",
+    oracle=_MACD_R
+    + """
         SELECT series_id, ts,
                round(1e-9 + e12 - e26, 6) AS macd_line,
                round(1e-9 + sig, 6) AS macd_signal,
@@ -1501,10 +1590,7 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     )(spark, sf)
 
 
-@register(
-    "q52_ppo",
-    oracle=_REC_PRELUDE
-    + """
+_PPO_R = _REC_PRELUDE + """
         , r AS (
             WITH RECURSIVE rec AS (
                 SELECT series_id, rn, ts, close,
@@ -1522,6 +1608,13 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
             )
             SELECT * FROM rec
         )
+"""
+
+
+@register(
+    "q52_ppo",
+    oracle=_PPO_R
+    + """
         SELECT series_id, ts,
                round(1e-9 + (e12 - e26) / e26 * 100.0, 6) AS ppo_line,
                round(1e-9 + sig, 6) AS ppo_signal
@@ -1533,10 +1626,7 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     return _recurrence_query(["ppo_line", "ppo_signal"], lambda x: RC.ppo(x))(spark, sf)
 
 
-@register(
-    "q53_rsi14",
-    oracle=_REC_PRELUDE
-    + """
+_RSI_R = _REC_PRELUDE + """
         , d AS (
             SELECT series_id, rn, ts,
                    greatest(close - lag(close) OVER w, 0) AS gain,
@@ -1557,12 +1647,23 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
             )
             SELECT * FROM rec
         )
-        SELECT s.series_id, s.ts,
-               CASE WHEN r.rn IS NULL THEN NULL
-                    WHEN r.al = 0 THEN round(1e-9 + 100.0, 6)
-                    ELSE round(1e-9 + 100.0 - 100.0 / (1.0 + r.ag / r.al), 6)
-               END AS rsi
-        FROM s LEFT JOIN r ON s.series_id = r.series_id AND s.rn = r.rn
+        , rsi_raw AS (
+            SELECT s.series_id, s.ts, s.rn,
+                   CASE WHEN r.rn IS NULL THEN NULL
+                        WHEN r.al = 0 THEN 100.0
+                        ELSE 100.0 - 100.0 / (1.0 + r.ag / r.al)
+                   END AS rsi
+            FROM s LEFT JOIN r ON s.series_id = r.series_id AND s.rn = r.rn
+        )
+"""
+
+
+@register(
+    "q53_rsi14",
+    oracle=_RSI_R
+    + """
+        SELECT series_id, ts, round(1e-9 + rsi, 6) AS rsi
+        FROM rsi_raw
     """,
     doc=(
         "W2 Wilder RSI(14): talib seeding (mean of first 14 deltas), NaN "
@@ -1576,10 +1677,7 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     return df.withColumn("rsi", F.when(F.isnan(F.col("rsi")), None).otherwise(F.col("rsi")))
 
 
-@register(
-    "q54_kalman",
-    oracle=_REC_PRELUDE
-    + """
+_KALMAN_R = _REC_PRELUDE + """
         , r AS (
             WITH RECURSIVE rec AS (
                 SELECT series_id, rn, ts, close AS est,
@@ -1595,6 +1693,13 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
             )
             SELECT * FROM rec
         )
+"""
+
+
+@register(
+    "q54_kalman",
+    oracle=_KALMAN_R
+    + """
         SELECT series_id, ts, round(1e-9 + est, 6) AS close_kalman
         FROM r
     """,
@@ -1607,10 +1712,7 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     return _recurrence_query(["close_kalman"], lambda x: [RC.kalman_1d(x)])(spark, sf)
 
 
-@register(
-    "q55_adx",
-    oracle=_SERIES_CTE
-    + """
+_ADX_R = _SERIES_CTE + """
         , s AS (
             SELECT series_id, ts, high, low, close,
                    row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
@@ -1667,12 +1769,24 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
             )
             SELECT * FROM rec
         )
-        SELECT s.series_id, s.ts,
-               round(1e-9 + r.pdi, 6) AS plus_di,
-               round(1e-9 + r.mdi, 6) AS minus_di,
-               round(1e-9 + r.adx, 6) AS adx
-        FROM s
-        LEFT JOIN r ON s.series_id = r.series_id AND s.rn = r.rn
+        , adx_raw AS (
+            SELECT s.series_id, s.ts, s.rn,
+                   r.pdi, r.mdi, r.adx
+            FROM s
+            LEFT JOIN r ON s.series_id = r.series_id AND s.rn = r.rn
+        )
+"""
+
+
+@register(
+    "q55_adx",
+    oracle=_ADX_R
+    + """
+        SELECT series_id, ts,
+               round(1e-9 + pdi, 6) AS plus_di,
+               round(1e-9 + mdi, 6) AS minus_di,
+               round(1e-9 + adx, 6) AS adx
+        FROM adx_raw
     """,
     doc=(
         "W6 Wilder ADX(14)/+DI/-DI: two chained recurrences — (TR, +DM, "
@@ -2015,3 +2129,143 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     return _recurrence_query(["close_wavelet"], lambda x: [RC.wavelet_denoise(x)])(
         spark, sf
     )
+
+
+# ---------------------------------------------------------------------------
+# q23 full-composite oracle (assembled here, after every component CTE
+# body it reuses is defined)
+# ---------------------------------------------------------------------------
+
+
+def _gauss_reflect_oracle_sql() -> str:
+    """W10 oracle generator for the scipy-parity Gaussian
+    (recurrence.gaussian_reflect: reflect padding, truncate=4σ,
+    constant normalization — distinct from q19's edge-renormalized
+    window variant). Per-series list convolution over literal kernel
+    taps, same pattern as the savgol/wavelet oracles."""
+    import numpy as np
+
+    sigma = 20.0 / 6.0
+    radius = int(4.0 * sigma + 0.5)
+    k = np.exp(
+        -(np.arange(-radius, radius + 1, dtype=np.float64) ** 2) / (2.0 * sigma * sigma)
+    )
+    k = k / k.sum()
+    kern = "[" + ", ".join(repr(float(v)) for v in k) + "]"
+    m = 2 * radius + 1
+    return (
+        _SERIES_CTE
+        + f"""
+        , agg AS (
+            SELECT series_id, list(close ORDER BY ts) AS x, count(*) AS n
+            FROM series GROUP BY series_id
+        ), pad AS (
+            SELECT series_id, n,
+                   list_reverse(x[1:{radius}]) || x || list_reverse(x[n-{radius - 1}:n]) AS p
+            FROM agg
+        ), g AS (
+            SELECT series_id, n,
+                   list_transform(generate_series(1, n), i ->
+                       list_sum(list_transform(generate_series(1, {m}),
+                           j -> p[i + j - 1] * ({kern})[j]))) AS sm
+            FROM pad
+        ), rows_ AS (
+            SELECT series_id, ts,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
+            FROM series
+        )
+        SELECT r.series_id, r.ts,
+               round(1e-9 + g.sm[r.rn], 6) AS close_gaussian_smoothing
+        FROM rows_ r JOIN g ON r.series_id = g.series_id
+    """
+    )
+
+
+def _series_features_oracle() -> str:
+    """Full-composite mirror of q23: one subquery per recurrence
+    family — each reusing the SAME CTE body as its per-operator
+    oracle (q19-analog gauss, q22 SES, q51 MACD, q52 PPO, q53 RSI,
+    q54 Kalman, q55 ADX, q60 savgol, q61 wavelet) — joined on
+    (series_id, ts). Signals are derived from the RAW recurrence
+    values with lag windows (strict crossover, NULL→false), exactly
+    like recurrence._crossover's NaN coercion."""
+    kal = _KALMAN_R + (
+        "SELECT series_id, ts, round(1e-9 + est, 6) AS close_kalman_filter FROM r"
+    )
+    ses_q = _SES_R + (
+        "SELECT series_id, ts, round(1e-9 + ema, 6) AS close_exponential_smoothing FROM r"
+    )
+    macd_q = _MACD_R + """
+        SELECT series_id, ts,
+               coalesce(lag(e12 - e26) OVER w < lag(sig) OVER w
+                        AND (e12 - e26) > sig, false) AS macd_buy_signal,
+               coalesce(lag(sig) OVER w < lag(e12 - e26) OVER w
+                        AND sig > (e12 - e26), false) AS macd_sell_signal
+        FROM r WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    """
+    ppo_q = _PPO_R + """
+        SELECT series_id, ts,
+               coalesce(lag((e12 - e26) / e26 * 100.0) OVER w < lag(sig) OVER w
+                        AND ((e12 - e26) / e26 * 100.0) > sig, false) AS ppo_buy_signal,
+               coalesce(lag(sig) OVER w < lag((e12 - e26) / e26 * 100.0) OVER w
+                        AND sig > ((e12 - e26) / e26 * 100.0), false) AS ppo_sell_signal
+        FROM r WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    """
+    rsi_q = _RSI_R + """
+        SELECT series_id, ts, round(1e-9 + rsi, 6) AS rsi,
+               coalesce(lag(rsi) OVER w < 30.0 AND rsi > 30.0, false) AS rsi_buy_signal,
+               coalesce(lag(rsi) OVER w > 70.0 AND rsi < 70.0, false) AS rsi_sell_signal
+        FROM rsi_raw WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    """
+    adx_q = _ADX_R + """
+        SELECT series_id, ts, round(1e-9 + adx, 6) AS adx,
+               (coalesce(lag(pdi) OVER w < lag(mdi) OVER w AND pdi > mdi, false)
+                AND coalesce(adx > 25.0, false)) AS adx_buy_signal,
+               (coalesce(lag(mdi) OVER w < lag(pdi) OVER w AND mdi > pdi, false)
+                AND coalesce(adx > 25.0, false)) AS adx_sell_signal
+        FROM adx_raw WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    """
+    sav_q = (
+        "SELECT series_id, ts, close_savgol AS close_savitzky_golay_filter FROM ("
+        + _savgol_oracle_sql()
+        + ")"
+    )
+    wav_q = (
+        "SELECT series_id, ts, close_wavelet AS close_wavelet_filter FROM ("
+        + _wavelet_oracle_sql()
+        + ")"
+    )
+    gau_q = _gauss_reflect_oracle_sql()
+    return f"""
+        SELECT kal.series_id, kal.ts,
+               kal.close_kalman_filter,
+               sav.close_savitzky_golay_filter,
+               wav.close_wavelet_filter,
+               gau.close_gaussian_smoothing,
+               ses.close_exponential_smoothing,
+               rsi.rsi, adxq.adx,
+               mac.macd_buy_signal, mac.macd_sell_signal,
+               ppo.ppo_buy_signal, ppo.ppo_sell_signal,
+               rsi.rsi_buy_signal, rsi.rsi_sell_signal,
+               adxq.adx_buy_signal, adxq.adx_sell_signal
+        FROM ({kal}) kal
+        JOIN ({sav_q}) sav ON sav.series_id = kal.series_id AND sav.ts = kal.ts
+        JOIN ({wav_q}) wav ON wav.series_id = kal.series_id AND wav.ts = kal.ts
+        JOIN ({gau_q}) gau ON gau.series_id = kal.series_id AND gau.ts = kal.ts
+        JOIN ({ses_q}) ses ON ses.series_id = kal.series_id AND ses.ts = kal.ts
+        JOIN ({macd_q}) mac ON mac.series_id = kal.series_id AND mac.ts = kal.ts
+        JOIN ({ppo_q}) ppo ON ppo.series_id = kal.series_id AND ppo.ts = kal.ts
+        JOIN ({rsi_q}) rsi ON rsi.series_id = kal.series_id AND rsi.ts = kal.ts
+        JOIN ({adx_q}) adxq ON adxq.series_id = kal.series_id AND adxq.ts = kal.ts
+    """
+
+
+def _attach_q23_oracle() -> None:
+    import dataclasses
+
+    REGISTRY["q23_series_features"] = dataclasses.replace(
+        REGISTRY["q23_series_features"], oracle=_series_features_oracle()
+    )
+
+
+_attach_q23_oracle()
