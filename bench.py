@@ -33,8 +33,11 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("etl-btc-spark-bench")
     headline = [q for _, q in sorted(REGISTRY.items()) if q.headline]
-    # one warm-up pass on the smallest query to absorb JVM/codegen startup
-    run_query(spark, headline[0], sf_dir)
+    # warm-up passes to absorb one-time session costs so timings show
+    # steady state: JVM/codegen startup (relational query) and the
+    # Arrow + python-worker fork pool (pandas-UDF query)
+    run_query(spark, REGISTRY["q07_star_join_revenue"], sf_dir)
+    run_query(spark, REGISTRY["q32_sentiment_scores"], sf_dir)
     timings: dict[str, float] = {}
     for q in headline:
         timings[q.name] = round(run_query(spark, q, sf_dir), 3)

@@ -211,23 +211,35 @@ def knn_lsh_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Probe a persisted LSH band table: hash the query with the SAME
-    plane family, join candidates by (band, sig) against the pruned
-    index scan, then exact-re-rank candidates only, joining vectors
+    """Probe a persisted LSH band table with STATIC predicates: the
+    query's band signatures are computed locally (one vector, one
+    numpy matmul — no job), so the index scan carries
+    ``band IN (...) AND sig IN (...)`` literals. ``band`` is the
+    partition column → directory-level PartitionFilters; files are
+    sorted by ``sig`` → parquet min/max row-group skipping. The probe
+    reads only the matching buckets of the artifact — the HNSW-like
+    "index scan" shape the reference gets from Qdrant
+    (init_qdrant.py:38-58) — then exact-re-ranks candidates joined
     back from the base table by id."""
-    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
-    q_banded = F.broadcast(
-        query.select(F.col(vec_col).alias("__qvec")).select(
-            "__qvec", F.posexplode(sig_udf(F.col("__qvec"))).alias("band", "sig")
-        )
-    )
+    from etl_btc_spark.operators.similarity import band_signatures_np
+
+    qvec = query.select(F.col(vec_col).alias("__qvec")).first()["__qvec"]
+    sigs = band_signatures_np(qvec, dim, n_bands, bits_per_band)
+    # sig IN (...) is a pure data-column predicate -> pushed to the
+    # parquet scan, skipping row groups via min/max stats (files are
+    # sorted by sig); the exact per-band (band, sig) OR then prunes
+    # the few surviving rows
+    bucket_pred = F.col("sig").isin([int(s) for s in sigs])
+    exact_pred = None
+    for band, sig in enumerate(sigs):
+        p = (F.col("band") == band) & (F.col("sig") == sig)
+        exact_pred = p if exact_pred is None else (exact_pred | p)
     bands = spark.read.parquet(os.path.join(path, "bands"))
-    cand_ids = bands.join(q_banded.select("band", "sig"), ["band", "sig"]).select(id_col).distinct()
-    q = query.select(F.col(vec_col).alias("__qvec"))
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    cand_ids = bands.filter(bucket_pred & exact_pred).select(id_col).distinct()
+    qcol = F.array(*[F.lit(float(v)) for v in qvec])
+    sim = cosine(F.col(vec_col), qcol)
     return (
         vectors.join(cand_ids, id_col)
-        .crossJoin(F.broadcast(q))
         .select(id_col, sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)

@@ -136,6 +136,20 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def band_signatures_np(vec, dim: int, n_bands: int, bits_per_band: int, seed: int = 42):
+    """Band signatures of ONE vector, computed locally (numpy) with
+    the same plane family as :func:`lsh_band_sig_udf` — used by index
+    probes to turn the query's buckets into static pushdown
+    predicates instead of a join side."""
+    import numpy as np
+
+    n_planes = n_bands * bits_per_band
+    planes = np.array(_planes(dim, n_planes, seed), dtype=np.float64)
+    weights = np.left_shift(1, np.arange(bits_per_band - 1, -1, -1, dtype=np.int64))
+    bits = (planes @ np.asarray(vec, dtype=np.float64) >= 0).astype(np.int64)
+    return [int(b) for b in bits.reshape(n_bands, bits_per_band) @ weights]
+
+
 def lsh_band_sig_udf(dim: int, n_bands: int, bits_per_band: int, seed: int = 42):
     """Arrow-batched pandas UDF: array<float> vector → array<long> of
     ``n_bands`` band signatures (bit i of a band = sign(vec·plane_i)).
