@@ -2269,3 +2269,39 @@ def _attach_q23_oracle() -> None:
 
 
 _attach_q23_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 12. Stateful streaming recurrence (W11 x T2, keyed-state form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q62_stream_stateful_ema",
+    oracle=_SES_R
+    + """
+        SELECT series_id, ts, round(1e-9 + ema, 6) AS close_ses
+        FROM r
+    """,
+    doc=(
+        "W11/T2 keyed-state streaming: SES level carried across "
+        "micro-batches by applyInPandasWithState (O(1) state per series, "
+        "no warm-up re-read); the landing table is drained as 3 in-order "
+        "micro-batches and the result hash-matches the SAME recursive-CTE "
+        "oracle as batch SES (q22) — the streaming/batch equivalence proof"
+    ),
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import stateful as ST
+
+    s = price_series(spark, sf).select("series_id", "ts", "close")
+    landing = SK.artifact_path(sf, "q62_landing")
+    out = SK.artifact_path(sf, "q62_out")
+    ckpt = SK.artifact_path(sf, "q62_checkpoint")
+    for p in (landing, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ST.chunked_landing(s, landing, chunks=3)
+    ST.stream_stateful_ses(spark, landing, s.schema, out, ckpt, alpha=0.2)
+    return spark.read.parquet(out).select(
+        "series_id", "ts", sround(F.col("close_ses"), 6).alias("close_ses")
+    )

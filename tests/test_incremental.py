@@ -123,3 +123,37 @@ def test_stream_dedup_collapses_overlap_and_drops_late(spark, tmp_path):
     got = set(r.content_id for r in spark.read.parquet(table).collect())
     # a,b,c from batch1; d new; e dropped as late (50h < 100h - 25h)
     assert got == {"a", "b", "c", "d"}
+
+
+def test_stateful_streaming_ses_bit_identical_to_batch(spark, tmp_path):
+    """W11/T2 keyed-state form: SES folded across 3 in-order
+    micro-batches by applyInPandasWithState must equal the batch numpy
+    kernel EXACTLY — same float64 op sequence, state carries the level
+    between batches (q62's oracle is the rounded driver-facing proof;
+    this pins the unrounded guarantee and that >1 micro-batch ran)."""
+    import numpy as np
+
+    from etl_btc_spark.operators import recurrence as RC
+    from etl_btc_spark.streaming import stateful as ST
+
+    s = price_series(spark, SF_SMOKE).select("series_id", "ts", "close")
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ST.chunked_landing(s, landing, chunks=3)
+    import glob
+
+    assert len(glob.glob(landing + "/part-*.parquet")) == 3
+    ST.stream_stateful_ses(spark, landing, s.schema, out, ckpt, alpha=0.2)
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("series_id", "ts")
+        .toPandas()
+        .set_index(["series_id", "ts"])["close_ses"]
+    )
+    batch = s.orderBy("series_id", "ts").toPandas()
+    for sid, grp in batch.groupby("series_id"):
+        expect = RC.ses(grp["close"].to_numpy("float64"), alpha=0.2)
+        mine = got.loc[sid].loc[grp["ts"]].to_numpy("float64")
+        assert np.array_equal(mine, expect), f"series {sid} diverged"
