@@ -1369,6 +1369,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 # 10. Incremental / streaming layer (SURVEY §2.6 W12, §2.10 T1-T6)
 # ---------------------------------------------------------------------------
 
+import os  # noqa: E402
 import shutil  # noqa: E402
 
 from etl_btc_spark.streaming import incremental as INC  # noqa: E402
@@ -2304,4 +2305,61 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     ST.stream_stateful_ses(spark, landing, s.schema, out, ckpt, alpha=0.2)
     return spark.read.parquet(out).select(
         "series_id", "ts", sround(F.col("close_ses"), 6).alias("close_ses")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. Bucketed co-located join (K1 at join scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q63_bucketed_join",
+    oracle="""
+        SELECT o_custkey AS custkey,
+               count(*) AS n_orders,
+               round(1e-9 + sum(o_totalprice), 2) AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_custkey
+    """,
+    doc=(
+        "K1/J1 at 100 TB: orders and customer written as hash-bucketed "
+        "bucket-sorted tables on the join key — the sort-merge join and the "
+        "post-join per-customer aggregation both compile with ZERO Exchange "
+        "(shuffle paid once at write time; plan pinned in "
+        "tests/test_sinks_sources.py)"
+    ),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_").replace("-", "_")
+    ot, ct = f"q63_orders_{tag}", f"q63_customer_{tag}"
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .option("path", SK.artifact_path(sf, "q63_orders"))
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(ot)
+    )
+    (
+        cust.write.mode("overwrite")
+        .format("parquet")
+        .option("path", SK.artifact_path(sf, "q63_customer"))
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(ct)
+    )
+    joined = (
+        spark.table(ot)
+        .hint("merge")  # pin SMJ so the no-Exchange property is what's measured
+        .join(spark.table(ct), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sround(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
     )

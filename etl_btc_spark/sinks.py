@@ -129,6 +129,29 @@ def upsert_by_key(
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> str:
+    """K1 at join-scale: hash-bucketed (and bucket-sorted) managed
+    table. Both sides of a fact⋈fact join written with the SAME
+    (key, n_buckets) are co-located: the join compiles with NO
+    Exchange on either side (and no per-query Sort when ``sort`` is
+    on) — the shuffle is paid ONCE at write time, then amortized over
+    every subsequent join/aggregation on the key. This is the 100 TB
+    answer for repeated large-table joins that broadcast can't cover;
+    the q63 plan assertion in tests/test_sinks_sources.py pins the
+    no-Exchange property."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+    return table
+
+
 def with_content_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the deterministic content-hash key used by K3 (F10)."""
     return df.withColumn("content_id", fingerprint(F.col(text_col)))

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from etl_btc_spark import sinks as SK
 
+from conftest import SF_SMOKE
+
 
 @pytest.fixture()
 def tmp_table(tmp_path):
@@ -60,3 +62,22 @@ def test_partitioned_write_prunes_on_read(spark, tmp_table):
     # pruning), not as a post-scan Filter over all partitions
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
     assert scan.count() == 2
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """K1 bucketed write: join + post-join agg on the bucket key must
+    compile with zero Exchange and bucketed scans — the shuffle was
+    paid once at write time."""
+    import contextlib
+    import io
+
+    from etl_btc_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["q63_bucketed_join"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
