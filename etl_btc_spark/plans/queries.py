@@ -1835,6 +1835,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q56_embedding_near_dupes_lsh",
     oracle=None,  # probabilistic banding; subset-of-q36 + recall asserted in tests/test_approx_search.py
+    headline=True,
     doc=(
         "§2.11 embedding near-dup SCALE path: hyperplane-LSH band buckets "
         "(ids only) -> exact cosine re-rank of candidates -- replaces q36's "
