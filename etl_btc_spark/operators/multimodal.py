@@ -62,6 +62,117 @@ def fake_decode_meta(payload: bytes) -> dict:
     }
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame sampling over the opaque payload: decode (stub codec =
+    UTF-8), split the decoded media into its ``n_frames`` equal
+    strides, emit every ``every_n``-th frame as its own row — a
+    VARIABLE fan-out per input row, which is exactly what
+    ``mapInPandas`` exists for (a pandas_udf is 1:1). Frames travel
+    as md5 digests so the row stays narrow; a real pipeline would
+    emit the frame tensor column here instead.
+
+    Scale shape: one Arrow crossing per batch, fan-out bounded by
+    n_frames ≤ 30, output partitioning inherited from the scan — no
+    shuffle."""
+    import hashlib
+
+    ensure_serializable()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(p).decode("utf-8")
+                n = len(s)
+                nf = 1 + n % 30
+                stride = (n + nf - 1) // nf
+                for k in range(0, nf, every_n):
+                    fr = s[k * stride : (k + 1) * stride]
+                    rows.append(
+                        (did, k, hashlib.md5(fr.encode("utf-8")).hexdigest(), len(fr))
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5", "frame_len"])
+
+    return df.mapInPandas(gen, FRAME_SCHEMA)
+
+
+def frame_sample_oracle_sql(every_n: int = 5) -> str:
+    """DuckDB mirror of :func:`sample_frames` over the documents view."""
+    sub = "substring(s.text, CAST(k * s.stride + 1 AS BIGINT), CAST(s.stride AS BIGINT))"
+    return f"""
+        WITH p AS (
+            SELECT doc_id, text, length(text) AS n,
+                   1 + length(text) % 30 AS nf
+            FROM documents
+        ), s AS (
+            SELECT doc_id, text, n, nf, (n + nf - 1) // nf AS stride FROM p
+        )
+        SELECT s.doc_id, CAST(k AS INTEGER) AS frame_idx,
+               md5({sub}) AS frame_md5,
+               CAST(length({sub}) AS BIGINT) AS frame_len
+        FROM s, UNNEST(generate_series(0, s.nf - 1, {every_n})) AS t(k)
+    """
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("resized_len", T.LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize-to-model-input stub: the fake codec "resizes" by
+    truncating the decoded media to a deterministic budget derived
+    from the target dims (a real impl swaps in PIL's
+    ``Image.resize((width, height))`` without touching the Spark
+    plumbing). Same mapInPandas batch contract as the decoder."""
+    import hashlib
+
+    ensure_serializable()
+    budget = max(16, (width * height) // 256)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(p).decode("utf-8")[:budget]
+                outs.append(
+                    (did, width, height, hashlib.md5(s.encode("utf-8")).hexdigest(), len(s))
+                )
+            yield pd.DataFrame(
+                outs, columns=["doc_id", "width", "height", "resized_md5", "resized_len"]
+            )
+
+    return df.mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def resize_oracle_sql(width: int = 224, height: int = 224) -> str:
+    budget = max(16, (width * height) // 256)
+    return f"""
+        SELECT doc_id,
+               CAST({width} AS INTEGER) AS width,
+               CAST({height} AS INTEGER) AS height,
+               md5(substring(text, 1, {budget})) AS resized_md5,
+               CAST(length(substring(text, 1, {budget})) AS BIGINT) AS resized_len
+        FROM documents
+    """
+
+
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Treat the document text's UTF-8 bytes as the opaque media
     payload (the fixtures carry no real blobs)."""

@@ -2364,3 +2364,35 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
             sround(F.sum("o_totalprice"), 2).alias("total_spent"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. Multimodal frame-sample / resize (§2.11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q64_frame_sample",
+    oracle=MM.frame_sample_oracle_sql(every_n=5),
+    doc=(
+        "§2.11 multimodal frame sampling: mapInPandas VARIABLE fan-out — "
+        "each payload decodes (stub codec) into n_frames strides, every 5th "
+        "emitted as a row; no shuffle, fan-out bounded by n_frames"
+    ),
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return MM.sample_frames(MM.attach_binary_payload(docs), every_n=5)
+
+
+@register(
+    "q65_media_resize",
+    oracle=MM.resize_oracle_sql(224, 224),
+    doc=(
+        "§2.11 multimodal resize-to-model-input (stub codec truncation; "
+        "real PIL resize is a drop-in): one Arrow crossing per batch"
+    ),
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return MM.resize_media(MM.attach_binary_payload(docs), 224, 224)
