@@ -2396,3 +2396,96 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
 def q65(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return MM.resize_media(MM.attach_binary_payload(docs), 224, 224)
+
+
+# ---------------------------------------------------------------------------
+# 15. Session & sliding windows (T7 extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q66_sessionization",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), s AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM e
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, session_no
+    """,
+    doc=(
+        "T7 extension: event-time sessionization via session_window(ts, "
+        "'30 minutes') — gap-based dynamic windows, the batch twin of the "
+        "streaming sessionization Structured Streaming runs with the same "
+        "expression; oracle = classic lag/cumsum session assignment"
+    ),
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q67_sliding_window_agg",
+    oracle="""
+        WITH e AS (SELECT user_id % 8 AS series_id, ts, value FROM events),
+        w AS (
+            SELECT series_id, ts, value,
+                   time_bucket(INTERVAL 30 MINUTE, ts)
+                     - to_minutes(30 * CAST(o AS BIGINT)) AS win_start
+            FROM e, UNNEST([0, 1]) AS t(o)
+        )
+        SELECT series_id, win_start,
+               win_start + INTERVAL 1 HOUR AS win_end,
+               round(1e-9 + avg(value), 4) AS avg_value,
+               count(*) AS n_ticks
+        FROM w
+        WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+        GROUP BY series_id, win_start
+    """,
+    doc=(
+        "T7 extension: sliding event-time windows window(ts, '1 hour', "
+        "'30 minutes') — each tick lands in 2 overlapping buckets; oracle "
+        "materializes the same 2 candidate windows per row and filters"
+    ),
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 8).cast("bigint").alias("series_id"), "ts", "value"
+    )
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"), F.col("series_id")
+        )
+        .agg(
+            sround(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "series_id",
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "avg_value",
+            "n_ticks",
+        )
+    )

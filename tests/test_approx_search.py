@@ -190,3 +190,32 @@ def test_simhash_near_dupes_exact_for_radius_3(spark, docs):
     )
     assert banded == brute
     assert brute, "fixture must contain simhash near-dups"
+
+
+def test_index_probe_plans_prune(spark, emb, tmp_path):
+    """K4 probes must be pruned scans of the artifact, not rebuilds:
+    IVF shows directory-level PartitionFilters on centroid_id; LSH
+    shows the query's signatures as pushed parquet filters."""
+    import contextlib
+    import io
+    import re
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    q = emb.filter(F.col("vec_id") == 0)
+
+    ivf = str(tmp_path / "ivf")
+    ANN.build_ivf_index(spark, emb, ivf, n_centroids=16, iters=1)
+    p = plan_of(ANN.knn_ivf_indexed(spark, ivf, q, k=10, nprobe=4))
+    assert re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(", p)
+
+    lsh = str(tmp_path / "lsh")
+    ANN.build_lsh_index(spark, emb, lsh, dim=64, n_bands=8, bits_per_band=4)
+    p = plan_of(ANN.knn_lsh_indexed(spark, lsh, emb, q, k=10, dim=64))
+    assert re.search(r"PushedFilters: \[In\(sig", p)
