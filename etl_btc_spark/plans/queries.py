@@ -2489,3 +2489,123 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
             "n_ticks",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. Extended relational surface (free in Spark SQL — SURVEY §2.5's
+# "engine exposes them anyway" note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_cube_pricing",
+    oracle="""
+        SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+               coalesce(l_linestatus, '<all>') AS linestatus,
+               count(*) AS n, round(1e-9 + sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="A-layer extension: CUBE over (returnflag, linestatus) — grouping-set partial aggs in one pass",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), sround(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q69_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+    """,
+    doc="J-layer extension: left anti join (customers with no large orders) — broadcast/SMJ anti, no NULL-unsafe IN pitfalls; the filter reaches the orders scan before the anti probe",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+@register(
+    "q70_rank_quantiles",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(1e-9 + percent_rank() OVER w, 6) AS pr,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="O-layer extension: percent_rank + ntile per customer — rank windows with deterministic tiebreak",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        sround(F.percent_rank().over(w), 6).alias("pr"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "q71_levenshtein_pairs",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, substring(text, 1, 40) AS head
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 20
+    """,
+    doc="§2.11 text-similarity verifier: bounded edit distance on 40-char prefixes (both engines implement standard Levenshtein); scale path = length/band prefilter before the quadratic verify",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.substring("text", 1, 40).alias("head"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 20)
+    )
+
+
+@register(
+    "q72_approx_distinct",
+    oracle=None,  # sketch implementations differ across engines; error
+    # bound vs exact asserted in tests/test_numerics.py
+    doc="§2.11 sketch: approx_count_distinct (HLL++) per event_type — mergeable sketch, one pass, O(1) state per group; pytest pins <5% error vs exact",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

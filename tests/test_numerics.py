@@ -159,3 +159,28 @@ def test_crossover_strictness_and_nan_coercion():
     line2 = np.array([1.0, 3.0])
     level2 = np.array([2.0, 2.0])
     assert RC._crossover(line2, level2).tolist() == [False, True]
+
+
+def test_approx_distinct_error_bound(spark):
+    """q72's HLL++ sketch must land within 5% of the exact distinct
+    count per group (Spark's default rsd=0.05)."""
+    from pyspark.sql import functions as F
+
+    from etl_btc_spark.plans.queries import REGISTRY
+    from etl_btc_spark.tables import load_table
+    from conftest import SF_SMOKE
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["q72_approx_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
