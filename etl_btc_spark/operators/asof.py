@@ -1,7 +1,8 @@
-"""As-of join: for each left row, the most recent right row with
-``right.ts <= left.ts`` per key (SURVEY.md §2.4 note — the reference
-gets this implicitly from union+time-order; engines like DuckDB give
-it as ASOF JOIN).
+"""As-of and interval (range-containment) joins — the two time-join
+shapes Spark has no native operator for, built as compositions of
+equi primitives (SURVEY.md §2.4 note — the reference gets as-of
+implicitly from union+time-order; engines like DuckDB give it as
+ASOF JOIN and do range joins with an IEJoin).
 
 Spark-first implementation: the union trick. Tag both sides, union,
 then one window pass per key ordered by (ts, side) takes
@@ -73,3 +74,45 @@ def asof_join(
     for c in carried:
         out = out.withColumn(out_name[c], F.col("__r").getField(c))
     return out.drop("__side", "__r")
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Range-containment join: event rows matched to every interval
+    with ``start <= ts < end`` on the same key — BINNED, not theta.
+
+    A naive ``e.ts >= i.start AND e.ts < i.end`` predicate compiles to
+    BroadcastNestedLoopJoin (O(n·m) probes, broadcast-limited). This
+    composition stays in hash-join land at any scale:
+
+    1. each interval explodes into the time bins it overlaps
+       (``sequence(floor(start), floor(end), bin)`` — bounded fan-out
+       of ceil(interval_len / bin) rows);
+    2. events equi-join on (key, bin) — ONE shuffle each side, AQE
+       skew-handled like any other hash join;
+    3. the exact containment predicate filters the bin collisions.
+
+    Pick ``bin_seconds`` ≈ median interval length: fan-out stays ~2
+    and bin collisions stay ~candidates. Same technique as the LSH
+    band join: coarse bucket equi-join, exact re-check.
+    """
+
+    def to_bin(c):  # epoch-floor bin id (a plain long — cheap join key)
+        return F.floor(F.unix_micros(c.cast("timestamp")) / (bin_seconds * 1_000_000))
+
+    binned_i = intervals.withColumn(
+        "__bin",
+        F.explode(F.sequence(to_bin(F.col(start)), to_bin(F.col(end)))),
+    )
+    binned_e = events.withColumn("__bin", to_bin(F.col(ts)))
+    out = binned_e.join(binned_i, [on, "__bin"]).filter(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+    )
+    return out.drop("__bin")

@@ -2609,3 +2609,43 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q73_interval_join",
+    oracle="""
+        WITH e AS (SELECT user_id % 8 AS series_id, ts, value, event_id FROM events),
+        i AS (
+            SELECT series_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts,
+                   event_id AS interval_id
+            FROM e WHERE event_id % 100 = 0
+        )
+        SELECT e.series_id, i.interval_id, e.event_id,
+               round(1e-9 + e.value, 4) AS value
+        FROM e JOIN i
+          ON e.series_id = i.series_id
+         AND e.ts >= i.start_ts AND e.ts < i.end_ts
+    """,
+    doc=(
+        "J-layer extension: range-containment join via bin-bucketed equi "
+        "join + exact re-check (asof.interval_join) — hash-join cost where "
+        "a theta predicate would compile to BroadcastNestedLoopJoin; "
+        "oracle = DuckDB's native IEJoin range join"
+    ),
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 8).cast("bigint").alias("series_id"), "ts", "value", "event_id"
+    )
+    intervals = ev.filter(F.col("event_id") % 100 == 0).select(
+        "series_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("interval_id"),
+    )
+    out = interval_join(ev, intervals, on="series_id", bin_seconds=3600)
+    return out.select(
+        "series_id", "interval_id", "event_id", sround(F.col("value"), 4).alias("value")
+    )

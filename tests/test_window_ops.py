@@ -177,3 +177,39 @@ def test_asof_join_null_attr_no_tearing(spark):
     assert {k: (v[0], v[1]) for k, v in got.items()} == {
         k: (v[0], v[1]) for k, v in want.items()
     }
+
+
+def test_interval_join_matches_theta_and_stays_hash_join(spark):
+    """asof.interval_join must equal the naive theta join row-for-row
+    while compiling to a hash join (SortMergeJoin/ShuffledHashJoin/
+    BroadcastHashJoin) — never BroadcastNestedLoopJoin."""
+    import contextlib
+    import io
+
+    from etl_btc_spark.operators.asof import interval_join
+    from etl_btc_spark.tables import load_table
+
+    from conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        (F.col("user_id") % 8).cast("bigint").alias("series_id"),
+        "ts",
+        "event_id",
+    )
+    iv = ev.filter(F.col("event_id") % 50 == 0).select(
+        "series_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("interval_id"),
+    )
+    binned = interval_join(ev, iv, on="series_id", bin_seconds=3600)
+    naive = ev.join(iv, "series_id").filter(
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+    key = lambda r: (r["series_id"], r["interval_id"], r["event_id"])
+    assert sorted(map(key, binned.collect())) == sorted(map(key, naive.collect()))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        binned.explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
