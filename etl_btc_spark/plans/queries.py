@@ -402,7 +402,10 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
 # 2. Sliding-window layer (SURVEY §2.6 SQL-expressible subset)
 # ---------------------------------------------------------------------------
 
-_SERIES_CTE = f"WITH series AS ({PRICE_SERIES_SQL})"
+# AS MATERIALIZED: recursive-CTE oracles join their prelude per
+# iteration; without the hint DuckDB re-evaluates the parquet scan
+# + window chain each step (q55: 49s -> 7s at sf0.01)
+_SERIES_CTE = f"WITH series AS MATERIALIZED ({PRICE_SERIES_SQL})"
 
 
 @register(
@@ -628,7 +631,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _SES_R = _SERIES_CTE + """
-        , s AS (
+        , s AS MATERIALIZED (
             SELECT series_id, close,
                    row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn,
                    ts
@@ -1538,7 +1541,7 @@ def _recurrence_query(out_cols: list[str], compute):
 #: WITH RECURSIVE prelude shared by the recurrence oracles: the
 #: row-numbered series
 _REC_PRELUDE = _SERIES_CTE + """
-    , s AS (
+    , s AS MATERIALIZED (
         SELECT series_id, ts, close,
                row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
         FROM series
@@ -1628,12 +1631,12 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _RSI_R = _REC_PRELUDE + """
-        , d AS (
+        , d AS MATERIALIZED (
             SELECT series_id, rn, ts,
                    greatest(close - lag(close) OVER w, 0) AS gain,
                    greatest(lag(close) OVER w - close, 0) AS loss
             FROM s WINDOW w AS (PARTITION BY series_id ORDER BY rn)
-        ), seed AS (
+        ), seed AS MATERIALIZED (
             SELECT series_id, avg(gain) AS ag, avg(loss) AS al
             FROM d WHERE rn BETWEEN 2 AND 15 GROUP BY series_id
         ), r AS (
@@ -1714,11 +1717,11 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _ADX_R = _SERIES_CTE + """
-        , s AS (
+        , s AS MATERIALIZED (
             SELECT series_id, ts, high, low, close,
                    row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
             FROM series
-        ), d AS (
+        ), d AS MATERIALIZED (
             SELECT series_id, rn, ts,
                    greatest(high - low,
                             abs(high - lag(close) OVER w),
@@ -1730,7 +1733,7 @@ _ADX_R = _SERIES_CTE + """
                              AND (lag(low) OVER w - low) > 0
                         THEN lag(low) OVER w - low ELSE 0 END AS mdm
             FROM s WINDOW w AS (PARTITION BY series_id ORDER BY rn)
-        ), seed AS (
+        ), seed AS MATERIALIZED (
             SELECT series_id, sum(tr) AS str, sum(pdm) AS spdm, sum(mdm) AS smdm
             FROM d WHERE rn BETWEEN 2 AND 15 GROUP BY series_id
         ), r AS (
