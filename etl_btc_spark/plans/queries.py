@@ -2652,3 +2652,27 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "series_id", "interval_id", "event_id", sround(F.col("value"), 4).alias("value")
     )
+
+
+@register(
+    "q74_incremental_near_dupes",
+    oracle=None,  # probabilistic banding; subset-of-exact + recall in tests/test_approx_search.py
+    doc=(
+        "§2.11 the INCREMENTAL dedup workflow (reference news_etl_dag.py:38 "
+        "hourly 25h-overlap ingest): new batch vs persisted corpus MinHash "
+        "index — batch band keys broadcast against ONE streamed corpus-index "
+        "scan, exact-Jaccard re-rank of candidates only; zero corpus shuffles"
+    ),
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    corpus = docs.filter(F.col("doc_id") <= hi - 50)
+    batch = docs.filter(F.col("doc_id") > hi - 50)
+    idx = SK.artifact_path(sf, "minhash_index")
+    if not os.path.exists(os.path.join(idx, "_BUILT")):
+        DD.build_minhash_index(spark, corpus, idx)
+    out = DD.incremental_near_dupes(spark, idx, corpus, batch, threshold=0.8)
+    return out.select(
+        "batch_id", "corpus_id", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )

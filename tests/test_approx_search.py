@@ -219,3 +219,42 @@ def test_index_probe_plans_prune(spark, emb, tmp_path):
     ANN.build_lsh_index(spark, emb, lsh, dim=64, n_bands=8, bits_per_band=4)
     p = plan_of(ANN.knn_lsh_indexed(spark, lsh, emb, q, k=10, dim=64))
     assert re.search(r"PushedFilters: \[In\(sig", p)
+
+
+def test_incremental_near_dupes_subset_recall_and_broadcast(spark, docs, tmp_path):
+    """q74 shape: batch-vs-corpus near-dups must be a subset of the
+    exact cross-Jaccard pairs (re-rank is exact), recover most of them
+    (banding recall), and probe the index via a BROADCAST of the small
+    batch side — never a shuffle of corpus data."""
+    import contextlib
+    import io
+
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    corpus = docs.filter(F.col("doc_id") <= hi - 50)
+    batch = docs.filter(F.col("doc_id") > hi - 50)
+    idx = str(tmp_path / "mh")
+    DD.build_minhash_index(spark, corpus, idx)
+    out = DD.incremental_near_dupes(spark, idx, corpus, batch, threshold=0.8)
+    got = {(r.batch_id, r.corpus_id) for r in out.collect()}
+
+    sh = lambda df, n: df.select("doc_id", DD.word_shingles(F.col("text"), 3).alias("s"))
+    b, c = sh(batch, 3).alias("b"), sh(corpus, 3).alias("c")
+    exact = {
+        (r.bid, r.cid)
+        for r in b.join(c, F.lit(True))
+        .select(
+            F.col("b.doc_id").alias("bid"),
+            F.col("c.doc_id").alias("cid"),
+            DD.jaccard(F.col("b.s"), F.col("c.s")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert got <= exact
+    assert exact, "fixture must contain cross near-dups"
+    assert len(got & exact) / len(exact) >= 0.8
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
