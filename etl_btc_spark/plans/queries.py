@@ -2676,3 +2676,51 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "batch_id", "corpus_id", F.round(F.col("jaccard"), 6).alias("jaccard")
     )
+
+
+@register(
+    "q75_json_parse",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+               count(*) AS n,
+               round(1e-9 + sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    doc=(
+        "F3 structured flavor: from_json with a declared schema (vs q27's "
+        "regex) — JVM Jackson parse, no Python; the schema makes the parse "
+        "a typed column, not a string scrape"
+    ),
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), sround(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "q76_exact_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(1e-9 + quantile_cont(value, 0.5), 4) AS p50,
+               round(1e-9 + quantile_cont(value, 0.95), 4) AS p95,
+               round(1e-9 + quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
+    doc=(
+        "A-layer extension: exact interpolated percentiles per group "
+        "(Spark percentile == DuckDB quantile_cont); the sketch variant "
+        "for 100 TB is q72's approx path"
+    ),
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        sround(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        sround(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95"),
+        sround(F.percentile(F.col("value"), F.lit(0.99)), 4).alias("p99"),
+    )
