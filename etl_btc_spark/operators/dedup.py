@@ -569,3 +569,90 @@ def incremental_near_dupes(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, a: str = "id_a", b: str = "id_b"
+) -> DataFrame:
+    """Pregel-style min-label propagation: every node starts labeled
+    with itself; each round it adopts the smallest label among itself
+    and its neighbors; fixpoint = components. Near-dup clusters have
+    tiny diameters, so rounds ≈ 2-4; each round is one hash join +
+    map-side-combined min — the standard large-scale CC shape (no
+    driver-side graph, edges stay distributed).
+
+    Convergence is checked with a one-scalar count per round, and
+    labels are localCheckpointed each round so the loop's lineage
+    stays O(1) instead of O(iterations).
+
+    Returns (node, cluster_id) for every node appearing in ``pairs``;
+    cluster_id = min node id of the component — the deterministic
+    canonical representative (same policy as :func:`exact_dedup`).
+    """
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Duplicate-cluster assignment: near-dup pairs → connected
+    components → (doc_id, cluster_id, cluster canonical = min id).
+    The keep-one-per-cluster policy of a training-data pipeline is
+    then a single ``filter(doc_id == cluster_id)``.
+
+    ``exact=True`` uses the O(n²) Jaccard verifier for the edge set
+    (deterministic, oracle-matched); at 100 TB pass ``exact=False``
+    to source edges from :func:`minhash_near_dupes` instead — same
+    downstream clustering, near-linear edge generation.
+    """
+    pairs = (
+        jaccard_pairs(df, threshold, id_col, text_col, ngram)
+        if exact
+        else minhash_near_dupes(df, threshold, id_col, text_col, ngram)
+    )
+    return connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("node").alias(id_col), "cluster_id"
+    )

@@ -2724,3 +2724,46 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         sround(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95"),
         sround(F.percentile(F.col("value"), F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@register(
+    "q77_dup_clusters",
+    oracle="""
+        WITH RECURSIVE sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
+                FROM documents
+            )
+        ), pairs AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))
+                  / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.8
+        ), edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    doc=(
+        "§2.11 duplicate-cluster resolution: near-dup pairs -> connected "
+        "components (Pregel-style min-label propagation, O(diameter) "
+        "rounds, one hash join + min-combine per round) -> canonical "
+        "representative = min id; keep-one-per-cluster is then a filter. "
+        "Oracle = recursive transitive closure over the same edge set"
+    ),
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return DD.dup_clusters(docs, threshold=0.8, ngram=3, exact=True)

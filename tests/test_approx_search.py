@@ -258,3 +258,24 @@ def test_incremental_near_dupes_subset_recall_and_broadcast(spark, docs, tmp_pat
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_connected_components_clusters(spark, docs):
+    """CC sanity on the fixture: every pair's endpoints share a
+    cluster, cluster_id is the component min (canonical policy), and
+    keep-one-per-cluster keeps exactly n_clusters docs."""
+    pairs = DD.jaccard_pairs(docs, 0.8, ngram=3).select("id_a", "id_b")
+    cc = DD.connected_components(pairs)
+    label = {r.node: r.cluster_id for r in cc.collect()}
+    for r in pairs.collect():
+        assert label[r.id_a] == label[r.id_b]
+    # canonical = min member id
+    import collections
+
+    members = collections.defaultdict(list)
+    for n, l in label.items():
+        members[l].append(n)
+    for l, ns in members.items():
+        assert l == min(ns)
+    kept = {n for n, l in label.items() if n == l}
+    assert len(kept) == len(members)
