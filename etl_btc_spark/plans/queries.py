@@ -1353,18 +1353,26 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents GROUP BY 1
     """,
     doc=(
-        "K3 idempotent hash-keyed upsert (MERGE): same batch ingested twice "
+        "K3 idempotent hash-keyed upsert (partition-pruned MERGE): batch "
+        "partitioned by lang, only touched lang=... directories are read/"
+        "rewritten (O(batch), not O(table)); same batch ingested twice "
         "yields an identical one-row-per-content table — fixes the "
-        "reference's uuid4 duplicate flaw (news_etl_dag.py:147)"
+        "reference's uuid4 duplicate flaw (news_etl_dag.py:147); untouched-"
+        "partition byte-identity pinned in tests/test_sinks_sources.py"
     ),
 )
 def q48(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
     batch = SK.with_content_id(docs)
     path = SK.artifact_path(sf, "q48_upsert")
-    SK.upsert_by_key(spark, batch, path, key="content_id", order_col="doc_id")
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    SK.upsert_by_key(
+        spark, batch, path, key="content_id", order_col="doc_id", partition_by="lang"
+    )
     # re-ingest the identical batch: MERGE semantics must make this a no-op
-    SK.upsert_by_key(spark, batch, path, key="content_id", order_col="doc_id")
+    SK.upsert_by_key(
+        spark, batch, path, key="content_id", order_col="doc_id", partition_by="lang"
+    )
     return spark.read.parquet(path).select("content_id", "doc_id")
 
 

@@ -81,12 +81,42 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     return path
 
 
+def _table_exists(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for f in os.listdir(path):
+        if f.startswith(("_", ".")):
+            continue
+        if f.endswith(".parquet") or "=" in f:  # flat files or hive partition dirs
+            return True
+    return False
+
+
+def _merge_keyed(
+    existing: DataFrame | None, batch: DataFrame, key: str, order_col: str | None
+) -> DataFrame:
+    """MERGE resolve: one row per key, batch side wins, ties within a
+    side broken by ``order_col`` ascending."""
+    src = batch.withColumn("__pref", F.lit(1))
+    if existing is not None:
+        src = existing.withColumn("__pref", F.lit(0)).unionByName(src)
+    order = [F.col("__pref").desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).asc())
+    return (
+        src.withColumn("__rn", F.row_number().over(Window.partitionBy(key).orderBy(*order)))
+        .filter(F.col("__rn") == 1)
+        .drop("__pref", "__rn")
+    )
+
+
 def upsert_by_key(
     spark: SparkSession,
     batch: DataFrame,
     path: str,
     key: str = "content_id",
     order_col: str | None = None,
+    partition_by: str | None = None,
 ) -> str:
     """K3: idempotent hash-keyed upsert (MERGE semantics on parquet).
 
@@ -97,35 +127,63 @@ def upsert_by_key(
     lacks (uuid4 ids → duplicates on every retry,
     news_etl_dag.py:147).
 
-    Mechanics: union(existing, batch) → row_number per key preferring
-    the batch side → write to a shadow dir → atomic swap. The local
-    rename stands in for a table-format commit; on a real cluster
-    this function is a Delta/Iceberg ``MERGE INTO t USING batch ON
-    t.key = batch.key WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT
-    *`` — O(matched partitions), not O(table). The full-rewrite
-    fallback here is still correct, just not partition-pruned.
+    **Partition-pruned MERGE** (the 100 TB path): pass ``partition_by``
+    and the upsert touches ONLY the partition directories whose values
+    appear in the batch — read-side partition pruning (a filter on the
+    partition column against the existing table), write-side shadow
+    write of the merged touched partitions, then an atomic per-
+    directory swap. Untouched partitions are never read, never
+    rewritten, never even listed by the merge job: per-batch cost is
+    O(batch + matched partitions), not O(table) — the same contract as
+    a Delta/Iceberg ``MERGE INTO t USING batch ON t.key = batch.key``
+    with a partition predicate. Requirement (standard for pruned
+    MERGE): the key must be partition-stable — a key's partition value
+    is a pure function of the row (e.g. content hash → lang/date), so
+    a matched key is always found inside a touched partition.
+
+    Without ``partition_by`` the legacy whole-table shadow-swap runs
+    (kept for un-partitioned artifacts; documented as O(table)).
     """
-    exists = os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path) if not f.startswith(("_", "."))
-    )
-    src = batch.withColumn("__pref", F.lit(1))
-    if exists:
-        src = spark.read.parquet(path).withColumn("__pref", F.lit(0)).unionByName(src)
-    order = [F.col("__pref").desc()]
-    if order_col is not None:
-        order.append(F.col(order_col).asc())
-    merged = (
-        src.withColumn("__rn", F.row_number().over(Window.partitionBy(key).orderBy(*order)))
-        .filter(F.col("__rn") == 1)
-        .drop("__pref", "__rn")
-    )
-    if exists:
-        shadow = f"{path}__swap_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(shadow)
-        shutil.rmtree(path)
-        os.rename(shadow, path)
-    else:
-        merged.write.mode("overwrite").parquet(path)
+    exists = _table_exists(path)
+    if partition_by is None:
+        existing = spark.read.parquet(path) if exists else None
+        merged = _merge_keyed(existing, batch, key, order_col)
+        if exists:
+            shadow = f"{path}__swap_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(shadow)
+            shutil.rmtree(path)
+            os.rename(shadow, path)
+        else:
+            merged.write.mode("overwrite").parquet(path)
+        return path
+
+    # ---- partition-pruned MERGE ----
+    # touched partition values: one distinct over the batch's partition
+    # column — bounded by partition cardinality, not batch rows
+    touched = [
+        r[0] for r in batch.select(partition_by).distinct().collect() if r[0] is not None
+    ]
+    if not exists:
+        batch_merged = _merge_keyed(None, batch, key, order_col)
+        batch_merged.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+        return path
+    # read ONLY the touched partitions of the existing table: the isin
+    # on the hive partition column prunes directories at scan planning
+    existing = spark.read.parquet(path).filter(F.col(partition_by).isin(touched))
+    merged = _merge_keyed(existing, batch, key, order_col)
+    shadow = f"{path}__swap_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(partition_by).parquet(shadow)
+    # per-partition atomic publish: swap exactly the touched dirs;
+    # every other partition directory is left byte-identical
+    for v in touched:
+        part_dir = f"{partition_by}={v}"
+        src_dir = os.path.join(shadow, part_dir)
+        dst_dir = os.path.join(path, part_dir)
+        if os.path.isdir(dst_dir):
+            shutil.rmtree(dst_dir)
+        if os.path.isdir(src_dir):  # batch may have 0 surviving rows for v
+            os.rename(src_dir, dst_dir)
+    shutil.rmtree(shadow, ignore_errors=True)
     return path
 
 

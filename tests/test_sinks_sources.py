@@ -51,6 +51,75 @@ def test_upsert_dedupes_batch_keys(spark, tmp_table):
     assert _rows(spark, tmp_table) == {"a": (2, "early")}
 
 
+def test_upsert_partition_pruned_touches_only_batch_partitions(spark, tmp_table):
+    """K3 at 100 TB: a batch whose rows live in 1 of N partitions must
+    leave the other N-1 partition directories byte-identical (same
+    files, same bytes, same mtimes — i.e. never rewritten), while
+    still applying MERGE semantics inside the touched partition."""
+    import os
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "content_id": ["a", "b", "c", "d"],
+                "doc_id": [1, 2, 3, 4],
+                "lang": ["en", "en", "es", "de"],
+            }
+        )
+    )
+    SK.upsert_by_key(spark, base, tmp_table, order_col="doc_id", partition_by="lang")
+
+    def snapshot(part):
+        d = os.path.join(tmp_table, f"lang={part}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)), open(os.path.join(d, f), "rb").read())
+            for f in sorted(os.listdir(d))
+            if not f.startswith(("_", "."))
+        }
+
+    es_before, de_before = snapshot("es"), snapshot("de")
+    batch = spark.createDataFrame(
+        pd.DataFrame({"content_id": ["b", "e"], "doc_id": [9, 5], "lang": ["en", "en"]})
+    )
+    SK.upsert_by_key(spark, batch, tmp_table, order_col="doc_id", partition_by="lang")
+    # untouched partitions: byte-and-mtime identical (never rewritten)
+    assert snapshot("es") == es_before
+    assert snapshot("de") == de_before
+    got = {
+        r["content_id"]: (r["doc_id"], r["lang"])
+        for r in spark.read.parquet(tmp_table).collect()
+    }
+    assert got == {
+        "a": (1, "en"),
+        "b": (9, "en"),  # updated in place inside the touched partition
+        "c": (3, "es"),
+        "d": (4, "de"),
+        "e": (5, "en"),  # inserted
+    }
+    # idempotence holds on the pruned path too
+    SK.upsert_by_key(spark, batch, tmp_table, order_col="doc_id", partition_by="lang")
+    got2 = {
+        r["content_id"]: (r["doc_id"], r["lang"])
+        for r in spark.read.parquet(tmp_table).collect()
+    }
+    assert got2 == got
+
+
+def test_upsert_pruned_plan_has_partition_filter(spark, tmp_table):
+    """The merge's read of the existing table must carry the touched
+    partition values as PartitionFilters — directory pruning, so the
+    merge job never lists or scans untouched partitions."""
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {"content_id": list("abcdef"), "doc_id": range(6), "lang": ["en", "es", "de"] * 2}
+        )
+    )
+    SK.upsert_by_key(spark, base, tmp_table, order_col="doc_id", partition_by="lang")
+    scan = spark.read.parquet(tmp_table).filter(F.col("lang").isin(["en"]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_table):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(6), "lang": ["en", "es", "de"] * 2})
