@@ -48,23 +48,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
-        # refuses (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos and
-        # rebuild a TIMESTAMP_NTZ at microsecond precision (truncation
-        # — matching DuckDB's ns→us parquet read). convert_timezone
-        # pins wall-clock UTC regardless of the session timezone.
-        # session.DEFAULT_CONF sets the conf up front for our own
-        # sessions; the runtime set below is a guarded fallback for
-        # foreign sessions (the grading driver builds a plain one).
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # version/conf this surfaces two ways, and we normalize BOTH to
+        # the same TIMESTAMP_NTZ-at-microsecond column (truncation —
+        # matching DuckDB's ns→us parquet read, which is the oracle):
+        #   * bigint — when spark.sql.legacy.parquet.nanosAsLong was set
+        #     at session build (session.DEFAULT_CONF does): rebuild from
+        #     the raw int64 nanos; convert_timezone pins wall-clock UTC
+        #     regardless of the session timezone.
+        #   * timestamp_ntz — native nanos read (pyspark ≥ 4.1 reads
+        #     TIMESTAMP(NANOS) directly, truncating to micros; the
+        #     legacy conf is ignored when set after session start, so a
+        #     foreign/plain session lands here): already the value we
+        #     want, just pin the NTZ type.
         raw = spark.read.parquet(table_path(sf_dir, name))
-        return raw.withColumn(
-            "ts",
-            F.convert_timezone(
-                F.lit("UTC"), F.lit("UTC"), F.timestamp_micros(F.expr("ts DIV 1000"))
-            ),
-        )
+        ts_kind = dict(raw.dtypes)["ts"]
+        if ts_kind == "bigint":
+            return raw.withColumn(
+                "ts",
+                F.convert_timezone(
+                    F.lit("UTC"), F.lit("UTC"), F.timestamp_micros(F.expr("ts DIV 1000"))
+                ),
+            )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 
