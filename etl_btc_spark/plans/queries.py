@@ -2775,3 +2775,111 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
 def q77(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return DD.dup_clusters(docs, threshold=0.8, ngram=3, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# 16. Keyed-state streaming for the FULL recurrence stack (r4)
+# ---------------------------------------------------------------------------
+
+
+def _signal_stack_oracle() -> str:
+    """Composite oracle for q78: the SAME recursive-CTE bodies as the
+    per-operator oracles (q51 MACD, q52 PPO, q53 RSI, q55 ADX, q22
+    SES) joined on (series_id, ts) — so the streamed keyed-state fold
+    is checked against the definitionally-identical batch recurrences."""
+    macd_q = _MACD_R + """
+        SELECT series_id, ts,
+               round(1e-9 + e12 - e26, 6) AS macd_line,
+               round(1e-9 + sig, 6) AS macd_signal,
+               coalesce(lag(e12 - e26) OVER w < lag(sig) OVER w
+                        AND (e12 - e26) > sig, false) AS macd_buy_signal,
+               coalesce(lag(sig) OVER w < lag(e12 - e26) OVER w
+                        AND sig > (e12 - e26), false) AS macd_sell_signal
+        FROM r WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    """
+    ppo_q = _PPO_R + """
+        SELECT series_id, ts,
+               round(1e-9 + (e12 - e26) / e26 * 100.0, 6) AS ppo_line,
+               round(1e-9 + sig, 6) AS ppo_signal,
+               coalesce(lag((e12 - e26) / e26 * 100.0) OVER w < lag(sig) OVER w
+                        AND ((e12 - e26) / e26 * 100.0) > sig, false) AS ppo_buy_signal,
+               coalesce(lag(sig) OVER w < lag((e12 - e26) / e26 * 100.0) OVER w
+                        AND sig > ((e12 - e26) / e26 * 100.0), false) AS ppo_sell_signal
+        FROM r WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    """
+    rsi_q = _RSI_R + """
+        SELECT series_id, ts, round(1e-9 + rsi, 6) AS rsi,
+               coalesce(lag(rsi) OVER w < 30.0 AND rsi > 30.0, false) AS rsi_buy_signal,
+               coalesce(lag(rsi) OVER w > 70.0 AND rsi < 70.0, false) AS rsi_sell_signal
+        FROM rsi_raw WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    """
+    adx_q = _ADX_R + """
+        SELECT series_id, ts,
+               round(1e-9 + pdi, 6) AS plus_di,
+               round(1e-9 + mdi, 6) AS minus_di,
+               round(1e-9 + adx, 6) AS adx,
+               (coalesce(lag(pdi) OVER w < lag(mdi) OVER w AND pdi > mdi, false)
+                AND coalesce(adx > 25.0, false)) AS adx_buy_signal,
+               (coalesce(lag(mdi) OVER w < lag(pdi) OVER w AND mdi > pdi, false)
+                AND coalesce(adx > 25.0, false)) AS adx_sell_signal
+        FROM adx_raw WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    """
+    ses_q = _SES_R + (
+        "SELECT series_id, ts, round(1e-9 + ema, 6) AS close_ses FROM r"
+    )
+    return f"""
+        SELECT m.series_id, m.ts,
+               ses.close_ses,
+               m.macd_line, m.macd_signal,
+               p.ppo_line, p.ppo_signal,
+               r.rsi, a.plus_di, a.minus_di, a.adx,
+               m.macd_buy_signal, m.macd_sell_signal,
+               p.ppo_buy_signal, p.ppo_sell_signal,
+               r.rsi_buy_signal, r.rsi_sell_signal,
+               a.adx_buy_signal, a.adx_sell_signal
+        FROM ({macd_q}) m
+        JOIN ({ppo_q}) p ON p.series_id = m.series_id AND p.ts = m.ts
+        JOIN ({rsi_q}) r ON r.series_id = m.series_id AND r.ts = m.ts
+        JOIN ({adx_q}) a ON a.series_id = m.series_id AND a.ts = m.ts
+        JOIN ({ses_q}) ses ON ses.series_id = m.series_id AND ses.ts = m.ts
+    """
+
+
+@register(
+    "q78_stream_stateful_signals",
+    oracle=_signal_stack_oracle(),
+    doc=(
+        "W2/W4/W5/W6/W11 x T2 (VERDICT r3 item 2): the FULL MACD/PPO/RSI/"
+        "ADX/SES recurrence stack in TRUE keyed-state streaming — per-"
+        "series state tuple (EMA12/26, signal EMAs, Wilder gain/loss, "
+        "smoothed TR/±DM, DX accumulator, ADX, prev-row crossover values) "
+        "carried across micro-batches by applyInPandasWithState; O(batch) "
+        "reads, no 299-row lookback re-read. Oracle = the q51/q52/q53/q55/"
+        "q22 recursive CTEs joined — streamed == batch recurrence proof"
+    ),
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import stateful as ST
+
+    s = price_series(spark, sf).select("series_id", "ts", "close", "high", "low")
+    landing = SK.artifact_path(sf, "q78_landing")
+    out = SK.artifact_path(sf, "q78_out")
+    ckpt = SK.artifact_path(sf, "q78_checkpoint")
+    for p in (landing, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ST.chunked_landing(s, landing, chunks=3)
+    ST.stream_stateful_signals(spark, landing, s.schema, out, ckpt, alpha=0.2)
+    res = spark.read.parquet(out)
+    cols = [F.col("series_id"), F.col("ts")]
+    for c in ("close_ses", "macd_line", "macd_signal", "ppo_line", "ppo_signal",
+              "rsi", "plus_di", "minus_di", "adx"):
+        col = F.col(c)
+        # NaN warm-up -> NULL for the oracle compare
+        col = F.when(F.isnan(col), None).otherwise(col)
+        cols.append(sround(col, 6).alias(c))
+    cols += [
+        F.col(n)
+        for n, t in ST.SIGNAL_FIELDS
+        if n.endswith("_buy_signal") or n.endswith("_sell_signal")
+    ]
+    return res.select(*cols)

@@ -157,3 +157,61 @@ def test_stateful_streaming_ses_bit_identical_to_batch(spark, tmp_path):
         expect = RC.ses(grp["close"].to_numpy("float64"), alpha=0.2)
         mine = got.loc[sid].loc[grp["ts"]].to_numpy("float64")
         assert np.array_equal(mine, expect), f"series {sid} diverged"
+
+
+def test_stateful_streaming_signal_stack_matches_batch(spark, tmp_path):
+    """VERDICT r3 item 2: the FULL MACD/PPO/RSI/ADX/SES stack folded
+    across 3 in-order micro-batches with O(1) keyed state must match
+    the batch kernels (with_series_features) — EMA family exactly,
+    Wilder family to float tolerance (seed means accumulate
+    sequentially in the stream vs numpy pairwise in batch), and every
+    crossover boolean exactly."""
+    import glob
+
+    import numpy as np
+
+    from etl_btc_spark.streaming import stateful as ST
+    from etl_btc_spark.operators import recurrence as RC
+
+    s = price_series(spark, SF_SMOKE).select("series_id", "ts", "close", "high", "low")
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ST.chunked_landing(s, landing, chunks=3)
+    assert len(glob.glob(landing + "/part-*.parquet")) == 3
+    ST.stream_stateful_signals(spark, landing, s.schema, out, ckpt, alpha=0.2)
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("series_id", "ts")
+        .toPandas()
+        .set_index(["series_id", "ts"])
+    )
+    batch = (
+        RC.with_series_features(s)
+        .orderBy("series_id", "ts")
+        .toPandas()
+        .set_index(["series_id", "ts"])
+    )
+    assert len(got) == len(batch)
+    # streamed name -> batch name
+    colmap = {
+        "close_ses": "close_exponential_smoothing",
+        "macd_line": "macd_line",
+        "macd_signal": "macd_signal_line",
+        "ppo_line": "ppo_line",
+        "ppo_signal": "ppo_signal_line",
+        "rsi": "rsi",
+        "plus_di": "plus_di",
+        "minus_di": "minus_di",
+        "adx": "adx",
+    }
+    for sc, bc in colmap.items():
+        a = got[sc].to_numpy("float64")
+        b = batch.loc[got.index, bc].to_numpy("float64")
+        exact = sc in ("close_ses", "macd_line", "macd_signal", "ppo_line", "ppo_signal")
+        tol = 0.0 if exact else 1e-9
+        ok = np.isclose(a, b, rtol=0, atol=tol) | (np.isnan(a) & np.isnan(b))
+        assert ok.all(), f"{sc}: {np.argwhere(~ok)[:5]}"
+    for c in [n for n, _ in ST.SIGNAL_FIELDS if n.endswith(("_buy_signal", "_sell_signal"))]:
+        assert (got[c].to_numpy() == batch.loc[got.index, c].to_numpy()).all(), c
