@@ -279,3 +279,35 @@ def test_connected_components_clusters(spark, docs):
         assert l == min(ns)
     kept = {n for n, l in label.items() if n == l}
     assert len(kept) == len(members)
+
+
+def test_ivf_build_no_plan_literals_and_high_k(spark, emb, tmp_path):
+    """VERDICT r3 item 3: the IVF build must not round-trip centroids
+    through the driver as plan literals — the assignment plan is a
+    mapInPandas over the vector scan (centroid matrix travels as a
+    torrent broadcast), so no LocalTableScan/literal relation appears
+    anywhere in it; and a build requesting far more centroids than the
+    old 16x64 shape completes (k capped at sample size)."""
+    import contextlib
+    import io
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    idx = str(tmp_path / "ivf_hi")
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=256, iters=2)
+    cents = spark.read.parquet(idx + "/centroids")
+    assert cents.count() == 256
+
+    bc = ANN._broadcast_centroids(spark, cents)
+    plan_df = ANN._assign(emb, bc, "embedding", "vec_id", n_assign=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LocalTableScan" not in plan
+    assert "Scan ExistingRDD" not in plan
+    # multi-assignment: every vector indexed under exactly 2 lists
+    assigned = spark.read.parquet(idx + "/assigned")
+    per_vec = assigned.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [2]
+    bc.unpersist()
