@@ -2325,26 +2325,17 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q63_bucketed_join",
-    oracle="""
-        SELECT o_custkey AS custkey,
-               count(*) AS n_orders,
-               round(1e-9 + sum(o_totalprice), 2) AS total_spent
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY o_custkey
-    """,
-    doc=(
-        "K1/J1 at 100 TB: orders and customer written as hash-bucketed "
-        "bucket-sorted tables on the join key — the sort-merge join and the "
-        "post-join per-customer aggregation both compile with ZERO Exchange "
-        "(shuffle paid once at write time; plan pinned in "
-        "tests/test_sinks_sources.py)"
-    ),
-)
-def q63(spark: SparkSession, sf: str) -> DataFrame:
+def _ensure_q63_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Build-once artifact for q63 (VERDICT r3 item 4): the bucketed
+    tables are a K1-style write-time investment — pay the bucketing
+    shuffle ONCE per (session, sf), then every join/agg on the key is
+    Exchange-free. Keyed by sf so pytest/driver/bench runs don't
+    clobber each other; the ensure_ guard makes repeat calls (bench
+    best-of-N, back-to-back queries) join-only."""
     tag = os.path.basename(sf.rstrip("/")).replace(".", "_").replace("-", "_")
     ot, ct = f"q63_orders_{tag}", f"q63_customer_{tag}"
+    if spark.catalog.tableExists(ot) and spark.catalog.tableExists(ct):
+        return ot, ct
     orders = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf, "customer").select("c_custkey")
     (
@@ -2363,6 +2354,29 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
         .sortBy("c_custkey")
         .saveAsTable(ct)
     )
+    return ot, ct
+
+
+
+@register(
+    "q63_bucketed_join",
+    oracle="""
+        SELECT o_custkey AS custkey,
+               count(*) AS n_orders,
+               round(1e-9 + sum(o_totalprice), 2) AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_custkey
+    """,
+    doc=(
+        "K1/J1 at 100 TB: orders and customer written ONCE per sf as "
+        "hash-bucketed bucket-sorted tables (ensure_-guarded build, "
+        "VERDICT r3 item 4) — the query itself is join+agg only, and both "
+        "compile with ZERO Exchange (shuffle paid once at write time; plan "
+        "pinned in tests/test_sinks_sources.py)"
+    ),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    ot, ct = _ensure_q63_tables(spark, sf)
     joined = (
         spark.table(ot)
         .hint("merge")  # pin SMJ so the no-Exchange property is what's measured
