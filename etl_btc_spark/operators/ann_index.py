@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -37,14 +39,94 @@ from pyspark.sql import types as T
 from etl_btc_spark.operators.similarity import cosine, lsh_band_sig_udf
 
 
+#: artifact format version — bumped when the on-disk layout changes
+#: (v2: INT8-quantized IVF posting lists) so stale artifacts rebuild
+#: instead of failing the probe
+_FORMAT = "v2"
+
+
 def _is_built(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_BUILT"))
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        return f.read().strip() == _FORMAT
 
 
 def _mark_built(path: str) -> None:
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_BUILT"), "w") as f:
-        f.write("ok\n")
+        f.write(_FORMAT + "\n")
+
+
+# ---------------------------------------------------------------------------
+# INT8 scalar quantization (reference init_qdrant.py:51-57: Qdrant
+# ScalarQuantization INT8, quantile=1.0 — symmetric max-abs scaling)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_int8(assigned: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, vec, centroid_id) → (id, centroid_id, q8_scale, q8):
+    per-vector scale = max|x|/127 (quantile=1.0, no clipping), codes =
+    round(x/scale) ∈ [-127, 127] packed as ONE binary blob — a true
+    1 byte/dim on disk (parquet would store array<tinyint> as INT32
+    physical). One vectorized numpy pass per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    out_schema = T.StructType(
+        [
+            assigned.schema[id_col],
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("q8_scale", T.FloatType()),
+            T.StructField("q8", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            scale = np.maximum(np.abs(v).max(axis=1), 1e-30) / 127.0
+            codes = np.round(v / scale[:, None]).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid_id": pdf["centroid_id"].to_numpy(),
+                    "q8_scale": scale.astype(np.float32),
+                    "q8": [row.tobytes() for row in codes],
+                }
+            )
+
+    return assigned.mapInPandas(gen, out_schema)
+
+
+def _q8_approx_sim_udf(qvec):
+    """Arrow-batched pandas UDF: approximate cosine of packed int8
+    codes vs the (fp64) query — np.frombuffer + one matmul per batch.
+    The per-vector scale cancels in the cosine normalization, so the
+    codes alone carry the angle."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    qn = np.asarray(qvec, dtype=np.float64)
+    qn = qn / max(float(np.linalg.norm(qn)), 1e-30)
+
+    @pandas_udf("double")
+    def sim(codes: pd.Series) -> pd.Series:
+        m = np.stack([np.frombuffer(b, dtype=np.int8).astype(np.float64) for b in codes])
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        return pd.Series((m @ qn) / norms)
+
+    return sim
 
 
 # ---------------------------------------------------------------------------
@@ -215,9 +297,14 @@ def build_ivf_index(
     bcs.append(cent_bc)
     final = _assign(vectors, cent_bc, vec_col, id_col, n_assign=n_assign)
     final_cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    final.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        os.path.join(path, "assigned")
-    )
+    # the persisted posting lists carry INT8-quantized vectors (+ the
+    # per-vector dequant scale), not fp32 — the reference's Qdrant
+    # scalar quantization (init_qdrant.py:51-57, quantile=1.0
+    # always_ram): ~4x smaller index, int8 pre-rank in the probe,
+    # exact fp32 re-rank joined back from the base table by id
+    _quantize_int8(final, vec_col, id_col).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(os.path.join(path, "assigned"))
     for b in bcs:
         b.unpersist()
     _mark_built(path)
@@ -235,16 +322,26 @@ def ensure_ivf_index(spark: SparkSession, vectors: DataFrame, path: str, **kw) -
 def knn_ivf_indexed(
     spark: SparkSession,
     path: str,
+    vectors: DataFrame,
     query: DataFrame,
     k: int = 10,
     nprobe: int = 4,
+    shortlist: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Probe a persisted IVF index: rank the (tiny) centroid table
-    against the query, scan ONLY the ``nprobe`` best partitions of
-    the assignment table (directory pruning via the centroid_id
-    partition column), exact cosine re-rank."""
+    """Probe a persisted INT8-quantized IVF index — the reference's
+    Qdrant rescoring shape (init_qdrant.py:51-57: int8 posting lists
+    always_ram, fp32 re-rank):
+
+    1. rank the (tiny) centroid table against the query, pick the
+       ``nprobe`` best lists;
+    2. scan ONLY those partitions of the assignment table (directory
+       pruning on centroid_id) and PRE-RANK on the int8 codes —
+       approximate cosine from 1-byte/dim data, no fp32 IO;
+    3. keep a ``shortlist``×k candidate shortlist, join fp32 vectors
+       back from the BASE table by id, exact cosine re-rank, top k.
+    """
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     q = query.select(F.col(vec_col).alias("__qvec"))
     best = (
@@ -257,10 +354,19 @@ def knn_ivf_indexed(
     )
     probe_ids = [r["centroid_id"] for r in best]
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
-    return (
+    qvec = query.select(F.col(vec_col).alias("__qvec")).first()["__qvec"]
+    approx_sim = _q8_approx_sim_udf(qvec)
+    cand_ids = (
         assigned.filter(F.col("centroid_id").isin(probe_ids))  # partition pruning
         .dropDuplicates([id_col])  # multi-assigned vectors appear once
+        .select(id_col, approx_sim(F.col("q8")).alias("approx_sim"))
+        .orderBy(F.col("approx_sim").desc(), F.col(id_col))
+        .limit(max(shortlist * k, k))
+        .select(id_col)
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    return (
+        vectors.join(cand_ids, id_col)  # exact fp32 re-rank from the base table
         .crossJoin(F.broadcast(q))
         .select(id_col, sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))

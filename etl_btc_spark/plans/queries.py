@@ -1100,7 +1100,7 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0)
     idx = _SK.artifact_path(sf, "ivf_index")
     ANN.ensure_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
-    out = ANN.knn_ivf_indexed(spark, idx, query, k=10, nprobe=4)
+    out = ANN.knn_ivf_indexed(spark, idx, emb, query, k=10, nprobe=4)
     return out.select("vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
 

@@ -80,12 +80,16 @@ def test_ivf_indexed_recall_and_pruned_probe(spark, emb, exact_top10, tmp_path):
     q = emb.filter(F.col("vec_id") == 0)
     idx = str(tmp_path / "ivf")
     ANN.build_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
-    out = ANN.knn_ivf_indexed(spark, idx, q, k=10, nprobe=4)
+    out = ANN.knn_ivf_indexed(spark, idx, emb, q, k=10, nprobe=4)
     got = set(r.vec_id for r in out.collect())
     assert len(got & exact_top10) / 10 >= 0.8
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert "centroid_id" in plan.split("PartitionFilters")[1][:300]
+    # SOME scan (the posting-list scan; the fp32 re-rank join adds an
+    # unpartitioned base scan) must carry the centroid_id directory
+    # filter
+    assert any(
+        "centroid_id" in seg[:300] for seg in plan.split("PartitionFilters")[1:]
+    ), plan
 
 
 def test_lsh_indexed_recall_matches_inmemory(spark, emb, exact_top10, tmp_path):
@@ -212,7 +216,7 @@ def test_index_probe_plans_prune(spark, emb, tmp_path):
 
     ivf = str(tmp_path / "ivf")
     ANN.build_ivf_index(spark, emb, ivf, n_centroids=16, iters=1)
-    p = plan_of(ANN.knn_ivf_indexed(spark, ivf, q, k=10, nprobe=4))
+    p = plan_of(ANN.knn_ivf_indexed(spark, ivf, emb, q, k=10, nprobe=4))
     assert re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(", p)
 
     lsh = str(tmp_path / "lsh")
@@ -311,3 +315,60 @@ def test_ivf_build_no_plan_literals_and_high_k(spark, emb, tmp_path):
     per_vec = assigned.groupBy("vec_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per_vec] == [2]
     bc.unpersist()
+
+
+def test_ivf_index_is_int8_quantized_and_smaller(spark, emb, tmp_path):
+    """VERDICT r3 item 5 (reference init_qdrant.py:51-57): the IVF
+    posting lists store INT8 codes + a per-vector scale, not fp32 —
+    recall floor unchanged (asserted by the recall test above running
+    on the quantized index) and the index payload is ~4x smaller."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    idx = str(tmp_path / "ivf_q8")
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=16, iters=1, n_assign=1)
+    assigned = spark.read.parquet(idx + "/assigned")
+    kinds = dict(assigned.dtypes)
+    assert kinds["q8"] == "binary"  # packed: a true 1 byte/dim on disk
+    assert kinds["q8_scale"] == "float"
+    assert "embedding" not in kinds  # no fp32 vectors in the artifact
+    # dequantized codes reconstruct the fp32 vector to <1% of max|x|
+    row = assigned.limit(1).collect()[0]
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}[row["vec_id"]]
+    import numpy as np
+
+    deq = np.frombuffer(row["q8"], dtype=np.int8).astype(np.float64) * row["q8_scale"]
+    err = np.abs(deq - np.array(orig, dtype=np.float64)).max()
+    assert err <= np.abs(np.array(orig)).max() * 0.01
+
+    # size: compare the VECTOR COLUMN payload (compressed column-chunk
+    # bytes from the parquet metadata) — footer/partition overhead at
+    # 500-row test scale would swamp a whole-file comparison
+    import os
+
+    import pyarrow.parquet as pq
+
+    fp32_dir = str(tmp_path / "fp32_assigned")
+    spark.read.parquet(idx + "/assigned").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("vec_id", "embedding", "centroid_id").write.partitionBy(
+        "centroid_id"
+    ).parquet(fp32_dir)
+
+    def column_bytes(d, prefixes):
+        total = 0
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(r, f)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema.split(".")[0] in prefixes:
+                            total += col.total_compressed_size
+        return total
+
+    q8_b = column_bytes(idx + "/assigned", {"q8", "q8_scale"})
+    fp_b = column_bytes(fp32_dir, {"embedding"})
+    assert q8_b * 3 < fp_b, (q8_b, fp_b)
