@@ -710,3 +710,99 @@ def dup_clusters(
     return connected_components(pairs.select("id_a", "id_b")).select(
         F.col("node").alias(id_col), "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus bounded edit distance (PassJoin-style segment prefilter)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_len: int = 40,
+) -> DataFrame:
+    """All pairs with ``levenshtein(head_a, head_b) <= max_dist`` over
+    the FULL corpus (VERDICT r3 item 6) — the quadratic verify runs
+    only on candidates from a LOSSLESS pigeonhole prefilter, so the
+    result equals the plain all-pairs answer (the DuckDB oracle) at
+    hash-join cost.
+
+    PassJoin-style segment filter (public pair-join literature): split
+    each head into ``d+1`` contiguous segments — at most ``d`` edits
+    can touch at most ``d`` segments, so for any true pair at least
+    one segment of ``a`` survives untouched and appears VERBATIM as a
+    substring of ``b``. Candidates are therefore an equi-join of a's
+    segments against b's substrings of the matching lengths: exact
+    8-char-ish keys, hash join, no theta/cross join anywhere. Cost is
+    O(n·d) segment rows + O(n·head_len·L_range) substring rows +
+    collisions — near-linear when heads are diverse, vs the O(n²)
+    verifier q71 runs on its bounded scope.
+
+    Heads shorter than ``d+1`` chars can't be segmented; those pairs
+    go through a tiny length-bucket all-pairs path (both sides ≤
+    ``2d+1`` chars — a vanishing subset when heads are prefixes of
+    real documents).
+    """
+    d = max_dist
+    nseg = d + 1
+    head = F.substring(F.col(text_col), 1, head_len)
+    t = spread(df).select(
+        F.col(id_col).alias("id"), head.alias("head"), F.length(head).alias("hl")
+    )
+    long_t = t.filter(F.col("hl") >= nseg)
+    # segment i (0-based): start = i*l + min(i, r), len = l + (i<r),
+    # where l = hl div nseg, r = hl mod nseg — the standard even split
+    seg_expr = (
+        f"transform(sequence(0, {d}), i -> "
+        f"substring(head, CAST(i * (hl DIV {nseg}) + least(i, hl % {nseg}) + 1 AS INT), "
+        f"CAST((hl DIV {nseg}) + IF(i < hl % {nseg}, 1, 0) AS INT)))"
+    )
+    segs = long_t.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.array_distinct(F.expr(seg_expr))).alias("seg"),
+    ).filter(F.length("seg") > 0)
+    # b-side: all substrings whose length can be an a-segment length
+    lmin = max(1, head_len // nseg - 1)  # conservative lower bound
+    lmax = head_len // nseg + 1
+    sub_expr = (
+        f"flatten(transform(sequence({lmin}, {lmax}), L -> "
+        f"IF(hl >= L, transform(sequence(1, CAST(hl - L + 1 AS INT)), p -> "
+        f"substring(head, CAST(p AS INT), CAST(L AS INT))), "
+        f"CAST(array() AS array<string>))))"
+    )
+    subs = long_t.select(
+        F.col("id").alias("id_b"),
+        F.explode(F.array_distinct(F.expr(sub_expr))).alias("seg"),
+    )
+    cand_long = (
+        segs.join(subs, "seg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # short-head residue: both sides must be <= 2d+1 chars for a pair
+    # within distance d to exist with a non-segmentable side
+    short_t = t.filter(F.col("hl") <= 2 * d + 1)
+    a_s, b_s = short_t.alias("a"), short_t.alias("b")
+    cand_short = (
+        a_s.join(
+            b_s,
+            (F.col("a.id") < F.col("b.id"))
+            & (F.least(F.col("a.hl"), F.col("b.hl")) < nseg)
+            & (F.abs(F.col("a.hl") - F.col("b.hl")) <= d),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cands = cand_long.union(cand_short).distinct()
+    ha = t.select(F.col("id").alias("id_a"), F.col("head").alias("head_a"))
+    hb = t.select(F.col("id").alias("id_b"), F.col("head").alias("head_b"))
+    dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", dist.cast("int").alias("dist"))
+        .filter(F.col("dist") <= d)
+    )

@@ -372,3 +372,51 @@ def test_ivf_index_is_int8_quantized_and_smaller(spark, emb, tmp_path):
     q8_b = column_bytes(idx + "/assigned", {"q8", "q8_scale"})
     fp_b = column_bytes(fp32_dir, {"embedding"})
     assert q8_b * 3 < fp_b, (q8_b, fp_b)
+
+
+def test_edit_distance_prefilter_is_lossless(spark):
+    """q79's PassJoin segment prefilter must be COMPLETE for
+    dist <= d: on strings mutated at known distances 0-6 the result
+    equals brute-force all-pairs levenshtein (<= 4), including pairs
+    at exactly d — and excludes everything beyond d."""
+    import pandas as pd
+
+    from etl_btc_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy"  # 39 chars
+    rows = [(0, base)]
+    muts = [
+        (1, base[:-1] + "X"),                      # 1 substitution
+        (2, "AB" + base[2:]),                      # 2 substitutions
+        (3, base[3:] + "xyz"),                     # 3+3 shift-ish
+        (4, "Q" + base[:20] + "ZZZ" + base[23:]),  # insert + subs
+        (5, base[::-1]),                           # far away
+        (6, "completely different text here okay"),
+        (7, base),                                 # exact dup
+    ]
+    rows += muts
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=4, head_len=40).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = dict(rows)
+    want = {}
+    for x, y in itertools.combinations(sorted(texts), 2):
+        dd = lev(texts[x][:40], texts[y][:40])
+        if dd <= 4:
+            want[(x, y)] = dd
+    assert want, "fixture must produce pairs within distance 4"
+    assert any(v == 4 for v in want.values()), "must exercise dist == d exactly"
+    assert got == want
