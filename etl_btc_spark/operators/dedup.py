@@ -806,3 +806,50 @@ def edit_distance_pairs(
         .select("id_a", "id_b", dist.cast("int").alias("dist"))
         .filter(F.col("dist") <= d)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark/test-set contamination check (§2.11 extension, r4)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    corpus: DataFrame,
+    test: DataFrame,
+    ngram: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination scan: for every test-set document, how many
+    corpus documents share at least one word ``ngram``-gram with it
+    (and the worst overlap size) — the standard n-gram-collision
+    check run before training on a corpus that might contain the
+    eval set.
+
+    Shape: both sides shingle once, candidates come from the SAME
+    inverted-index equi-join as :func:`jaccard_pairs` (only docs
+    sharing a shingle ever meet — no cross join), then one hash agg.
+    At 100 TB the test side is tiny, so its posting list broadcasts
+    and the corpus is never shuffled.
+
+    Output: (test_id, n_contaminating, max_overlap) — only test docs
+    with at least one hit; a left view with zeros is a trivial join.
+    """
+    t_sh = test.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(word_shingles(F.col(text_col), ngram)).alias("g"),
+    )
+    c_sh = spread(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(F.col(text_col), ngram)).alias("g"),
+    )
+    hits = (
+        c_sh.join(F.broadcast(t_sh), "g")
+        .filter(F.col("corpus_id") != F.col("test_id"))
+        .groupBy("test_id", "corpus_id")
+        .agg(F.count_distinct("g").alias("overlap"))
+    )
+    return hits.groupBy("test_id").agg(
+        F.count(F.lit(1)).alias("n_contaminating"),
+        F.max("overlap").alias("max_overlap"),
+    )

@@ -1,0 +1,102 @@
+"""Training-data sampling & packing operators (§2.11 extensions, r4).
+
+Two operations every LLM pretraining pipeline runs between "corpus"
+and "tokenized shards":
+
+- **Stratified sampling** — rebalance the language/source mix by
+  keeping a per-stratum fraction of documents. Deterministic: the
+  keep/drop decision is a pure function of the document id (an
+  md5-prefix hash bucket), so re-runs, retries and incremental
+  ingests make identical decisions — no RNG state, no seed plumbing,
+  and the SAME predicate is expressible in any engine (the DuckDB
+  oracle runs it verbatim). At 100 TB this is a scan + filter:
+  pushdown-friendly, zero shuffle.
+
+- **Token packing** — GPT-style sequence packing: concatenate the
+  token stream in a deterministic document order and cut it into
+  fixed-budget sequences; each document lands at (pack_id, offset).
+  Computed as one per-shard cumulative-sum window (exclusive prefix
+  sum over doc order), so the shuffle is bounded by the shard key —
+  the 100 TB shape is "pack within shard", embarrassingly parallel
+  across shards, and each shard's window is a single ordered pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_btc_spark.operators.textops import ws_token_count
+
+#: hash-bucket modulus: md5-prefix-16-bit → 0..65535, reduced mod 1e4
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column) -> Column:
+    """Deterministic 0..9999 bucket from a document id: first 4 hex
+    chars of md5('doc<id>') — stable across engines, sessions and
+    languages (the oracle computes the identical expression)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("doc"), id_col.cast("string"))), 1, 4), 16, 10)
+    return (h.cast("bigint") % BUCKETS).alias("bucket")
+
+
+def hash_bucket_sql(id_col: str) -> str:
+    """DuckDB mirror of :func:`hash_bucket`."""
+    return (
+        f"(('0x' || substring(md5('doc' || CAST({id_col} AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {BUCKETS})"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ``rates[stratum] / 10000`` of each stratum (unlisted
+    strata are dropped). One scan, one pushed-down filter, zero
+    shuffle; deterministic under retries and incremental re-runs."""
+    rate = None
+    for s, r in sorted(rates.items()):
+        c = F.when(F.col(stratum_col) == s, F.lit(r))
+        rate = c if rate is None else rate.when(F.col(stratum_col) == s, F.lit(r))
+    rate = rate.otherwise(F.lit(0))
+    return df.filter(hash_bucket(F.col(id_col)) < rate)
+
+
+def stratified_sample_sql(rates: dict[str, int], stratum_col: str = "lang", id_col: str = "doc_id") -> str:
+    cases = " ".join(f"WHEN {stratum_col} = '{s}' THEN {r}" for s, r in sorted(rates.items()))
+    return f"{hash_bucket_sql(id_col)} < (CASE {cases} ELSE 0 END)"
+
+
+def token_packing(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document its position in the packed token stream:
+    shard = id % n_shards; within a shard, docs concatenate in id
+    order and the stream is cut every ``budget`` tokens. Returns
+    (doc_id, shard, n_tokens, pack_id, pack_offset) where pack_id is
+    the sequence index the document STARTS in and pack_offset its
+    token offset there. A doc may straddle a boundary — exactly like
+    pretraining packing, where sequences are cut mid-document."""
+    shard = (F.col(id_col) % n_shards).cast("bigint")
+    toks = ws_token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = df.select(F.col(id_col), shard.alias("shard"), toks.alias("n_tokens"))
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(cum / budget).cast("bigint").alias("pack_id"),
+        (cum % budget).cast("bigint").alias("pack_offset"),
+    )

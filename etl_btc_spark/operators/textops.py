@@ -173,3 +173,43 @@ def quality_score_sql(col: str) -> str:
         f"+ 0.4 * ({n_stop}::DOUBLE / {safe_words}) "
         f"+ 0.2 * (1.0 - {n_punct}::DOUBLE / greatest({n_chars}, 1))"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (§2.11 extension, r4)
+# ---------------------------------------------------------------------------
+
+#: RE2-and-Java-compatible patterns (no backrefs/lookaround), so the
+#: engine and the DuckDB oracle run the IDENTICAL regex
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def scrub_pii(c: Column) -> Column:
+    """Redact emails then phone-shaped number runs — the minimal
+    pre-training PII pass. Pure JVM regexp_replace: whole-stage
+    codegen, no UDF, scan-speed at 100 TB."""
+    no_mail = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_mail, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(c: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the raw text."""
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("int"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("int"),
+    )
+
+
+def scrub_pii_sql(col: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({col}, '{EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{PHONE_RE}', '<PHONE>', 'g')"
+    )
+
+
+def pii_counts_sql(col: str) -> tuple[str, str]:
+    return (
+        f"len(regexp_extract_all({col}, '{EMAIL_RE}'))",
+        f"len(regexp_extract_all({col}, '{PHONE_RE}'))",
+    )

@@ -2921,3 +2921,155 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
 def q79(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return DD.edit_distance_pairs(docs, max_dist=4, head_len=40)
+
+
+# ---------------------------------------------------------------------------
+# 17. Training-data pipeline extensions (r4): sampling, packing,
+#     decontamination, PII scrub
+# ---------------------------------------------------------------------------
+
+from etl_btc_spark.operators import sampling as SP  # noqa: E402
+
+_Q80_RATES = {"en": 5000, "de": 8000, "es": 3000, "fr": 10000, "zh": 2000}
+
+
+@register(
+    "q80_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {SP.stratified_sample_sql(_Q80_RATES)}
+    """,
+    doc=(
+        "§2.11 deterministic stratified sampling (training-mix rebalance): "
+        "keep rates[lang]/10000 of each stratum via an md5-prefix hash "
+        "bucket of the doc id — pure function of the row, identical "
+        "decisions under retries/incremental re-runs, zero shuffle, "
+        "pushdown-friendly; the oracle runs the verbatim predicate"
+    ),
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return SP.stratified_sample(docs, _Q80_RATES)
+
+
+@register(
+    "q81_token_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   {TX.WS_TOKEN_COUNT_SQL.format(col='text')} AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(cum / 2048.0) AS BIGINT) AS pack_id,
+               CAST(cum % 2048 AS BIGINT) AS pack_offset
+        FROM (
+            SELECT *, coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM t
+        )
+    """,
+    doc=(
+        "§2.11 GPT-style sequence packing: concatenate each shard's token "
+        "stream in doc order, cut every 2048 tokens — every doc gets its "
+        "(pack_id, offset). One exclusive-prefix-sum window per shard; "
+        "shard key bounds the shuffle, shards pack in parallel at 100 TB"
+    ),
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return SP.token_packing(docs, budget=2048, n_shards=8)
+
+
+@register(
+    "q82_contamination_check",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), d AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
+            FROM w
+        )
+        SELECT a.doc_id AS test_id,
+               CAST(count(*) AS BIGINT) AS n_contaminating,
+               CAST(max(len(list_intersect(a.sh, b.sh))) AS BIGINT) AS max_overlap
+        FROM d a JOIN d b ON b.doc_id != a.doc_id
+        WHERE a.doc_id % 23 = 0
+          AND len(list_intersect(a.sh, b.sh)) >= 1
+        GROUP BY 1
+    """,
+    doc=(
+        "§2.11 decontamination: for each test-set doc (deterministic "
+        "doc_id % 23 sample), count corpus docs sharing >= 1 word 5-gram "
+        "and the worst overlap — inverted-index equi-join (test side "
+        "broadcast, corpus never shuffled), the pre-training eval-leak scan"
+    ),
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    test = docs.filter(F.col("doc_id") % 23 == 0)
+    out = DD.contamination_check(docs, test, ngram=5)
+    return out.select(
+        "test_id",
+        F.col("n_contaminating").cast("bigint").alias("n_contaminating"),
+        F.col("max_overlap").cast("bigint").alias("max_overlap"),
+    )
+
+
+@register(
+    "q83_pii_scrub",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 10 = 0
+                                THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                                WHEN doc_id % 10 = 1
+                                THEN ' call +1 415 555 0100 now'
+                                ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {TX.scrub_pii_sql('text')} AS clean_text,
+               CAST({TX.pii_counts_sql('text')[0]} AS INTEGER) AS n_emails,
+               CAST({TX.pii_counts_sql('text')[1]} AS INTEGER) AS n_phones
+        FROM aug
+    """,
+    doc=(
+        "§2.11 PII scrub: email + phone redaction as pure JVM "
+        "regexp_replace (codegen, no UDF, scan-speed) with RE2-and-Java-"
+        "compatible patterns so the oracle runs the IDENTICAL regexes; "
+        "synthetic PII injected deterministically so the redaction path "
+        "is actually exercised"
+    ),
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            )
+            .when(F.col("doc_id") % 10 == 1, F.lit(" call +1 415 555 0100 now"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    n_mail, n_phone = TX.pii_counts(F.col("text"))
+    return aug.select(
+        "doc_id",
+        TX.scrub_pii(F.col("text")).alias("clean_text"),
+        n_mail.alias("n_emails"),
+        n_phone.alias("n_phones"),
+    )
