@@ -459,3 +459,61 @@ def knn_lsh_indexed(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_lsh_join(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched kNN JOIN against the persisted LSH band table — N query
+    vectors at once, the true 100 TB retrieval shape (the single-query
+    probes q37/q38 are the interactive path; a training pipeline asks
+    for neighbors of a whole batch).
+
+    Shape: the query side signatures once (one matmul per Arrow
+    batch), explodes to (query_id, band, sig), and BROADCASTS against
+    ONE streamed scan of the corpus band index — candidate (query,
+    corpus) id pairs only, no corpus shuffle, no per-query driver
+    round-trips, no plan literals. Exact re-rank: candidates join fp32
+    vectors by id (corpus side) and query id (broadcast), one
+    vectorized einsum per batch, rank window per query, top k.
+    """
+    from etl_btc_spark.operators.similarity import lsh_band_sig_udf, pair_cosine_udf
+
+    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
+    q_bands = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"),
+    )
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    cands = (
+        bands.join(F.broadcast(q_bands), ["band", "sig"])
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    cos = pair_cosine_udf()
+    scored = (
+        cands.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(query_id_col, id_col, cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -3073,3 +3073,28 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         n_mail.alias("n_emails"),
         n_phone.alias("n_phones"),
     )
+
+
+@register(
+    "q84_knn_lsh_join",
+    oracle=None,  # approximate banding; per-query recall + broadcast plan pinned in tests/test_approx_search.py
+    doc=(
+        "§2.11 batched ANN retrieval (the training-pipeline shape): N "
+        "query vectors kNN-joined against the persisted LSH band index in "
+        "ONE pass — query band keys broadcast, corpus index streamed (no "
+        "corpus shuffle, no per-query driver round-trip), exact einsum "
+        "re-rank, rank window per query"
+    ),
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = _SK.artifact_path(sf, "lsh_index")
+    ANN.ensure_lsh_index(spark, emb, idx, dim=64, n_bands=8, bits_per_band=4)
+    out = ANN.knn_lsh_join(spark, idx, emb, queries, k=10, dim=64)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

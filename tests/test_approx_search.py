@@ -420,3 +420,33 @@ def test_edit_distance_prefilter_is_lossless(spark):
     assert want, "fixture must produce pairs within distance 4"
     assert any(v == 4 for v in want.values()), "must exercise dist == d exactly"
     assert got == want
+
+
+def test_knn_lsh_join_recall_and_broadcast(spark, emb, tmp_path):
+    """q84 batched ANN join: every query's top-10 must hit the same
+    recall floor as the single-query LSH probe vs exact brute force,
+    and the plan must BROADCAST the (small) query band side — the
+    corpus index is streamed, never shuffled."""
+    import contextlib
+    import io
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    idx = str(tmp_path / "lsh_join")
+    ANN.build_lsh_index(spark, emb, idx, dim=64, n_bands=8, bits_per_band=4)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)  # 5 queries at sf0.001
+    out = ANN.knn_lsh_join(spark, idx, emb, queries, k=10, dim=64)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert len(got) == queries.count()
+    for qid, ids in got.items():
+        q = emb.filter(F.col("vec_id") == qid)
+        exact = set(r.vec_id for r in SIM.knn_exact(emb, q, k=10).collect())
+        assert len(ids & exact) / 10 >= 0.6, (qid, ids, exact)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
