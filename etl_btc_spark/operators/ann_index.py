@@ -517,3 +517,129 @@ def knn_lsh_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _q8_pair_sim_udf():
+    """Arrow-batched pandas UDF: approximate cosine of (packed int8
+    codes, fp32 query vector) pairs — one frombuffer + einsum per
+    batch; the per-vector quant scale cancels in the normalization."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+
+    @pandas_udf("double")
+    def sim(codes: pd.Series, qvecs: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        import numpy as np
+
+        m = np.stack([np.frombuffer(b, dtype=np.int8).astype(np.float64) for b in codes])
+        q = np.array(qvecs.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", m, q)
+        denom = np.maximum(
+            np.linalg.norm(m, axis=1) * np.linalg.norm(q, axis=1), 1e-30
+        )
+        return pd.Series(dots / denom)
+
+    return sim
+
+
+def knn_ivf_join(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched kNN JOIN against the persisted INT8 IVF index — the
+    IVF twin of :func:`knn_lsh_join`:
+
+    1. every query picks its ``nprobe`` best lists in one matmul per
+       Arrow batch against the broadcast centroid matrix (no driver
+       round-trip per query);
+    2. the (query_id, centroid_id) probe set broadcasts against ONE
+       scan of the assignment table — candidate pairs carry the int8
+       codes only;
+    3. int8 pre-rank per pair (einsum), ``shortlist``×k survivors per
+       query, exact fp32 re-rank joined from the base table, rank
+       window per query, top k.
+    """
+    import numpy as np
+
+    from etl_btc_spark.operators.similarity import pair_cosine_udf
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    cent_bc = _broadcast_centroids(spark, centroids)
+
+    probe_schema = T.StructType(
+        [
+            queries.schema[id_col],
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+
+    def probes(batches):
+        cids, cmat = cent_bc.value
+        m = min(nprobe, len(cids))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (v / norms) @ cmat.T
+            part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+            out = pdf[[id_col]].iloc[np.repeat(np.arange(len(pdf)), m)].copy()
+            out["centroid_id"] = cids[part.ravel()].astype("int32")
+            yield out
+
+    q_probes = (
+        queries.select(id_col, vec_col)
+        .mapInPandas(probes, probe_schema)
+        .withColumnRenamed(id_col, query_id_col)
+    )
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    qvecs = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    pre = _q8_pair_sim_udf()
+    cand = (
+        assigned.join(F.broadcast(q_probes), "centroid_id")
+        .select(query_id_col, id_col, "q8")
+        .dropDuplicates([query_id_col, id_col])  # multi-assignment
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(query_id_col, id_col, pre(F.col("q8"), F.col("__qvec")).alias("approx_sim"))
+    )
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_sim").desc(), F.col(id_col)
+    )
+    short = (
+        cand.withColumn("__rn", F.row_number().over(w_short))
+        .filter(F.col("__rn") <= max(shortlist * k, k))
+        .select(query_id_col, id_col)
+    )
+    cos = pair_cosine_udf()
+    scored = (
+        short.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(query_id_col, id_col, cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return out

@@ -3098,3 +3098,28 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q85_knn_ivf_join",
+    oracle=None,  # approximate probing; per-query recall pinned in tests/test_approx_search.py
+    doc=(
+        "§2.11 batched ANN retrieval, IVF flavor: each query picks its "
+        "nprobe lists via one broadcast-matrix matmul pass, the probe set "
+        "broadcasts against ONE scan of the INT8 assignment table, int8 "
+        "einsum pre-rank -> shortlist -> exact fp32 re-rank from the base "
+        "table, rank window per query"
+    ),
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = _SK.artifact_path(sf, "ivf_index")
+    ANN.ensure_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
+    out = ANN.knn_ivf_join(spark, idx, emb, queries, k=10, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

@@ -450,3 +450,28 @@ def test_knn_lsh_join_recall_and_broadcast(spark, emb, tmp_path):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_ivf_join_recall(spark, emb, tmp_path):
+    """q85 batched IVF join: per-query recall vs exact brute force at
+    the same floor as the single-query IVF probe."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    idx = str(tmp_path / "ivf_join")
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ANN.knn_ivf_join(spark, idx, emb, queries, k=10, nprobe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert len(got) == queries.count()
+    recalls = []
+    for qid, ids in got.items():
+        q = emb.filter(F.col("vec_id") == qid)
+        exact = set(r.vec_id for r in SIM.knn_exact(emb, q, k=10).collect())
+        recalls.append(len(ids & exact) / 10)
+    # average across queries — individual queries vary with Voronoi
+    # geometry; the batch path must hold the same aggregate floor as
+    # the single-query probe
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    assert min(recalls) >= 0.5, recalls
