@@ -16,4 +16,9 @@
                (the reference's ML-scoring surface, stubbed).
 - multimodal:  binary-column (image/audio) plumbing with stubbed
                decoders.
+- ann_index:   persisted IVF/LSH index artifacts (INT8-quantized
+               posting lists) + single-query probes and batched
+               kNN joins.
+- sampling:    deterministic stratified sampling and GPT-style
+               token/sequence packing.
 """

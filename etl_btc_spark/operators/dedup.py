@@ -762,11 +762,21 @@ def edit_distance_pairs(
     )
     segs = long_t.select(
         F.col("id").alias("id_a"),
+        F.col("hl").alias("hl_a"),
         F.explode(F.array_distinct(F.expr(seg_expr))).alias("seg"),
     ).filter(F.length("seg") > 0)
-    # b-side: all substrings whose length can be an a-segment length
-    lmin = max(1, head_len // nseg - 1)  # conservative lower bound
-    lmax = head_len // nseg + 1
+    # b-side: all substrings whose length can be an a-segment length.
+    # Segment lengths depend on each doc's OWN head length (hl div
+    # nseg, +1), so the substring-length range must come from the
+    # corpus's actual hl bounds — two driver scalars, one agg
+    # (deriving it from head_len alone silently drops pairs among
+    # shorter-than-head_len docs; pinned by the fuzz completeness test)
+    bounds = long_t.agg(F.min("hl"), F.max("hl")).first()
+    if bounds[0] is None:
+        lmin, lmax = 1, 1
+    else:
+        lmin = max(1, bounds[0] // nseg)
+        lmax = bounds[1] // nseg + 1
     sub_expr = (
         f"flatten(transform(sequence({lmin}, {lmax}), L -> "
         f"IF(hl >= L, transform(sequence(1, CAST(hl - L + 1 AS INT)), p -> "
@@ -775,11 +785,16 @@ def edit_distance_pairs(
     )
     subs = long_t.select(
         F.col("id").alias("id_b"),
+        F.col("hl").alias("hl_b"),
         F.explode(F.array_distinct(F.expr(sub_expr))).alias("seg"),
     )
     cand_long = (
         segs.join(subs, "seg")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: ed >= |len difference| — free selectivity
+            & (F.abs(F.col("hl_a") - F.col("hl_b")) <= d)
+        )
         .select("id_a", "id_b")
         .distinct()
     )

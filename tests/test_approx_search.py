@@ -475,3 +475,57 @@ def test_knn_ivf_join_recall(spark, emb, tmp_path):
     # the single-query probe
     assert sum(recalls) / len(recalls) >= 0.8, recalls
     assert min(recalls) >= 0.5, recalls
+
+
+def test_edit_distance_prefilter_fuzz(spark):
+    """Randomized completeness check for the PassJoin prefilter:
+    40 random base strings + seeded random edit scripts (insert/
+    delete/substitute, 0-8 ops each, varying lengths incl. short
+    heads) — edit_distance_pairs(d=4) must equal brute force exactly."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from etl_btc_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(20260813)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    rows = []
+    did = 0
+    for _ in range(14):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 45)))
+        rows.append((did, base)); did += 1
+        for _ in range(2):
+            s = list(base)
+            for _ in range(rng.randint(0, 8)):
+                op = rng.random()
+                if op < 0.34 and s:
+                    s[rng.randrange(len(s))] = rng.choice(alpha)
+                elif op < 0.67 and s:
+                    del s[rng.randrange(len(s))]
+                else:
+                    s.insert(rng.randrange(len(s) + 1), rng.choice(alpha))
+            rows.append((did, "".join(s))); did += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=4, head_len=40).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = dict(rows)
+    want = {
+        (x, y): lev(texts[x][:40], texts[y][:40])
+        for x, y in itertools.combinations(sorted(texts), 2)
+        if lev(texts[x][:40], texts[y][:40]) <= 4
+    }
+    assert want and got == want
