@@ -222,8 +222,9 @@ def build_ivf_index(
       Driver work is bounded by the sample (k·sample_factor×dim),
       independent of n; seeds land straight in parquet.
     - **Each Lloyd round**: assignment is a broadcast-matrix matmul
-      (see :func:`_assign`); the centroid update is one posexplode +
-      (centroid, dim) partial-aggregated avg, written to a
+      (see :func:`_assign`); the centroid update is ONE grouped-map
+      pass (``applyInPandas`` by centroid_id — single shuffle of
+      (id, vec, cid) rows, numpy column-mean per group), written to a
       round-numbered parquet table. The next round reads that table —
       centroids never enter a query plan as a literal relation
       (pinned by tests/test_approx_search.py: no LocalTableScan).
@@ -268,34 +269,49 @@ def build_ivf_index(
     spark.createDataFrame(seed_rows, seed_schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "centroids_r0"))
-    bcs = []
+
+    mean_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("centroid_vec", vectors.schema[vec_col].dataType),
+        ]
+    )
+
+    def _group_mean(pdf):
+        v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "centroid_vec": [v.mean(axis=0).astype(np.float32).tolist()],
+            }
+        )
+
+    # the seeds are already on the driver — broadcast them directly
+    # (the parquet write above is the durable artifact; re-reading it
+    # just to collect the same k×dim floats is a wasted job)
+    cids0 = np.array([r[0] for r in seed_rows], dtype=np.int64)
+    cmat0 = np.array([r[1] for r in seed_rows], dtype=np.float64)
+    n0 = np.linalg.norm(cmat0, axis=1, keepdims=True)
+    n0[n0 == 0.0] = 1.0
+    cent_bc = spark.sparkContext.broadcast((cids0, cmat0 / n0))
+    bcs = [cent_bc]
     for i in range(iters):
-        centroids = spark.read.parquet(os.path.join(path, f"centroids_r{i}"))
-        cent_bc = _broadcast_centroids(spark, centroids)
-        bcs.append(cent_bc)
         assigned = _assign(vectors, cent_bc, vec_col, id_col)
-        # centroid update: elementwise mean, fully distributed
-        # (posexplode -> (centroid, dim) partial-agg avg), persisted
+        # centroid update: one applyInPandas pass — a single shuffle
+        # keyed by centroid_id, numpy column-mean per group — persisted
         # as the next round's parquet centroid table
         (
-            assigned.select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "centroid_id",
-                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias(
-                    "centroid_vec"
-                ),
-            )
+            assigned.groupBy("centroid_id")
+            .applyInPandas(_group_mean, mean_schema)
             .write.mode("overwrite")
             .parquet(os.path.join(path, f"centroids_r{i + 1}"))
         )
-    final_cents = spark.read.parquet(os.path.join(path, f"centroids_r{iters}"))
-    cent_bc = _broadcast_centroids(spark, final_cents)
-    bcs.append(cent_bc)
+        cent_bc = _broadcast_centroids(
+            spark, spark.read.parquet(os.path.join(path, f"centroids_r{i + 1}"))
+        )
+        bcs.append(cent_bc)
     final = _assign(vectors, cent_bc, vec_col, id_col, n_assign=n_assign)
+    final_cents = spark.read.parquet(os.path.join(path, f"centroids_r{iters}"))
     final_cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     # the persisted posting lists carry INT8-quantized vectors (+ the
     # per-vector dequant scale), not fp32 — the reference's Qdrant
