@@ -3123,3 +3123,62 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q86_corpus_pipeline",
+    oracle=f"""
+        WITH clean AS (
+            SELECT doc_id, lang, {TX.scrub_pii_sql('text')} AS text
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (
+                       PARTITION BY {TX.FINGERPRINT_SQL.format(col='text')}
+                       ORDER BY doc_id) AS rn
+            FROM clean
+        ), kept AS (
+            SELECT doc_id, lang, text FROM ranked
+            WHERE rn = 1
+              AND round(1e-9 + {TX.quality_score_sql('text')}, 6) >= 0.45
+              AND {SP.stratified_sample_sql(_Q80_RATES)}
+        ), t AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   {TX.WS_TOKEN_COUNT_SQL.format(col='text')} AS n_tokens
+            FROM kept
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(cum / 2048.0) AS BIGINT) AS pack_id,
+               CAST(cum % 2048 AS BIGINT) AS pack_offset
+        FROM (
+            SELECT *, coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM t
+        )
+    """,
+    doc=(
+        "§2.11 the FULL LLM training-data pipeline in ONE lazy plan, "
+        "fully oracle-checked end to end: PII scrub -> exact dedup "
+        "(fingerprint representative) -> quality gate (rounded boundary) "
+        "-> deterministic stratified language sampling -> GPT-style token "
+        "packing into 2048-token sequences per shard. Three shuffles "
+        "total (dedup window, sample is shuffle-free, packing window per "
+        "shard); everything before the packing window is JVM codegen"
+    ),
+    headline=True,
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators.textops import fingerprint
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    clean = docs.withColumn("text", TX.scrub_pii(F.col("text")))
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    kept = (
+        clean.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(sround(TX.quality_score(F.col("text")), 6) >= 0.45)
+    )
+    sampled = SP.stratified_sample(kept, _Q80_RATES)
+    return SP.token_packing(sampled.select("doc_id", "text"), budget=2048, n_shards=8)
