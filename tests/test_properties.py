@@ -106,3 +106,30 @@ def test_fingerprint_normalization_invariance(spark, s):
     df = spark.createDataFrame(pd.DataFrame({"t": [s, "  " + s.upper() + "\t"]}))
     out = df.select(F.sha2(normalize_text(F.col("t")), 256).alias("h")).collect()
     assert out[0]["h"] == out[1]["h"]
+
+
+def test_r4_operators_empty_and_degenerate_inputs(spark):
+    """r4 operators must not blow up on empty / degenerate inputs:
+    empty corpus, empty strata map, single-doc packing."""
+    import pandas as pd
+
+    from etl_btc_spark.operators import sampling as SP
+    from etl_btc_spark.operators.dedup import contamination_check, edit_distance_pairs
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    assert SP.stratified_sample(empty, {"en": 5000}).count() == 0
+    assert SP.token_packing(empty).count() == 0
+    assert edit_distance_pairs(empty, max_dist=4).count() == 0
+    assert contamination_check(empty, empty).count() == 0
+
+    one = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": ["hello world"], "lang": ["en"]})
+    )
+    # unlisted stratum -> dropped; listed at full rate -> kept
+    assert SP.stratified_sample(one, {"de": 10000}).count() == 0
+    assert SP.stratified_sample(one, {"en": 10000}).count() == 1
+    row = SP.token_packing(one).collect()[0]
+    assert (row["n_tokens"], row["pack_id"], row["pack_offset"]) == (2, 0, 0)
+    # a doc paired only with itself -> no pairs
+    assert edit_distance_pairs(one, max_dist=4).count() == 0
+    assert contamination_check(one, one).count() == 0
