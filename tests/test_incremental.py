@@ -215,3 +215,61 @@ def test_stateful_streaming_signal_stack_matches_batch(spark, tmp_path):
         assert ok.all(), f"{sc}: {np.argwhere(~ok)[:5]}"
     for c in [n for n, _ in ST.SIGNAL_FIELDS if n.endswith(("_buy_signal", "_sell_signal"))]:
         assert (got[c].to_numpy() == batch.loc[got.index, c].to_numpy()).all(), c
+
+
+def test_stateful_signals_survive_stream_restart(spark, tmp_path):
+    """T5 x T2 for the signal stack: drain part of the landing dir,
+    STOP the stream, land more data, start a NEW stream on the same
+    checkpoint — the keyed state must recover from the state store and
+    the concatenated output must still match the batch kernels. This
+    is the restart story an hourly 100 TB job actually depends on."""
+    import glob
+
+    import numpy as np
+
+    from etl_btc_spark.streaming import stateful as ST
+    from etl_btc_spark.operators import recurrence as RC
+
+    s = price_series(spark, SF_SMOKE).select("series_id", "ts", "close", "high", "low")
+    landing = str(tmp_path / "landing")
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+    import shutil
+
+    ST.chunked_landing(s, stage, chunks=3)
+    # time order = mtime order (part- names are random UUIDs)
+    files = sorted(glob.glob(stage + "/part-*.parquet"), key=os.path.getmtime)
+    assert len(files) == 3
+
+    os.makedirs(landing)
+    # first run: only the two oldest chunks exist
+    for f in files[:2]:
+        shutil.copy2(f, landing)  # keep mtimes: the source orders files by them
+    ST.stream_stateful_signals(spark, landing, s.schema, out, ckpt, alpha=0.2)
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first < s.count()
+    # restart: the third chunk lands, a NEW stream resumes the checkpoint
+    shutil.copy2(files[2], landing)
+    ST.stream_stateful_signals(spark, landing, s.schema, out, ckpt, alpha=0.2)
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("series_id", "ts")
+        .toPandas()
+        .set_index(["series_id", "ts"])
+    )
+    batch = (
+        RC.with_series_features(s)
+        .orderBy("series_id", "ts")
+        .toPandas()
+        .set_index(["series_id", "ts"])
+    )
+    assert len(got) == len(batch)
+    for sc, bc in (("close_ses", "close_exponential_smoothing"), ("macd_line", "macd_line"),
+                   ("rsi", "rsi"), ("adx", "adx")):
+        a = got[sc].to_numpy("float64")
+        b = batch.loc[got.index, bc].to_numpy("float64")
+        ok = np.isclose(a, b, rtol=0, atol=1e-9) | (np.isnan(a) & np.isnan(b))
+        assert ok.all(), sc
