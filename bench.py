@@ -44,7 +44,11 @@ def time_builds(spark, sf_dir: str) -> dict[str, float]:
     guards skip), so ``queries`` is probe-only."""
     from etl_btc_spark import sinks as SK
     from etl_btc_spark.operators import ann_index as ANN
-    from etl_btc_spark.plans.queries import _ensure_q63_tables
+    from etl_btc_spark.plans.queries import (
+        IVF_INDEX_PARAMS,
+        LSH_INDEX_PARAMS,
+        _ensure_q63_tables,
+    )
     from etl_btc_spark.tables import load_table
 
     shutil.rmtree(SK.artifact_path(sf_dir), ignore_errors=True)
@@ -52,15 +56,13 @@ def time_builds(spark, sf_dir: str) -> dict[str, float]:
     builds: dict[str, float] = {}
 
     t0 = time.time()
-    ANN.ensure_lsh_index(
-        spark, emb, SK.artifact_path(sf_dir, "lsh_index"), dim=64, n_bands=8, bits_per_band=4
-    )
+    # same params as the queries (single shared constant): the builds
+    # here are exactly the artifacts the timed probes then hit warm
+    ANN.ensure_lsh_index(spark, emb, SK.artifact_path(sf_dir, "lsh_index"), **LSH_INDEX_PARAMS)
     builds["lsh_index"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    ANN.ensure_ivf_index(
-        spark, emb, SK.artifact_path(sf_dir, "ivf_index"), n_centroids=16, iters=2
-    )
+    ANN.ensure_ivf_index(spark, emb, SK.artifact_path(sf_dir, "ivf_index"), **IVF_INDEX_PARAMS)
     builds["ivf_index"] = round(time.time() - t0, 3)
 
     t0 = time.time()

@@ -122,11 +122,33 @@ def _q8_approx_sim_udf(qvec):
 
     @pandas_udf("double")
     def sim(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
         m = np.stack([np.frombuffer(b, dtype=np.int8).astype(np.float64) for b in codes])
         norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
         return pd.Series((m @ qn) / norms)
 
     return sim
+
+
+def _top_m_centroids(vecs, cmat, m: int):
+    """Shared top-m centroid selection: row-normalize ``vecs``
+    (zero-norm rows → sim 0 everywhere), matmul against the row-
+    normalized centroid matrix, return (n, m) column indices ordered
+    by sim desc then index asc (deterministic ties). Used by both the
+    Lloyd/final assignment and the batched probe so zero-norm and
+    tie-break semantics can't drift apart."""
+    import numpy as np
+
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    sims = (vecs / norms) @ cmat.T
+    if m == 1:
+        # argmax returns the FIRST max -> lowest index wins ties
+        return sims.argmax(axis=1)[:, None]
+    part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+    order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1, kind="stable")
+    return np.take_along_axis(part, order, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -165,17 +187,7 @@ def _assign(
             if len(pdf) == 0:
                 continue
             v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            norms = np.linalg.norm(v, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0  # zero-norm vector -> sim 0 to every centroid
-            sims = (v / norms) @ cmat.T
-            if m == 1:
-                # argmax returns the FIRST max -> lowest centroid_id wins ties
-                best = sims.argmax(axis=1)[:, None]
-            else:
-                part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
-                # stable order within the top-m: by sim desc then id asc
-                order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1)
-                best = np.take_along_axis(part, order, axis=1)
+            best = _top_m_centroids(v, cmat, m)
             out = pdf[[id_col, vec_col]].iloc[np.repeat(np.arange(len(pdf)), m)].copy()
             out["centroid_id"] = cids[best.ravel()].astype("int32")
             yield out
@@ -360,6 +372,10 @@ def knn_ivf_indexed(
     """
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     q = query.select(F.col(vec_col).alias("__qvec"))
+    if q.first() is None:  # empty query -> empty result, not a crash
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, cosine_sim double"
+        )
     best = (
         centroids.crossJoin(F.broadcast(q))
         .withColumn("sim", cosine(F.col("centroid_vec"), F.col("__qvec")))
@@ -454,7 +470,10 @@ def knn_lsh_indexed(
     back from the base table by id."""
     from etl_btc_spark.operators.similarity import band_signatures_np
 
-    qvec = query.select(F.col(vec_col).alias("__qvec")).first()["__qvec"]
+    qrow = query.select(F.col(vec_col).alias("__qvec")).first()
+    if qrow is None:  # empty query -> empty result, not a crash
+        return spark.createDataFrame([], f"{id_col} bigint, cosine_sim double")
+    qvec = qrow["__qvec"]
     sigs = band_signatures_np(qvec, dim, n_bands, bits_per_band)
     # sig IN (...) is a pure data-column predicate -> pushed to the
     # parquet scan, skipping row groups via min/max stats (files are
@@ -613,12 +632,9 @@ def knn_ivf_join(
             if len(pdf) == 0:
                 continue
             v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            norms = np.linalg.norm(v, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            sims = (v / norms) @ cmat.T
-            part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+            best = _top_m_centroids(v, cmat, m)
             out = pdf[[id_col]].iloc[np.repeat(np.arange(len(pdf)), m)].copy()
-            out["centroid_id"] = cids[part.ravel()].astype("int32")
+            out["centroid_id"] = cids[best.ravel()].astype("int32")
             yield out
 
     q_probes = (

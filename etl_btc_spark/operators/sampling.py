@@ -33,17 +33,21 @@ BUCKETS = 10_000
 
 
 def hash_bucket(id_col: Column) -> Column:
-    """Deterministic 0..9999 bucket from a document id: first 4 hex
-    chars of md5('doc<id>') — stable across engines, sessions and
-    languages (the oracle computes the identical expression)."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit("doc"), id_col.cast("string"))), 1, 4), 16, 10)
+    """Deterministic 0..9999 bucket from a document id: first 8 hex
+    chars (32 bits) of md5('doc<id>') — stable across engines,
+    sessions and languages (the oracle computes the identical
+    expression). 32 bits matter: a 16-bit prefix mod 10000 would make
+    low buckets 7/6 as likely as high ones (65536 = 6·10000 + 5536),
+    systematically over-sampling every stratum; at 32 bits the
+    residue bias is ~2e-6."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("doc"), id_col.cast("string"))), 1, 8), 16, 10)
     return (h.cast("bigint") % BUCKETS).alias("bucket")
 
 
 def hash_bucket_sql(id_col: str) -> str:
     """DuckDB mirror of :func:`hash_bucket`."""
     return (
-        f"(('0x' || substring(md5('doc' || CAST({id_col} AS VARCHAR)), 1, 4))::BIGINT"
+        f"(('0x' || substring(md5('doc' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
         f" % {BUCKETS})"
     )
 
@@ -57,6 +61,8 @@ def stratified_sample(
     """Keep ``rates[stratum] / 10000`` of each stratum (unlisted
     strata are dropped). One scan, one pushed-down filter, zero
     shuffle; deterministic under retries and incremental re-runs."""
+    if not rates:  # no strata enabled -> keep nothing, don't crash
+        return df.filter(F.lit(False))
     rate = None
     for s, r in sorted(rates.items()):
         c = F.when(F.col(stratum_col) == s, F.lit(r))

@@ -1061,6 +1061,13 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: single source of truth for the persisted-index build parameters —
+#: q37/q38/q84/q85 and bench.time_builds must agree, or the bench's
+#: build-vs-probe split silently times the wrong artifact
+LSH_INDEX_PARAMS = {"dim": 64, "n_bands": 8, "bits_per_band": 4}
+IVF_INDEX_PARAMS = {"n_centroids": 16, "iters": 2}
+
+
 @register(
     "q37_knn_lsh",
     oracle=None,  # approximate: recall@10 vs knn_exact asserted in tests/test_approx_search.py
@@ -1078,7 +1085,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     idx = _SK.artifact_path(sf, "lsh_index")
-    ANN.ensure_lsh_index(spark, emb, idx, dim=64, n_bands=8, bits_per_band=4)
+    ANN.ensure_lsh_index(spark, emb, idx, **LSH_INDEX_PARAMS)
     out = ANN.knn_lsh_indexed(spark, idx, emb, query, k=10, dim=64)
     return out.select("vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
@@ -1099,7 +1106,7 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     idx = _SK.artifact_path(sf, "ivf_index")
-    ANN.ensure_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
+    ANN.ensure_ivf_index(spark, emb, idx, **IVF_INDEX_PARAMS)
     out = ANN.knn_ivf_indexed(spark, idx, emb, query, k=10, nprobe=4)
     return out.select("vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
@@ -3093,7 +3100,7 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     idx = _SK.artifact_path(sf, "lsh_index")
-    ANN.ensure_lsh_index(spark, emb, idx, dim=64, n_bands=8, bits_per_band=4)
+    ANN.ensure_lsh_index(spark, emb, idx, **LSH_INDEX_PARAMS)
     out = ANN.knn_lsh_join(spark, idx, emb, queries, k=10, dim=64)
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
@@ -3118,7 +3125,7 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     idx = _SK.artifact_path(sf, "ivf_index")
-    ANN.ensure_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
+    ANN.ensure_ivf_index(spark, emb, idx, **IVF_INDEX_PARAMS)
     out = ANN.knn_ivf_join(spark, idx, emb, queries, k=10, nprobe=4)
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")

@@ -160,29 +160,53 @@ def upsert_by_key(
     # ---- partition-pruned MERGE ----
     # touched partition values: one distinct over the batch's partition
     # column — bounded by partition cardinality, not batch rows
-    touched = [
-        r[0] for r in batch.select(partition_by).distinct().collect() if r[0] is not None
-    ]
+    distinct_vals = [r[0] for r in batch.select(partition_by).distinct().collect()]
+    touched = [v for v in distinct_vals if v is not None]
+    has_null = len(touched) != len(distinct_vals)
     if not exists:
         batch_merged = _merge_keyed(None, batch, key, order_col)
         batch_merged.write.mode("overwrite").partitionBy(partition_by).parquet(path)
         return path
+    # a pre-existing FLAT table cannot be partition-swapped: its
+    # part-files would survive next to the new partition dirs and
+    # every key would silently double. Fail loudly instead.
+    if any(
+        f.endswith(".parquet")
+        for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+    ):
+        raise ValueError(
+            f"{path} was written without partition_by; a partition-pruned "
+            "upsert onto a flat table would duplicate keys — rewrite the "
+            "table partitioned first (or call without partition_by)"
+        )
     # read ONLY the touched partitions of the existing table: the isin
-    # on the hive partition column prunes directories at scan planning
-    existing = spark.read.parquet(path).filter(F.col(partition_by).isin(touched))
+    # (plus isNull when the batch carries NULL partition values) prunes
+    # directories at scan planning
+    pred = F.col(partition_by).isin(touched)
+    if has_null:
+        pred = pred | F.col(partition_by).isNull()
+    existing = spark.read.parquet(path).filter(pred)
     merged = _merge_keyed(existing, batch, key, order_col)
     shadow = f"{path}__swap_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(partition_by).parquet(shadow)
-    # per-partition atomic publish: swap exactly the touched dirs;
-    # every other partition directory is left byte-identical
-    for v in touched:
-        part_dir = f"{partition_by}={v}"
+    # per-partition atomic publish: swap every partition directory the
+    # merge produced. Directory names are taken from the SHADOW
+    # listing, not rebuilt from raw values — Hive escapes special
+    # characters (lang=pt%3ABR) and spells NULL as
+    # __HIVE_DEFAULT_PARTITION__, and reconstructing f"{col}={v}" from
+    # collected values would miss both and silently drop those rows.
+    prefix = f"{partition_by}="
+    for part_dir in os.listdir(shadow):
+        if not part_dir.startswith(prefix):
+            continue
         src_dir = os.path.join(shadow, part_dir)
         dst_dir = os.path.join(path, part_dir)
+        if not os.path.isdir(src_dir):
+            continue
         if os.path.isdir(dst_dir):
             shutil.rmtree(dst_dir)
-        if os.path.isdir(src_dir):  # batch may have 0 surviving rows for v
-            os.rename(src_dir, dst_dir)
+        os.rename(src_dir, dst_dir)
     shutil.rmtree(shadow, ignore_errors=True)
     return path
 

@@ -125,6 +125,8 @@ def test_r4_operators_empty_and_degenerate_inputs(spark):
     one = spark.createDataFrame(
         pd.DataFrame({"doc_id": [7], "text": ["hello world"], "lang": ["en"]})
     )
+    # empty rates map -> keep nothing (config-driven callers)
+    assert SP.stratified_sample(one, {}).count() == 0
     # unlisted stratum -> dropped; listed at full rate -> kept
     assert SP.stratified_sample(one, {"de": 10000}).count() == 0
     assert SP.stratified_sample(one, {"en": 10000}).count() == 1

@@ -150,3 +150,48 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Exchange" not in plan
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
+
+
+def test_upsert_pruned_handles_null_and_escaped_partition_values(spark, tmp_table):
+    """Partition values that Hive escapes in directory names (':' ->
+    %3A) and NULL (__HIVE_DEFAULT_PARTITION__) must round-trip through
+    the pruned swap — reconstructing dir names from raw values would
+    silently drop those rows."""
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "content_id": ["a", "b", "c"],
+                "doc_id": [1, 2, 3],
+                "lang": ["pt:BR", None, "en"],
+            }
+        )
+    )
+    SK.upsert_by_key(spark, base, tmp_table, order_col="doc_id", partition_by="lang")
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"content_id": ["a", "d"], "doc_id": [9, 4], "lang": ["pt:BR", None]}
+        )
+    )
+    SK.upsert_by_key(spark, batch, tmp_table, order_col="doc_id", partition_by="lang")
+    got = {
+        r["content_id"]: (r["doc_id"], r["lang"])
+        for r in spark.read.parquet(tmp_table).collect()
+    }
+    assert got == {
+        "a": (9, "pt:BR"),  # updated inside the escaped partition
+        "b": (2, None),     # untouched NULL-partition row survives
+        "c": (3, "en"),     # untouched partition survives
+        "d": (4, None),     # inserted into the NULL partition
+    }
+
+
+def test_upsert_pruned_refuses_flat_table(spark, tmp_table):
+    """A partition-pruned upsert onto a table written WITHOUT
+    partition_by must fail loudly — swapping partition dirs next to
+    surviving flat files would silently duplicate every key."""
+    flat = spark.createDataFrame(
+        pd.DataFrame({"content_id": ["a"], "doc_id": [1], "lang": ["en"]})
+    )
+    SK.upsert_by_key(spark, flat, tmp_table, order_col="doc_id")
+    with pytest.raises(ValueError, match="partition"):
+        SK.upsert_by_key(spark, flat, tmp_table, order_col="doc_id", partition_by="lang")
