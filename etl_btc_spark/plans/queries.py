@@ -3189,3 +3189,46 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
     )
     sampled = SP.stratified_sample(kept, _Q80_RATES)
     return SP.token_packing(sampled.select("doc_id", "text"), budget=2048, n_shards=8)
+
+
+@register(
+    "q87_doc_chunking",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS chunk_id,
+               array_to_string(t[(i-1)*64+1 : i*64], ' ') AS chunk_text,
+               CAST(len(t[(i-1)*64+1 : i*64]) AS BIGINT) AS n_tokens
+        FROM w, unnest(generate_series(1, CAST(ceil(len(t) / 64.0) AS BIGINT))) AS r(i)
+    """,
+    doc=(
+        "§2.11 long-document chunking (pre-tokenization split into "
+        "64-token windows with per-doc chunk ids) — PURE built-ins: "
+        "split -> sequence -> transform(slice) -> posexplode, all JVM "
+        "codegen, no UDF, no shuffle (fan-out is map-side); the shape "
+        "that feeds q81's packing for docs longer than one sequence"
+    ),
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = TX.ws_tokens(F.col("text"))
+    size = 64
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(toks) / F.lit(float(size))).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * size + 1, size)),
+    )
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_id"),
+            "chunk_text",
+            TX.ws_token_count(F.col("chunk_text")).cast("bigint").alias("n_tokens"),
+        )
+    )
