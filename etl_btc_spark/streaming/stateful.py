@@ -359,3 +359,109 @@ def chunked_landing(df: DataFrame, landing_dir: str, ts: str = "ts", chunks: int
             part = part.filter(tnum <= F.lit(hi))
         part.coalesce(1).write.mode("append").parquet(landing_dir)
         lo = hi
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas variant (the successor API to
+# applyInPandasWithState: typed per-key state handles, timers, TTL)
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire format for
+    its state-server protocol; without the ``protobuf`` package the
+    driver worker crashes at init. Gate callers (and the pytest) on
+    this instead of failing mid-stream."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_stateful_ses_tws(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint_dir: str,
+    alpha: float = 0.2,
+    series: str = "series_id",
+    ts: str = "ts",
+    price: str = "close",
+) -> None:
+    """W11/T2 on the MODERN stateful API: the same SES fold as
+    :func:`stream_stateful_ses`, but the level lives in a typed
+    ``ValueState`` handle managed by a ``StatefulProcessor``
+    (``transformWithStateInPandas``, Spark 4) — the API the RocksDB
+    state-store backend and state TTL/timers target. Both variants
+    are kept: applyInPandasWithState is the widely-deployed form and
+    the one this sandbox can execute; this is the forward path,
+    requiring the ``protobuf`` package (see :func:`tws_available`).
+    The pytest asserts bit-identity with the batch kernel when the
+    dependency is present and skips (with the reason) when not."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(google.protobuf); use stream_stateful_ses on this runtime"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ensure_serializable()
+    out_schema = T.StructType(
+        [
+            schema[series],
+            schema[ts],
+            schema[price],
+            T.StructField("close_ses", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("level", T.DoubleType())])
+    out_cols = [series, ts, price, "close_ses"]
+
+    class SesProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._level = handle.getValueState("level", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._level.get()
+            level = None if prev is None else float(prev[0])
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(ts)
+            out = []
+            for x in pdf[price]:
+                level = (
+                    float(x) if level is None else alpha * float(x) + (1.0 - alpha) * level
+                )
+                out.append(level)
+            pdf = pdf.reset_index(drop=True)
+            pdf["close_ses"] = out
+            self._level.update((level,))
+            yield pdf[out_cols]
+
+        def close(self) -> None:
+            pass
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    folded = src.groupBy(series).transformWithStateInPandas(
+        statefulProcessor=SesProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+    (
+        folded.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

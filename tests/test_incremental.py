@@ -273,3 +273,36 @@ def test_stateful_signals_survive_stream_restart(spark, tmp_path):
         b = batch.loc[got.index, bc].to_numpy("float64")
         ok = np.isclose(a, b, rtol=0, atol=1e-9) | (np.isnan(a) & np.isnan(b))
         assert ok.all(), sc
+
+
+def test_stateful_ses_tws_variant(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas variant of the SES fold:
+    bit-identical to the batch kernel when the protobuf dependency is
+    available; skipped (not silently passed) when the runtime lacks
+    it — the applyInPandasWithState form above is the executable
+    contract either way."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_btc_spark.streaming import stateful as ST
+    from etl_btc_spark.operators import recurrence as RC
+
+    if not ST.tws_available():
+        _pytest.skip("protobuf not installed: transformWithStateInPandas unavailable")
+    s = price_series(spark, SF_SMOKE).select("series_id", "ts", "close")
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ST.chunked_landing(s, landing, chunks=3)
+    ST.stream_stateful_ses_tws(spark, landing, s.schema, out, ckpt, alpha=0.2)
+    got = (
+        spark.read.parquet(out)
+        .orderBy("series_id", "ts")
+        .toPandas()
+        .set_index(["series_id", "ts"])["close_ses"]
+    )
+    batch = s.orderBy("series_id", "ts").toPandas()
+    for sid, grp in batch.groupby("series_id"):
+        expect = RC.ses(grp["close"].to_numpy("float64"), alpha=0.2)
+        mine = got.loc[sid].loc[grp["ts"]].to_numpy("float64")
+        assert np.array_equal(mine, expect), f"series {sid} diverged"
