@@ -3232,3 +3232,61 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
             TX.ws_token_count(F.col("chunk_text")).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "q88_repetition_scores",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest([array_to_string(t[i:i+1], ' ')
+                           FOR i IN range(1, greatest(len(t) - 1, 1) + 1)]) AS gram,
+                   len(t) AS n_toks,
+                   len(list_distinct(t)) AS n_distinct
+            FROM w
+        ), c AS (
+            SELECT doc_id, n_toks, n_distinct, gram, count(*) AS cnt
+            FROM g GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_id,
+               round(1e-9 + max(cnt)::DOUBLE / sum(cnt), 6) AS top_bigram_ratio,
+               round(1e-9 + any_value(n_distinct)::DOUBLE
+                     / greatest(any_value(n_toks), 1), 6) AS distinct_token_ratio
+        FROM c GROUP BY doc_id
+    """,
+    doc=(
+        "§2.11 repetition quality signals (the Gopher-rules shape): "
+        "per-doc top-bigram frequency ratio + distinct-token ratio — "
+        "explode NON-distinct bigrams, one (doc, gram) hash agg with "
+        "map-side partials, one per-doc agg; pure JVM, the filter for "
+        "boilerplate/spam repetition a pretraining pipeline runs"
+    ),
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = TX.ws_tokens(TX.normalize_text(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    base = docs.select(
+        "doc_id",
+        F.explode(grams).alias("gram"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    counts = base.groupBy("doc_id", "n_toks", "n_distinct", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("doc_id").agg(
+        sround(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_ratio"),
+        sround(
+            F.any_value(F.col("n_distinct"))
+            / F.greatest(F.any_value(F.col("n_toks")), F.lit(1)).cast("double"),
+            6,
+        ).alias("distinct_token_ratio"),
+    )
