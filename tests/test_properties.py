@@ -135,3 +135,41 @@ def test_r4_operators_empty_and_degenerate_inputs(spark):
     # a doc paired only with itself -> no pairs
     assert edit_distance_pairs(one, max_dist=4).count() == 0
     assert contamination_check(one, one).count() == 0
+
+
+@given(
+    b1=st.lists(st.tuples(st.sampled_from("abcd"), st.integers(0, 9)), min_size=1, max_size=5),
+    b2=st.lists(st.tuples(st.sampled_from("abcd"), st.integers(0, 9)), min_size=1, max_size=5),
+)
+@settings(**_SETTINGS)
+def test_upsert_pruned_laws(spark, tmp_path_factory, b1, b2):
+    """The partition-pruned MERGE obeys the SAME laws as the flat
+    path for any two batches (keys partition-stably mapped to two
+    langs): one row per key, idempotent re-ingest, latest-batch-wins
+    — plus the pruned path must never lose rows in partitions the
+    second batch doesn't touch."""
+    path = str(tmp_path_factory.mktemp("upsert_pruned") / "t")
+    lang_of = lambda k: "lx" if k in "ab" else "ly"  # noqa: E731
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(
+            {
+                "content_id": [k for k, _ in rows],
+                "doc_id": [v for _, v in rows],
+                "lang": [lang_of(k) for k, _ in rows],
+            }
+        )
+    )
+    SK.upsert_by_key(spark, mk(b1), path, order_col="doc_id", partition_by="lang")
+    SK.upsert_by_key(spark, mk(b2), path, order_col="doc_id", partition_by="lang")
+    once = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+    SK.upsert_by_key(spark, mk(b2), path, order_col="doc_id", partition_by="lang")
+    twice = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert once == twice  # idempotent re-ingest
+
+    want = {}
+    for batch in (b1, b2):
+        per_key = {}
+        for k, v in batch:
+            per_key[k] = min(per_key.get(k, v), v)
+        want.update(per_key)
+    assert once == want
