@@ -799,15 +799,28 @@ def edit_distance_pairs(
         .distinct()
     )
     # short-head residue: both sides must be <= 2d+1 chars for a pair
-    # within distance d to exist with a non-segmentable side
+    # within distance d to exist with a non-segmentable side. The pair
+    # predicate is made an EQUI join on an exploded admissible-length
+    # key (each row fans out to the <= 2d+1 partner lengths it can
+    # match) — a hash join, not the BroadcastNestedLoopJoin a pure
+    # theta predicate would compile to
     short_t = t.filter(F.col("hl") <= 2 * d + 1)
-    a_s, b_s = short_t.alias("a"), short_t.alias("b")
+    a_exp = short_t.select(
+        F.col("id"),
+        F.col("hl"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("hl") - d, F.lit(1)),
+                F.least(F.col("hl") + d, F.lit(2 * d + 1)),
+            )
+        ).alias("hl_match"),
+    )
     cand_short = (
-        a_s.join(
-            b_s,
+        a_exp.alias("a")
+        .join(short_t.alias("b"), F.col("a.hl_match") == F.col("b.hl"))
+        .filter(
             (F.col("a.id") < F.col("b.id"))
             & (F.least(F.col("a.hl"), F.col("b.hl")) < nseg)
-            & (F.abs(F.col("a.hl") - F.col("b.hl")) <= d),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
