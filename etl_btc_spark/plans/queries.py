@@ -3260,33 +3260,56 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc=(
         "§2.11 repetition quality signals (the Gopher-rules shape): "
-        "per-doc top-bigram frequency ratio + distinct-token ratio — "
-        "explode NON-distinct bigrams, one (doc, gram) hash agg with "
-        "map-side partials, one per-doc agg; pure JVM, the filter for "
-        "boilerplate/spam repetition a pretraining pipeline runs"
+        "per-doc top-bigram frequency ratio + distinct-token ratio. The "
+        "statistic is per-document LOCAL, so the engine computes it in "
+        "ONE mapInPandas pass (normalize/tokenize JVM-side, np.unique "
+        "per doc) with ZERO shuffle — exploding the full token stream "
+        "through a (doc, gram) groupBy would shuffle the whole corpus "
+        "for a map-side-computable answer. Oracle = the explode/groupBy "
+        "formulation in DuckDB (same exact counts)"
     ),
 )
 def q88(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd_mod2
+
+    from pyspark.sql import types as T_mod2
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    toks = TX.ws_tokens(TX.normalize_text(F.col("text")))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    t = docs.select(
+        "doc_id", TX.ws_tokens(TX.normalize_text(F.col("text"))).alias("t")
     )
-    base = docs.select(
-        "doc_id",
-        F.explode(grams).alias("gram"),
-        F.size(toks).alias("n_toks"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    out_schema = T_mod2.StructType(
+        [
+            t.schema["doc_id"],
+            T_mod2.StructField("top_bigram_ratio", T_mod2.DoubleType()),
+            T_mod2.StructField("distinct_token_ratio", T_mod2.DoubleType()),
+        ]
     )
-    counts = base.groupBy("doc_id", "n_toks", "n_distinct", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return counts.groupBy("doc_id").agg(
-        sround(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_ratio"),
-        sround(
-            F.any_value(F.col("n_distinct"))
-            / F.greatest(F.any_value(F.col("n_toks")), F.lit(1)).cast("double"),
-            6,
-        ).alias("distinct_token_ratio"),
-    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, tops, dists = [], [], []
+            for did, toks in zip(pdf["doc_id"], pdf["t"]):
+                toks = list(toks)
+                n = len(toks)
+                if n > 1:
+                    grams = [toks[i] + " " + toks[i + 1] for i in range(n - 1)]
+                elif n == 1:  # mirror word_shingles' truncated gram
+                    grams = [toks[0]]
+                else:
+                    grams = [""]
+                _, counts = np.unique(grams, return_counts=True)
+                ids.append(did)
+                tops.append(round(1e-9 + counts.max() / counts.sum(), 6))
+                dists.append(round(1e-9 + len(set(toks)) / max(n, 1), 6))
+            yield pd_mod2.DataFrame(
+                {"doc_id": ids, "top_bigram_ratio": tops, "distinct_token_ratio": dists}
+            )
+
+    return t.mapInPandas(gen, out_schema)
