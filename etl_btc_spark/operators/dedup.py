@@ -810,7 +810,11 @@ def edit_distance_pairs(
         F.col("hl"),
         F.explode(
             F.sequence(
-                F.greatest(F.col("hl") - d, F.lit(1)),
+                # lower bound 0, not 1: an EMPTY head (hl=0) is a valid
+                # partner within distance d of any head up to d chars —
+                # clamping at 1 would make hl_match never equal 0 and
+                # silently drop every pair involving an empty document
+                F.greatest(F.col("hl") - d, F.lit(0)),
                 F.least(F.col("hl") + d, F.lit(2 * d + 1)),
             )
         ).alias("hl_match"),

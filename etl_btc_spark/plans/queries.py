@@ -3216,21 +3216,30 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q87(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    toks = TX.ws_tokens(F.col("text"))
     size = 64
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.ceil(F.size(toks) / F.lit(float(size))).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * size + 1, size)),
+    staged = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", TX.ws_tokens(F.col("text")).alias("t")
     )
-    return (
-        docs.filter(F.trim(F.col("text")) != "")
-        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("bigint").alias("chunk_id"),
-            "chunk_text",
-            TX.ws_token_count(F.col("chunk_text")).cast("bigint").alias("n_tokens"),
-        )
+    # each chunk carries its token count arithmetically — re-splitting
+    # chunk_text would be a SECOND regex pass over the whole corpus
+    chunks = F.transform(
+        F.sequence(
+            F.lit(1), F.ceil(F.size(F.col("t")) / F.lit(float(size))).cast("int")
+        ),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(F.col("t"), (i - 1) * size + 1, size)).alias("txt"),
+            F.least(
+                F.size(F.col("t")) - (i - 1) * size, F.lit(size)
+            ).cast("bigint").alias("n"),
+        ),
+    )
+    return staged.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_id"),
+        F.col("c.txt").alias("chunk_text"),
+        F.col("c.n").alias("n_tokens"),
     )
 
 
@@ -3239,7 +3248,7 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         WITH w AS (
             SELECT doc_id,
-                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+                   regexp_split_to_array(trim(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))), '\\s+') AS t
             FROM documents
         ), g AS (
             SELECT doc_id,
@@ -3279,8 +3288,12 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
 
     ensure_serializable()
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # NULL text -> empty (both sides): ws_tokens(NULL) is NULL, which
+    # would crash list(toks) in the generator while the oracle would
+    # happily emit a row — coalesce makes the semantics identical
     t = docs.select(
-        "doc_id", TX.ws_tokens(TX.normalize_text(F.col("text"))).alias("t")
+        "doc_id",
+        TX.ws_tokens(TX.normalize_text(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
     )
     out_schema = T_mod2.StructType(
         [

@@ -529,3 +529,21 @@ def test_edit_distance_prefilter_fuzz(spark):
         if lev(texts[x][:40], texts[y][:40]) <= 4
     }
     assert want and got == want
+
+
+def test_edit_distance_handles_empty_heads(spark):
+    """hl=0 regression pin: pairs involving an EMPTY head (e.g. a
+    whitespace-only doc after scrubbing) must survive the prefilter —
+    the admissible-length key must include 0."""
+    import pandas as pd
+
+    from etl_btc_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 5, 7], "text": ["abc", "", ""]})
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, max_dist=4).collect()
+    )
+    assert got == [(3, 5, 3), (3, 7, 3), (5, 7, 0)]
