@@ -755,16 +755,26 @@ def edit_distance_pairs(
     long_t = t.filter(F.col("hl") >= nseg)
     # segment i (0-based): start = i*l + min(i, r), len = l + (i<r),
     # where l = hl div nseg, r = hl mod nseg — the standard even split
+    # each segment carries its start position: PassJoin's position
+    # filter (an untouched segment shifts by at most the net edits
+    # before it, <= d) prunes the random same-substring collisions
+    # that would otherwise explode the candidate set on template-y
+    # corpora (measured 948k -> ~true-pair volume at sf0.1)
     seg_expr = (
         f"transform(sequence(0, {d}), i -> "
-        f"substring(head, CAST(i * (hl DIV {nseg}) + least(i, hl % {nseg}) + 1 AS INT), "
-        f"CAST((hl DIV {nseg}) + IF(i < hl % {nseg}, 1, 0) AS INT)))"
+        f"struct(substring(head, CAST(i * (hl DIV {nseg}) + least(i, hl % {nseg}) + 1 AS INT), "
+        f"CAST((hl DIV {nseg}) + IF(i < hl % {nseg}, 1, 0) AS INT)) AS s, "
+        f"CAST(i * (hl DIV {nseg}) + least(i, hl % {nseg}) + 1 AS INT) AS pos))"
     )
-    segs = long_t.select(
-        F.col("id").alias("id_a"),
-        F.col("hl").alias("hl_a"),
-        F.explode(F.array_distinct(F.expr(seg_expr))).alias("seg"),
-    ).filter(F.length("seg") > 0)
+    segs = (
+        long_t.select(
+            F.col("id").alias("id_a"),
+            F.col("hl").alias("hl_a"),
+            F.explode(F.array_distinct(F.expr(seg_expr))).alias("sp"),
+        )
+        .select("id_a", "hl_a", F.col("sp.s").alias("seg"), F.col("sp.pos").alias("pos_a"))
+        .filter(F.length("seg") > 0)
+    )
     # b-side: all substrings whose length can be an a-segment length.
     # Segment lengths depend on each doc's OWN head length (hl div
     # nseg, +1), so the substring-length range must come from the
@@ -780,20 +790,24 @@ def edit_distance_pairs(
     sub_expr = (
         f"flatten(transform(sequence({lmin}, {lmax}), L -> "
         f"IF(hl >= L, transform(sequence(1, CAST(hl - L + 1 AS INT)), p -> "
-        f"substring(head, CAST(p AS INT), CAST(L AS INT))), "
-        f"CAST(array() AS array<string>))))"
+        f"struct(substring(head, CAST(p AS INT), CAST(L AS INT)) AS s, "
+        f"CAST(p AS INT) AS pos)), "
+        f"CAST(array() AS array<struct<s: string, pos: int>>))))"
     )
     subs = long_t.select(
         F.col("id").alias("id_b"),
         F.col("hl").alias("hl_b"),
-        F.explode(F.array_distinct(F.expr(sub_expr))).alias("seg"),
-    )
+        F.explode(F.array_distinct(F.expr(sub_expr))).alias("sp"),
+    ).select("id_b", "hl_b", F.col("sp.s").alias("seg"), F.col("sp.pos").alias("pos_b"))
     cand_long = (
         segs.join(subs, "seg")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length filter: ed >= |len difference| — free selectivity
             & (F.abs(F.col("hl_a") - F.col("hl_b")) <= d)
+            # position filter: the untouched segment's image in b can
+            # shift by at most d (net insertions/deletions before it)
+            & (F.abs(F.col("pos_a") - F.col("pos_b")) <= d)
         )
         .select("id_a", "id_b")
         .distinct()
