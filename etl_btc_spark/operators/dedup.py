@@ -717,6 +717,101 @@ def dup_clusters(
 # ---------------------------------------------------------------------------
 
 
+def _passjoin_candidates(
+    df: DataFrame,
+    max_dist: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_len: int = 40,
+) -> DataFrame:
+    """Raw PassJoin candidate rows for segmentable heads — the bucketed
+    equi-join BEFORE the exact position/length/id-order filters.
+    Exposed separately so the skew stress test can bound the join's
+    output size directly (tests/test_approx_search.py).
+
+    Skew-proofing (round-5): the position filter ``|pos_a - pos_b| <=
+    d`` is folded INTO the join key as a coarse bucket ``floor(pos /
+    w)`` with ``w = max(d, 1)``. Any true pair's buckets differ by at
+    most 1 (``|pa - pb| <= d <= w``), so the segment side probes its
+    own bucket plus both neighbours — a fixed 3× fan-out on the SMALL
+    side (n·(d+1) segment rows) — and the join key becomes ``(seg,
+    bkt)``. A hyper-frequent segment (template/boilerplate corpora)
+    is now split across ``head_len / w`` buckets: the per-key blow-up
+    is bounded by collisions at NEARBY positions only, instead of the
+    O(k²) a bare ``seg`` key materializes before any filter runs.
+    Lossless: the exact ``<= d`` filter still runs post-join.
+    """
+    d = max_dist
+    nseg = d + 1
+    w = max(d, 1)
+    head = F.substring(F.col(text_col), 1, head_len)
+    t = spread(df).select(
+        F.col(id_col).alias("id"), head.alias("head"), F.length(head).alias("hl")
+    )
+    long_t = t.filter(F.col("hl") >= nseg)
+    # segment i (0-based): start = i*l + min(i, r), len = l + (i<r),
+    # where l = hl div nseg, r = hl mod nseg — the standard even split
+    seg_expr = (
+        f"transform(sequence(0, {d}), i -> "
+        f"struct(substring(head, CAST(i * (hl DIV {nseg}) + least(i, hl % {nseg}) + 1 AS INT), "
+        f"CAST((hl DIV {nseg}) + IF(i < hl % {nseg}, 1, 0) AS INT)) AS s, "
+        f"CAST(i * (hl DIV {nseg}) + least(i, hl % {nseg}) + 1 AS INT) AS pos))"
+    )
+    segs = (
+        long_t.select(
+            F.col("id").alias("id_a"),
+            F.col("hl").alias("hl_a"),
+            F.explode(F.array_distinct(F.expr(seg_expr))).alias("sp"),
+        )
+        .select("id_a", "hl_a", F.col("sp.s").alias("seg"), F.col("sp.pos").alias("pos_a"))
+        .filter(F.length("seg") > 0)
+        # probe own bucket + both neighbours (bkt - 1 can't match any
+        # b-row when pos_a < w — prune it instead of joining nothing)
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        (F.col("pos_a") / w).cast("int") - 1,
+                        (F.col("pos_a") / w).cast("int"),
+                        (F.col("pos_a") / w).cast("int") + 1,
+                    )
+                )
+            ),
+        )
+        .filter(F.col("bkt") >= 0)
+    )
+    # b-side: all substrings whose length can be an a-segment length.
+    # Segment lengths depend on each doc's OWN head length (hl div
+    # nseg, +1), so the substring-length range must come from the
+    # corpus's actual hl bounds — two driver scalars, one agg
+    # (deriving it from head_len alone silently drops pairs among
+    # shorter-than-head_len docs; pinned by the fuzz completeness test)
+    bounds = long_t.agg(F.min("hl"), F.max("hl")).first()
+    if bounds[0] is None:
+        lmin, lmax = 1, 1
+    else:
+        lmin = max(1, bounds[0] // nseg)
+        lmax = bounds[1] // nseg + 1
+    sub_expr = (
+        f"flatten(transform(sequence({lmin}, {lmax}), L -> "
+        f"IF(hl >= L, transform(sequence(1, CAST(hl - L + 1 AS INT)), p -> "
+        f"struct(substring(head, CAST(p AS INT), CAST(L AS INT)) AS s, "
+        f"CAST(p AS INT) AS pos)), "
+        f"CAST(array() AS array<struct<s: string, pos: int>>))))"
+    )
+    subs = (
+        long_t.select(
+            F.col("id").alias("id_b"),
+            F.col("hl").alias("hl_b"),
+            F.explode(F.array_distinct(F.expr(sub_expr))).alias("sp"),
+        )
+        .select("id_b", "hl_b", F.col("sp.s").alias("seg"), F.col("sp.pos").alias("pos_b"))
+        .withColumn("bkt", (F.col("pos_b") / w).cast("int"))
+    )
+    return segs.join(subs, ["seg", "bkt"])
+
+
 def edit_distance_pairs(
     df: DataFrame,
     max_dist: int = 4,
@@ -752,61 +847,23 @@ def edit_distance_pairs(
     t = spread(df).select(
         F.col(id_col).alias("id"), head.alias("head"), F.length(head).alias("hl")
     )
-    long_t = t.filter(F.col("hl") >= nseg)
-    # segment i (0-based): start = i*l + min(i, r), len = l + (i<r),
-    # where l = hl div nseg, r = hl mod nseg — the standard even split
     # each segment carries its start position: PassJoin's position
     # filter (an untouched segment shifts by at most the net edits
     # before it, <= d) prunes the random same-substring collisions
     # that would otherwise explode the candidate set on template-y
-    # corpora (measured 948k -> ~true-pair volume at sf0.1)
-    seg_expr = (
-        f"transform(sequence(0, {d}), i -> "
-        f"struct(substring(head, CAST(i * (hl DIV {nseg}) + least(i, hl % {nseg}) + 1 AS INT), "
-        f"CAST((hl DIV {nseg}) + IF(i < hl % {nseg}, 1, 0) AS INT)) AS s, "
-        f"CAST(i * (hl DIV {nseg}) + least(i, hl % {nseg}) + 1 AS INT) AS pos))"
-    )
-    segs = (
-        long_t.select(
-            F.col("id").alias("id_a"),
-            F.col("hl").alias("hl_a"),
-            F.explode(F.array_distinct(F.expr(seg_expr))).alias("sp"),
-        )
-        .select("id_a", "hl_a", F.col("sp.s").alias("seg"), F.col("sp.pos").alias("pos_a"))
-        .filter(F.length("seg") > 0)
-    )
-    # b-side: all substrings whose length can be an a-segment length.
-    # Segment lengths depend on each doc's OWN head length (hl div
-    # nseg, +1), so the substring-length range must come from the
-    # corpus's actual hl bounds — two driver scalars, one agg
-    # (deriving it from head_len alone silently drops pairs among
-    # shorter-than-head_len docs; pinned by the fuzz completeness test)
-    bounds = long_t.agg(F.min("hl"), F.max("hl")).first()
-    if bounds[0] is None:
-        lmin, lmax = 1, 1
-    else:
-        lmin = max(1, bounds[0] // nseg)
-        lmax = bounds[1] // nseg + 1
-    sub_expr = (
-        f"flatten(transform(sequence({lmin}, {lmax}), L -> "
-        f"IF(hl >= L, transform(sequence(1, CAST(hl - L + 1 AS INT)), p -> "
-        f"struct(substring(head, CAST(p AS INT), CAST(L AS INT)) AS s, "
-        f"CAST(p AS INT) AS pos)), "
-        f"CAST(array() AS array<struct<s: string, pos: int>>))))"
-    )
-    subs = long_t.select(
-        F.col("id").alias("id_b"),
-        F.col("hl").alias("hl_b"),
-        F.explode(F.array_distinct(F.expr(sub_expr))).alias("sp"),
-    ).select("id_b", "hl_b", F.col("sp.s").alias("seg"), F.col("sp.pos").alias("pos_b"))
+    # corpora (measured 948k -> ~true-pair volume at sf0.1). The
+    # coarse half of that filter lives INSIDE the join key as a
+    # position bucket — see _passjoin_candidates — so a hot segment
+    # key can't materialize O(k²) rows before filtering.
     cand_long = (
-        segs.join(subs, "seg")
+        _passjoin_candidates(df, d, id_col, text_col, head_len)
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length filter: ed >= |len difference| — free selectivity
             & (F.abs(F.col("hl_a") - F.col("hl_b")) <= d)
-            # position filter: the untouched segment's image in b can
-            # shift by at most d (net insertions/deletions before it)
+            # position filter (exact): the untouched segment's image
+            # in b can shift by at most d (net insert/deletes before
+            # it); the bucket key already guarantees |Δbkt| <= 1
             & (F.abs(F.col("pos_a") - F.col("pos_b")) <= d)
         )
         .select("id_a", "id_b")
