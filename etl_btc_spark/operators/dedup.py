@@ -922,6 +922,7 @@ def contamination_check(
     ngram: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Decontamination scan: for every test-set document, how many
     corpus documents share at least one word ``ngram``-gram with it
@@ -935,6 +936,14 @@ def contamination_check(
     At 100 TB the test side is tiny, so its posting list broadcasts
     and the corpus is never shuffled.
 
+    Broadcast guard (round-5): the broadcast hint is applied only if
+    the test side's posting list stays within ``broadcast_max_rows``
+    — probed with a LIMIT-bounded count, so the guard itself scans at
+    most ``broadcast_max_rows + 1`` rows regardless of test-set size.
+    Past the bound the hint is dropped and AQE picks the join: an
+    oversized eval suite degrades to a shuffle join instead of OOMing
+    executors on a broadcast that can't fit.
+
     Output: (test_id, n_contaminating, max_overlap) — only test docs
     with at least one hit; a left view with zeros is a trivial join.
     """
@@ -946,8 +955,10 @@ def contamination_check(
         F.col(id_col).alias("corpus_id"),
         F.explode(word_shingles(F.col(text_col), ngram)).alias("g"),
     )
+    small_enough = t_sh.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows
+    probe = F.broadcast(t_sh) if small_enough else t_sh
     hits = (
-        c_sh.join(F.broadcast(t_sh), "g")
+        c_sh.join(probe, "g")
         .filter(F.col("corpus_id") != F.col("test_id"))
         .groupBy("test_id", "corpus_id")
         .agg(F.count_distinct("g").alias("overlap"))

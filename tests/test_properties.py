@@ -173,3 +173,45 @@ def test_upsert_pruned_laws(spark, tmp_path_factory, b1, b2):
             per_key[k] = min(per_key.get(k, v), v)
         want.update(per_key)
     assert once == want
+
+
+def test_contamination_broadcast_guard(spark):
+    """Oversized test side (round-5 guard): past broadcast_max_rows
+    the broadcast hint is dropped — the shuffle-join path must return
+    the IDENTICAL result, and the guarded plan must not carry the
+    explicit broadcast hint on the posting-list join."""
+    import pandas as pd
+
+    from etl_btc_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "text": [
+                    f"alpha beta gamma delta epsilon zeta {i}" for i in range(20)
+                ],
+            }
+        )
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta 3",
+                    "totally unrelated words here nothing shared at all",
+                ],
+            }
+        )
+    )
+    via_bcast = sorted(
+        map(tuple, contamination_check(corpus, test).collect())
+    )
+    guarded = contamination_check(corpus, test, broadcast_max_rows=1)
+    assert sorted(map(tuple, guarded.collect())) == via_bcast
+    assert via_bcast and via_bcast[0][0] == 100
+    # the guarded plan must not hint the posting-list broadcast; AQE
+    # may still CHOOSE a runtime broadcast, so pin the logical hint
+    logical = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
