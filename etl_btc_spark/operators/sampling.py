@@ -76,21 +76,42 @@ def stratified_sample_sql(rates: dict[str, int], stratum_col: str = "lang", id_c
     return f"{hash_bucket_sql(id_col)} < (CASE {cases} ELSE 0 END)"
 
 
+def token_shard_sql(id_col: str = "doc_id", docs_per_shard: int = 65536) -> str:
+    """DuckDB mirror of :func:`token_packing`'s derived shard key."""
+    return f"CAST({id_col} // {docs_per_shard} AS BIGINT)"
+
+
 def token_packing(
     df: DataFrame,
     budget: int = 2048,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    docs_per_shard: int = 65536,
 ) -> DataFrame:
     """Assign every document its position in the packed token stream:
-    shard = id % n_shards; within a shard, docs concatenate in id
-    order and the stream is cut every ``budget`` tokens. Returns
-    (doc_id, shard, n_tokens, pack_id, pack_offset) where pack_id is
-    the sequence index the document STARTS in and pack_offset its
-    token offset there. A doc may straddle a boundary — exactly like
-    pretraining packing, where sequences are cut mid-document."""
-    shard = (F.col(id_col) % n_shards).cast("bigint")
+    within a shard, docs concatenate in id order and the stream is
+    cut every ``budget`` tokens. Returns (doc_id, shard, n_tokens,
+    pack_id, pack_offset) where pack_id is the sequence index the
+    document STARTS in and pack_offset its token offset there. A doc
+    may straddle a boundary — exactly like pretraining packing, where
+    sequences are cut mid-document.
+
+    Sharding is DATA-DERIVED by default (round-5): ``shard = id DIV
+    docs_per_shard``, so the shard count — and with it the packing
+    window's parallelism — grows linearly with the corpus instead of
+    being pinned to a constant (8 tasks each sorting 1/8th of 100 TB).
+    A pure function of the row: zero extra passes, oracle-mirrorable
+    verbatim, and append-only ingests (fresh ids) only ever extend the
+    tail shards — existing pack assignments never move. Passing
+    ``n_shards`` keeps the legacy ``id % n_shards`` interleave for
+    callers that need a fixed shard count."""
+    if n_shards is not None:
+        shard = (F.col(id_col) % n_shards).cast("bigint")
+    else:
+        # exact integer division (DIV), not floor(double) — ids above
+        # 2^53 would round in float space
+        shard = F.expr(f"CAST({id_col} DIV {docs_per_shard} AS BIGINT)")
     toks = ws_token_count(F.col(text_col))
     w = (
         Window.partitionBy("shard")

@@ -2964,7 +2964,7 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
     "q81_token_packing",
     oracle=f"""
         WITH t AS (
-            SELECT doc_id, doc_id % 8 AS shard,
+            SELECT doc_id, {SP.token_shard_sql('doc_id', 64)} AS shard,
                    {TX.WS_TOKEN_COUNT_SQL.format(col='text')} AS n_tokens
             FROM documents
         )
@@ -2982,12 +2982,14 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
         "§2.11 GPT-style sequence packing: concatenate each shard's token "
         "stream in doc order, cut every 2048 tokens — every doc gets its "
         "(pack_id, offset). One exclusive-prefix-sum window per shard; "
-        "shard key bounds the shuffle, shards pack in parallel at 100 TB"
+        "the shard key is DERIVED from the data (id DIV docs_per_shard) "
+        "so window parallelism scales linearly with the corpus — 64 "
+        "docs/shard here exercises ~8 shards at sf0.01 and ~79 at sf0.1"
     ),
 )
 def q81(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    return SP.token_packing(docs, budget=2048, n_shards=8)
+    return SP.token_packing(docs, budget=2048, docs_per_shard=64)
 
 
 @register(
@@ -3150,7 +3152,7 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
               AND round(1e-9 + {TX.quality_score_sql('text')}, 6) >= 0.45
               AND {SP.stratified_sample_sql(_Q80_RATES)}
         ), t AS (
-            SELECT doc_id, doc_id % 8 AS shard,
+            SELECT doc_id, {SP.token_shard_sql('doc_id', 64)} AS shard,
                    {TX.WS_TOKEN_COUNT_SQL.format(col='text')} AS n_tokens
             FROM kept
         )
@@ -3188,7 +3190,7 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         .filter(sround(TX.quality_score(F.col("text")), 6) >= 0.45)
     )
     sampled = SP.stratified_sample(kept, _Q80_RATES)
-    return SP.token_packing(sampled.select("doc_id", "text"), budget=2048, n_shards=8)
+    return SP.token_packing(sampled.select("doc_id", "text"), budget=2048, docs_per_shard=64)
 
 
 @register(

@@ -215,3 +215,34 @@ def test_contamination_broadcast_guard(spark):
     # may still CHOOSE a runtime broadcast, so pin the logical hint
     logical = guarded._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical, logical
+
+
+def test_token_packing_derived_shards(spark):
+    """Round-5: the default shard key is id DIV docs_per_shard — the
+    shard count grows with the corpus (window parallelism scales),
+    consecutive ids stay co-located, and the legacy n_shards override
+    still interleaves by modulo."""
+    import pandas as pd
+
+    from etl_btc_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(200), "text": ["one two three"] * 200})
+    )
+    derived = SP.token_packing(df, budget=7, docs_per_shard=50)
+    shards = sorted(r["shard"] for r in derived.select("shard").distinct().collect())
+    assert shards == [0, 1, 2, 3]
+    # within a shard docs pack in id order: doc 50 starts shard 1 at 0
+    first = derived.filter(F.col("doc_id") == 50).collect()[0]
+    assert (first["pack_id"], first["pack_offset"]) == (0, 0)
+    # doubling the corpus doubles the derived shard count
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(400), "text": ["one two three"] * 400})
+    )
+    assert SP.token_packing(df2, budget=7, docs_per_shard=50).select(
+        "shard"
+    ).distinct().count() == 8
+    # legacy override: modulo interleave, fixed count
+    legacy = SP.token_packing(df, budget=7, n_shards=8)
+    assert legacy.select("shard").distinct().count() == 8
+    assert legacy.filter(F.col("doc_id") == 9).collect()[0]["shard"] == 1
