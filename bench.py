@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_btc_spark.operators.dedup import release_scoped_caches  # noqa: E402
+from etl_btc_spark.operators.ann_index import release_scoped_broadcasts  # noqa: E402
 from etl_btc_spark.plans.queries import REGISTRY  # noqa: E402
 from etl_btc_spark.session import get_spark  # noqa: E402
 
@@ -94,6 +95,7 @@ def main() -> None:
         # suite (VERDICT r3 item 7).
         timings[q.name] = round(min(run_query(spark, q, sf_dir) for _ in range(repeats)), 3)
         release_scoped_caches()
+        release_scoped_broadcasts()
     out = {
         "metric": "headline query wall-clock (noop sink), local[%s]"
         % os.environ.get("SPARK_GRAFT_CPUS", "32"),

@@ -18,6 +18,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from etl_btc_spark.operators.dedup import release_scoped_caches  # noqa: E402
+from etl_btc_spark.operators.ann_index import release_scoped_broadcasts  # noqa: E402
 from etl_btc_spark.plans.queries import REGISTRY  # noqa: E402
 from etl_btc_spark.session import get_spark  # noqa: E402
 from etl_btc_spark.tables import TABLE_NAMES, table_path  # noqa: E402
@@ -64,6 +65,7 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             sh, sn = table_hash(scols, srows)
             release_scoped_caches()
+            release_scoped_broadcasts()
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc(limit=5)

@@ -615,3 +615,32 @@ def test_edit_distance_skew_bounded_candidates(spark):
         if lev(texts[x][:40], texts[y][:40]) <= 4
     }
     assert len(want) >= 10 and got == want
+
+
+def test_ivf_build_empty_input_and_typed_empty_probe(spark, emb, tmp_path):
+    """Round-5 hardening: (a) building over a 0-row corpus raises a
+    clear error instead of crashing inside numpy; (b) the empty-query
+    early returns preserve the BASE table's id type — an int-id index
+    must not come back bigint-typed on the empty path."""
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    with pytest.raises(ValueError, match="no rows"):
+        ANN.build_ivf_index(spark, emb.limit(0), str(tmp_path / "ivf_empty"))
+
+    small = emb.limit(50).select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    ivf = str(tmp_path / "ivf_int")
+    ANN.build_ivf_index(spark, small, ivf, n_centroids=4, iters=1)
+    no_q = small.limit(0)
+    out_ivf = ANN.knn_ivf_indexed(spark, ivf, small, no_q, k=5)
+    assert out_ivf.count() == 0
+    assert out_ivf.schema["vec_id"].dataType == T.IntegerType()
+
+    lsh = str(tmp_path / "lsh_int")
+    ANN.build_lsh_index(spark, small, lsh)
+    out_lsh = ANN.knn_lsh_indexed(spark, lsh, small, no_q, k=5)
+    assert out_lsh.count() == 0
+    assert out_lsh.schema["vec_id"].dataType == T.IntegerType()
