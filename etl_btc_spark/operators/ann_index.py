@@ -235,7 +235,7 @@ def build_ivf_index(
     vectors: DataFrame,
     path: str,
     n_centroids: int = 16,
-    iters: int = 2,
+    max_iters: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_assign: int = 2,
@@ -303,11 +303,11 @@ def build_ivf_index(
     # k never shrinks
     # each round is ONE driver matmul on the bounded sample, so unlike
     # the old distributed rounds there is no reason to stop early: run
-    # to assignment convergence (``iters`` is kept as a lower-bound
-    # knob for API compatibility; the cap bounds pathological cycling)
+    # to assignment convergence; ``max_iters`` only bounds
+    # pathological cycling
     cmat = svecs[sorted(chosen)].copy()
     prev = None
-    for _ in range(max(iters, 50)):
+    for _ in range(max_iters):
         cn = np.linalg.norm(cmat, axis=1, keepdims=True)
         cn[cn == 0.0] = 1.0
         a = (sn @ (cmat / cn).T).argmax(axis=1)
@@ -389,7 +389,8 @@ def knn_ivf_indexed(
     # branch on it — a second first() would cost a job and could
     # diverge on a nondeterministic query expression
     qrow = query.select(F.col(vec_col).alias("__qvec")).first()
-    if qrow is None:  # empty query -> empty result, not a crash
+    # empty query OR a NULL vector -> empty result, not a crash
+    if qrow is None or qrow["__qvec"] is None:
         return spark.createDataFrame(
             [],
             T.StructType(
@@ -490,7 +491,8 @@ def knn_lsh_indexed(
     from etl_btc_spark.operators.similarity import band_signatures_np
 
     qrow = query.select(F.col(vec_col).alias("__qvec")).first()
-    if qrow is None:  # empty query -> empty result, not a crash
+    # empty query OR a NULL vector -> empty result, not a crash
+    if qrow is None or qrow["__qvec"] is None:
         return spark.createDataFrame(
             [],
             T.StructType(

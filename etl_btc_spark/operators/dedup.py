@@ -770,12 +770,10 @@ def _passjoin_candidates(
         .withColumn(
             "bkt",
             F.explode(
-                F.array_distinct(
-                    F.array(
-                        (F.col("pos_a") / w).cast("int") - 1,
-                        (F.col("pos_a") / w).cast("int"),
-                        (F.col("pos_a") / w).cast("int") + 1,
-                    )
+                F.array(
+                    (F.col("pos_a") / w).cast("int") - 1,
+                    (F.col("pos_a") / w).cast("int"),
+                    (F.col("pos_a") / w).cast("int") + 1,
                 )
             ),
         )
@@ -937,12 +935,17 @@ def contamination_check(
     and the corpus is never shuffled.
 
     Broadcast guard (round-5): the broadcast hint is applied only if
-    the test side's posting list stays within ``broadcast_max_rows``
-    — probed with a LIMIT-bounded count, so the guard itself scans at
-    most ``broadcast_max_rows + 1`` rows regardless of test-set size.
-    Past the bound the hint is dropped and AQE picks the join: an
-    oversized eval suite degrades to a shuffle join instead of OOMing
-    executors on a broadcast that can't fit.
+    an UPPER BOUND on the test side's posting rows (sum of per-doc
+    gram counts — one codegen'd scan of the small side, no explode,
+    no shingle arrays built twice) stays within
+    ``broadcast_max_rows``; ``word_shingles`` dedupes, so the true
+    posting count never exceeds the bound and a bound-passing
+    broadcast is always safe. Past the bound the hint is dropped and
+    AQE picks the join: an oversized eval suite degrades to a shuffle
+    join instead of OOMing executors on a broadcast that can't fit.
+    (The probe is one eager driver job at plan-construction time —
+    inherent to a driver-side strategy branch, and bounded by the
+    test set's size.)
 
     Output: (test_id, n_contaminating, max_overlap) — only test docs
     with at least one hit; a left view with zeros is a trivial join.
@@ -955,8 +958,11 @@ def contamination_check(
         F.col(id_col).alias("corpus_id"),
         F.explode(word_shingles(F.col(text_col), ngram)).alias("g"),
     )
-    small_enough = t_sh.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows
-    probe = F.broadcast(t_sh) if small_enough else t_sh
+    per_doc_bound = F.greatest(
+        F.size(ws_tokens(normalize_text(F.col(text_col)))) - (ngram - 1), F.lit(1)
+    )
+    bound = test.select(F.sum(per_doc_bound)).first()[0] or 0
+    probe = F.broadcast(t_sh) if bound <= broadcast_max_rows else t_sh
     hits = (
         c_sh.join(probe, "g")
         .filter(F.col("corpus_id") != F.col("test_id"))

@@ -177,9 +177,15 @@ def _hf_pipe(model_id: str, max_length: int):
             TextClassificationPipeline,
         )
 
-        tok = AutoTokenizer.from_pretrained(model_id, use_fast=True)
+        # local_files_only mirrors the hf_available() gate: the gate
+        # promised no network fetch, so the executor-side build must
+        # not quietly download either — missing local weights raise
+        # here and NULL the batch's rows via the per-row fallback
+        tok = AutoTokenizer.from_pretrained(
+            model_id, use_fast=True, local_files_only=True
+        )
         mdl = AutoModelForSequenceClassification.from_pretrained(
-            model_id, num_labels=3
+            model_id, num_labels=3, local_files_only=True
         )
         # the reference's pipeline config verbatim (cryptobert.py:11,
         # finbert.py:10): truncate/pad to max_length=64
@@ -214,11 +220,16 @@ def hf_model_fn(
         rows = ["" if t is None else str(t) for t in texts]
 
         def norm(p):
-            if isinstance(p, list):
-                p = p[0] if p else None
-            if not isinstance(p, dict) or "label" not in p:
+            # any malformed prediction NULLs ITS row only (U6) — a
+            # raise here would fail the whole Arrow batch instead
+            try:
+                if isinstance(p, list):
+                    p = p[0] if p else None
+                if not isinstance(p, dict) or p.get("label") is None:
+                    return None, None
+                return LABEL_REMAP.get(p["label"], p["label"]), float(p["score"])
+            except (KeyError, TypeError, ValueError):
                 return None, None
-            return LABEL_REMAP.get(p["label"], p["label"]), float(p["score"])
 
         try:
             preds = pipe(rows, batch_size=batch_size)

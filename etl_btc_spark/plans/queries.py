@@ -1065,7 +1065,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 #: q37/q38/q84/q85 and bench.time_builds must agree, or the bench's
 #: build-vs-probe split silently times the wrong artifact
 LSH_INDEX_PARAMS = {"dim": 64, "n_bands": 8, "bits_per_band": 4}
-IVF_INDEX_PARAMS = {"n_centroids": 16, "iters": 2}
+IVF_INDEX_PARAMS = {"n_centroids": 16}
 
 
 @register(

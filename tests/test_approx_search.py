@@ -79,7 +79,7 @@ def test_ivf_indexed_recall_and_pruned_probe(spark, emb, exact_top10, tmp_path):
 
     q = emb.filter(F.col("vec_id") == 0)
     idx = str(tmp_path / "ivf")
-    ANN.build_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=16)
     out = ANN.knn_ivf_indexed(spark, idx, emb, q, k=10, nprobe=4)
     got = set(r.vec_id for r in out.collect())
     assert len(got & exact_top10) / 10 >= 0.8
@@ -215,7 +215,7 @@ def test_index_probe_plans_prune(spark, emb, tmp_path):
     q = emb.filter(F.col("vec_id") == 0)
 
     ivf = str(tmp_path / "ivf")
-    ANN.build_ivf_index(spark, emb, ivf, n_centroids=16, iters=1)
+    ANN.build_ivf_index(spark, emb, ivf, n_centroids=16)
     p = plan_of(ANN.knn_ivf_indexed(spark, ivf, emb, q, k=10, nprobe=4))
     assert re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(", p)
 
@@ -298,7 +298,7 @@ def test_ivf_build_no_plan_literals_and_high_k(spark, emb, tmp_path):
     from etl_btc_spark.operators import ann_index as ANN
 
     idx = str(tmp_path / "ivf_hi")
-    ANN.build_ivf_index(spark, emb, idx, n_centroids=256, iters=2)
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=256)
     cents = spark.read.parquet(idx + "/centroids")
     assert cents.count() == 256
 
@@ -325,7 +325,7 @@ def test_ivf_index_is_int8_quantized_and_smaller(spark, emb, tmp_path):
     from etl_btc_spark.operators import ann_index as ANN
 
     idx = str(tmp_path / "ivf_q8")
-    ANN.build_ivf_index(spark, emb, idx, n_centroids=16, iters=1, n_assign=1)
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=16, n_assign=1)
     assigned = spark.read.parquet(idx + "/assigned")
     kinds = dict(assigned.dtypes)
     assert kinds["q8"] == "binary"  # packed: a true 1 byte/dim on disk
@@ -458,7 +458,7 @@ def test_knn_ivf_join_recall(spark, emb, tmp_path):
     from etl_btc_spark.operators import ann_index as ANN
 
     idx = str(tmp_path / "ivf_join")
-    ANN.build_ivf_index(spark, emb, idx, n_centroids=16, iters=2)
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=16)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     out = ANN.knn_ivf_join(spark, idx, emb, queries, k=10, nprobe=4)
     got = {}
@@ -633,7 +633,7 @@ def test_ivf_build_empty_input_and_typed_empty_probe(spark, emb, tmp_path):
         F.col("vec_id").cast("int").alias("vec_id"), "embedding"
     )
     ivf = str(tmp_path / "ivf_int")
-    ANN.build_ivf_index(spark, small, ivf, n_centroids=4, iters=1)
+    ANN.build_ivf_index(spark, small, ivf, n_centroids=4)
     no_q = small.limit(0)
     out_ivf = ANN.knn_ivf_indexed(spark, ivf, small, no_q, k=5)
     assert out_ivf.count() == 0
@@ -644,3 +644,29 @@ def test_ivf_build_empty_input_and_typed_empty_probe(spark, emb, tmp_path):
     out_lsh = ANN.knn_lsh_indexed(spark, lsh, small, no_q, k=5)
     assert out_lsh.count() == 0
     assert out_lsh.schema["vec_id"].dataType == T.IntegerType()
+
+
+def test_ivf_subsample_regime_recall(spark, emb, tmp_path):
+    """Review r5: every other recall test's sample cap exceeds the
+    500-row fixture, so Lloyd-on-sample degenerates to Lloyd-on-full
+    there. This one forces a TRUE subsample (128 of 500) and pins an
+    honest floor for that regime — near-random fixture vectors make
+    per-query recall noisy, so the floor is lower than the full-fit
+    tests' 0.8 (measured 0.72 avg / 0.4 min at this geometry)."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    idx = str(tmp_path / "ivf_sub")
+    ANN.build_ivf_index(spark, emb, idx, n_centroids=16, sample_factor=8)
+    assert 16 * 8 < emb.count()  # the regime under test: sample < corpus
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ANN.knn_ivf_join(spark, idx, emb, queries, k=10, nprobe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qid, ids in got.items():
+        q = emb.filter(F.col("vec_id") == qid)
+        exact = set(r.vec_id for r in SIM.knn_exact(emb, q, k=10).collect())
+        recalls.append(len(ids & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    assert min(recalls) >= 0.3, recalls
