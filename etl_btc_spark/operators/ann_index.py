@@ -85,46 +85,6 @@ def _mark_built(path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _quantize_int8(assigned: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """(id, vec, centroid_id) → (id, centroid_id, q8_scale, q8):
-    per-vector scale = max|x|/127 (quantile=1.0, no clipping), codes =
-    round(x/scale) ∈ [-127, 127] packed as ONE binary blob — a true
-    1 byte/dim on disk (parquet would store array<tinyint> as INT32
-    physical). One vectorized numpy pass per Arrow batch."""
-    import numpy as np
-    import pandas as pd
-
-    from etl_btc_spark._pickle import ensure_serializable
-
-    ensure_serializable()
-    out_schema = T.StructType(
-        [
-            assigned.schema[id_col],
-            T.StructField("centroid_id", T.IntegerType()),
-            T.StructField("q8_scale", T.FloatType()),
-            T.StructField("q8", T.BinaryType()),
-        ]
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            scale = np.maximum(np.abs(v).max(axis=1), 1e-30) / 127.0
-            codes = np.round(v / scale[:, None]).astype(np.int8)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "centroid_id": pdf["centroid_id"].to_numpy(),
-                    "q8_scale": scale.astype(np.float32),
-                    "q8": [row.tobytes() for row in codes],
-                }
-            )
-
-    return assigned.mapInPandas(gen, out_schema)
-
-
 def _q8_approx_sim_udf(qvec):
     """Arrow-batched pandas UDF: approximate cosine of packed int8
     codes vs the (fp64) query — np.frombuffer + one matmul per batch.
@@ -211,6 +171,58 @@ def _assign(
             out = pdf[[id_col, vec_col]].iloc[np.repeat(np.arange(len(pdf)), m)].copy()
             out["centroid_id"] = cids[best.ravel()].astype("int32")
             yield out
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def _assign_quantized(
+    vectors: DataFrame, cent_bc, vec_col: str, id_col: str, n_assign: int = 1
+) -> DataFrame:
+    """Fused final assignment + INT8 quantization (round-5): ONE
+    ``mapInPandas`` pass computes each vector's ``n_assign`` nearest
+    lists AND its packed int8 codes, so the fp32 vectors cross the
+    Arrow boundary once — the previous assign→quantize chain shipped
+    every vector through Arrow twice and duplicated the fp32 payload
+    ×n_assign between the passes; here only the 4×-smaller codes are
+    duplicated. Quantization: per-vector scale = max|x|/127
+    (quantile=1.0, no clipping), codes = round(x/scale) ∈ [-127, 127]
+    packed as ONE binary blob — a true 1 byte/dim on disk (parquet
+    stores array<tinyint> as INT32 physical)."""
+    import numpy as np
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    out_schema = T.StructType(
+        [
+            vectors.schema[id_col],
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("q8_scale", T.FloatType()),
+            T.StructField("q8", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        cids, cmat = cent_bc.value
+        m = min(n_assign, len(cids))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            best = _top_m_centroids(v, cmat, m)
+            # same quantization as _quantize_int8: symmetric max-abs,
+            # quantile=1.0, codes in [-127, 127]
+            scale = np.maximum(np.abs(v).max(axis=1), 1e-30) / 127.0
+            codes = np.round(v / scale[:, None]).astype(np.int8)
+            rep = np.repeat(np.arange(len(pdf)), m)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[rep],
+                    "centroid_id": cids[best.ravel()].astype("int32"),
+                    "q8_scale": scale.astype(np.float32)[rep],
+                    "q8": [codes[i].tobytes() for i in rep],
+                }
+            )
 
     return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
@@ -338,16 +350,18 @@ def build_ivf_index(
     nf = np.linalg.norm(cfin, axis=1, keepdims=True)
     nf[nf == 0.0] = 1.0
     cent_bc = spark.sparkContext.broadcast((cids, cfin / nf))
-    # the ONLY full-corpus pass in the build
-    final = _assign(vectors, cent_bc, vec_col, id_col, n_assign=n_assign)
-    # the persisted posting lists carry INT8-quantized vectors (+ the
-    # per-vector dequant scale), not fp32 — the reference's Qdrant
-    # scalar quantization (init_qdrant.py:51-57, quantile=1.0
-    # always_ram): ~4x smaller index, int8 pre-rank in the probe,
-    # exact fp32 re-rank joined back from the base table by id
-    _quantize_int8(final, vec_col, id_col).write.mode("overwrite").partitionBy(
-        "centroid_id"
-    ).parquet(os.path.join(path, "assigned"))
+    # the ONLY full-corpus pass in the build: assignment + INT8
+    # quantization fused into one Arrow crossing. The persisted
+    # posting lists carry int8 codes (+ per-vector dequant scale),
+    # not fp32 — the reference's Qdrant scalar quantization
+    # (init_qdrant.py:51-57, quantile=1.0 always_ram): ~4x smaller
+    # index, int8 pre-rank in the probe, exact fp32 re-rank joined
+    # back from the base table by id
+    _assign_quantized(
+        vectors, cent_bc, vec_col, id_col, n_assign=n_assign
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(path, "assigned")
+    )
     cent_bc.unpersist()
     _mark_built(path)
     return path
