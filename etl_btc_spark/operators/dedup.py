@@ -781,18 +781,30 @@ def _passjoin_candidates(
     )
     # b-side: all substrings whose length can be an a-segment length.
     # Segment lengths depend on each doc's OWN head length (hl div
-    # nseg, +1), so the substring-length range must come from the
-    # corpus's actual hl bounds — two driver scalars, one agg
-    # (deriving it from head_len alone silently drops pairs among
-    # shorter-than-head_len docs; pinned by the fuzz completeness test)
+    # nseg, +1), so the corpus-global range comes from the actual hl
+    # bounds — two driver scalars, one agg (deriving it from head_len
+    # alone silently drops pairs among shorter-than-head_len docs;
+    # pinned by the fuzz completeness test). Round-5: the range is
+    # then narrowed PER ROW — the length filter means b only ever
+    # meets a's with hl_a in [hl_b - d, hl_b + d], whose segment
+    # lengths lie in [(hl_b - d) div nseg, (hl_b + d) div nseg + 1] —
+    # so a mixed-length corpus stops paying substring rows for
+    # lengths only far-away docs produce (lossless: the narrowed
+    # range still contains every admissible partner's segment
+    # lengths; the fuzz test pins it)
     bounds = long_t.agg(F.min("hl"), F.max("hl")).first()
     if bounds[0] is None:
         lmin, lmax = 1, 1
     else:
         lmin = max(1, bounds[0] // nseg)
         lmax = bounds[1] // nseg + 1
+    # lo <= hi always holds inside long_t (lmin <= hl div nseg <= hi
+    # and lo <= hl div nseg <= lmax), and GREATEST(lmin, ...) keeps
+    # lo >= 1
+    lo = f"GREATEST({lmin}, CAST(GREATEST(hl - {d}, 0) DIV {nseg} AS INT))"
+    hi = f"LEAST({lmax}, CAST((hl + {d}) DIV {nseg} AS INT) + 1)"
     sub_expr = (
-        f"flatten(transform(sequence({lmin}, {lmax}), L -> "
+        f"flatten(transform(sequence({lo}, {hi}), L -> "
         f"IF(hl >= L, transform(sequence(1, CAST(hl - L + 1 AS INT)), p -> "
         f"struct(substring(head, CAST(p AS INT), CAST(L AS INT)) AS s, "
         f"CAST(p AS INT) AS pos)), "
