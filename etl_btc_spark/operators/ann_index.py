@@ -458,14 +458,24 @@ def build_lsh_index(
     """K4: write the hyperplane-LSH band table (id, band, sig),
     partitioned by band and sorted by sig within files — probes prune
     band directories and skip row groups on the sig stats. Ids only:
-    the ×n_bands row expansion never duplicates vectors."""
+    the ×n_bands row expansion never duplicates vectors.
+
+    Round-5: the pre-write shuffle is ``repartitionByRange(band,
+    sig)``, not ``repartition(band)`` — hashing on band alone capped
+    the write at ``n_bands`` reducer tasks (8 tasks sorting the whole
+    index at 100 TB). Range partitioning spreads the same data over
+    the full shuffle-partition count, keeps each band's rows in
+    contiguous tasks (the directory split by ``partitionBy`` is
+    unchanged), and makes every file cover a NARROW sig range — the
+    min/max row-group skipping the probe relies on gets tighter, not
+    looser."""
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
     banded = vectors.select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
     )
     (
-        banded.repartition("band")
-        .sortWithinPartitions("sig")
+        banded.repartitionByRange("band", "sig")
+        .sortWithinPartitions("band", "sig")
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(os.path.join(path, "bands"))
