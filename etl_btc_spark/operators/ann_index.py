@@ -136,45 +136,6 @@ def _top_m_centroids(vecs, cmat, m: int):
 # ---------------------------------------------------------------------------
 
 
-def _assign(
-    vectors: DataFrame, cent_bc, vec_col: str, id_col: str, n_assign: int = 1
-) -> DataFrame:
-    """Assignment pass: ``mapInPandas`` computing one numpy matmul per
-    Arrow batch against the torrent-broadcast centroid matrix — the
-    public MLlib-KMeans shape (centers as a broadcast variable, never
-    plan literals). Arrow transfer is the n input vectors only; no
-    n×k row expansion, no shuffle, and the plan stays O(1) bytes
-    regardless of k·dim.
-
-    ``n_assign > 1`` emits one row per (vector, nearest-i centroid)
-    for i < n_assign — IVF multi-assignment: each vector is indexed
-    under its ``n_assign`` closest lists, trading ×n_assign index
-    rows for recall that no longer depends on one hard boundary.
-    The probe dedupes candidates by id before the exact re-rank."""
-    import numpy as np
-
-    from etl_btc_spark._pickle import ensure_serializable
-
-    ensure_serializable()
-    out_schema = T.StructType(
-        [vectors.schema[id_col], vectors.schema[vec_col], T.StructField("centroid_id", T.IntegerType())]
-    )
-
-    def gen(batches):
-        cids, cmat = cent_bc.value  # (k,) int ids sorted asc, (k, d) row-normalized
-        m = min(n_assign, len(cids))
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            best = _top_m_centroids(v, cmat, m)
-            out = pdf[[id_col, vec_col]].iloc[np.repeat(np.arange(len(pdf)), m)].copy()
-            out["centroid_id"] = cids[best.ravel()].astype("int32")
-            yield out
-
-    return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
-
-
 def _assign_quantized(
     vectors: DataFrame, cent_bc, vec_col: str, id_col: str, n_assign: int = 1
 ) -> DataFrame:
@@ -470,16 +431,23 @@ def build_lsh_index(
     min/max row-group skipping the probe relies on gets tighter, not
     looser."""
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
+    # persisted: the RangePartitioner's bounds-sampling job would
+    # otherwise re-run the signature matmul over the whole corpus a
+    # second time — the cache holds ids+ints only (vectors stay
+    # behind), and is dropped as soon as the write lands
     banded = vectors.select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
-    )
-    (
-        banded.repartitionByRange("band", "sig")
-        .sortWithinPartitions("band", "sig")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(os.path.join(path, "bands"))
-    )
+    ).persist()
+    try:
+        (
+            banded.repartitionByRange("band", "sig")
+            .sortWithinPartitions("band", "sig")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(os.path.join(path, "bands"))
+        )
+    finally:
+        banded.unpersist(False)
     _mark_built(path)
     return path
 

@@ -303,7 +303,7 @@ def test_ivf_build_no_plan_literals_and_high_k(spark, emb, tmp_path):
     assert cents.count() == 256
 
     bc = ANN._broadcast_centroids(spark, cents)
-    plan_df = ANN._assign(emb, bc, "embedding", "vec_id", n_assign=2)
+    plan_df = ANN._assign_quantized(emb, bc, "embedding", "vec_id", n_assign=2)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         plan_df.explain("formatted")
