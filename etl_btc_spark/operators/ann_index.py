@@ -528,6 +528,7 @@ def knn_lsh_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    broadcast_max_queries: int = 200_000,
 ) -> DataFrame:
     """Batched kNN JOIN against the persisted LSH band table — N query
     vectors at once, the true 100 TB retrieval shape (the single-query
@@ -541,9 +542,17 @@ def knn_lsh_join(
     round-trips, no plan literals. Exact re-rank: candidates join fp32
     vectors by id (corpus side) and query id (broadcast), one
     vectorized einsum per batch, rank window per query, top k.
+
+    Broadcast guard (round-5, same contract as contamination_check):
+    past ``broadcast_max_queries`` the hints are dropped and AQE picks
+    the joins — an oversized query batch degrades to a shuffle instead
+    of OOMing the executors. The probe is a LIMIT-bounded count, so
+    the guard never scans more than the bound + 1 rows.
     """
     from etl_btc_spark.operators.similarity import lsh_band_sig_udf, pair_cosine_udf
 
+    small = queries.limit(broadcast_max_queries + 1).count() <= broadcast_max_queries
+    hint = F.broadcast if small else (lambda df: df)
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
     q_bands = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -551,7 +560,7 @@ def knn_lsh_join(
     )
     bands = spark.read.parquet(os.path.join(path, "bands"))
     cands = (
-        bands.join(F.broadcast(q_bands), ["band", "sig"])
+        bands.join(hint(q_bands), ["band", "sig"])
         .select(query_id_col, id_col)
         .distinct()
     )
@@ -561,7 +570,7 @@ def knn_lsh_join(
     cos = pair_cosine_udf()
     scored = (
         cands.join(vectors.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qvecs), query_id_col)
+        .join(hint(qvecs), query_id_col)
         .select(query_id_col, id_col, cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -614,9 +623,11 @@ def knn_ivf_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    broadcast_max_queries: int = 200_000,
 ) -> DataFrame:
     """Batched kNN JOIN against the persisted INT8 IVF index — the
-    IVF twin of :func:`knn_lsh_join`:
+    IVF twin of :func:`knn_lsh_join` (including its round-5 query-side
+    broadcast guard):
 
     1. every query picks its ``nprobe`` best lists in one matmul per
        Arrow batch against the broadcast centroid matrix (no driver
@@ -635,6 +646,8 @@ def knn_ivf_join(
     from etl_btc_spark._pickle import ensure_serializable
 
     ensure_serializable()
+    small = queries.limit(broadcast_max_queries + 1).count() <= broadcast_max_queries
+    hint = F.broadcast if small else (lambda df: df)
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     # scoped (ADVICE r4): the returned plan is lazy, so the broadcast
     # can't be unpersisted here — the lifecycle owner releases it
@@ -670,10 +683,10 @@ def knn_ivf_join(
     )
     pre = _q8_pair_sim_udf()
     cand = (
-        assigned.join(F.broadcast(q_probes), "centroid_id")
+        assigned.join(hint(q_probes), "centroid_id")
         .select(query_id_col, id_col, "q8")
         .dropDuplicates([query_id_col, id_col])  # multi-assignment
-        .join(F.broadcast(qvecs), query_id_col)
+        .join(hint(qvecs), query_id_col)
         .select(query_id_col, id_col, pre(F.col("q8"), F.col("__qvec")).alias("approx_sim"))
     )
     w_short = Window.partitionBy(query_id_col).orderBy(
@@ -687,7 +700,7 @@ def knn_ivf_join(
     cos = pair_cosine_udf()
     scored = (
         short.join(vectors.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qvecs), query_id_col)
+        .join(hint(qvecs), query_id_col)
         .select(query_id_col, id_col, cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))

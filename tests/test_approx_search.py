@@ -670,3 +670,28 @@ def test_ivf_subsample_regime_recall(spark, emb, tmp_path):
         recalls.append(len(ids & exact) / 10)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
     assert min(recalls) >= 0.3, recalls
+
+
+def test_knn_join_broadcast_guard(spark, emb, tmp_path):
+    """Round-5: past broadcast_max_queries the batched joins drop
+    their query-side broadcast hints (AQE chooses) — results must be
+    identical and the logical plan free of the explicit hint."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    lsh = str(tmp_path / "lshg")
+    ANN.build_lsh_index(spark, emb, lsh)
+    ivf = str(tmp_path / "ivfg")
+    ANN.build_ivf_index(spark, emb, ivf, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+
+    for fn, idx in ((ANN.knn_lsh_join, lsh), (ANN.knn_ivf_join, ivf)):
+        hinted = fn(spark, idx, emb, queries, k=5)
+        guarded = fn(spark, idx, emb, queries, k=5, broadcast_max_queries=0)
+        key = lambda r: (r["query_id"], r["vec_id"])
+        assert sorted(map(key, guarded.collect())) == sorted(
+            map(key, hinted.collect())
+        )
+        logical = guarded._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in logical
+        hlog = hinted._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" in hlog
