@@ -448,33 +448,31 @@ def build_lsh_index(
     band directories and skip row groups on the sig stats. Ids only:
     the ×n_bands row expansion never duplicates vectors.
 
-    Round-5: the pre-write shuffle is ``repartitionByRange(band,
-    sig)``, not ``repartition(band)`` — hashing on band alone capped
-    the write at ``n_bands`` reducer tasks (8 tasks sorting the whole
-    index at 100 TB). Range partitioning spreads the same data over
-    the full shuffle-partition count, keeps each band's rows in
-    contiguous tasks (the directory split by ``partitionBy`` is
-    unchanged), and makes every file cover a NARROW sig range — the
-    min/max row-group skipping the probe relies on gets tighter, not
-    looser."""
+    Round-5: the pre-write shuffle hashes on ``(band, bucket-of-sig)``
+    — hashing on band alone capped the write at ``n_bands`` reducer
+    tasks (8 tasks sorting the whole index at 100 TB). The sig bucket
+    spreads each band over ``parallelism / n_bands`` writers while
+    bounding the artifact's file count, needs no range-sampling job
+    (which would re-run the signature matmul over the corpus), and
+    every file stays internally sig-sorted, so the probe's min/max
+    row-group skipping keeps tight bounds."""
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
-    # persisted: the RangePartitioner's bounds-sampling job would
-    # otherwise re-run the signature matmul over the whole corpus a
-    # second time — the cache holds ids+ints only (vectors stay
-    # behind), and is dropped as soon as the write lands
     banded = spread(vectors).select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
-    ).persist()
-    try:
-        (
-            banded.repartitionByRange("band", "sig")
-            .sortWithinPartitions("band", "sig")
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .parquet(os.path.join(path, "bands"))
+    )
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    fanout = max(1, par // max(n_bands, 1))
+    (
+        banded.repartition(
+            max(n_bands * fanout, 1),
+            F.col("band"),
+            F.pmod(F.hash(F.col("sig")), F.lit(fanout)),
         )
-    finally:
-        banded.unpersist(False)
+        .sortWithinPartitions("band", "sig")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "bands"))
+    )
     _mark_built(path)
     return path
 
