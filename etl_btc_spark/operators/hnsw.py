@@ -1,0 +1,404 @@
+"""Sharded HNSW graph index (K4 extension, round 5).
+
+The reference's actual ANN structure is a Qdrant HNSW graph with
+cosine metric (migrationsservice/init_qdrant.py:38-58, m=16,
+ef_construct=100) — rounds 2-4 covered the capability with LSH/IVF,
+the distributed-native shapes. This module closes the remaining
+structural gap with the production way HNSW is scaled out (every
+hosted vector DB shards exactly like this): the corpus is hash-split
+into shards small enough for ONE task's memory, each shard builds an
+independent in-memory HNSW graph, and a query batch fans out to every
+shard's graph and merges per-query top-k. Per-shard search is
+sublinear; the fan-out factor is the price of the graph's recall.
+
+Spark mapping:
+
+- **Build** (:func:`build_hnsw_index`): ``groupBy(shard).
+  applyInPandas`` — one Arrow crossing builds each shard's graph in
+  numpy (insert-order sorted by id, levels from a stable hash of the
+  id, so the artifact is bit-deterministic). Nodes persist as rows
+  ``(shard, id, int8 code, per-level neighbor id lists)``,
+  partitioned by shard; the entry point is re-derived at probe time
+  (max level, min id) so there is no separate metadata artifact to
+  drift. Shard count is data-derived (``ceil(n / shard_target_rows)``)
+  — parallelism scales with the corpus, and the per-task memory bound
+  is ``shard_target_rows × dim`` bytes of int8 codes.
+- **Probe** (:func:`knn_hnsw_join`): the bounded query batch travels
+  as ONE torrent broadcast; ``applyInPandas`` over the index's shard
+  groups runs the beam search for every query against that shard's
+  graph (int8-decoded, same scale-cancelling cosine as the IVF
+  codes), emits per-shard top-k, and the exact fp32 re-rank joins the
+  base table by id — identical tail to :func:`ann_index.knn_ivf_join`.
+
+Neighbor selection is simple top-M by cosine (no diversity
+heuristic); on the test geometry that holds the same recall floors as
+the IVF path — the heuristic is a documented upgrade point, not a
+correctness gap.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import zlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_btc_spark.operators.ann_index import (
+    _is_built,
+    _mark_built,
+    _scoped_broadcast,
+)
+from etl_btc_spark.operators.dedup import spread
+
+
+def _stable_levels(ids, M: int):
+    """Deterministic HNSW level per node: the standard geometric
+    draw ``floor(-ln(u) / ln(M))`` with ``u`` a stable hash of the
+    id instead of an RNG — same id, same level, every build."""
+    import numpy as np
+
+    mL = 1.0 / np.log(max(M, 2))
+    u = np.array(
+        [(zlib.crc32(repr(v).encode()) + 0.5) / 2**32 for v in ids],
+        dtype=np.float64,
+    )
+    return np.floor(-np.log(u) * mL).astype(np.int64)
+
+
+def _search_layer(q, eps, ef: int, adj, vecs_n):
+    """Beam search on one layer: cosine sims against the normalized
+    shard matrix, neighbor expansions vectorized (one gather + matmul
+    per pop). Returns up to ``ef`` (sim, idx) pairs, sim desc, idx
+    asc on ties (deterministic)."""
+    import numpy as np
+
+    visited = set(eps)
+    sims = vecs_n[eps] @ q
+    cand = [(-float(s), int(e)) for s, e in zip(sims, eps)]
+    heapq.heapify(cand)
+    res = [(float(s), int(e)) for s, e in zip(sims, eps)]
+    heapq.heapify(res)
+    while cand:
+        neg, c = heapq.heappop(cand)
+        if -neg < res[0][0] and len(res) >= ef:
+            break
+        fresh = [x for x in adj.get(c, ()) if x not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        s = vecs_n[fresh] @ q
+        for sim, idx in zip(s, fresh):
+            if len(res) < ef or sim > res[0][0]:
+                heapq.heappush(cand, (-float(sim), int(idx)))
+                heapq.heappush(res, (float(sim), int(idx)))
+                if len(res) > ef:
+                    heapq.heappop(res)
+    return sorted(res, key=lambda t: (-t[0], t[1]))
+
+
+def _greedy_descend(q, entry: int, adj, vecs_n) -> int:
+    """ef=1 greedy walk used on the upper layers."""
+    import numpy as np
+
+    best = entry
+    best_s = float(vecs_n[entry] @ q)
+    improved = True
+    while improved:
+        improved = False
+        nbrs = adj.get(best)
+        if nbrs:
+            s = vecs_n[nbrs] @ q
+            j = int(np.argmax(s))
+            if float(s[j]) > best_s:
+                best, best_s = nbrs[j], float(s[j])
+                improved = True
+    return best
+
+
+def _build_shard_graph(vecs_n, levels, M: int, efc: int):
+    """Insert nodes 0..n-1 (caller pre-sorts by id) into a fresh
+    graph. Returns (adj_per_level, entry_idx): ``adj[l]`` maps node
+    idx -> neighbor idx list. Max degree M above level 0, 2M at
+    level 0 (the standard HNSW setting)."""
+    import numpy as np
+
+    n = len(vecs_n)
+    M0 = 2 * M
+    adj: list[dict] = [dict() for _ in range(int(levels[0]) + 1)]
+    for l in range(int(levels[0]) + 1):
+        adj[l][0] = []
+    entry, maxlev = 0, int(levels[0])
+    for i in range(1, n):
+        li = int(levels[i])
+        q = vecs_n[i]
+        ep = entry
+        for l in range(maxlev, li, -1):
+            ep = _greedy_descend(q, ep, adj[l], vecs_n)
+        eps = [ep]
+        for l in range(min(li, maxlev), -1, -1):
+            W = _search_layer(q, eps, efc, adj[l], vecs_n)
+            mmax = M if l > 0 else M0
+            nbrs = [idx for _, idx in W[:M]]
+            adj[l][i] = nbrs
+            for nb in nbrs:
+                lst = adj[l][nb]
+                lst.append(i)
+                if len(lst) > mmax:
+                    s = vecs_n[lst] @ vecs_n[nb]
+                    keep = np.argsort(-s, kind="stable")[:mmax]
+                    adj[l][nb] = [lst[j] for j in keep]
+            eps = [idx for _, idx in W]
+        while len(adj) <= li:
+            adj.append({})
+        for l in range(min(li, maxlev) + 1, li + 1):
+            adj[l][i] = []
+        if li > maxlev:
+            maxlev, entry = li, i
+    return adj, entry
+
+
+def build_hnsw_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    M: int = 8,
+    ef_construction: int = 64,
+    n_shards: int | None = None,
+    shard_target_rows: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """K4 extension: write a sharded HNSW index.
+
+    Artifact layout: one parquet row per node — ``(shard, <id>,
+    q8 int8 code, nbrs array<array<id>>)`` where ``nbrs[l]`` is the
+    node's level-``l`` neighbor ids and ``len(nbrs)-1`` its level —
+    partitioned by shard. Graph edges carry ids, not positions, so
+    the artifact is self-describing and the probe re-derives the
+    entry point (max level, min id: deterministic) instead of
+    trusting a side-channel metadata file.
+
+    Scale shape: the ONLY full-corpus actions are one ``count()``
+    (shard derivation, skipped when ``n_shards`` is given) and the
+    single ``applyInPandas`` build pass. Each shard's graph build is
+    O(shard_rows · ef_construction · M) with vectorized cosine
+    kernels; ``shard_target_rows`` is the per-task memory dial —
+    shards must fit one executor task, which is the same constraint
+    every sharded-HNSW deployment (Qdrant/Milvus segment, Vespa
+    content node) operates under. Hash-sharding on the id keeps
+    shards balanced regardless of id clustering.
+    """
+    import numpy as np
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    if n_shards is None:
+        n = vectors.count()
+        if n == 0:
+            raise ValueError("build_hnsw_index: vectors input has no rows")
+        n_shards = max(1, -(-n // shard_target_rows))
+    id_field = vectors.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("q8", T.BinaryType()),
+            T.StructField("nbrs", T.ArrayType(T.ArrayType(id_field.dataType))),
+        ]
+    )
+    m, efc = M, ef_construction
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"shard": [], id_col: [], "q8": [], "nbrs": []}
+            )
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].tolist()
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        vecs_n = vecs / norms
+        levels = _stable_levels(ids, m)
+        adj, _ = _build_shard_graph(vecs_n, levels, m, efc)
+        # int8 symmetric max-abs codes — scale cancels in cosine, the
+        # same quantization the IVF posting lists persist
+        maxabs = np.maximum(np.abs(vecs).max(axis=1, keepdims=True), 1e-30)
+        codes = np.clip(np.round(127.0 * vecs / maxabs), -127, 127).astype(np.int8)
+        nbrs_col = [
+            [
+                [ids[j] for j in adj[l].get(i, [])]
+                for l in range(int(levels[i]) + 1)
+            ]
+            for i in range(len(ids))
+        ]
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].astype("int32"),
+                id_col: pdf[id_col],
+                "q8": [c.tobytes() for c in codes],
+                "nbrs": nbrs_col,
+            }
+        )
+
+    nodes = (
+        spread(vectors)
+        .select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+            id_col,
+            vec_col,
+        )
+        .groupBy("shard")
+        .applyInPandas(build, out_schema)
+    )
+    nodes.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, "nodes")
+    )
+    _mark_built(path)
+    return path
+
+
+def ensure_hnsw_index(spark: SparkSession, vectors: DataFrame, path: str, **kw) -> str:
+    """Build-if-absent, same contract as ensure_{lsh,ivf}_index."""
+    if not _is_built(path):
+        build_hnsw_index(spark, vectors, path, **kw)
+    return path
+
+
+def knn_hnsw_join(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef_search: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    broadcast_max_queries: int = 200_000,
+) -> DataFrame:
+    """Batched kNN JOIN against the sharded HNSW artifact — the graph
+    twin of :func:`ann_index.knn_ivf_join`.
+
+    1. the query batch (id, normalized fp64 vector) travels as ONE
+       torrent broadcast — bounded by ``broadcast_max_queries``; a
+       larger batch must be chunked by the caller (raising beats
+       silently collecting gigabytes onto the driver);
+    2. ``applyInPandas`` over the index's shard groups decodes each
+       shard's int8 codes once, rebuilds the adjacency (id -> local
+       position), and beam-searches EVERY query through that shard's
+       graph — per-shard top-k candidate ids, approx sims from the
+       codes;
+    3. exact fp32 re-rank: candidates join the base table by id and
+       the (broadcast) query vectors by query id, one vectorized
+       cosine per Arrow batch, rank window per query, top k.
+
+    The corpus is never shuffled: the index scan streams shard
+    groups, and only ``n_shards × k`` candidate rows per query reach
+    the re-rank join.
+    """
+    import numpy as np
+
+    from etl_btc_spark.operators.similarity import pair_cosine_udf
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    qrows = (
+        queries.select(id_col, vec_col).limit(broadcast_max_queries + 1).collect()
+    )
+    if len(qrows) > broadcast_max_queries:
+        raise ValueError(
+            "knn_hnsw_join: query batch exceeds broadcast_max_queries=%d; "
+            "chunk the batch" % broadcast_max_queries
+        )
+    out_fields = [
+        T.StructField(query_id_col, queries.schema[id_col].dataType),
+        T.StructField(id_col, vectors.schema[id_col].dataType),
+        T.StructField("cosine_sim", T.DoubleType()),
+    ]
+    if not qrows:
+        return spark.createDataFrame([], T.StructType(out_fields))
+    qids = [r[id_col] for r in qrows]
+    qmat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    # scoped (the returned plan is lazy): lifecycle owner releases via
+    # ann_index.release_scoped_broadcasts
+    q_bc = _scoped_broadcast(spark.sparkContext.broadcast((qids, qmat / qn)))
+    ef = max(ef_search, k)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[id_col].dataType),
+            T.StructField(id_col, vectors.schema[id_col].dataType),
+            T.StructField("approx_sim", T.DoubleType()),
+        ]
+    )
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        b_qids, b_qmat = q_bc.value
+        if len(pdf) == 0:
+            return pd.DataFrame({query_id_col: [], id_col: [], "approx_sim": []})
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].tolist()
+        pos = {v: i for i, v in enumerate(ids)}
+        vecs = np.stack(
+            [np.frombuffer(b, dtype=np.int8).astype(np.float64) for b in pdf["q8"]]
+        )
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        vecs_n = vecs / norms
+        nbrs = pdf["nbrs"].tolist()
+        maxlev = max(len(nv) for nv in nbrs) - 1
+        adj: list[dict] = [dict() for _ in range(maxlev + 1)]
+        for i, nv in enumerate(nbrs):
+            for l, lst in enumerate(nv):
+                adj[l][i] = [pos[v] for v in lst]
+        # entry point: max level, min id — deterministic re-derivation
+        entry = min(
+            range(len(ids)), key=lambda i: (-(len(nbrs[i]) - 1), ids[i])
+        )
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(b_qids)):
+            qv = b_qmat[qi]
+            ep = entry
+            for l in range(maxlev, 0, -1):
+                ep = _greedy_descend(qv, ep, adj[l], vecs_n)
+            top = _search_layer(qv, [ep], ef, adj[0], vecs_n)[:k]
+            out_q.extend([b_qids[qi]] * len(top))
+            out_i.extend(ids[idx] for _, idx in top)
+            out_s.extend(float(s) for s, _ in top)
+        return pd.DataFrame(
+            {query_id_col: out_q, id_col: out_i, "approx_sim": out_s}
+        )
+
+    nodes = spark.read.parquet(os.path.join(path, "nodes"))
+    cands = nodes.groupBy("shard").applyInPandas(search, cand_schema)
+    qvecs_df = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    cos = pair_cosine_udf()
+    scored = (
+        cands.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qvecs_df), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

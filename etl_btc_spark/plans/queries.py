@@ -1066,6 +1066,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 #: build-vs-probe split silently times the wrong artifact
 LSH_INDEX_PARAMS = {"dim": 64, "n_bands": 8, "bits_per_band": 4}
 IVF_INDEX_PARAMS = {"n_centroids": 16}
+HNSW_INDEX_PARAMS = {"M": 8, "ef_construction": 64}
 
 
 @register(
@@ -3328,3 +3329,31 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     return t.mapInPandas(gen, out_schema)
+
+
+@register(
+    "q89_knn_hnsw_join",
+    oracle=None,  # approximate graph search; per-query recall, determinism, and typed-empty path pinned in tests/test_approx_search.py
+    doc=(
+        "K4 extension, graph ANN (the reference's actual index class: "
+        "Qdrant HNSW, init_qdrant.py:38-58): batched kNN join against a "
+        "SHARDED HNSW artifact — the corpus hash-splits into per-task "
+        "graphs built in one applyInPandas pass (int8 node codes, "
+        "stable-hash levels: bit-deterministic builds), the query batch "
+        "travels as one broadcast and beam-searches every shard's graph, "
+        "exact fp32 re-rank from the base table, rank window per query. "
+        "Per-shard search is sublinear; the corpus is never shuffled"
+    ),
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import hnsw as HN
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = _SK.artifact_path(sf, "hnsw_index")
+    HN.ensure_hnsw_index(spark, emb, idx, **HNSW_INDEX_PARAMS)
+    out = HN.knn_hnsw_join(spark, idx, emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

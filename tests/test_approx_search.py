@@ -695,3 +695,88 @@ def test_knn_join_broadcast_guard(spark, emb, tmp_path):
         assert "strategy=broadcast" not in logical
         hlog = hinted._jdf.queryExecution().optimizedPlan().toString()
         assert "strategy=broadcast" in hlog
+
+
+def test_hnsw_join_recall_multishard(spark, emb, tmp_path):
+    """Sharded HNSW (r5, K4 extension): per-query recall vs exact
+    brute force at the IVF floor, with the corpus FORCED across 4
+    shards so the per-shard-search + global-merge path is the one
+    under test (data-derived sharding would give 1 shard here)."""
+    from etl_btc_spark.operators import hnsw as HN
+
+    idx = str(tmp_path / "hnsw4")
+    HN.build_hnsw_index(spark, emb, idx, n_shards=4)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = HN.knn_hnsw_join(spark, idx, emb, queries, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert len(got) == queries.count()
+    recalls = []
+    for qid, ids in got.items():
+        assert len(ids) == 10
+        q = emb.filter(F.col("vec_id") == qid)
+        exact = set(r.vec_id for r in SIM.knn_exact(emb, q, k=10).collect())
+        recalls.append(len(ids & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    assert min(recalls) >= 0.5, recalls
+
+
+def test_hnsw_build_deterministic(spark, emb, tmp_path):
+    """Levels come from a stable id hash and insertion order is
+    id-sorted, so two builds of the same corpus must produce the
+    IDENTICAL artifact (row-for-row, including neighbor lists)."""
+    from etl_btc_spark.operators import hnsw as HN
+
+    a = str(tmp_path / "hnsw_a")
+    b = str(tmp_path / "hnsw_b")
+    HN.build_hnsw_index(spark, emb, a, n_shards=2)
+    HN.build_hnsw_index(spark, emb, b, n_shards=2)
+    da = spark.read.parquet(a + "/nodes").orderBy("vec_id").collect()
+    db = spark.read.parquet(b + "/nodes").orderBy("vec_id").collect()
+    assert da == db
+
+
+def test_hnsw_empty_query_typed_and_batch_bound(spark, emb, tmp_path):
+    """Empty query batch -> typed empty result (id dtype preserved,
+    ADVICE r4 lesson); an over-bound batch raises instead of
+    collecting it onto the driver."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import hnsw as HN
+
+    small = emb.limit(50).select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    idx = str(tmp_path / "hnsw_int")
+    HN.build_hnsw_index(spark, small, idx, n_shards=1)
+    no_q = small.filter(F.col("vec_id") < 0)
+    out = HN.knn_hnsw_join(spark, idx, small, no_q, k=5)
+    assert out.count() == 0
+    assert out.schema["vec_id"].dataType == T.IntegerType()
+    assert out.schema["query_id"].dataType == T.IntegerType()
+
+    with _pytest.raises(ValueError, match="chunk the batch"):
+        HN.knn_hnsw_join(spark, idx, small, small, k=5, broadcast_max_queries=10)
+
+
+def test_hnsw_build_empty_and_derived_shards(spark, emb, tmp_path):
+    """0-row corpus fails loudly (same contract as build_ivf_index);
+    data-derived shard count scales with the corpus."""
+    import pytest as _pytest
+
+    from etl_btc_spark.operators import hnsw as HN
+
+    with _pytest.raises(ValueError, match="no rows"):
+        HN.build_hnsw_index(
+            spark, emb.filter(F.col("vec_id") < 0), str(tmp_path / "hnsw_e")
+        )
+
+    idx = str(tmp_path / "hnsw_d")
+    HN.build_hnsw_index(spark, emb, idx, shard_target_rows=200)
+    n_shards = (
+        spark.read.parquet(idx + "/nodes").select("shard").distinct().count()
+    )
+    assert n_shards == -(-emb.count() // 200)
