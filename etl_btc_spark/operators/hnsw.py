@@ -162,6 +162,87 @@ def _build_shard_graph(vecs_n, levels, M: int, efc: int):
     return adj, entry
 
 
+def _read_n_shards(path: str) -> int:
+    with open(os.path.join(path, "_SHARDS")) as f:
+        return int(f.read().strip())
+
+
+def _write_n_shards(path: str, n: int) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_SHARDS"), "w") as f:
+        f.write("%d\n" % n)
+
+
+def _shard_nodes(
+    vectors: DataFrame,
+    n_shards: int,
+    M: int,
+    ef_construction: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The build pass shared by full build and shard refresh: hash-
+    shard the vectors and emit one graph-node row per vector via
+    ``groupBy(shard).applyInPandas``."""
+    import numpy as np
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    id_field = vectors.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("q8", T.BinaryType()),
+            T.StructField("nbrs", T.ArrayType(T.ArrayType(id_field.dataType))),
+        ]
+    )
+    m, efc = M, ef_construction
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"shard": [], id_col: [], "q8": [], "nbrs": []})
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].tolist()
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        vecs_n = vecs / norms
+        levels = _stable_levels(ids, m)
+        adj, _ = _build_shard_graph(vecs_n, levels, m, efc)
+        # int8 symmetric max-abs codes — scale cancels in cosine, the
+        # same quantization the IVF posting lists persist
+        maxabs = np.maximum(np.abs(vecs).max(axis=1, keepdims=True), 1e-30)
+        codes = np.clip(np.round(127.0 * vecs / maxabs), -127, 127).astype(np.int8)
+        nbrs_col = [
+            [
+                [ids[j] for j in adj[l].get(i, [])]
+                for l in range(int(levels[i]) + 1)
+            ]
+            for i in range(len(ids))
+        ]
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].astype("int32"),
+                id_col: pdf[id_col],
+                "q8": [c.tobytes() for c in codes],
+                "nbrs": nbrs_col,
+            }
+        )
+
+    return (
+        spread(vectors)
+        .select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+            id_col,
+            vec_col,
+        )
+        .groupBy("shard")
+        .applyInPandas(build, out_schema)
+    )
+
+
 def build_hnsw_index(
     spark: SparkSession,
     vectors: DataFrame,
@@ -193,74 +274,74 @@ def build_hnsw_index(
     content node) operates under. Hash-sharding on the id keeps
     shards balanced regardless of id clustering.
     """
-    import numpy as np
-
-    from etl_btc_spark._pickle import ensure_serializable
-
-    ensure_serializable()
     if n_shards is None:
         n = vectors.count()
         if n == 0:
             raise ValueError("build_hnsw_index: vectors input has no rows")
         n_shards = max(1, -(-n // shard_target_rows))
-    id_field = vectors.schema[id_col]
-    out_schema = T.StructType(
-        [
-            T.StructField("shard", T.IntegerType()),
-            T.StructField(id_col, id_field.dataType),
-            T.StructField("q8", T.BinaryType()),
-            T.StructField("nbrs", T.ArrayType(T.ArrayType(id_field.dataType))),
-        ]
-    )
-    m, efc = M, ef_construction
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                {"shard": [], id_col: [], "q8": [], "nbrs": []}
-            )
-        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
-        ids = pdf[id_col].tolist()
-        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        vecs_n = vecs / norms
-        levels = _stable_levels(ids, m)
-        adj, _ = _build_shard_graph(vecs_n, levels, m, efc)
-        # int8 symmetric max-abs codes — scale cancels in cosine, the
-        # same quantization the IVF posting lists persist
-        maxabs = np.maximum(np.abs(vecs).max(axis=1, keepdims=True), 1e-30)
-        codes = np.clip(np.round(127.0 * vecs / maxabs), -127, 127).astype(np.int8)
-        nbrs_col = [
-            [
-                [ids[j] for j in adj[l].get(i, [])]
-                for l in range(int(levels[i]) + 1)
-            ]
-            for i in range(len(ids))
-        ]
-        return pd.DataFrame(
-            {
-                "shard": pdf["shard"].astype("int32"),
-                id_col: pdf[id_col],
-                "q8": [c.tobytes() for c in codes],
-                "nbrs": nbrs_col,
-            }
-        )
-
-    nodes = (
-        spread(vectors)
-        .select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
-            id_col,
-            vec_col,
-        )
-        .groupBy("shard")
-        .applyInPandas(build, out_schema)
-    )
+    nodes = _shard_nodes(vectors, n_shards, M, ef_construction, vec_col, id_col)
     nodes.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(path, "nodes")
     )
+    _write_n_shards(path, n_shards)
     _mark_built(path)
+    return path
+
+
+def refresh_hnsw_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    changed_ids: DataFrame,
+    M: int = 8,
+    ef_construction: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Incremental index maintenance: rebuild ONLY the shards whose
+    membership a change set touches, leaving every other shard's
+    files byte-identical on disk (dynamic partition overwrite — the
+    same posture as the K3 partition-pruned MERGE).
+
+    ``vectors`` is the CURRENT corpus snapshot and ``changed_ids``
+    the ids inserted/updated/deleted since the artifact was built;
+    each changed id maps to exactly one shard (the same
+    ``pmod(xxhash64(id), n_shards)`` the build used, with
+    ``n_shards`` read back from the artifact), so the rebuild scans
+    ``affected/n_shards`` of the corpus instead of all of it. A
+    deleted id simply no longer appears in the snapshot — its shard
+    rebuilds without it. Because the build is bit-deterministic,
+    refresh(snapshot) ≡ full build(snapshot) row-for-row (pinned by
+    pytest), so incremental maintenance can never drift from the
+    rebuild-from-scratch answer.
+
+    Driver footprint: one ``collect()`` of DISTINCT affected shard
+    ids — bounded by ``n_shards`` ints, never by the change volume.
+    """
+    import shutil
+
+    n_shards = _read_n_shards(path)
+    shard_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    affected = sorted(
+        r["shard"]
+        for r in changed_ids.select(shard_of.alias("shard")).distinct().collect()
+    )
+    if not affected:
+        return path
+    todo = vectors.filter(shard_of.isin(affected))
+    nodes = _shard_nodes(todo, n_shards, M, ef_construction, vec_col, id_col)
+    nodes.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("shard").parquet(os.path.join(path, "nodes"))
+    # a shard whose every member was deleted emits no rows, which
+    # dynamic overwrite silently leaves stale — clear those shard
+    # dirs explicitly (bounded second distinct over the todo slice)
+    still = {
+        r["shard"]
+        for r in todo.select(shard_of.alias("shard")).distinct().collect()
+    }
+    for s in set(affected) - still:
+        shutil.rmtree(os.path.join(path, "nodes", "shard=%d" % s), ignore_errors=True)
     return path
 
 

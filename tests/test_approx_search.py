@@ -780,3 +780,85 @@ def test_hnsw_build_empty_and_derived_shards(spark, emb, tmp_path):
         spark.read.parquet(idx + "/nodes").select("shard").distinct().count()
     )
     assert n_shards == -(-emb.count() // 200)
+
+
+def test_hnsw_refresh_equals_full_rebuild(spark, emb, tmp_path):
+    """Incremental shard refresh (r5): after a mixed change set
+    (update + insert + delete), refresh(snapshot) must equal a full
+    rebuild of the new snapshot row-for-row — the bit-deterministic
+    build makes drift impossible to hide — and the files of every
+    UNTOUCHED shard must stay byte-identical on disk (the K3
+    partition-pruned-MERGE posture)."""
+    import os
+
+    from etl_btc_spark.operators import hnsw as HN
+
+    idx = str(tmp_path / "hnsw_ref")
+    HN.build_hnsw_index(spark, emb, idx, n_shards=4)
+
+    # new snapshot: drop id 3 (delete), negate id 7's vector
+    # (update), add id 100000 (insert)
+    upd = F.transform(F.col("embedding"), lambda x: -x)
+    new_emb = (
+        emb.filter(~F.col("vec_id").isin(3))
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 7, upd).otherwise(F.col("embedding")),
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+            )
+        )
+    )
+    changed = spark.createDataFrame([(3,), (7,), (100000,)], "vec_id: bigint")
+    touched = {
+        r["s"]
+        for r in changed.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(4)).cast("int").alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    untouched = sorted(set(range(4)) - touched)
+    assert untouched, "fixture must leave at least one shard untouched"
+
+    def shard_bytes(shard):
+        d = os.path.join(idx, "nodes", "shard=%d" % shard)
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before = {s: shard_bytes(s) for s in untouched}
+    HN.refresh_hnsw_index(spark, new_emb, idx, changed)
+    for s in untouched:
+        assert shard_bytes(s) == before[s], "untouched shard %d rewritten" % s
+
+    full = str(tmp_path / "hnsw_full")
+    HN.build_hnsw_index(spark, new_emb, full, n_shards=4)
+    da = spark.read.parquet(idx + "/nodes").orderBy("vec_id").collect()
+    db = spark.read.parquet(full + "/nodes").orderBy("vec_id").collect()
+    assert da == db
+
+
+def test_hnsw_refresh_clears_emptied_shard(spark, emb, tmp_path):
+    """A shard whose every member is deleted must disappear from the
+    artifact (dynamic overwrite alone would leave it stale)."""
+    import os
+
+    from etl_btc_spark.operators import hnsw as HN
+
+    small = emb.limit(20)
+    idx = str(tmp_path / "hnsw_del")
+    HN.build_hnsw_index(spark, small, idx, n_shards=4)
+    # delete every member of shard 0
+    sh = F.pmod(F.xxhash64("vec_id"), F.lit(4)).cast("int")
+    doomed = small.filter(sh == 0).select("vec_id")
+    assert doomed.count() > 0
+    survivors = small.join(doomed, "vec_id", "left_anti")
+    HN.refresh_hnsw_index(spark, survivors, idx, doomed)
+    assert not os.path.exists(os.path.join(idx, "nodes", "shard=0"))
+    left = spark.read.parquet(idx + "/nodes")
+    assert left.count() == survivors.count()
