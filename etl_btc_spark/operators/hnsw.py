@@ -163,7 +163,13 @@ def _build_shard_graph(vecs_n, levels, M: int, efc: int):
 
 
 def _read_n_shards(path: str) -> int:
-    with open(os.path.join(path, "_SHARDS")) as f:
+    meta = os.path.join(path, "_SHARDS")
+    if not os.path.exists(meta):
+        raise ValueError(
+            "HNSW artifact at %r predates shard metadata (_SHARDS); "
+            "rebuild with build_hnsw_index before refreshing" % path
+        )
+    with open(meta) as f:
         return int(f.read().strip())
 
 
@@ -380,9 +386,11 @@ def knn_hnsw_join(
        the (broadcast) query vectors by query id, one vectorized
        cosine per Arrow batch, rank window per query, top k.
 
-    The corpus is never shuffled: the index scan streams shard
-    groups, and only ``n_shards × k`` candidate rows per query reach
-    the re-rank join.
+    The fp32 base table is never shuffled. The ``groupBy(shard)``
+    does exchange the INDEX rows (int8 codes + neighbor ids, the
+    compact artifact — not the fp32 corpus) once per query BATCH,
+    amortized across every query in it; only ``n_shards × k``
+    candidate rows per query reach the re-rank join.
     """
     import numpy as np
 
