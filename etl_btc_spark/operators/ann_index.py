@@ -86,6 +86,18 @@ def _mark_built(path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _quantize_codes(v):
+    """THE int8 kernel both index families persist (symmetric max-abs,
+    quantile=1.0 — reference init_qdrant.py:51-57): per-vector scale =
+    max|x|/127, codes = round(x/scale) ∈ [-127, 127]. Shared so the
+    IVF posting lists and the HNSW node codes cannot drift apart.
+    Returns (scale fp64 (n,), codes int8 (n, dim))."""
+    import numpy as np
+
+    scale = np.maximum(np.abs(v).max(axis=1), 1e-30) / 127.0
+    return scale, np.round(v / scale[:, None]).astype(np.int8)
+
+
 def _q8_approx_sim_udf(qvec):
     """Arrow-batched pandas UDF: approximate cosine of packed int8
     codes vs the (fp64) query — np.frombuffer + one matmul per batch.
@@ -172,10 +184,7 @@ def _assign_quantized(
                 continue
             v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             best = _top_m_centroids(v, cmat, m)
-            # same quantization as _quantize_int8: symmetric max-abs,
-            # quantile=1.0, codes in [-127, 127]
-            scale = np.maximum(np.abs(v).max(axis=1), 1e-30) / 127.0
-            codes = np.round(v / scale[:, None]).astype(np.int8)
+            scale, codes = _quantize_codes(v)
             rep = np.repeat(np.arange(len(pdf)), m)
             yield pd.DataFrame(
                 {
@@ -554,6 +563,7 @@ def knn_lsh_join(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     broadcast_max_queries: int = 200_000,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Batched kNN JOIN against the persisted LSH band table — N query
     vectors at once, the true 100 TB retrieval shape (the single-query
@@ -572,11 +582,19 @@ def knn_lsh_join(
     past ``broadcast_max_queries`` the hints are dropped and AQE picks
     the joins — an oversized query batch degrades to a shuffle instead
     of OOMing the executors. The probe is a LIMIT-bounded count, so
-    the guard never scans more than the bound + 1 rows.
+    the guard never scans more than the bound + 1 rows — but it IS an
+    eager job over the query lineage at plan-construction time; a
+    caller that already knows the batch size passes ``n_queries`` and
+    skips it (expensive query lineages should also be persisted by
+    the caller, since the plan scans the query side more than once).
     """
     from etl_btc_spark.operators.similarity import lsh_band_sig_udf, pair_cosine_udf
 
-    small = queries.limit(broadcast_max_queries + 1).count() <= broadcast_max_queries
+    small = (
+        n_queries
+        if n_queries is not None
+        else queries.limit(broadcast_max_queries + 1).count()
+    ) <= broadcast_max_queries
     hint = F.broadcast if small else (lambda df: df)
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
     q_bands = queries.select(
@@ -649,10 +667,12 @@ def knn_ivf_join(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     broadcast_max_queries: int = 200_000,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Batched kNN JOIN against the persisted INT8 IVF index — the
     IVF twin of :func:`knn_lsh_join` (including its round-5 query-side
-    broadcast guard):
+    broadcast guard and the ``n_queries`` size hint that skips the
+    guard's eager count job):
 
     1. every query picks its ``nprobe`` best lists in one matmul per
        Arrow batch against the broadcast centroid matrix (no driver
@@ -671,7 +691,11 @@ def knn_ivf_join(
     from etl_btc_spark._pickle import ensure_serializable
 
     ensure_serializable()
-    small = queries.limit(broadcast_max_queries + 1).count() <= broadcast_max_queries
+    small = (
+        n_queries
+        if n_queries is not None
+        else queries.limit(broadcast_max_queries + 1).count()
+    ) <= broadcast_max_queries
     hint = F.broadcast if small else (lambda df: df)
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     # scoped (ADVICE r4): the returned plan is lazy, so the broadcast

@@ -51,6 +51,7 @@ from pyspark.sql import types as T
 from etl_btc_spark.operators.ann_index import (
     _is_built,
     _mark_built,
+    _quantize_codes,
     _scoped_broadcast,
 )
 from etl_btc_spark.operators.dedup import spread
@@ -217,10 +218,8 @@ def _shard_nodes(
         vecs_n = vecs / norms
         levels = _stable_levels(ids, m)
         adj, _ = _build_shard_graph(vecs_n, levels, m, efc)
-        # int8 symmetric max-abs codes — scale cancels in cosine, the
-        # same quantization the IVF posting lists persist
-        maxabs = np.maximum(np.abs(vecs).max(axis=1, keepdims=True), 1e-30)
-        codes = np.clip(np.round(127.0 * vecs / maxabs), -127, 127).astype(np.int8)
+        # scale cancels in cosine, so the codes alone carry the angle
+        _, codes = _quantize_codes(vecs)
         nbrs_col = [
             [
                 [ids[j] for j in adj[l].get(i, [])]
@@ -239,6 +238,9 @@ def _shard_nodes(
 
     return (
         spread(vectors)
+        # a NULL vector can't be graphed — drop it from the index
+        # (consistent with the probe skipping NULL-vector queries)
+        .filter(F.col(vec_col).isNotNull())
         .select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
             id_col,
@@ -286,9 +288,18 @@ def build_hnsw_index(
             raise ValueError("build_hnsw_index: vectors input has no rows")
         n_shards = max(1, -(-n // shard_target_rows))
     nodes = _shard_nodes(vectors, n_shards, M, ef_construction, vec_col, id_col)
-    nodes.write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(path, "nodes")
-    )
+    nodes_dir = os.path.join(path, "nodes")
+    nodes.write.mode("overwrite").partitionBy("shard").parquet(nodes_dir)
+    # the n_shards=None arm counted, but an explicit n_shards skips
+    # that job — catch the 0-row (or all-NULL-vector) corpus HERE
+    # instead of letting a rowless artifact fail every later probe
+    if not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(nodes_dir) for f in fs
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        raise ValueError("build_hnsw_index: vectors input has no indexable rows")
     _write_n_shards(path, n_shards)
     _mark_built(path)
     return path
@@ -399,8 +410,16 @@ def knn_hnsw_join(
     from etl_btc_spark._pickle import ensure_serializable
 
     ensure_serializable()
+    # ONE evaluation of the query lineage: the collected rows feed the
+    # beam search AND (below) the re-rank side — re-scanning `queries`
+    # for the re-rank would diverge on a nondeterministic lineage.
+    # NULL-vector queries can't be searched; skip them (same typed
+    # empty-path contract as knn_{ivf,lsh}_indexed).
     qrows = (
-        queries.select(id_col, vec_col).limit(broadcast_max_queries + 1).collect()
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .limit(broadcast_max_queries + 1)
+        .collect()
     )
     if len(qrows) > broadcast_max_queries:
         raise ValueError(
@@ -427,14 +446,13 @@ def knn_hnsw_join(
         [
             T.StructField(query_id_col, queries.schema[id_col].dataType),
             T.StructField(id_col, vectors.schema[id_col].dataType),
-            T.StructField("approx_sim", T.DoubleType()),
         ]
     )
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
         b_qids, b_qmat = q_bc.value
         if len(pdf) == 0:
-            return pd.DataFrame({query_id_col: [], id_col: [], "approx_sim": []})
+            return pd.DataFrame({query_id_col: [], id_col: []})
         pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
         ids = pdf[id_col].tolist()
         pos = {v: i for i, v in enumerate(ids)}
@@ -454,7 +472,9 @@ def knn_hnsw_join(
         entry = min(
             range(len(ids)), key=lambda i: (-(len(nbrs[i]) - 1), ids[i])
         )
-        out_q, out_i, out_s = [], [], []
+        # candidate ids only — the exact fp32 re-rank recomputes the
+        # score, so shipping the int8 approx sim would be dead bytes
+        out_q, out_i = [], []
         for qi in range(len(b_qids)):
             qv = b_qmat[qi]
             ep = entry
@@ -463,15 +483,25 @@ def knn_hnsw_join(
             top = _search_layer(qv, [ep], ef, adj[0], vecs_n)[:k]
             out_q.extend([b_qids[qi]] * len(top))
             out_i.extend(ids[idx] for _, idx in top)
-            out_s.extend(float(s) for s, _ in top)
-        return pd.DataFrame(
-            {query_id_col: out_q, id_col: out_i, "approx_sim": out_s}
-        )
+        return pd.DataFrame({query_id_col: out_q, id_col: out_i})
 
     nodes = spark.read.parquet(os.path.join(path, "nodes"))
     cands = nodes.groupBy("shard").applyInPandas(search, cand_schema)
-    qvecs_df = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    # re-rank side built FROM the collected rows (Arrow local
+    # relation), not a re-scan of `queries` — one evaluation total
+    qvecs_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                query_id_col: qids,
+                "__qvec": [list(r[vec_col]) for r in qrows],
+            }
+        ),
+        T.StructType(
+            [
+                T.StructField(query_id_col, queries.schema[id_col].dataType),
+                T.StructField("__qvec", queries.schema[vec_col].dataType),
+            ]
+        ),
     )
     cos = pair_cosine_udf()
     scored = (

@@ -64,13 +64,16 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             sh, sn = table_hash(scols, srows)
-            release_scoped_caches()
-            release_scoped_broadcasts()
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc(limit=5)
             failures.append(name)
             continue
+        finally:
+            # in finally, not the happy path: a failed query must not
+            # leak its scoped caches/broadcasts into the rest of the run
+            release_scoped_caches()
+            release_scoped_broadcasts()
         if q.oracle is None:
             print(f"rows  {name}: {sn} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue

@@ -862,3 +862,54 @@ def test_hnsw_refresh_clears_emptied_shard(spark, emb, tmp_path):
     assert not os.path.exists(os.path.join(idx, "nodes", "shard=0"))
     left = spark.read.parquet(idx + "/nodes")
     assert left.count() == survivors.count()
+
+
+def test_hnsw_null_vectors_and_explicit_shard_empty_build(spark, emb, tmp_path):
+    """Review r5: NULL-vector rows are skipped on both sides (not a
+    numpy crash), and an empty corpus fails loudly even when
+    n_shards is explicit (the count-guard only covers the derived
+    arm)."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import hnsw as HN
+
+    nullv = F.when(F.col("vec_id") == 1, F.lit(None)).otherwise(F.col("embedding"))
+    dirty = emb.limit(50).withColumn("embedding", nullv)
+    idx = str(tmp_path / "hnsw_null")
+    HN.build_hnsw_index(spark, dirty, idx, n_shards=2)
+    nodes = spark.read.parquet(idx + "/nodes")
+    assert nodes.filter(F.col("vec_id") == 1).count() == 0  # not indexed
+    assert nodes.count() == 49
+
+    out = HN.knn_hnsw_join(
+        spark, idx, dirty, dirty.filter(F.col("vec_id").isin(0, 1)), k=5
+    )
+    got = {r["query_id"] for r in out.collect()}
+    assert got == {0}  # NULL-vector query skipped, not crashed
+
+    with _pytest.raises(ValueError, match="no indexable rows"):
+        HN.build_hnsw_index(
+            spark, emb.filter(F.col("vec_id") < 0), str(tmp_path / "e2"), n_shards=4
+        )
+
+
+def test_knn_join_n_queries_hint_equivalence(spark, emb, tmp_path):
+    """The n_queries size hint must only skip the guard's count job,
+    never change results."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    idx = str(tmp_path / "lsh_hint")
+    ANN.build_lsh_index(spark, emb, idx)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    nq = queries.count()
+    a = ANN.knn_lsh_join(spark, idx, emb, queries, k=10, dim=64)
+    b = ANN.knn_lsh_join(spark, idx, emb, queries, k=10, dim=64, n_queries=nq)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    ivf = str(tmp_path / "ivf_hint")
+    ANN.build_ivf_index(spark, emb, ivf, n_centroids=16)
+    c = ANN.knn_ivf_join(spark, ivf, emb, queries, k=10, nprobe=4)
+    d = ANN.knn_ivf_join(spark, ivf, emb, queries, k=10, nprobe=4, n_queries=nq)
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
