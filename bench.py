@@ -45,7 +45,9 @@ def time_builds(spark, sf_dir: str) -> dict[str, float]:
     guards skip), so ``queries`` is probe-only."""
     from etl_btc_spark import sinks as SK
     from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.operators import hnsw as HN
     from etl_btc_spark.plans.queries import (
+        HNSW_INDEX_PARAMS,
         IVF_INDEX_PARAMS,
         LSH_INDEX_PARAMS,
         _ensure_q63_tables,
@@ -65,6 +67,10 @@ def time_builds(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     ANN.ensure_ivf_index(spark, emb, SK.artifact_path(sf_dir, "ivf_index"), **IVF_INDEX_PARAMS)
     builds["ivf_index"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    HN.ensure_hnsw_index(spark, emb, SK.artifact_path(sf_dir, "hnsw_index"), **HNSW_INDEX_PARAMS)
+    builds["hnsw_index"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     _ensure_q63_tables(spark, sf_dir)

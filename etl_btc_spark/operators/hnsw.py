@@ -286,7 +286,15 @@ def build_hnsw_index(
         n = vectors.count()
         if n == 0:
             raise ValueError("build_hnsw_index: vectors input has no rows")
-        n_shards = max(1, -(-n // shard_target_rows))
+        # ceil(n / target) bounds per-task memory; the second term
+        # keeps every core building when the corpus is small (a lone
+        # 100k-row shard would serialize the whole build on one task)
+        # while never shrinking shards below ~1k nodes — below that
+        # the graphs degenerate and probe fan-out dominates
+        par = vectors.sparkSession.sparkContext.defaultParallelism
+        n_shards = max(
+            -(-n // shard_target_rows), min(par, -(-n // 1_000)), 1
+        )
     nodes = _shard_nodes(vectors, n_shards, M, ef_construction, vec_col, id_col)
     nodes_dir = os.path.join(path, "nodes")
     nodes.write.mode("overwrite").partitionBy("shard").parquet(nodes_dir)

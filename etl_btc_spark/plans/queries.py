@@ -3334,6 +3334,7 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q89_knn_hnsw_join",
     oracle=None,  # approximate graph search; per-query recall, determinism, and typed-empty path pinned in tests/test_approx_search.py
+    headline=True,
     doc=(
         "K4 extension, graph ANN (the reference's actual index class: "
         "Qdrant HNSW, init_qdrant.py:38-58): batched kNN join against a "
