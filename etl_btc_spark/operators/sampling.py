@@ -32,22 +32,27 @@ from etl_btc_spark.operators.textops import ws_token_count
 BUCKETS = 10_000
 
 
-def hash_bucket(id_col: Column) -> Column:
+def hash_bucket(id_col: Column, salt: str = "doc") -> Column:
     """Deterministic 0..9999 bucket from a document id: first 8 hex
-    chars (32 bits) of md5('doc<id>') — stable across engines,
+    chars (32 bits) of md5('<salt><id>') — stable across engines,
     sessions and languages (the oracle computes the identical
     expression). 32 bits matter: a 16-bit prefix mod 10000 would make
     low buckets 7/6 as likely as high ones (65536 = 6·10000 + 5536),
     systematically over-sampling every stratum; at 32 bits the
-    residue bias is ~2e-6."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit("doc"), id_col.cast("string"))), 1, 8), 16, 10)
+    residue bias is ~2e-6. Distinct ``salt`` values give INDEPENDENT
+    bucket draws — the split assignment salts differently from the
+    sampling decision, so "kept by sampling" can't correlate with
+    "lands in val"."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10
+    )
     return (h.cast("bigint") % BUCKETS).alias("bucket")
 
 
-def hash_bucket_sql(id_col: str) -> str:
+def hash_bucket_sql(id_col: str, salt: str = "doc") -> str:
     """DuckDB mirror of :func:`hash_bucket`."""
     return (
-        f"(('0x' || substring(md5('doc' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
+        f"(('0x' || substring(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
         f" % {BUCKETS})"
     )
 
@@ -127,3 +132,115 @@ def token_packing(
         F.floor(cum / budget).cast("bigint").alias("pack_id"),
         (cum % budget).cast("bigint").alias("pack_offset"),
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fractions: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every document a held-out split label — the
+    train/val/test assignment every training pipeline pins down
+    before any model sees the data. ``fractions`` maps label →
+    bucket count out of 10000, in PRIORITY ORDER of the sorted
+    labels' cumulative ranges (default 9800/100/100
+    train/val/test); fractions that don't sum to 10000 leave the
+    remainder unassigned (split = NULL) — an explicit "held back"
+    state, not a silent drop.
+
+    Same scale shape as :func:`stratified_sample`: the label is a
+    pure function of the id (salted independently of the sampling
+    bucket, so sampling can't bias the split), zero shuffle, zero
+    RNG state, identical decisions on re-runs and incremental
+    ingests — a document NEVER migrates between splits as the
+    corpus grows, which is the property ad-hoc ``rand()`` splits
+    break."""
+    if fractions is None:
+        fractions = {"train": 9800, "val": 100, "test": 100}
+    b = hash_bucket(F.col(id_col), salt=salt)
+    expr = None
+    lo = 0
+    for label, width in sorted(fractions.items()):
+        cond = (b >= lo) & (b < lo + width)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo += width
+    return df.withColumn("split", expr.otherwise(F.lit(None)))
+
+
+def train_val_test_split_sql(
+    fractions: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of :func:`train_val_test_split`'s split CASE."""
+    if fractions is None:
+        fractions = {"train": 9800, "val": 100, "test": 100}
+    b = hash_bucket_sql(id_col, salt=salt)
+    cases, lo = [], 0
+    for label, width in sorted(fractions.items()):
+        cases.append(f"WHEN {b} >= {lo} AND {b} < {lo + width} THEN '{label}'")
+        lo += width
+    return "CASE " + " ".join(cases) + " ELSE NULL END"
+
+
+def domain_mix_rates(
+    df: DataFrame,
+    target: dict[str, int] | None = None,
+    stratum_col: str = "source",
+) -> dict[str, int]:
+    """Per-domain keep rates (buckets out of 10000) that rebalance
+    the corpus to a target mixture by DOWNSAMPLING only — the
+    data-mixing step (Pile/DoReMi-style domain weights) run before
+    packing. ``target`` maps domain → INTEGER relative weight
+    (defaults to a balanced mix over the domains present); domains
+    absent from an explicit target are dropped, like unlisted
+    strata in :func:`stratified_sample`.
+
+    Output size is maximized subject to keep_rate ≤ 1, in pure
+    integer arithmetic (W = Σw):
+
+        Mi     = min_d (count_d · W) // w_d
+        rate_d = (10000 · w_d · Mi) // (W · count_d)   (≤ 10000)
+
+    One count aggregate; the resulting dict is bounded by the
+    number of domains (driver-safe) and feeds
+    :func:`stratified_sample`, so the data pass stays a pushed-down
+    scan+filter. Integer-only math means the DuckDB oracle
+    reproduces the rates bit-for-bit from the same counts — no
+    float-boundary drift in the keep predicate."""
+    counts = {
+        r[stratum_col]: r["cnt"]
+        for r in df.groupBy(stratum_col).agg(F.count("*").alias("cnt")).collect()
+        if r[stratum_col] is not None
+    }
+    if not counts:
+        return {}
+    if target is None:
+        target = {d: 1 for d in counts}
+    weights = {d: w for d, w in target.items() if d in counts and w > 0}
+    if not weights:
+        return {}
+    W = sum(weights.values())
+    mi = min((counts[d] * W) // w for d, w in weights.items())
+    return {
+        d: (10_000 * w * mi) // (W * counts[d]) for d, w in weights.items()
+    }
+
+
+def domain_mix_rates_sql(
+    weight_case: str, stratum_col: str = "source", table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`domain_mix_rates` as a CTE producing
+    (stratum, rate): ``weight_case`` is a SQL expression over the
+    stratum giving the same integer weights (e.g. ``CASE WHEN source
+    = 'src0' THEN 3 ELSE 1 END``)."""
+    return f"""
+        c AS (SELECT {stratum_col} AS s, count(*) AS cnt
+              FROM {table} WHERE {stratum_col} IS NOT NULL
+              GROUP BY {stratum_col}),
+        t AS (SELECT s, cnt, ({weight_case.replace(stratum_col, 's')}) AS w FROM c),
+        ws AS (SELECT SUM(w) AS wsum FROM t),
+        mi AS (SELECT MIN((cnt * wsum) // w) AS m FROM t, ws),
+        r AS (SELECT s, (10000 * w * m) // (wsum * cnt) AS rate FROM t, ws, mi)
+    """

@@ -3358,3 +3358,55 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q90_train_val_test_split",
+    oracle=f"""
+        SELECT doc_id, source,
+               {SP.train_val_test_split_sql()} AS split
+        FROM documents
+    """,
+    doc=(
+        "§2.11 deterministic train/val/test assignment: split label from "
+        "a SALTED md5-prefix hash bucket of the doc id (independent of "
+        "the q80 sampling bucket, so sampling can't bias the holdout) — "
+        "pure function of the row, zero shuffle, documents never migrate "
+        "between splits as the corpus grows; the oracle runs the verbatim "
+        "CASE"
+    ),
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return SP.train_val_test_split(docs)
+
+
+#: q91's domain weights: upweight src0 3x, everything else 1 — shared
+#: between the Spark path and the oracle CTE so both derive identical
+#: integer keep rates from the same counts
+_Q91_WEIGHT_CASE = "CASE WHEN source = 'src0' THEN 3 ELSE 1 END"
+
+
+@register(
+    "q91_domain_mix",
+    oracle=f"""
+        WITH {SP.domain_mix_rates_sql(_Q91_WEIGHT_CASE)}
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r ON d.source = r.s
+        WHERE {SP.hash_bucket_sql('d.doc_id')} < r.rate
+    """,
+    doc=(
+        "§2.11 domain-mixture rebalance (Pile/DoReMi-style weights): one "
+        "count aggregate derives integer per-domain keep rates "
+        "(downsample-only, output maximized subject to rate <= 1), then "
+        "the pass is the q80 pushed-down hash-bucket filter — the rate "
+        "math is INTEGER, so the oracle recomputes the exact rates from "
+        "the same counts inside a CTE"
+    ),
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect() if r["source"]]
+    target = {s: (3 if s == "src0" else 1) for s in srcs}
+    rates = SP.domain_mix_rates(docs, target)
+    return SP.stratified_sample(docs, rates, stratum_col="source")

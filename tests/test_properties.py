@@ -246,3 +246,57 @@ def test_token_packing_derived_shards(spark):
     legacy = SP.token_packing(df, budget=7, n_shards=8)
     assert legacy.select("shard").distinct().count() == 8
     assert legacy.filter(F.col("doc_id") == 9).collect()[0]["shard"] == 1
+
+
+def test_split_stable_under_growth_and_independent_salt(spark):
+    """q90 split laws: labels partition the id space (every doc gets
+    exactly one label with the default 9800/100/100), assignments
+    never migrate when the corpus grows, and the split bucket is
+    salted independently of the q80 sampling bucket."""
+    from etl_btc_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(500)}))
+    small = SP.train_val_test_split(df.filter(F.col("doc_id") < 200))
+    big = SP.train_val_test_split(df)
+    assert big.filter(F.col("split").isNull()).count() == 0
+    sm = {r["doc_id"]: r["split"] for r in small.collect()}
+    bg = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(bg[i] == sm[i] for i in sm)  # no migration on growth
+    # independence: the two salted buckets differ for most ids
+    both = df.select(
+        SP.hash_bucket(F.col("doc_id"), salt="doc").alias("b_doc"),
+        SP.hash_bucket(F.col("doc_id"), salt="split").alias("b_split"),
+    )
+    assert both.filter(F.col("b_doc") == F.col("b_split")).count() < 5
+    # partial fractions leave an explicit NULL remainder
+    part = SP.train_val_test_split(df, {"train": 5000})
+    n_null = part.filter(F.col("split").isNull()).count()
+    assert 0 < n_null < 500
+
+
+def test_domain_mix_rates_laws(spark):
+    """q91 rate laws: rates ≤ 10000, the binding domain keeps
+    (nearly) everything, and realized proportions track the target
+    weights; empty/missing domains behave like unlisted strata."""
+    from etl_btc_spark.operators import sampling as SP
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "source": ["a"] * 700 + ["b"] * 200 + ["c"] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rates = SP.domain_mix_rates(df, {"a": 1, "b": 1, "c": 1})
+    assert set(rates) == {"a", "b", "c"}
+    assert all(r <= 10_000 for r in rates.values())
+    assert rates["c"] == 10_000  # smallest domain binds, keeps all
+    out = SP.stratified_sample(df, rates, stratum_col="source")
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # balanced target: each domain lands within hash noise of 100
+    for s in "abc":
+        assert abs(got[s] - 100) <= 25, got
+    # a domain absent from the target is dropped entirely
+    rates2 = SP.domain_mix_rates(df, {"a": 1, "b": 1})
+    assert "c" not in rates2
+    assert SP.domain_mix_rates(df.filter(F.lit(False))) == {}
