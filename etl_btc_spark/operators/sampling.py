@@ -244,3 +244,54 @@ def domain_mix_rates_sql(
         mi AS (SELECT MIN((cnt * wsum) // w) AS m FROM t, ws),
         r AS (SELECT s, (10000 * w * m) // (wsum * cnt) AS rate FROM t, ws, mi)
     """
+
+
+def training_shuffle(
+    df: DataFrame,
+    seed: str = "epoch-0",
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    (shard, pos) coordinate in a pseudo-random permutation keyed by
+    ``seed`` — change the seed per epoch for a fresh order, re-run
+    the same seed for the identical one. No RNG state anywhere: the
+    order key is ``md5(seed || id)``, so retries, partial re-runs
+    and different cluster sizes all produce the same permutation
+    (``rand()``-based shuffles break on every one of those).
+
+    Scale shape — the way every distributed shuffle is built: hash
+    into ``n_shards`` buckets, order WITHIN each shard by the md5
+    hex key (one window per shard, parallelism = n_shards, no
+    global sort); reading shards in (shard, pos) order yields the
+    full permutation. The shard comes from the order key's own
+    32-bit prefix mod n_shards — for a power-of-two ``n_shards``
+    (the default) that reduction is EXACTLY uniform (n divides
+    2^32), where reducing the 0..9999 sampling bucket would skew
+    shards by up to ~11% at n=1024."""
+    okey = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    h32 = F.conv(F.substring(okey, 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("okey", id_col)
+    return (
+        df.select(
+            F.col(id_col), (h32 % n_shards).alias("shard"), okey.alias("okey")
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("okey")
+    )
+
+
+def training_shuffle_sql(
+    seed: str = "epoch-0", n_shards: int = 1024, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`training_shuffle`."""
+    okey = f"md5('{seed}' || CAST({id_col} AS VARCHAR))"
+    return f"""
+        SELECT {id_col}, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY okey, {id_col}
+               ) - 1 AS BIGINT) AS pos
+        FROM (SELECT {id_col}, {okey} AS okey,
+                     (('0x' || substring({okey}, 1, 8))::BIGINT % {n_shards}) AS shard
+              FROM {table})
+    """

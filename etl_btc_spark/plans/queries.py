@@ -3410,3 +3410,20 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     target = {s: (3 if s == "src0" else 1) for s in srcs}
     rates = SP.domain_mix_rates(docs, target)
     return SP.stratified_sample(docs, rates, stratum_col="source")
+
+
+@register(
+    "q92_training_shuffle",
+    oracle=SP.training_shuffle_sql(n_shards=16),
+    doc=(
+        "§2.11 deterministic training-order shuffle: every doc gets a "
+        "(shard, pos) coordinate in a seed-keyed pseudo-random "
+        "permutation — md5 order key, salted hash shard, ONE window per "
+        "shard (no global sort, parallelism = n_shards); new seed = new "
+        "epoch order, same seed = identical order under retries. The "
+        "oracle runs the verbatim expression"
+    ),
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return SP.training_shuffle(docs, n_shards=16)

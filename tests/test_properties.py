@@ -300,3 +300,31 @@ def test_domain_mix_rates_laws(spark):
     rates2 = SP.domain_mix_rates(df, {"a": 1, "b": 1})
     assert "c" not in rates2
     assert SP.domain_mix_rates(df.filter(F.lit(False))) == {}
+
+
+def test_training_shuffle_laws(spark):
+    """q92 laws: (shard, pos) is a bijection onto the corpus, the
+    same seed reproduces the identical permutation, a different seed
+    produces a different one, and the permutation is not the
+    identity (ids actually move)."""
+    from etl_btc_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(300)}))
+    a = SP.training_shuffle(df, seed="epoch-0", n_shards=8).collect()
+    b = SP.training_shuffle(df, seed="epoch-0", n_shards=8).collect()
+    c = SP.training_shuffle(df, seed="epoch-1", n_shards=8).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(a) == key(b)  # same seed, same permutation
+    assert key(a) != key(c)  # new seed, new permutation
+    # bijection: every doc exactly once, positions dense per shard
+    assert len({r["doc_id"] for r in a}) == 300
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # reading in (shard, pos) order is not the identity order
+    order = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["pos"]))]
+    assert order != sorted(order)
