@@ -274,7 +274,7 @@ def training_shuffle(
     w = Window.partitionBy("shard").orderBy("okey", id_col)
     return (
         df.select(
-            F.col(id_col), (h32 % n_shards).alias("shard"), okey.alias("okey")
+            F.col("*"), (h32 % n_shards).alias("shard"), okey.alias("okey")
         )
         .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
         .drop("okey")

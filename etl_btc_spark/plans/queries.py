@@ -3427,3 +3427,90 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
 def q92(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id")
     return SP.training_shuffle(docs, n_shards=16)
+
+
+@register(
+    "q93_training_prep_pipeline",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, text, source,
+                   row_number() OVER (
+                       PARTITION BY {TX.FINGERPRINT_SQL.format(col='text')}
+                       ORDER BY doc_id) AS rn
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, text, source FROM ranked WHERE rn = 1
+        ), tr AS (
+            SELECT doc_id, text, source FROM kept
+            WHERE ({SP.train_val_test_split_sql()}) = 'train'
+        ),
+        {SP.domain_mix_rates_sql(_Q91_WEIGHT_CASE, table='tr')},
+        mixed AS (
+            SELECT tr.doc_id, tr.text FROM tr JOIN r ON tr.source = r.s
+            WHERE {SP.hash_bucket_sql('tr.doc_id')} < r.rate
+        ), shuf AS (
+            SELECT doc_id, text, okey,
+                   (('0x' || substring(okey, 1, 8))::BIGINT % 16) AS shard
+            FROM (SELECT doc_id, text,
+                         md5('epoch-0' || CAST(doc_id AS VARCHAR)) AS okey
+                  FROM mixed)
+        ), post AS (
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY okey, doc_id
+                   ) - 1 AS BIGINT) AS pos,
+                   {TX.WS_TOKEN_COUNT_SQL.format(col='text')} AS n_tokens
+            FROM shuf
+        )
+        SELECT doc_id, shard, pos, n_tokens,
+               CAST(floor(cum / 1024.0) AS BIGINT) AS pack_id,
+               CAST(cum % 1024 AS BIGINT) AS pack_offset
+        FROM (
+            SELECT *, coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM post
+        )
+    """,
+    doc=(
+        "§2.11 capstone: the ORDERING/SPLIT/MIX layer composed into ONE "
+        "lazy plan, fully oracle-checked — exact dedup (fingerprint "
+        "representative) -> train split (salted bucket CASE, train slice) "
+        "-> domain-mixture rebalance (integer rates from counts of THIS "
+        "intermediate) -> seed-keyed epoch shuffle -> token packing in "
+        "SHUFFLED order (cumsum window over (shuffle shard, pos), 1024 "
+        "budget). Shuffles: dedup window, shuffle/packing window — the "
+        "split and mix stages are pushdown filters between them"
+    ),
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators.textops import fingerprint, ws_token_count
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    train = SP.train_val_test_split(kept).filter(F.col("split") == "train").drop("split")
+    srcs = [r["source"] for r in train.select("source").distinct().collect() if r["source"]]
+    target = {s: (3 if s == "src0" else 1) for s in srcs}
+    rates = SP.domain_mix_rates(train, target)
+    mixed = SP.stratified_sample(train, rates, stratum_col="source").select("doc_id", "text")
+    shuf = SP.training_shuffle(mixed, seed="epoch-0", n_shards=16)
+    w2 = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = shuf.select("doc_id", "shard", "pos", ws_token_count(F.col("text")).alias("n_tokens"))
+    cum = F.coalesce(F.sum("n_tokens").over(w2), F.lit(0))
+    return t.select(
+        "doc_id",
+        "shard",
+        "pos",
+        "n_tokens",
+        F.floor(cum / 1024).cast("bigint").alias("pack_id"),
+        (cum % 1024).cast("bigint").alias("pack_offset"),
+    )
