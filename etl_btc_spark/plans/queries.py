@@ -3482,6 +3482,7 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         "budget). Shuffles: dedup window, shuffle/packing window — the "
         "split and mix stages are pushdown filters between them"
     ),
+    headline=True,
 )
 def q93(spark: SparkSession, sf: str) -> DataFrame:
     from etl_btc_spark.operators.textops import fingerprint, ws_token_count
