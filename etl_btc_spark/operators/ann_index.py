@@ -66,6 +66,15 @@ def release_scoped_broadcasts() -> None:
         _SCOPED_BCS.pop().unpersist(False)
 
 
+def _query_batch_is_small(queries: DataFrame, n_queries, bound: int) -> bool:
+    """Shared broadcast-guard predicate for the batched kNN joins: a
+    caller-supplied ``n_queries`` skips the eager LIMIT-bounded count
+    job; otherwise the guard scans at most ``bound + 1`` rows."""
+    if n_queries is not None:
+        return n_queries <= bound
+    return queries.limit(bound + 1).count() <= bound
+
+
 def _is_built(path: str) -> bool:
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
@@ -590,11 +599,7 @@ def knn_lsh_join(
     """
     from etl_btc_spark.operators.similarity import lsh_band_sig_udf, pair_cosine_udf
 
-    small = (
-        n_queries
-        if n_queries is not None
-        else queries.limit(broadcast_max_queries + 1).count()
-    ) <= broadcast_max_queries
+    small = _query_batch_is_small(queries, n_queries, broadcast_max_queries)
     hint = F.broadcast if small else (lambda df: df)
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
     q_bands = queries.select(
@@ -691,11 +696,7 @@ def knn_ivf_join(
     from etl_btc_spark._pickle import ensure_serializable
 
     ensure_serializable()
-    small = (
-        n_queries
-        if n_queries is not None
-        else queries.limit(broadcast_max_queries + 1).count()
-    ) <= broadcast_max_queries
+    small = _query_batch_is_small(queries, n_queries, broadcast_max_queries)
     hint = F.broadcast if small else (lambda df: df)
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     # scoped (ADVICE r4): the returned plan is lazy, so the broadcast

@@ -283,17 +283,24 @@ def build_hnsw_index(
     shards balanced regardless of id clustering.
     """
     if n_shards is None:
-        n = vectors.count()
+        # count what will actually be indexed (NULL vectors are
+        # dropped by the build pass), so shard sizing can't skew on
+        # a NULL-heavy corpus
+        n = vectors.filter(F.col(vec_col).isNotNull()).count()
         if n == 0:
             raise ValueError("build_hnsw_index: vectors input has no rows")
         # ceil(n / target) bounds per-task memory; the second term
-        # keeps every core building when the corpus is small (a lone
+        # keeps cores busy building when the corpus is small (a lone
         # 100k-row shard would serialize the whole build on one task)
         # while never shrinking shards below ~1k nodes — below that
-        # the graphs degenerate and probe fan-out dominates
-        par = vectors.sparkSession.sparkContext.defaultParallelism
+        # the graphs degenerate and probe fan-out dominates. The
+        # parallelism floor is a FIXED constant, not
+        # defaultParallelism: the derived shard count is part of the
+        # artifact's identity, and the bit-deterministic-build /
+        # refresh≡rebuild guarantees must hold across machines with
+        # different core counts
         n_shards = max(
-            -(-n // shard_target_rows), min(par, -(-n // 1_000)), 1
+            -(-n // shard_target_rows), min(32, -(-n // 1_000)), 1
         )
     nodes = _shard_nodes(vectors, n_shards, M, ef_construction, vec_col, id_col)
     nodes_dir = os.path.join(path, "nodes")

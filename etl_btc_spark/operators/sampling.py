@@ -93,6 +93,8 @@ def token_packing(
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_shard: int = 65536,
+    shard_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its position in the packed token stream:
     within a shard, docs concatenate in id order and the stream is
@@ -110,28 +112,56 @@ def token_packing(
     verbatim, and append-only ingests (fresh ids) only ever extend the
     tail shards — existing pack assignments never move. Passing
     ``n_shards`` keeps the legacy ``id % n_shards`` interleave for
-    callers that need a fixed shard count."""
-    if n_shards is not None:
-        shard = (F.col(id_col) % n_shards).cast("bigint")
+    callers that need a fixed shard count.
+
+    ``shard_col``/``order_col`` pack along a PRECOMPUTED layout
+    instead — e.g. :func:`training_shuffle`'s (shard, pos), so an
+    epoch-shuffled corpus packs in shuffled order through the SAME
+    cumsum implementation (one packing contract, used by q81, q86
+    and the q93 capstone)."""
+    if shard_col is not None:
+        shard = F.col(shard_col).cast("bigint")
+        order = order_col if order_col is not None else id_col
     else:
-        # exact integer division (DIV), not floor(double) — ids above
-        # 2^53 would round in float space
-        shard = F.expr(f"CAST({id_col} DIV {docs_per_shard} AS BIGINT)")
+        order = id_col
+        if n_shards is not None:
+            shard = (F.col(id_col) % n_shards).cast("bigint")
+        else:
+            # exact integer division (DIV), not floor(double) — ids above
+            # 2^53 would round in float space
+            shard = F.expr(f"CAST({id_col} DIV {docs_per_shard} AS BIGINT)")
     toks = ws_token_count(F.col(text_col))
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    t = df.select(F.col(id_col), shard.alias("shard"), toks.alias("n_tokens"))
+    keep = [F.col(id_col), shard.alias("shard")]
+    if order != id_col:
+        keep.append(F.col(order))
+    t = df.select(*keep, toks.alias("n_tokens"))
     cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return t.select(
         id_col,
         "shard",
+        *([order] if order != id_col else []),
         "n_tokens",
         F.floor(cum / budget).cast("bigint").alias("pack_id"),
         (cum % budget).cast("bigint").alias("pack_offset"),
     )
+
+
+def _check_split_fractions(fractions: dict[str, int]) -> None:
+    """Reject the two silently-wrong shapes: no labels at all, and
+    widths past the bucket space (a label whose range starts beyond
+    9999 would silently get less than its requested share)."""
+    if not fractions:
+        raise ValueError("train_val_test_split: fractions must be non-empty")
+    if sum(fractions.values()) > BUCKETS:
+        raise ValueError(
+            "train_val_test_split: fraction widths sum to %d > %d buckets"
+            % (sum(fractions.values()), BUCKETS)
+        )
 
 
 def train_val_test_split(
@@ -158,6 +188,7 @@ def train_val_test_split(
     break."""
     if fractions is None:
         fractions = {"train": 9800, "val": 100, "test": 100}
+    _check_split_fractions(fractions)
     b = hash_bucket(F.col(id_col), salt=salt)
     expr = None
     lo = 0
@@ -176,6 +207,7 @@ def train_val_test_split_sql(
     """DuckDB mirror of :func:`train_val_test_split`'s split CASE."""
     if fractions is None:
         fractions = {"train": 9800, "val": 100, "test": 100}
+    _check_split_fractions(fractions)
     b = hash_bucket_sql(id_col, salt=salt)
     cases, lo = [], 0
     for label, width in sorted(fractions.items()):
@@ -188,6 +220,7 @@ def domain_mix_rates(
     df: DataFrame,
     target: dict[str, int] | None = None,
     stratum_col: str = "source",
+    weight_fn=None,
 ) -> dict[str, int]:
     """Per-domain keep rates (buckets out of 10000) that rebalance
     the corpus to a target mixture by DOWNSAMPLING only — the
@@ -195,7 +228,11 @@ def domain_mix_rates(
     packing. ``target`` maps domain → INTEGER relative weight
     (defaults to a balanced mix over the domains present); domains
     absent from an explicit target are dropped, like unlisted
-    strata in :func:`stratified_sample`.
+    strata in :func:`stratified_sample`. ``weight_fn`` (domain →
+    int weight) is the one-pass alternative to ``target``: weights
+    are derived from the count aggregate's OWN domain list, so
+    callers don't pay a separate distinct() scan just to enumerate
+    domains (mutually exclusive with ``target``).
 
     Output size is maximized subject to keep_rate ≤ 1, in pure
     integer arithmetic (W = Σw):
@@ -216,8 +253,10 @@ def domain_mix_rates(
     }
     if not counts:
         return {}
+    if target is not None and weight_fn is not None:
+        raise ValueError("domain_mix_rates: pass target OR weight_fn, not both")
     if target is None:
-        target = {d: 1 for d in counts}
+        target = {d: (weight_fn(d) if weight_fn else 1) for d in counts}
     weights = {d: w for d, w in target.items() if d in counts and w > 0}
     if not weights:
         return {}
@@ -232,14 +271,17 @@ def domain_mix_rates_sql(
     weight_case: str, stratum_col: str = "source", table: str = "documents"
 ) -> str:
     """DuckDB mirror of :func:`domain_mix_rates` as a CTE producing
-    (stratum, rate): ``weight_case`` is a SQL expression over the
-    stratum giving the same integer weights (e.g. ``CASE WHEN source
-    = 'src0' THEN 3 ELSE 1 END``)."""
+    (stratum, rate): ``weight_case`` is a SQL expression OVER THE
+    ALIAS ``s`` giving the same integer weights (e.g. ``CASE WHEN s
+    = 'src0' THEN 3 ELSE 1 END``) — written against ``s`` directly
+    so no string rewriting of the caller's expression is needed (a
+    naive substring replace would corrupt literals containing the
+    column name)."""
     return f"""
         c AS (SELECT {stratum_col} AS s, count(*) AS cnt
               FROM {table} WHERE {stratum_col} IS NOT NULL
               GROUP BY {stratum_col}),
-        t AS (SELECT s, cnt, ({weight_case.replace(stratum_col, 's')}) AS w FROM c),
+        t AS (SELECT s, cnt, ({weight_case}) AS w FROM c),
         ws AS (SELECT SUM(w) AS wsum FROM t),
         mi AS (SELECT MIN((cnt * wsum) // w) AS m FROM t, ws),
         r AS (SELECT s, (10000 * w * m) // (wsum * cnt) AS rate FROM t, ws, mi)
@@ -269,6 +311,13 @@ def training_shuffle(
     (the default) that reduction is EXACTLY uniform (n divides
     2^32), where reducing the 0..9999 sampling bucket would skew
     shards by up to ~11% at n=1024."""
+    clash = {"shard", "okey", "pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "training_shuffle: input already has column(s) %s — rename "
+            "them first (the output claims shard/pos and okey is internal)"
+            % sorted(clash)
+        )
     okey = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     h32 = F.conv(F.substring(okey, 1, 8), 16, 10).cast("bigint")
     w = Window.partitionBy("shard").orderBy("okey", id_col)

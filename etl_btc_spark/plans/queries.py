@@ -3381,10 +3381,15 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     return SP.train_val_test_split(docs)
 
 
-#: q91's domain weights: upweight src0 3x, everything else 1 — shared
-#: between the Spark path and the oracle CTE so both derive identical
-#: integer keep rates from the same counts
-_Q91_WEIGHT_CASE = "CASE WHEN source = 'src0' THEN 3 ELSE 1 END"
+#: q91's domain weights: upweight src0 3x, everything else 1 — the
+#: Spark side derives them per-domain via _Q91_WEIGHT_FN from the
+#: count aggregate's own domain list (no extra distinct scan); the
+#: oracle CTE computes the SAME weights over the alias `s`
+def _q91_weight(domain: str) -> int:
+    return 3 if domain == "src0" else 1
+
+
+_Q91_WEIGHT_CASE = "CASE WHEN s = 'src0' THEN 3 ELSE 1 END"
 
 
 @register(
@@ -3406,9 +3411,7 @@ _Q91_WEIGHT_CASE = "CASE WHEN source = 'src0' THEN 3 ELSE 1 END"
 )
 def q91(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "source")
-    srcs = [r["source"] for r in docs.select("source").distinct().collect() if r["source"]]
-    target = {s: (3 if s == "src0" else 1) for s in srcs}
-    rates = SP.domain_mix_rates(docs, target)
+    rates = SP.domain_mix_rates(docs, weight_fn=_q91_weight)
     return SP.stratified_sample(docs, rates, stratum_col="source")
 
 
@@ -3485,7 +3488,7 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     headline=True,
 )
 def q93(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_btc_spark.operators.textops import fingerprint, ws_token_count
+    from etl_btc_spark.operators.textops import fingerprint
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
     w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
@@ -3495,23 +3498,7 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
         .drop("__rn")
     )
     train = SP.train_val_test_split(kept).filter(F.col("split") == "train").drop("split")
-    srcs = [r["source"] for r in train.select("source").distinct().collect() if r["source"]]
-    target = {s: (3 if s == "src0" else 1) for s in srcs}
-    rates = SP.domain_mix_rates(train, target)
+    rates = SP.domain_mix_rates(train, weight_fn=_q91_weight)
     mixed = SP.stratified_sample(train, rates, stratum_col="source").select("doc_id", "text")
     shuf = SP.training_shuffle(mixed, seed="epoch-0", n_shards=16)
-    w2 = (
-        Window.partitionBy("shard")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    t = shuf.select("doc_id", "shard", "pos", ws_token_count(F.col("text")).alias("n_tokens"))
-    cum = F.coalesce(F.sum("n_tokens").over(w2), F.lit(0))
-    return t.select(
-        "doc_id",
-        "shard",
-        "pos",
-        "n_tokens",
-        F.floor(cum / 1024).cast("bigint").alias("pack_id"),
-        (cum % 1024).cast("bigint").alias("pack_offset"),
-    )
+    return SP.token_packing(shuf, budget=1024, shard_col="shard", order_col="pos")

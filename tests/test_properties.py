@@ -328,3 +328,54 @@ def test_training_shuffle_laws(spark):
     # reading in (shard, pos) order is not the identity order
     order = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["pos"]))]
     assert order != sorted(order)
+
+
+def test_sampling_guard_validation(spark):
+    """Review r5 round 2: split fractions validate (empty dict and
+    over-allocation raise instead of silently misassigning), the
+    shuffle rejects colliding column names, and domain_mix_rates
+    rejects target+weight_fn together."""
+    import pytest as _pytest
+
+    from etl_btc_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(10)}))
+    with _pytest.raises(ValueError, match="non-empty"):
+        SP.train_val_test_split(df, {})
+    with _pytest.raises(ValueError, match="buckets"):
+        SP.train_val_test_split(df, {"train": 9000, "val": 2000})
+    with _pytest.raises(ValueError, match="buckets"):
+        SP.train_val_test_split_sql({"a": 10001})
+
+    with _pytest.raises(ValueError, match="rename"):
+        SP.training_shuffle(df.withColumn("shard", F.lit(1)))
+
+    d2 = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "source": ["a"]}))
+    with _pytest.raises(ValueError, match="not both"):
+        SP.domain_mix_rates(d2, target={"a": 1}, weight_fn=lambda d: 1)
+
+
+def test_token_packing_precomputed_layout(spark):
+    """token_packing(shard_col, order_col) packs along the supplied
+    layout — packing a shuffled corpus through the operator equals
+    the inline cumsum it replaced (here: hand-checked positions)."""
+    from etl_btc_spark.operators import sampling as SP
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c", "d e", "f", "g h i j"],
+            "shard": [0, 0, 1, 1],
+            "pos": [1, 0, 0, 1],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {
+        r["doc_id"]: (r["shard"], r["pos"], r["n_tokens"], r["pack_id"], r["pack_offset"])
+        for r in SP.token_packing(df, budget=4, shard_col="shard", order_col="pos").collect()
+    }
+    # shard 0 order: doc2 (2 toks) then doc1 (3 toks); shard 1: doc3 (1) then doc4 (4)
+    assert out[2] == (0, 0, 2, 0, 0)
+    assert out[1] == (0, 1, 3, 0, 2)
+    assert out[3] == (1, 0, 1, 0, 0)
+    assert out[4] == (1, 1, 4, 0, 1)
