@@ -85,9 +85,16 @@ def _table_exists(path: str) -> bool:
     if not os.path.isdir(path):
         return False
     for f in os.listdir(path):
+        # mirror Spark's InMemoryFileIndex rule: _/. names are
+        # metadata UNLESS they contain '=' — a partition column that
+        # itself starts with an underscore (dir `__part=1`) is data,
+        # and skipping it here would route an upsert onto a live
+        # table through the destructive create-from-scratch path
+        if "=" in f:  # hive partition dir
+            return True
         if f.startswith(("_", ".")):
             continue
-        if f.endswith(".parquet") or "=" in f:  # flat files or hive partition dirs
+        if f.endswith(".parquet"):  # flat files
             return True
     return False
 

@@ -306,3 +306,69 @@ def test_stateful_ses_tws_variant(spark, tmp_path):
         expect = RC.ses(grp["close"].to_numpy("float64"), alpha=0.2)
         mine = got.loc[sid].loc[grp["ts"]].to_numpy("float64")
         assert np.array_equal(mine, expect), f"series {sid} diverged"
+
+
+def test_stream_hnsw_refresh_converges_to_rebuild(spark, tmp_path):
+    """Continuous index maintenance (r5): streaming embedding upserts
+    through stream_hnsw_refresh must leave the vector table AND the
+    HNSW artifact identical to a from-scratch build over the final
+    snapshot — across (1) initial build, (2) an incremental batch
+    that updates + inserts ids, and (3) a full replay from a fresh
+    checkpoint (at-least-once redelivery)."""
+    from etl_btc_spark.operators import hnsw as HN
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("ver", F.lit(0).cast("int"))
+    )
+    schema = emb.schema
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    kw = {"n_shards": 4}
+
+    # batch 1: first 100 ids -> full build
+    emb.filter(F.col("vec_id") < 100).write.mode("append").parquet(landing)
+    INC.stream_hnsw_refresh(
+        spark, landing, schema, table, index, ckpt, ver_col="ver", index_kw=kw
+    )
+    assert spark.read.parquet(table).count() == 100
+
+    # batch 2 (ver=1): update ids 0-9 (negated vectors) + insert 100-149
+    upd = (
+        emb.filter(F.col("vec_id") < 10)
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+        .unionByName(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)))
+        .withColumn("ver", F.lit(1).cast("int"))
+    )
+    upd.write.mode("append").parquet(landing)
+    INC.stream_hnsw_refresh(
+        spark, landing, schema, table, index, ckpt, ver_col="ver", index_kw=kw
+    )
+
+    snapshot = spark.read.parquet(table).drop("vpart")
+    assert snapshot.count() == 150
+    # updated rows really took the new values
+    row0 = snapshot.filter(F.col("vec_id") == 0).first()
+    ref0 = emb.filter(F.col("vec_id") == 0).first()
+    assert row0["embedding"][0] == -ref0["embedding"][0]
+
+    full = str(tmp_path / "full")
+    HN.build_hnsw_index(spark, snapshot, full, n_shards=4)
+    got = spark.read.parquet(index + "/nodes").orderBy("vec_id").collect()
+    want = spark.read.parquet(full + "/nodes").orderBy("vec_id").collect()
+    assert got == want
+
+    # full replay from a fresh checkpoint: both landing files
+    # reprocess, one per micro-batch — table and index converge to
+    # the same bytes (idempotent MERGE + deterministic refresh)
+    table2 = str(tmp_path / "vectors2")
+    index2 = str(tmp_path / "index2")
+    INC.stream_hnsw_refresh(
+        spark, landing, schema, table2, index2, str(tmp_path / "ckpt2"),
+        ver_col="ver", index_kw=kw
+    )
+    got2 = spark.read.parquet(index2 + "/nodes").orderBy("vec_id").collect()
+    assert got2 == want

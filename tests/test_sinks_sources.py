@@ -195,3 +195,22 @@ def test_upsert_pruned_refuses_flat_table(spark, tmp_table):
     SK.upsert_by_key(spark, flat, tmp_table, order_col="doc_id")
     with pytest.raises(ValueError, match="partition"):
         SK.upsert_by_key(spark, flat, tmp_table, order_col="doc_id", partition_by="lang")
+
+
+def test_upsert_partition_col_with_underscore_prefix(spark, tmp_path):
+    """Regression (r5): a partition column starting with '_' produces
+    hive dirs like `_p=1`, which Spark's file index treats as DATA
+    (name contains '='), but _table_exists used to skip as metadata —
+    routing the second upsert through the destructive create path and
+    silently dropping every existing row."""
+    import pandas as pd
+
+    from etl_btc_spark import sinks as SK
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30], "_p": [0, 1, 0]}))
+    SK.upsert_by_key(spark, b1, path, key="k", order_col="v", partition_by="_p")
+    b2 = spark.createDataFrame(pd.DataFrame({"k": [4], "v": [40], "_p": [1]}))
+    SK.upsert_by_key(spark, b2, path, key="k", order_col="v", partition_by="_p")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40}
