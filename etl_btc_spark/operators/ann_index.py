@@ -381,6 +381,60 @@ def ensure_ivf_index(spark: SparkSession, vectors: DataFrame, path: str, **kw) -
     return path
 
 
+def append_ivf_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_assign: int = 2,
+    verify_new: bool = True,
+) -> str:
+    """Insert-only incremental IVF maintenance — the corpus-append
+    case (fresh ids every ingest): assign the new vectors against the
+    FROZEN centroids read back from the artifact and APPEND their
+    int8 posting rows into the partitioned assignment table. Cost is
+    O(batch): no corpus pass, no Lloyd, untouched posting files never
+    rewritten (parquet append into the hive layout).
+
+    The standard IVF trade: centroids drift as the corpus grows, so
+    recall over the appended region degrades gradually — rebuild per
+    corpus version (``ensure_ivf_index`` after dropping the artifact)
+    restores it. UPDATES and DELETES are refused: an updated id's
+    stale posting row lives under its OLD centroid's partition, which
+    can't be located without scanning the index — id-keyed mutation
+    is what the hash-sharded HNSW refresh is for. ``verify_new``
+    anti-joins the batch ids against the index (id column only; drop
+    it if the caller guarantees freshness) and fails loudly on
+    overlap instead of silently double-indexing.
+    """
+    if not _is_built(path):
+        raise ValueError("append_ivf_index: no built index at %r" % path)
+    assigned_path = os.path.join(path, "assigned")
+    if verify_new:
+        existing = spark.read.parquet(assigned_path).select(id_col)
+        n_dup = new_vectors.select(id_col).join(existing, id_col).limit(1).count()
+        if n_dup:
+            raise ValueError(
+                "append_ivf_index: batch contains ids already indexed — "
+                "IVF append is insert-only (stale rows would live under "
+                "their old centroid); rebuild, or use the HNSW refresh "
+                "for update semantics"
+            )
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    cent_bc = _broadcast_centroids(spark, centroids)
+    quant = _assign_quantized(
+        spread(new_vectors.filter(F.col(vec_col).isNotNull())),
+        cent_bc,
+        vec_col,
+        id_col,
+        n_assign=n_assign,
+    )
+    quant.write.mode("append").partitionBy("centroid_id").parquet(assigned_path)
+    cent_bc.unpersist()
+    return path
+
+
 def knn_ivf_indexed(
     spark: SparkSession,
     path: str,

@@ -244,3 +244,55 @@ def write_bucketed(
 def with_content_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the deterministic content-hash key used by K3 (F10)."""
     return df.withColumn("content_id", fingerprint(F.col(text_col)))
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction for append-heavy tables (the K2/streaming
+    sink's operational debt at scale): every micro-batch append adds
+    part-files, and a year of hourly triggers turns a scan into
+    hundreds of thousands of file opens. Compaction rewrites each leaf
+    directory whose file count exceeds ``min_files`` into
+    ``ceil(bytes / target_file_bytes)`` files via a coalesce — data
+    and schema byte-identical, Hive partition layout preserved
+    (each partition directory compacts independently, so a 100 TB
+    store compacts incrementally, one partition at a time, without
+    ever taking the table offline for a global rewrite).
+
+    Shadow-write + atomic directory swap per leaf, same publish
+    discipline as the K3 MERGE. Returns {leaf_dir: (files_before,
+    files_after)} for the leaves it rewrote.
+    """
+    import math
+
+    done: dict = {}
+    for dirpath, dirnames, filenames in os.walk(path):
+        if "__swap" in dirpath:
+            continue
+        if dirnames:
+            # only clean LEAF dirs compact: swapping a dir that still
+            # has subdirectories would invalidate the walk (and a dir
+            # mixing part-files with partition subdirs isn't a valid
+            # parquet layout to begin with)
+            continue
+        parts = [f for f in filenames if f.endswith(".parquet")]
+        if len(parts) < max(min_files, 2):
+            continue
+        nbytes = sum(os.path.getsize(os.path.join(dirpath, f)) for f in parts)
+        n_out = max(1, math.ceil(nbytes / target_file_bytes))
+        if n_out >= len(parts):
+            continue
+        shadow = f"{dirpath}__swap_{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(dirpath).coalesce(n_out).write.mode("overwrite").parquet(
+            shadow
+        )
+        swap = f"{dirpath}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(dirpath, swap)
+        os.rename(shadow, dirpath)
+        shutil.rmtree(swap)
+        done[os.path.relpath(dirpath, path)] = (len(parts), n_out)
+    return done

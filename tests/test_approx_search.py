@@ -913,3 +913,53 @@ def test_knn_join_n_queries_hint_equivalence(spark, emb, tmp_path):
     c = ANN.knn_ivf_join(spark, ivf, emb, queries, k=10, nprobe=4)
     d = ANN.knn_ivf_join(spark, ivf, emb, queries, k=10, nprobe=4, n_queries=nq)
     assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_ivf_append_insert_only(spark, emb, tmp_path):
+    """Insert-only IVF append (r5): appended ids are retrievable at
+    the same recall floor as a probe over the original region, the
+    original posting files are never rewritten, and appending an
+    already-indexed id fails loudly."""
+    import os
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    idx = str(tmp_path / "ivf_app")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    ANN.build_ivf_index(spark, old, idx, n_centroids=16)
+
+    def part_files():
+        return {
+            os.path.join(os.path.relpath(d, idx), f)
+            for d, _, fs in os.walk(os.path.join(idx, "assigned"))
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = part_files()
+    ANN.append_ivf_index(spark, new, idx)
+    assert before <= part_files()  # originals untouched, new files added
+
+    # every appended id is now indexed
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(idx + "/assigned").select("vec_id").collect()
+    }
+    assert set(r.vec_id for r in new.collect()) <= ids
+
+    # probing with an appended-region query hits the recall floor
+    queries = emb.filter(F.col("vec_id").isin(400, 450, 499))
+    out = ANN.knn_ivf_join(spark, idx, emb, queries, k=10, nprobe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qid, found in got.items():
+        q = emb.filter(F.col("vec_id") == qid)
+        exact = set(r.vec_id for r in SIM.knn_exact(emb, q, k=10).collect())
+        recalls.append(len(found & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    with pytest.raises(ValueError, match="insert-only"):
+        ANN.append_ivf_index(spark, emb.filter(F.col("vec_id") == 0), idx)

@@ -214,3 +214,39 @@ def test_upsert_partition_col_with_underscore_prefix(spark, tmp_path):
     SK.upsert_by_key(spark, b2, path, key="k", order_col="v", partition_by="_p")
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: 10, 2: 20, 3: 30, 4: 40}
+
+
+def test_compact_table_preserves_data_and_layout(spark, tmp_path):
+    """Small-file compaction (r5): many appended part-files per leaf
+    collapse to few, data and partition layout byte-identical, and
+    leaves already at/below the file target are left untouched."""
+    import os
+
+    import pandas as pd
+
+    from etl_btc_spark import sinks as SK
+
+    path = str(tmp_path / "t")
+    # 6 appends x 2 partitions -> many small files per leaf
+    for i in range(6):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": range(i * 10, (i + 1) * 10), "p": [i % 2] * 10})
+        )
+        df.write.mode("append").partitionBy("p").parquet(path)
+    before = spark.read.parquet(path).orderBy("k").collect()
+    n_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    done = SK.compact_table(spark, path, target_file_bytes=1 << 30)
+    after = spark.read.parquet(path).orderBy("k").collect()
+    n_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    assert after == before                      # data identical
+    assert n_after < n_before                   # files actually merged
+    assert n_after == 2                         # one file per leaf at this size
+    assert set(done) == {"p=0", "p=1"}
+    # second pass is a no-op: already compact
+    assert SK.compact_table(spark, path, target_file_bytes=1 << 30) == {}
