@@ -555,6 +555,52 @@ def ensure_lsh_index(spark: SparkSession, vectors: DataFrame, path: str, **kw) -
     return path
 
 
+def append_lsh_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    verify_new: bool = True,
+) -> str:
+    """Insert-only incremental LSH maintenance — the hyperplanes are a
+    FIXED function of (dim, n_bands, bits), so unlike IVF append
+    there is no drift at all: an appended id's band signatures are
+    exactly what a full rebuild would produce, and probe recall is
+    identical by construction. O(batch): signature matmul over the
+    new rows only, parquet append into the band-partitioned layout.
+    Updates/deletes refused like :func:`append_ivf_index` (a stale
+    id's rows sit under its old sigs); band-file sort order is not
+    maintained across appends — run :func:`sinks.compact_table` on
+    ``bands`` periodically to restore row-group-skipping tightness.
+    """
+    if not _is_built(path):
+        raise ValueError("append_lsh_index: no built index at %r" % path)
+    bands_path = os.path.join(path, "bands")
+    if verify_new:
+        existing = spark.read.parquet(bands_path).select(id_col)
+        n_dup = new_vectors.select(id_col).join(existing, id_col).limit(1).count()
+        if n_dup:
+            raise ValueError(
+                "append_lsh_index: batch contains ids already indexed — "
+                "LSH append is insert-only; rebuild, or use the HNSW "
+                "refresh for update semantics"
+            )
+    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
+    banded = (
+        spread(new_vectors.filter(F.col(vec_col).isNotNull()))
+        .select(
+            F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
+        )
+        .sortWithinPartitions("band", "sig")
+    )
+    banded.write.mode("append").partitionBy("band").parquet(bands_path)
+    return path
+
+
 def knn_lsh_indexed(
     spark: SparkSession,
     path: str,

@@ -3502,3 +3502,91 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     mixed = SP.stratified_sample(train, rates, stratum_col="source").select("doc_id", "text")
     shuf = SP.training_shuffle(mixed, seed="epoch-0", n_shards=16)
     return SP.token_packing(shuf, budget=1024, shard_col="shard", order_col="pos")
+
+
+@register(
+    "q94_compacted_roundtrip",
+    oracle="SELECT doc_id, lang, source FROM documents",
+    doc=(
+        "K2-at-scale maintenance gate: four small append batches land in "
+        "an artifact table (the streaming sink's small-file debt), "
+        "sinks.compact_table coalesces each leaf to the byte target via "
+        "shadow-write + atomic dir swap, and the query returns the "
+        "compacted table — hash-equal to the source rows proves "
+        "compaction is byte-lossless (the q44-q48 write->read-back "
+        "pattern)"
+    ),
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil as _sh
+
+    from etl_btc_spark import sinks as _SK
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "source")
+    path = _SK.artifact_path(sf, "compact_rt")
+    _sh.rmtree(path, ignore_errors=True)
+    for i in range(4):
+        _SK.append_rows(docs.filter(F.col("doc_id") % 4 == i), path)
+    _SK.compact_table(spark, path, target_file_bytes=1 << 30)
+    return spark.read.parquet(path)
+
+
+@register(
+    "q95_knn_ivf_appended",
+    oracle=None,  # approximate probing; append==insert-only contract pinned in tests/test_approx_search.py (recall floor, untouched originals, dup-id refusal)
+    doc=(
+        "K4 incremental maintenance gate, IVF flavor: the index is built "
+        "over the first 80% of the corpus and the rest arrives via "
+        "append_ivf_index (frozen centroids, O(batch) posting append); "
+        "the probe then kNN-joins queries drawn from BOTH regions — "
+        "appended ids must be as retrievable as built ones"
+    ),
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, sf, "embeddings")
+    cut = F.col("vec_id") % 5 != 0  # 80/20 split independent of id range
+    idx = _SK.artifact_path(sf, "ivf_appended")
+    if not ANN._is_built(idx):
+        ANN.build_ivf_index(spark, emb.filter(cut), idx, **IVF_INDEX_PARAMS)
+        ANN.append_ivf_index(spark, emb.filter(~cut), idx)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ANN.knn_ivf_join(spark, idx, emb, queries, k=10, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
+
+
+@register(
+    "q96_knn_hnsw_refreshed",
+    oracle=None,  # approximate graph search; refresh==rebuild byte-identity pinned in tests/test_approx_search.py
+    doc=(
+        "K4 incremental maintenance gate, HNSW flavor: the graph index "
+        "is built over 90% of the corpus, the remaining ids arrive as a "
+        "change set through refresh_hnsw_index (only their hash shards "
+        "rebuild, dynamic partition overwrite), and the probe kNN-joins "
+        "queries from both regions — because the build is "
+        "bit-deterministic, this index is IDENTICAL to a from-scratch "
+        "build (pinned in pytest), so the probe doubles as a gate on the "
+        "refresh path"
+    ),
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import hnsw as HN
+
+    emb = load_table(spark, sf, "embeddings")
+    late = F.col("vec_id") % 10 == 0
+    idx = _SK.artifact_path(sf, "hnsw_refreshed")
+    if not HN._is_built(idx):
+        HN.build_hnsw_index(spark, emb.filter(~late), idx, **HNSW_INDEX_PARAMS)
+        HN.refresh_hnsw_index(
+            spark, emb, idx, emb.filter(late).select("vec_id"), **HNSW_INDEX_PARAMS
+        )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = HN.knn_hnsw_join(spark, idx, emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

@@ -963,3 +963,25 @@ def test_ivf_append_insert_only(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="insert-only"):
         ANN.append_ivf_index(spark, emb.filter(F.col("vec_id") == 0), idx)
+
+
+def test_lsh_append_equals_rebuild_probe(spark, emb, tmp_path):
+    """Insert-only LSH append (r5): fixed hyperplanes mean an
+    append-built index must probe IDENTICALLY to a from-scratch build
+    over the same corpus; dup-id append raises."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    inc = str(tmp_path / "lsh_inc")
+    ANN.build_lsh_index(spark, emb.filter(F.col("vec_id") < 400), inc)
+    ANN.append_lsh_index(spark, emb.filter(F.col("vec_id") >= 400), inc)
+
+    full = str(tmp_path / "lsh_full")
+    ANN.build_lsh_index(spark, emb, full)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    a = ANN.knn_lsh_join(spark, inc, emb, queries, k=10, dim=64)
+    b = ANN.knn_lsh_join(spark, full, emb, queries, k=10, dim=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    with pytest.raises(ValueError, match="insert-only"):
+        ANN.append_lsh_index(spark, emb.filter(F.col("vec_id") == 0), inc)
