@@ -423,6 +423,7 @@ def append_ivf_index(
             )
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     cent_bc = _broadcast_centroids(spark, centroids)
+    k = len(cent_bc.value[0])
     quant = _assign_quantized(
         spread(new_vectors.filter(F.col(vec_col).isNotNull())),
         cent_bc,
@@ -430,6 +431,12 @@ def append_ivf_index(
         id_col,
         n_assign=n_assign,
     )
+    # cluster before the partitioned append: bare partitionBy after
+    # spread() would write (tasks × touched centroids) fragments per
+    # append — hourly ingests would accumulate exactly the small-file
+    # debt compact_table exists to fix. One reducer per centroid is
+    # right here: append batches are small by definition
+    quant = quant.repartition(max(k, 1), F.col("centroid_id"))
     quant.write.mode("append").partitionBy("centroid_id").parquet(assigned_path)
     cent_bc.unpersist()
     return path
@@ -505,6 +512,59 @@ def knn_ivf_indexed(
 # ---------------------------------------------------------------------------
 
 
+def _write_lsh_geom(path: str, dim: int, n_bands: int, bits_per_band: int) -> None:
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_GEOM"), "w") as f:
+        json.dump({"dim": dim, "n_bands": n_bands, "bits_per_band": bits_per_band}, f)
+
+
+def _read_lsh_geom(path: str) -> dict | None:
+    import json
+
+    geom = os.path.join(path, "_GEOM")
+    if not os.path.exists(geom):
+        return None
+    with open(geom) as f:
+        return json.load(f)
+
+
+def _check_lsh_geom(path: str, dim: int, n_bands: int, bits_per_band: int) -> None:
+    """Probe-side guard: a probe signing its query with a different
+    hyperplane family than the artifact was built with returns
+    silently-wrong candidates; fail loudly instead. Artifacts from
+    before geometry persistence (no ``_GEOM``) skip the check."""
+    geom = _read_lsh_geom(path)
+    want = {"dim": dim, "n_bands": n_bands, "bits_per_band": bits_per_band}
+    if geom is not None and geom != want:
+        raise ValueError(
+            "LSH geometry mismatch at %r: probe %s vs artifact %s" % (path, want, geom)
+        )
+
+
+def _band_rows(
+    vectors: DataFrame,
+    dim: int,
+    n_bands: int,
+    bits_per_band: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """THE signature expansion both the build and the append write —
+    one shared path so append==rebuild can't drift: (id, band, sig)
+    rows from the fixed hyperplane family keyed by (dim, n_bands,
+    bits). NULL vectors can't be signed and are dropped."""
+    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
+    return (
+        spread(vectors)
+        .filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
+        )
+    )
+
+
 def build_lsh_index(
     spark: SparkSession,
     vectors: DataFrame,
@@ -527,11 +587,10 @@ def build_lsh_index(
     bounding the artifact's file count, needs no range-sampling job
     (which would re-run the signature matmul over the corpus), and
     every file stays internally sig-sorted, so the probe's min/max
-    row-group skipping keeps tight bounds."""
-    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
-    banded = spread(vectors).select(
-        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
-    )
+    row-group skipping keeps tight bounds. The hyperplane geometry is
+    persisted to ``_GEOM`` — appends read it back instead of trusting
+    caller arguments, and probes validate against it."""
+    banded = _band_rows(vectors, dim, n_bands, bits_per_band, vec_col, id_col)
     par = vectors.sparkSession.sparkContext.defaultParallelism
     fanout = max(1, par // max(n_bands, 1))
     (
@@ -545,6 +604,7 @@ def build_lsh_index(
         .partitionBy("band")
         .parquet(os.path.join(path, "bands"))
     )
+    _write_lsh_geom(path, dim, n_bands, bits_per_band)
     _mark_built(path)
     return path
 
@@ -559,26 +619,33 @@ def append_lsh_index(
     spark: SparkSession,
     new_vectors: DataFrame,
     path: str,
-    dim: int = 64,
-    n_bands: int = 8,
-    bits_per_band: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     verify_new: bool = True,
 ) -> str:
     """Insert-only incremental LSH maintenance — the hyperplanes are a
-    FIXED function of (dim, n_bands, bits), so unlike IVF append
-    there is no drift at all: an appended id's band signatures are
-    exactly what a full rebuild would produce, and probe recall is
-    identical by construction. O(batch): signature matmul over the
-    new rows only, parquet append into the band-partitioned layout.
-    Updates/deletes refused like :func:`append_ivf_index` (a stale
-    id's rows sit under its old sigs); band-file sort order is not
-    maintained across appends — run :func:`sinks.compact_table` on
-    ``bands`` periodically to restore row-group-skipping tightness.
+    FIXED function of the artifact's persisted geometry (``_GEOM``,
+    read back here rather than trusted from caller arguments — a
+    mismatched geometry would sign the new rows against DIFFERENT
+    hyperplanes and silently collapse appended-region recall), so
+    unlike IVF append there is no drift at all: an appended id's band
+    signatures are exactly what a full rebuild would produce, and
+    probe recall is identical by construction. O(batch): signature
+    matmul over the new rows only, parquet append into the
+    band-partitioned layout. Updates/deletes refused like
+    :func:`append_ivf_index` (a stale id's rows sit under its old
+    sigs); band-file sort order is not maintained across appends —
+    run ``sinks.compact_table(bands, sort_within=["sig"])``
+    periodically to restore row-group-skipping tightness.
     """
     if not _is_built(path):
         raise ValueError("append_lsh_index: no built index at %r" % path)
+    geom = _read_lsh_geom(path)
+    if geom is None:
+        raise ValueError(
+            "append_lsh_index: artifact at %r predates geometry metadata "
+            "(_GEOM); rebuild with build_lsh_index before appending" % path
+        )
     bands_path = os.path.join(path, "bands")
     if verify_new:
         existing = spark.read.parquet(bands_path).select(id_col)
@@ -589,14 +656,14 @@ def append_lsh_index(
                 "LSH append is insert-only; rebuild, or use the HNSW "
                 "refresh for update semantics"
             )
-    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
-    banded = (
-        spread(new_vectors.filter(F.col(vec_col).isNotNull()))
-        .select(
-            F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
-        )
-        .sortWithinPartitions("band", "sig")
-    )
+    banded = _band_rows(
+        new_vectors,
+        geom["dim"],
+        geom["n_bands"],
+        geom["bits_per_band"],
+        vec_col,
+        id_col,
+    ).sortWithinPartitions("band", "sig")
     banded.write.mode("append").partitionBy("band").parquet(bands_path)
     return path
 
@@ -625,6 +692,7 @@ def knn_lsh_indexed(
     back from the base table by id."""
     from etl_btc_spark.operators.similarity import band_signatures_np
 
+    _check_lsh_geom(path, dim, n_bands, bits_per_band)
     qrow = query.select(F.col(vec_col).alias("__qvec")).first()
     # empty query OR a NULL vector -> empty result, not a crash
     if qrow is None or qrow["__qvec"] is None:
@@ -699,6 +767,7 @@ def knn_lsh_join(
     """
     from etl_btc_spark.operators.similarity import lsh_band_sig_udf, pair_cosine_udf
 
+    _check_lsh_geom(path, dim, n_bands, bits_per_band)
     small = _query_batch_is_small(queries, n_queries, broadcast_max_queries)
     hint = F.broadcast if small else (lambda df: df)
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)

@@ -3546,12 +3546,23 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     from etl_btc_spark import sinks as _SK
     from etl_btc_spark.operators import ann_index as ANN
 
+    import os as _os
+    import shutil as _sh
+
     emb = load_table(spark, sf, "embeddings")
     cut = F.col("vec_id") % 5 != 0  # 80/20 split independent of id range
     idx = _SK.artifact_path(sf, "ivf_appended")
-    if not ANN._is_built(idx):
+    # composite artifact: build_ivf_index marks _BUILT before the
+    # append runs, so gate on a SEPARATE completion marker — a crash
+    # between the two steps must not leave a half-built index that
+    # every later run silently accepts
+    done = _os.path.join(idx, "_APPENDED")
+    if not (ANN._is_built(idx) and _os.path.exists(done)):
+        _sh.rmtree(idx, ignore_errors=True)
         ANN.build_ivf_index(spark, emb.filter(cut), idx, **IVF_INDEX_PARAMS)
         ANN.append_ivf_index(spark, emb.filter(~cut), idx)
+        with open(done, "w") as fh:
+            fh.write("1\n")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = ANN.knn_ivf_join(spark, idx, emb, queries, k=10, nprobe=4)
     return out.select(
@@ -3577,14 +3588,23 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     from etl_btc_spark import sinks as _SK
     from etl_btc_spark.operators import hnsw as HN
 
+    import os as _os
+    import shutil as _sh
+
     emb = load_table(spark, sf, "embeddings")
     late = F.col("vec_id") % 10 == 0
     idx = _SK.artifact_path(sf, "hnsw_refreshed")
-    if not HN._is_built(idx):
+    # same composite-completion gating as q95 (build marks _BUILT
+    # before the refresh has run)
+    done = _os.path.join(idx, "_REFRESHED")
+    if not (HN._is_built(idx) and _os.path.exists(done)):
+        _sh.rmtree(idx, ignore_errors=True)
         HN.build_hnsw_index(spark, emb.filter(~late), idx, **HNSW_INDEX_PARAMS)
         HN.refresh_hnsw_index(
             spark, emb, idx, emb.filter(late).select("vec_id"), **HNSW_INDEX_PARAMS
         )
+        with open(done, "w") as fh:
+            fh.write("1\n")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = HN.knn_hnsw_join(spark, idx, emb, queries, k=10)
     return out.select(

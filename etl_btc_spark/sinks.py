@@ -100,14 +100,26 @@ def _table_exists(path: str) -> bool:
 
 
 def _merge_keyed(
-    existing: DataFrame | None, batch: DataFrame, key: str, order_col: str | None
+    existing: DataFrame | None,
+    batch: DataFrame,
+    key: str,
+    order_col: str | None,
+    ver_col: str | None = None,
 ) -> DataFrame:
-    """MERGE resolve: one row per key, batch side wins, ties within a
-    side broken by ``order_col`` ascending."""
+    """MERGE resolve: one row per key. Default is batch-side-wins
+    (ties within a side by ``order_col`` ascending). With ``ver_col``
+    the resolve is VERSION-aware: the highest version wins across
+    BOTH sides (batch wins only version ties) — the semantics a
+    replayed / out-of-order stream needs, where a stale row arriving
+    in a later batch must NOT regress a newer row already in the
+    table. NULL versions rank below every non-NULL version."""
     src = batch.withColumn("__pref", F.lit(1))
     if existing is not None:
         src = existing.withColumn("__pref", F.lit(0)).unionByName(src)
-    order = [F.col("__pref").desc()]
+    order = []
+    if ver_col is not None:
+        order.append(F.col(ver_col).desc_nulls_last())
+    order.append(F.col("__pref").desc())
     if order_col is not None:
         order.append(F.col(order_col).asc())
     return (
@@ -124,8 +136,12 @@ def upsert_by_key(
     key: str = "content_id",
     order_col: str | None = None,
     partition_by: str | None = None,
+    ver_col: str | None = None,
 ) -> str:
     """K3: idempotent hash-keyed upsert (MERGE semantics on parquet).
+    ``ver_col`` switches the resolve to highest-version-wins across
+    both sides (see :func:`_merge_keyed`) — required when batches can
+    arrive out of order.
 
     One row per key always; batch rows win over existing rows, ties
     broken by ``order_col`` ascending (pass one for deterministic
@@ -154,7 +170,7 @@ def upsert_by_key(
     exists = _table_exists(path)
     if partition_by is None:
         existing = spark.read.parquet(path) if exists else None
-        merged = _merge_keyed(existing, batch, key, order_col)
+        merged = _merge_keyed(existing, batch, key, order_col, ver_col)
         if exists:
             shadow = f"{path}__swap_{uuid.uuid4().hex[:8]}"
             merged.write.mode("overwrite").parquet(shadow)
@@ -171,7 +187,7 @@ def upsert_by_key(
     touched = [v for v in distinct_vals if v is not None]
     has_null = len(touched) != len(distinct_vals)
     if not exists:
-        batch_merged = _merge_keyed(None, batch, key, order_col)
+        batch_merged = _merge_keyed(None, batch, key, order_col, ver_col)
         batch_merged.write.mode("overwrite").partitionBy(partition_by).parquet(path)
         return path
     # a pre-existing FLAT table cannot be partition-swapped: its
@@ -194,7 +210,7 @@ def upsert_by_key(
     if has_null:
         pred = pred | F.col(partition_by).isNull()
     existing = spark.read.parquet(path).filter(pred)
-    merged = _merge_keyed(existing, batch, key, order_col)
+    merged = _merge_keyed(existing, batch, key, order_col, ver_col)
     shadow = f"{path}__swap_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(partition_by).parquet(shadow)
     # per-partition atomic publish: swap every partition directory the
@@ -251,6 +267,7 @@ def compact_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    sort_within: list[str] | None = None,
 ) -> dict:
     """Small-file compaction for append-heavy tables (the K2/streaming
     sink's operational debt at scale): every micro-batch append adds
@@ -263,15 +280,35 @@ def compact_table(
     store compacts incrementally, one partition at a time, without
     ever taking the table offline for a global rewrite).
 
-    Shadow-write + atomic directory swap per leaf, same publish
-    discipline as the K3 MERGE. Returns {leaf_dir: (files_before,
-    files_after)} for the leaves it rewrote.
+    Shadow-write + atomic directory swap per leaf. The shadow and
+    retired dirs are DOT-PREFIXED siblings with no ``=`` in the name,
+    so Spark's file index never mistakes them for extra hive
+    partitions — a concurrent reader (or one arriving after a crash)
+    sees either the old leaf or the new one, never swap debris rows.
+    ``sort_within`` re-sorts rows inside the rewritten files (e.g.
+    ``["sig"]`` for the LSH band table) — a bare coalesce concatenates
+    the input files' sorted runs UNSORTED, which would loosen parquet
+    min/max stats exactly where compaction is meant to tighten them.
+    Tables written by a streaming file sink are refused: their
+    ``_spark_metadata`` transaction log pins the original file names,
+    and compacting behind it breaks every batch read.
+    Returns {leaf_dir: (files_before, files_after)} for the leaves it
+    rewrote.
     """
     import math
 
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            "compact_table: %r was written by a streaming file sink "
+            "(_spark_metadata transaction log present); batch reads "
+            "resolve files through the log, so compaction would break "
+            "them — re-land the table via foreachBatch, or compact the "
+            "downstream copy" % path
+        )
     done: dict = {}
     for dirpath, dirnames, filenames in os.walk(path):
-        if "__swap" in dirpath:
+        base = os.path.basename(dirpath)
+        if base.startswith(".") and ("cswap" in base or "cold" in base):
             continue
         if dirnames:
             # only clean LEAF dirs compact: swapping a dir that still
@@ -286,13 +323,15 @@ def compact_table(
         n_out = max(1, math.ceil(nbytes / target_file_bytes))
         if n_out >= len(parts):
             continue
-        shadow = f"{dirpath}__swap_{uuid.uuid4().hex[:8]}"
-        spark.read.parquet(dirpath).coalesce(n_out).write.mode("overwrite").parquet(
-            shadow
-        )
-        swap = f"{dirpath}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(dirpath, swap)
+        parent = os.path.dirname(dirpath)
+        shadow = os.path.join(parent, f".cswap_{uuid.uuid4().hex[:8]}")
+        df = spark.read.parquet(dirpath).coalesce(n_out)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        df.write.mode("overwrite").parquet(shadow)
+        retired = os.path.join(parent, f".cold_{uuid.uuid4().hex[:8]}")
+        os.rename(dirpath, retired)
         os.rename(shadow, dirpath)
-        shutil.rmtree(swap)
+        shutil.rmtree(retired)
         done[os.path.relpath(dirpath, path)] = (len(parts), n_out)
     return done

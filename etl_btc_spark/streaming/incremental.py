@@ -241,12 +241,14 @@ def stream_hnsw_refresh(
     the exact same table AND index bytes (T5's
     checkpoint + idempotent-sink contract, extended to a derived
     artifact). Empty batches are skipped (T4). Pass ``ver_col`` when
-    one key can recur WITHIN a replayed trigger (a fresh-checkpoint
-    replay drains the whole landing zone into one batch): the sink
-    keeps each key's max-version row before merging, so "latest
-    write wins" holds no matter how the files batch together —
-    without it, a same-key collision inside one batch has no defined
-    winner.
+    one key can recur across or within triggers (a fresh-checkpoint
+    replay drains the whole landing zone into one batch; a late
+    backfill file lands a STALE version in a later batch): the MERGE
+    then resolves highest-version-wins across existing ∪ batch, so
+    "latest write wins" holds no matter how the files batch together
+    or in which order they arrive — without it, only per-trigger
+    batch-wins semantics apply and out-of-order delivery can regress
+    a key.
     """
     from etl_btc_spark.operators.hnsw import (
         _is_built,
@@ -262,13 +264,6 @@ def stream_hnsw_refresh(
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
-        if ver_col is not None:
-            wv = Window.partitionBy(id_col).orderBy(F.col(ver_col).desc())
-            micro_batch = (
-                micro_batch.withColumn("__rn", F.row_number().over(wv))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
         upsert_by_key(
             sess,
             micro_batch.withColumn("vpart", part),
@@ -276,6 +271,7 @@ def stream_hnsw_refresh(
             key=id_col,
             order_col=id_col,
             partition_by="vpart",
+            ver_col=ver_col,
         )
         snapshot = sess.read.parquet(table_path).drop("vpart")
         if _is_built(index_path):

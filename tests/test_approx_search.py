@@ -985,3 +985,23 @@ def test_lsh_append_equals_rebuild_probe(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="insert-only"):
         ANN.append_lsh_index(spark, emb.filter(F.col("vec_id") == 0), inc)
+
+
+def test_lsh_geom_persisted_and_probe_guard(spark, emb, tmp_path):
+    """LSH geometry (r5 review): builds persist _GEOM, probes with a
+    mismatched geometry raise instead of silently signing queries
+    against different hyperplanes, and append reads the artifact's
+    geometry (no caller args to get wrong)."""
+    import pytest as _pytest
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    idx = str(tmp_path / "lsh_g")
+    ANN.build_lsh_index(spark, emb, idx, dim=64, n_bands=8, bits_per_band=4)
+    assert ANN._read_lsh_geom(idx) == {"dim": 64, "n_bands": 8, "bits_per_band": 4}
+
+    q = emb.filter(F.col("vec_id") == 0)
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        ANN.knn_lsh_indexed(spark, idx, emb, q, k=5, n_bands=16)
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        ANN.knn_lsh_join(spark, idx, emb, q, k=5, bits_per_band=8)

@@ -250,3 +250,68 @@ def test_compact_table_preserves_data_and_layout(spark, tmp_path):
     assert set(done) == {"p=0", "p=1"}
     # second pass is a no-op: already compact
     assert SK.compact_table(spark, path, target_file_bytes=1 << 30) == {}
+
+
+def test_upsert_version_aware_no_regression(spark, tmp_path):
+    """ver_col MERGE (r5 review): a stale lower-version row arriving
+    in a LATER batch must not regress the table; same-version replay
+    keeps batch-wins; NULL versions lose to any version."""
+    import pandas as pd
+
+    from etl_btc_spark import sinks as SK
+
+    path = str(tmp_path / "t")
+    SK.upsert_by_key(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"k": [7], "v": ["new"], "ver": [1]})),
+        path, key="k", order_col="k", ver_col="ver",
+    )
+    # stale ver=0 arrives later -> ignored
+    SK.upsert_by_key(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"k": [7], "v": ["old"], "ver": [0]})),
+        path, key="k", order_col="k", ver_col="ver",
+    )
+    assert spark.read.parquet(path).collect()[0]["v"] == "new"
+    # same-version replay: batch side wins (idempotent overwrite)
+    SK.upsert_by_key(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"k": [7], "v": ["new2"], "ver": [1]})),
+        path, key="k", order_col="k", ver_col="ver",
+    )
+    assert spark.read.parquet(path).collect()[0]["v"] == "new2"
+    # NULL version loses
+    SK.upsert_by_key(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"k": [7], "v": ["nullver"], "ver": [None]})),
+        path, key="k", order_col="k", ver_col="ver",
+    )
+    assert spark.read.parquet(path).collect()[0]["v"] == "new2"
+
+
+def test_compact_refuses_streaming_sink_and_sorts(spark, tmp_path):
+    """compact_table (r5 review): refuses _spark_metadata tables, and
+    sort_within restores in-file ordering after the merge."""
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from etl_btc_spark import sinks as SK
+
+    streamy = str(tmp_path / "s")
+    os.makedirs(os.path.join(streamy, "_spark_metadata"))
+    with _pytest.raises(ValueError, match="streaming file sink"):
+        SK.compact_table(spark, streamy)
+
+    path = str(tmp_path / "t")
+    for lo in (50, 0):  # two files, each sorted, ranges interleave
+        pdf = pd.DataFrame({"k": range(lo, lo + 50)})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+    SK.compact_table(spark, path, target_file_bytes=1 << 30, sort_within=["k"])
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(os.path.join(path, files[0])).column("k").to_pylist()
+    assert col == sorted(col)  # re-sorted, tight min/max per row group
