@@ -163,7 +163,14 @@ def _build_shard_graph(vecs_n, levels, M: int, efc: int):
     return adj, entry
 
 
-def _read_n_shards(path: str) -> int:
+def _read_build_meta(path: str) -> dict:
+    """Read the build geometry back from the artifact. Legacy
+    artifacts stored a bare shard count; modern ones persist the full
+    (n_shards, M, ef_construction) — refresh MUST use the build's own
+    graph parameters or the rebuilt shards silently mix geometries
+    with the untouched ones (the LSH `_GEOM` lesson)."""
+    import json
+
     meta = os.path.join(path, "_SHARDS")
     if not os.path.exists(meta):
         raise ValueError(
@@ -171,13 +178,20 @@ def _read_n_shards(path: str) -> int:
             "rebuild with build_hnsw_index before refreshing" % path
         )
     with open(meta) as f:
-        return int(f.read().strip())
+        v = json.load(f)
+    if isinstance(v, int):  # legacy bare-count artifact
+        return {"n_shards": v}
+    return v
 
 
-def _write_n_shards(path: str, n: int) -> None:
+def _write_build_meta(path: str, n_shards: int, M: int, ef_construction: int) -> None:
+    import json
+
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_SHARDS"), "w") as f:
-        f.write("%d\n" % n)
+        json.dump(
+            {"n_shards": n_shards, "M": M, "ef_construction": ef_construction}, f
+        )
 
 
 def _shard_nodes(
@@ -315,7 +329,7 @@ def build_hnsw_index(
 
         shutil.rmtree(path, ignore_errors=True)
         raise ValueError("build_hnsw_index: vectors input has no indexable rows")
-    _write_n_shards(path, n_shards)
+    _write_build_meta(path, n_shards, M, ef_construction)
     _mark_built(path)
     return path
 
@@ -352,7 +366,14 @@ def refresh_hnsw_index(
     """
     import shutil
 
-    n_shards = _read_n_shards(path)
+    meta = _read_build_meta(path)
+    n_shards = meta["n_shards"]
+    # the artifact's own graph geometry wins: rebuilding touched
+    # shards with different M/efc than the untouched ones would mix
+    # geometries inside one index (M/ef_construction args remain only
+    # as the fallback for legacy bare-count artifacts)
+    M = meta.get("M", M)
+    ef_construction = meta.get("ef_construction", ef_construction)
     shard_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
     affected = sorted(
         r["shard"]

@@ -1005,3 +1005,22 @@ def test_lsh_geom_persisted_and_probe_guard(spark, emb, tmp_path):
         ANN.knn_lsh_indexed(spark, idx, emb, q, k=5, n_bands=16)
     with _pytest.raises(ValueError, match="geometry mismatch"):
         ANN.knn_lsh_join(spark, idx, emb, q, k=5, bits_per_band=8)
+
+
+def test_hnsw_refresh_uses_build_geometry(spark, emb, tmp_path):
+    """r5 review follow-up: refresh reads M/ef_construction back from
+    the artifact — a caller passing nothing (or wrong values) still
+    rebuilds touched shards with the BUILD's geometry, keeping
+    refresh ≡ rebuild."""
+    from etl_btc_spark.operators import hnsw as HN
+
+    idx = str(tmp_path / "hnsw_m16")
+    HN.build_hnsw_index(spark, emb, idx, n_shards=2, M=16, ef_construction=32)
+    changed = emb.limit(5).select("vec_id")
+    # defaults (M=8, efc=64) would diverge if they were honored
+    HN.refresh_hnsw_index(spark, emb, idx, changed)
+    full = str(tmp_path / "hnsw_m16_full")
+    HN.build_hnsw_index(spark, emb, full, n_shards=2, M=16, ef_construction=32)
+    a = spark.read.parquet(idx + "/nodes").orderBy("vec_id").collect()
+    b = spark.read.parquet(full + "/nodes").orderBy("vec_id").collect()
+    assert a == b
