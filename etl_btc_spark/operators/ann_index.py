@@ -264,6 +264,10 @@ def build_ivf_index(
     """
     import numpy as np
 
+    # NULL vectors can't be assigned/quantized — drop them up front
+    # (same policy as the HNSW build and append_ivf_index; without
+    # this the rebuild path crashes on corpora the append tolerates)
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     sample = (
         vectors.select(id_col, vec_col)
         .withColumn("__h", F.xxhash64(F.col(id_col)))

@@ -388,10 +388,17 @@ def refresh_hnsw_index(
     ).partitionBy("shard").parquet(os.path.join(path, "nodes"))
     # a shard whose every member was deleted emits no rows, which
     # dynamic overwrite silently leaves stale — clear those shard
-    # dirs explicitly (bounded second distinct over the todo slice)
+    # dirs explicitly (bounded second distinct over the todo slice).
+    # The distinct must apply the SAME NULL-vector filter the build
+    # pass does: a shard whose only survivors have NULL vectors also
+    # emits no rows, and counting those survivors here would leave
+    # its stale graph on disk
     still = {
         r["shard"]
-        for r in todo.select(shard_of.alias("shard")).distinct().collect()
+        for r in todo.filter(F.col(vec_col).isNotNull())
+        .select(shard_of.alias("shard"))
+        .distinct()
+        .collect()
     }
     for s in set(affected) - still:
         shutil.rmtree(os.path.join(path, "nodes", "shard=%d" % s), ignore_errors=True)

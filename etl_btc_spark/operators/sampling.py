@@ -32,6 +32,16 @@ from etl_btc_spark.operators.textops import ws_token_count
 BUCKETS = 10_000
 
 
+def _md5_prefix32(id_col: Column, salt: str) -> Column:
+    """The shared 32-bit hash every sampling decision derives from:
+    first 8 hex chars of md5('<salt><id>') as a bigint. ONE
+    implementation (plus its SQL mirror) keeps the bucket, split,
+    and shuffle-shard draws bit-identical to their oracles."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def hash_bucket(id_col: Column, salt: str = "doc") -> Column:
     """Deterministic 0..9999 bucket from a document id: first 8 hex
     chars (32 bits) of md5('<salt><id>') — stable across engines,
@@ -43,10 +53,7 @@ def hash_bucket(id_col: Column, salt: str = "doc") -> Column:
     bucket draws — the split assignment salts differently from the
     sampling decision, so "kept by sampling" can't correlate with
     "lands in val"."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10
-    )
-    return (h.cast("bigint") % BUCKETS).alias("bucket")
+    return (_md5_prefix32(id_col, salt) % BUCKETS).alias("bucket")
 
 
 def hash_bucket_sql(id_col: str, salt: str = "doc") -> str:
@@ -319,7 +326,7 @@ def training_shuffle(
             % sorted(clash)
         )
     okey = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    h32 = F.conv(F.substring(okey, 1, 8), 16, 10).cast("bigint")
+    h32 = _md5_prefix32(F.col(id_col), seed)
     w = Window.partitionBy("shard").orderBy("okey", id_col)
     return (
         df.select(

@@ -216,7 +216,19 @@ def hf_model_fn(
     model_id = HF_MODEL_IDS.get(model, model)
 
     def fn(texts: pd.Series) -> pd.DataFrame:
-        pipe = _hf_pipe(model_id, max_length)
+        try:
+            # construction is part of the NULL-on-failure contract
+            # too: an executor without the weights in ITS local HF
+            # cache (driver-only cache, no shared FS) must degrade to
+            # NULL rows like any other batch failure — an uncaught
+            # raise here would abort the whole job after task retries
+            pipe = _hf_pipe(model_id, max_length)
+        except Exception:
+            out = pd.DataFrame(
+                {"label": [None] * len(texts), "score": [None] * len(texts)}
+            )
+            out.index = texts.index
+            return out
         rows = ["" if t is None else str(t) for t in texts]
 
         def norm(p):

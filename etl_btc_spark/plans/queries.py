@@ -3580,8 +3580,10 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
         "rebuild, dynamic partition overwrite), and the probe kNN-joins "
         "queries from both regions — because the build is "
         "bit-deterministic, this index is IDENTICAL to a from-scratch "
-        "build (pinned in pytest), so the probe doubles as a gate on the "
-        "refresh path"
+        "build AT THE SAME SHARD GEOMETRY (n_shards pinned explicitly "
+        "here, since the derived count over 90 percent of a corpus can differ "
+        "from the full corpus's; equality pinned in pytest), so the "
+        "probe doubles as a gate on the refresh path"
     ),
 )
 def q96(spark: SparkSession, sf: str) -> DataFrame:
@@ -3599,7 +3601,7 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     done = _os.path.join(idx, "_REFRESHED")
     if not (HN._is_built(idx) and _os.path.exists(done)):
         _sh.rmtree(idx, ignore_errors=True)
-        HN.build_hnsw_index(spark, emb.filter(~late), idx, **HNSW_INDEX_PARAMS)
+        HN.build_hnsw_index(spark, emb.filter(~late), idx, n_shards=4, **HNSW_INDEX_PARAMS)
         HN.refresh_hnsw_index(
             spark, emb, idx, emb.filter(late).select("vec_id"), **HNSW_INDEX_PARAMS
         )

@@ -280,11 +280,17 @@ def compact_table(
     store compacts incrementally, one partition at a time, without
     ever taking the table offline for a global rewrite).
 
-    Shadow-write + atomic directory swap per leaf. The shadow and
-    retired dirs are DOT-PREFIXED siblings with no ``=`` in the name,
-    so Spark's file index never mistakes them for extra hive
-    partitions — a concurrent reader (or one arriving after a crash)
-    sees either the old leaf or the new one, never swap debris rows.
+    Shadow-write + swap per leaf. The shadow and retired dirs are
+    DOT-PREFIXED siblings with no ``=`` in the name, so Spark's file
+    index never mistakes them for extra hive partitions — swap debris
+    is invisible to readers. The swap itself is two renames, so a
+    crash BETWEEN them can leave the leaf briefly absent; the retired
+    dir encodes the leaf name (``.cold_<uuid>__<leaf>``) and the next
+    compact_table call RESTORES any orphan whose leaf is missing
+    before doing new work — the loss window is self-healing, not
+    silent. (A single-FS atomic directory exchange isn't portably
+    available; Delta/Iceberg solve this with a metadata commit, which
+    is the documented upgrade path for all K-series swaps here.)
     ``sort_within`` re-sorts rows inside the rewritten files (e.g.
     ``["sig"]`` for the LSH band table) — a bare coalesce concatenates
     the input files' sorted runs UNSORTED, which would loosen parquet
@@ -305,6 +311,22 @@ def compact_table(
             "them — re-land the table via foreachBatch, or compact the "
             "downstream copy" % path
         )
+    # recovery pass: an interrupted prior run may have renamed a leaf
+    # to .cold_<uuid>__<leaf> and died before publishing the shadow —
+    # restore the leaf from the retired copy, and clear stale shadows
+    for dirpath, dirnames, _ in os.walk(path):
+        for d in list(dirnames):
+            full = os.path.join(dirpath, d)
+            if d.startswith(".cswap_"):
+                shutil.rmtree(full, ignore_errors=True)
+                dirnames.remove(d)
+            elif d.startswith(".cold_") and "__" in d:
+                leaf = os.path.join(dirpath, d.split("__", 1)[1])
+                if not os.path.exists(leaf):
+                    os.rename(full, leaf)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                dirnames.remove(d)
     done: dict = {}
     for dirpath, dirnames, filenames in os.walk(path):
         base = os.path.basename(dirpath)
@@ -329,7 +351,11 @@ def compact_table(
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         df.write.mode("overwrite").parquet(shadow)
-        retired = os.path.join(parent, f".cold_{uuid.uuid4().hex[:8]}")
+        # retired name carries the leaf name so a crash between the
+        # two renames is recoverable by the next run's recovery pass
+        retired = os.path.join(
+            parent, f".cold_{uuid.uuid4().hex[:8]}__{os.path.basename(dirpath)}"
+        )
         os.rename(dirpath, retired)
         os.rename(shadow, dirpath)
         shutil.rmtree(retired)

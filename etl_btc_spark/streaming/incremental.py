@@ -213,6 +213,7 @@ def stream_hnsw_refresh(
     index_path: str,
     checkpoint_dir: str,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
     ver_col: str | None = None,
     n_table_parts: int = 64,
     index_kw: dict | None = None,
@@ -258,7 +259,11 @@ def stream_hnsw_refresh(
 
     src = spark.readStream.schema(schema).parquet(landing_dir)
     part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts)).cast("int")
-    kw = index_kw or {}
+    # the sink's own id/vec columns flow into the index calls — a
+    # caller renaming the id for the MERGE must not have to repeat
+    # it in index_kw (forgetting would fail the index step AFTER the
+    # table write, leaving the two permanently out of sync)
+    kw = {"id_col": id_col, "vec_col": vec_col, **(index_kw or {})}
 
     def sink(micro_batch: DataFrame, epoch_id: int) -> None:
         if micro_batch.isEmpty():  # T4

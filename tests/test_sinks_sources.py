@@ -315,3 +315,26 @@ def test_compact_refuses_streaming_sink_and_sorts(spark, tmp_path):
 
     col = pq.read_table(os.path.join(path, files[0])).column("k").to_pylist()
     assert col == sorted(col)  # re-sorted, tight min/max per row group
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A leaf stranded as .cold_<uuid>__<leaf> by a crash between the
+    swap renames is restored by the next compact_table call."""
+    import os
+
+    import pandas as pd
+
+    from etl_btc_spark import sinks as SK
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        spark.createDataFrame(
+            pd.DataFrame({"k": range(i * 5, (i + 1) * 5), "p": [0] * 5})
+        ).write.mode("append").partitionBy("p").parquet(path)
+    # simulate the crash window: leaf renamed away, shadow half-done
+    os.rename(os.path.join(path, "p=0"), os.path.join(path, ".cold_dead__p=0"))
+    os.makedirs(os.path.join(path, ".cswap_dead"))
+    SK.compact_table(spark, path, target_file_bytes=1 << 30)
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(15))  # all rows restored, then compacted
+    assert not any(d.startswith(".c") for d in os.listdir(path))
