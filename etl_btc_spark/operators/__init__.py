@@ -17,8 +17,12 @@
 - multimodal:  binary-column (image/audio) plumbing with stubbed
                decoders.
 - ann_index:   persisted IVF/LSH index artifacts (INT8-quantized
-               posting lists) + single-query probes and batched
-               kNN joins.
-- sampling:    deterministic stratified sampling and GPT-style
-               token/sequence packing.
+               posting lists) + single-query probes, batched kNN
+               joins, and insert-only index appends.
+- hnsw:        sharded HNSW graph index (per-task graphs, int8 node
+               codes, bit-deterministic builds) + batched kNN join
+               and incremental shard refresh.
+- sampling:    deterministic stratified sampling, GPT-style token/
+               sequence packing, train/val/test split, domain-mixture
+               rebalance, and seed-keyed training-order shuffle.
 """
