@@ -3612,3 +3612,76 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q97_cluster_best_dedup",
+    oracle=f"""
+        WITH RECURSIVE sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
+                FROM documents
+            )
+        ), pairs AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))
+                  / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.8
+        ), edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+        ), clusters AS (
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        ), scored AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   round(1e-9 + {{q}}, 6) AS quality
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, quality
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY quality DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """.format(q=TX.quality_score_sql("d.text")),
+    doc=(
+        "§2.11 quality-aware dedup: duplicate clusters (q77's connected "
+        "components — Pregel min-label, edges never on the driver) keep "
+        "their HIGHEST-QUALITY member instead of the arbitrary min-id "
+        "one — the keep-the-best-duplicate policy real corpus curation "
+        "uses; singletons are their own cluster. One window per cluster "
+        "on the ROUNDED score (deterministic across engines); oracle = "
+        "the recursive transitive closure composed with the same "
+        "quality CASE"
+    ),
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clusters = DD.dup_clusters(docs, threshold=0.8, ngram=3, exact=True)
+    scored = (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            sround(TX.quality_score(F.col("text")), 6).alias("quality"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
