@@ -1,24 +1,25 @@
-"""Training-data sampling & packing operators (§2.11 extensions, r4).
+"""Training-data sampling, ordering & packing operators (§2.11
+extensions, r4-r5) — everything an LLM pretraining pipeline runs
+between "curated corpus" and "tokenized shards", all DETERMINISTIC
+(pure functions of ids + salted md5 buckets, zero RNG state, so
+re-runs/retries/incremental ingests make identical decisions and
+every decision is expressible verbatim in the DuckDB oracles):
 
-Two operations every LLM pretraining pipeline runs between "corpus"
-and "tokenized shards":
-
-- **Stratified sampling** — rebalance the language/source mix by
-  keeping a per-stratum fraction of documents. Deterministic: the
-  keep/drop decision is a pure function of the document id (an
-  md5-prefix hash bucket), so re-runs, retries and incremental
-  ingests make identical decisions — no RNG state, no seed plumbing,
-  and the SAME predicate is expressible in any engine (the DuckDB
-  oracle runs it verbatim). At 100 TB this is a scan + filter:
-  pushdown-friendly, zero shuffle.
-
-- **Token packing** — GPT-style sequence packing: concatenate the
-  token stream in a deterministic document order and cut it into
-  fixed-budget sequences; each document lands at (pack_id, offset).
-  Computed as one per-shard cumulative-sum window (exclusive prefix
-  sum over doc order), so the shuffle is bounded by the shard key —
-  the 100 TB shape is "pack within shard", embarrassingly parallel
-  across shards, and each shard's window is a single ordered pass.
+- **Stratified sampling** (`stratified_sample`) — keep a per-stratum
+  fraction via a hash-bucket predicate. Scan + filter: zero shuffle.
+- **Train/val/test split** (`train_val_test_split`) — salted bucket
+  ranges; documents never migrate splits as the corpus grows, and
+  the split salt is independent of the sampling salt.
+- **Domain-mixture rebalance** (`domain_mix_rates`) — integer-exact
+  per-domain keep rates from one count aggregate (downsample-only,
+  output maximized at rate ≤ 1), fed back into the sampler.
+- **Training-order shuffle** (`training_shuffle`) — seed-keyed md5
+  permutation: hash shard + per-shard order window, no global sort;
+  new seed = new epoch order.
+- **Token packing** (`token_packing`) — GPT-style sequence packing
+  via one exclusive-prefix-sum window per shard (id order, or a
+  precomputed (shard, pos) layout such as the shuffle's); shard
+  count is data-derived so parallelism scales with the corpus.
 """
 
 from __future__ import annotations
