@@ -379,3 +379,52 @@ def test_token_packing_precomputed_layout(spark):
     assert out[1] == (0, 1, 3, 0, 2)
     assert out[3] == (1, 0, 1, 0, 0)
     assert out[4] == (1, 1, 4, 0, 1)
+
+
+def test_upsert_order_insensitive_under_versions(spark, tmp_path):
+    """MERGE law: with distinct versions per key, applying two
+    batches in EITHER order converges to the same table — the
+    property the streaming refresh's replay convergence rests on."""
+    from etl_btc_spark import sinks as SK
+
+    b_new = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": ["a1", "b1"], "ver": [1, 1]})
+    )
+    b_old = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 3], "v": ["a0", "c0"], "ver": [0, 0]})
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    SK.upsert_by_key(spark, b_old, pa, key="k", order_col="k", ver_col="ver")
+    SK.upsert_by_key(spark, b_new, pa, key="k", order_col="k", ver_col="ver")
+    SK.upsert_by_key(spark, b_new, pb, key="k", order_col="k", ver_col="ver")
+    SK.upsert_by_key(spark, b_old, pb, key="k", order_col="k", ver_col="ver")
+    ra = sorted(map(tuple, spark.read.parquet(pa).collect()))
+    rb = sorted(map(tuple, spark.read.parquet(pb).collect()))
+    assert ra == rb == [(1, "a1", 1), (2, "b1", 1), (3, "c0", 0)]
+
+
+def test_training_shuffle_shard_balance(spark):
+    """The 32-bit-prefix shard derivation must spread a corpus evenly
+    (power-of-two n_shards divides 2^32 exactly): every shard of a
+    2000-doc corpus lands within ±40% of the expected 250."""
+    from etl_btc_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(2000)}))
+    out = SP.training_shuffle(df, seed="bal", n_shards=8)
+    counts = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == 8
+    for s, n in counts.items():
+        assert 150 <= n <= 350, (s, n)
+
+
+def test_hash_bucket_uniformity(spark):
+    """q80/q90's sampling rests on the md5 bucket being uniform: over
+    10k ids, each decile of the bucket space holds 1000 ± 35%."""
+    from etl_btc_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(10_000)}))
+    dec = (SP.hash_bucket(F.col("doc_id")) / 1000).cast("int").alias("d")
+    counts = {r["d"]: r["n"] for r in df.select(dec).groupBy("d").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == 10
+    for d, n in counts.items():
+        assert 650 <= n <= 1350, (d, n)
