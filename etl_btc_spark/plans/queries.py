@@ -2756,10 +2756,11 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q77_dup_clusters",
-    oracle="""
-        WITH RECURSIVE sh AS MATERIALIZED (
+#: the near-dup edge set + transitive closure shared by the q77 and
+#: q97 oracles — ONE copy, so a threshold/normalization change can't
+#: silently diverge the two (same pattern as _signal_stack_oracle)
+_DUP_CLUSTER_CTES = """
+        sh AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct([array_to_string(toks[i:i+2], ' ')
                                   FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
@@ -2783,6 +2784,13 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
             SELECT e.dst, r.label
             FROM reach r JOIN edges e ON e.src = r.node
         )
+"""
+
+
+@register(
+    "q77_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_DUP_CLUSTER_CTES}
         SELECT node AS doc_id, min(label) AS cluster_id
         FROM reach GROUP BY node
     """,
@@ -3617,36 +3625,13 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q97_cluster_best_dedup",
     oracle=f"""
-        WITH RECURSIVE sh AS MATERIALIZED (
-            SELECT doc_id,
-                   list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
-            FROM (
-                SELECT doc_id,
-                       regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS toks
-                FROM documents
-            )
-        ), pairs AS MATERIALIZED (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s))
-                  / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.8
-        ), edges AS MATERIALIZED (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION
-            SELECT id_b, id_a FROM pairs
-        ), reach AS (
-            SELECT src AS node, src AS label FROM edges
-            UNION
-            SELECT e.dst, r.label
-            FROM reach r JOIN edges e ON e.src = r.node
-        ), clusters AS (
+        WITH RECURSIVE {_DUP_CLUSTER_CTES}, clusters AS (
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM reach GROUP BY node
         ), scored AS (
             SELECT d.doc_id,
                    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-                   round(1e-9 + {{q}}, 6) AS quality
+                   round(1e-9 + {TX.quality_score_sql("d.text")}, 6) AS quality
             FROM documents d LEFT JOIN clusters c USING (doc_id)
         )
         SELECT doc_id, cluster_id, quality
@@ -3656,7 +3641,7 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
                 ORDER BY quality DESC, doc_id) AS rn
             FROM scored
         ) WHERE rn = 1
-    """.format(q=TX.quality_score_sql("d.text")),
+    """,
     doc=(
         "§2.11 quality-aware dedup: duplicate clusters (q77's connected "
         "components — Pregel min-label, edges never on the driver) keep "
