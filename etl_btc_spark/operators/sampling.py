@@ -352,3 +352,30 @@ def training_shuffle_sql(
                      (('0x' || substring({okey}, 1, 8))::BIGINT % {n_shards}) AS shard
               FROM {table})
     """
+
+
+def exact_n_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "doc",
+) -> DataFrame:
+    """Exactly-N deterministic sampling: keep the ``n_per_stratum``
+    documents with the LOWEST salted md5 order key in each stratum —
+    the "give me exactly 10k docs per language" request that
+    rate-based :func:`stratified_sample` can only approximate.
+    Deterministic and STABLE under growth in a one-sided way: a
+    document only ever leaves the sample when a new document with a
+    smaller key enters its stratum (hash-min reservoir semantics),
+    never because of reordering. One rank window per stratum; at
+    100 TB the window input can be pre-pruned with a bucket
+    predicate (keep hash buckets well below n/|stratum| quantile)
+    before ranking, making the sort input a sliver of the corpus."""
+    okey = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(okey, id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

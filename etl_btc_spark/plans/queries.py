@@ -3670,3 +3670,27 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@register(
+    "q98_exact_n_sample",
+    oracle="""
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5('doc' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+    doc=(
+        "§2.11 exactly-N deterministic sampling: the lowest-20 salted "
+        "md5 keys per language stratum — hash-min reservoir semantics "
+        "(exact sizes, stable under corpus growth), one rank window per "
+        "stratum vs the rate-based q80's approximate sizes; oracle runs "
+        "the verbatim window"
+    ),
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return SP.exact_n_sample(docs, 20, stratum_col="lang")
