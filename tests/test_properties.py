@@ -428,3 +428,30 @@ def test_hash_bucket_uniformity(spark):
     assert len(counts) == 10
     for d, n in counts.items():
         assert 650 <= n <= 1350, (d, n)
+
+
+def test_exact_n_sample_laws(spark):
+    """q98 laws: exactly N per stratum (or all rows when the stratum
+    is smaller), deterministic across calls, and one-sided stability:
+    growing the corpus only ever REPLACES members with lower-key
+    newcomers — survivors keep their membership, never reshuffle."""
+    from etl_btc_spark.operators import sampling as SP
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(300), "lang": ["a", "b", "c"] * 100}
+    )
+    df = spark.createDataFrame(pdf)
+    small = df.filter(F.col("doc_id") < 150)
+    s1 = SP.exact_n_sample(small, 10)
+    s2 = SP.exact_n_sample(small, 10)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10, "c": 10}
+    # stratum smaller than N -> keep all of it
+    tiny = SP.exact_n_sample(df.filter(F.col("doc_id") < 9), 10)
+    assert tiny.count() == 9
+    # one-sided stability: anyone sampled from the FULL corpus who
+    # already existed in the small corpus must be sampled there too
+    big_ids = {r["doc_id"] for r in SP.exact_n_sample(df, 10).collect()}
+    small_ids = {r["doc_id"] for r in s1.collect()}
+    assert {i for i in big_ids if i < 150} <= small_ids
