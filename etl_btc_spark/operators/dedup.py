@@ -10,9 +10,11 @@ Scale notes baked into each shape:
 - pairwise Jaccard is O(n^2) and exists only as the small-scope
   verifier; the scalable path is MinHash banding, where expected
   candidates ~ true near-dups, then exact Jaccard on candidates only.
-- MinHash permutations use fixed (a, b) parameters over a crc32 token
-  base — fully deterministic across sessions, unlike MLlib's
-  MinHashLSH random coefficients.
+- MinHash permutations use fixed (a, b) parameters over a 32-bit
+  md5-prefix token base — fully deterministic across sessions, unlike
+  MLlib's MinHashLSH random coefficients, and expressible in ANSI SQL
+  (``('0x' || substring(md5(x), 1, 8))::UBIGINT`` in DuckDB), so the
+  banded near-dup queries carry full value-level oracles.
 """
 
 from __future__ import annotations
@@ -26,6 +28,36 @@ from pyspark.sql import types as T
 from etl_btc_spark.operators.textops import fingerprint, normalize_text, ws_tokens
 
 _MERSENNE = (1 << 61) - 1
+
+#: DuckDB expression for the 32-bit md5-prefix base hash — the SAME
+#: integer :func:`_md5p32_fn` computes worker-side, so every hash
+#: built on it (MinHash signatures, SimHash votes) is oracle-
+#: expressible. ``{x}`` is any VARCHAR expression.
+MD5P32_SQL = "(('0x' || substring(md5({x}), 1, 8))::UBIGINT)"
+
+
+def _md5p32_fn():
+    """Worker-side base hash: first 32 bits (big-endian) of md5(s) —
+    engine-portable (see :data:`MD5P32_SQL`), unlike zlib.crc32 which
+    DuckDB 1.x lacks (VERDICT r5 "Next round" #1). Returns a memoized
+    callable: token/shingle vocabularies repeat heavily inside a
+    batch, and one dict probe is ~5× cheaper than an md5 digest. The
+    cache is cleared past 2^20 entries so a pathological corpus can't
+    grow it unboundedly inside a long-lived executor."""
+    import hashlib
+
+    cache: dict[str, int] = {}
+
+    def h32(s: str) -> int:
+        v = cache.get(s)
+        if v is None:
+            if len(cache) >= (1 << 20):
+                cache.clear()
+            v = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
+            cache[s] = v
+        return v
+
+    return h32
 
 #: caches created by dedup operators since the last release — the
 #: operators return LAZY DataFrames built over persisted
@@ -195,12 +227,12 @@ def minhash_signature_udf(n_hashes: int = 32, seed: int = 7, ngram: int | None =
     interpreted ``transform``+``array_min`` expressions per row, each
     re-deriving the shingle array — which made MinHash ~100× slower
     than the O(n^2) verifier it was meant to replace (VERDICT.md
-    round 2, "What's wrong" #2). The token base hash is zlib.crc32 ==
-    Spark's ``F.crc32`` (same CRC-32/ISO-HDLC polynomial), so
-    signatures are engine-portable.
+    round 2, "What's wrong" #2). The token base hash is the 32-bit
+    md5 prefix (:func:`_md5p32_fn`), so signatures are engine-
+    portable AND oracle-expressible in DuckDB list SQL
+    (:func:`minhash_oracle_ctes`).
     """
     import numpy as np
-    from zlib import crc32
 
     from etl_btc_spark._pickle import ensure_serializable
 
@@ -208,6 +240,9 @@ def minhash_signature_udf(n_hashes: int = 32, seed: int = 7, ngram: int | None =
     params = _minhash_params(n_hashes, seed)
     A = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
     B = np.array([b for _, b in params], dtype=np.uint64)[:, None]
+    # built once per UDF instance: the memo survives across Arrow
+    # batches on the same python worker
+    h32 = _md5p32_fn()
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(arrays: pd.Series) -> pd.Series:
@@ -228,7 +263,7 @@ def minhash_signature_udf(n_hashes: int = 32, seed: int = 7, ngram: int | None =
                 out.append([_MERSENNE] * len(A))
                 continue
             h = np.fromiter(
-                (crc32(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=len(sh)
+                (h32(s) for s in sh), dtype=np.uint64, count=len(sh)
             )
             sig = ((A * h[None, :] + B) % np.uint64(_MERSENNE)).min(axis=1)
             out.append(sig.astype(np.int64).tolist())
@@ -333,21 +368,23 @@ def minhash_near_dupes(
 
 def simhash64_udf():
     """Arrow-batched pandas UDF: array<string> tokens → 64-bit SimHash.
-    Bit j of the crc32-based token hash votes ±1; the sign of the vote
-    sum sets bit j. Two independent crc32 lanes (raw, "#salt"-suffixed)
-    give 64 bits. Near-dup docs have small Hamming distance.
+    Bit j of the md5-prefix token hash (:func:`_md5p32_fn`) votes ±1;
+    the sign of the vote sum sets bit j. Two independent hash lanes
+    (raw, "#salt"-suffixed) give 64 bits. Near-dup docs have small
+    Hamming distance, and the md5 base makes the whole signature
+    oracle-expressible (:func:`simhash_oracle_sql`).
 
     One numpy pass per batch — (n_tokens, 32) bit matrix summed down
     the token axis — replacing round 2's 64 interpreted ``aggregate``
     folds over the token array per row (VERDICT.md "What's wrong" #2).
     """
     import numpy as np
-    from zlib import crc32
 
     from etl_btc_spark._pickle import ensure_serializable
 
     ensure_serializable()
     _SHIFTS = np.arange(32, dtype=np.uint64)
+    h32 = _md5p32_fn()
 
     def one(tokens) -> int:
         out = 0
@@ -356,7 +393,7 @@ def simhash64_udf():
                 votes = np.zeros(32, dtype=np.int64)  # 0 >= 0 → all-ones lane
             else:
                 h = np.fromiter(
-                    (crc32((t + salt).encode("utf-8")) for t in tokens), dtype=np.uint64
+                    (h32(t + salt) for t in tokens), dtype=np.uint64
                 )
                 bits = ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
                 votes = (bits * 2 - 1).sum(axis=0)
@@ -382,6 +419,117 @@ def simhash64(c: Column) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors (VERDICT r5 "Next round" #1): the md5-prefix
+# base hash makes MinHash/SimHash fully value-checkable — these
+# generators emit CTE chains that reproduce the worker-side numpy
+# math bit-for-bit in DuckDB list SQL.
+# ---------------------------------------------------------------------------
+
+
+def minhash_oracle_ctes(
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    seed: int = 7,
+    n_bands: int = 8,
+    ngram: int = 3,
+    tokens_cte: str = "w",
+    prefix: str = "mh",
+) -> str:
+    """DuckDB CTE chain reproducing :func:`minhash_lsh_candidates`:
+    assumes a CTE ``{tokens_cte}({id_col}, t)`` of normalized
+    whitespace tokens; defines ``{prefix}_sh`` (word n-gram shingles,
+    truncated single gram for short docs — same clamp as
+    :func:`word_shingles`) through ``{prefix}_cand(id_a, id_b)``.
+
+    The (a, b) permutation parameters are data-independent constants
+    of the seed (same inlining move as the sampling oracles' salts).
+    Spark joins on ``xxhash64(band, slice)`` band keys; the oracle
+    compares the signature slices directly — identical pairs short of
+    a 64-bit xxhash collision, which the hash-compare would surface.
+    """
+    params = _minhash_params(n_hashes, seed)
+    base = MD5P32_SQL.format(x="s")
+    mins = ",\n                   ".join(
+        f"list_min(list_transform(h, x -> ({a}::UBIGINT * x + {b}::UBIGINT)"
+        " % 2305843009213693951::UBIGINT))"
+        for a, b in params
+    )
+    rows = n_hashes // n_bands
+    bands = ", ".join(
+        f"'{b}:' || array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ',')"
+        for b in range(n_bands)
+    )
+    return f"""
+        {prefix}_sh AS (
+            SELECT {id_col}, list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - {ngram - 1}, 1)),
+                       i -> array_to_string(t[i:i + {ngram - 1}], ' '))) AS sh
+            FROM {tokens_cte}
+        ), {prefix}_h AS (
+            SELECT {id_col}, list_transform(sh, s -> {base}) AS h
+            FROM {prefix}_sh
+        ), {prefix}_sig AS (
+            SELECT {id_col},
+                   [{mins}] AS sig
+            FROM {prefix}_h
+        ), {prefix}_bands AS (
+            SELECT {id_col}, unnest([{bands}]) AS bkey FROM {prefix}_sig
+        ), {prefix}_cand AS (
+            SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+            FROM {prefix}_bands a JOIN {prefix}_bands b
+              ON a.bkey = b.bkey AND a.{id_col} < b.{id_col}
+        )
+    """
+
+
+def simhash_oracle_ctes(
+    id_col: str = "doc_id", tokens_cte: str = "w", prefix: str = "sim"
+) -> str:
+    """DuckDB CTE chain reproducing :func:`simhash64` bit-for-bit:
+    assumes ``{tokens_cte}({id_col}, t)``; ends in
+    ``{prefix}_sig({id_col}, simhash BIGINT, usig UBIGINT)`` where
+    ``simhash`` is the two's-complement value the Spark side returns
+    and ``usig`` the same 64 bits as unsigned (for chunk banding).
+    Lane/bit layout mirrors ``simhash64_udf.one``: raw-lane vote j →
+    bit 63-j, "#salt"-lane vote j → bit 31-j, vote ≥ 0 → bit set."""
+    base0 = MD5P32_SQL.format(x="s")
+    base1 = MD5P32_SQL.format(x="s || '#salt'")
+    terms = []
+    for hcol, top in (("h0", 63), ("h1", 31)):
+        for j in range(32):
+            shift = top - j
+            w = (
+                "(9223372036854775807::HUGEINT + 1)"
+                if shift == 63
+                else f"{1 << shift}::HUGEINT"
+            )
+            terms.append(
+                f"CASE WHEN list_sum(list_transform({hcol}, x ->"
+                f" CASE WHEN ((x >> {j}) & 1) = 1 THEN 1 ELSE -1 END)) >= 0"
+                f" THEN {w} ELSE 0::HUGEINT END"
+            )
+    vsum = "\n                 + ".join(terms)
+    return f"""
+        {prefix}_h AS (
+            SELECT {id_col},
+                   list_transform(t, s -> {base0}) AS h0,
+                   list_transform(t, s -> {base1}) AS h1
+            FROM {tokens_cte}
+        ), {prefix}_v AS (
+            SELECT {id_col}, ({vsum}) AS v
+            FROM {prefix}_h
+        ), {prefix}_sig AS (
+            SELECT {id_col},
+                   CAST(CASE WHEN v >= (9223372036854775807::HUGEINT + 1)
+                             THEN v - (18446744073709551615::HUGEINT + 1)
+                             ELSE v END AS BIGINT) AS simhash,
+                   CAST(v AS UBIGINT) AS usig
+            FROM {prefix}_v
+        )
+    """
 
 
 def embedding_near_dupes(
@@ -554,9 +702,37 @@ def build_minhash_index(
         .select(id_col, F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bkey"))
     )
     banded.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    with open(os.path.join(path, "_SIGV"), "w") as f:
+        f.write(_minhash_sigv(n_hashes, n_bands, ngram))
     with open(os.path.join(path, "_BUILT"), "w") as f:
         f.write("ok\n")
     return path
+
+
+def _minhash_sigv(n_hashes: int, n_bands: int, ngram: int) -> str:
+    """Signature-family fingerprint persisted next to a MinHash index.
+    A probe signing its batch with a DIFFERENT family (base hash or
+    params) than the artifact was built with silently loses recall —
+    the md5p32 tag exists precisely because round 6 switched the base
+    hash from crc32 and every crc32-era artifact became garbage."""
+    return "md5p32:%d:%d:%d\n" % (n_hashes, n_bands, ngram)
+
+
+def minhash_index_is_current(
+    path: str, n_hashes: int = 32, n_bands: int = 8, ngram: int = 3
+) -> bool:
+    """True iff a built index exists at ``path`` AND its persisted
+    signature family matches — callers rebuild otherwise (the LSH
+    `_GEOM` lesson, applied to the text index)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_BUILT")):
+        return False
+    sigv = os.path.join(path, "_SIGV")
+    if not os.path.exists(sigv):
+        return False
+    with open(sigv) as f:
+        return f.read() == _minhash_sigv(n_hashes, n_bands, ngram)
 
 
 def incremental_near_dupes(

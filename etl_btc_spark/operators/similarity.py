@@ -181,6 +181,46 @@ def lsh_band_sig_udf(dim: int, n_bands: int, bits_per_band: int, seed: int = 42)
     return _udf
 
 
+def lsh_sigs_sql(
+    vec_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    seed: int = 42,
+    prefix: str = "ls",
+) -> str:
+    """DuckDB CTE reproducing :func:`lsh_band_sig_udf`'s (band, sig)
+    rows: ``{prefix}_sigs({id_col}, band, sig)``. The hyperplanes are
+    data-independent constants of (dim, n_planes, seed) — their exact
+    float64 reprs are inlined as literals (repr round-trips to the
+    identical double), the same move as inlining MinHash's (a, b)
+    params. Bit i of a band = sign(vec·plane), big-endian within the
+    band, matching the numpy weights vector."""
+    planes = _planes(dim, n_bands * bits_per_band, seed)
+    rows = ",\n                  ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(v) for v in row))
+        for i, row in enumerate(planes)
+    )
+    weight_case = " ".join(
+        f"WHEN {r} THEN {1 << (bits_per_band - 1 - r)}" for r in range(bits_per_band)
+    )
+    return f"""
+        {prefix}_planes AS (
+            SELECT * FROM (VALUES {rows}) AS p(plane, pv)
+        ), {prefix}_sigs AS (
+            SELECT e.{id_col}, p.plane // {bits_per_band} AS band,
+                   sum(CASE WHEN list_dot_product(CAST(e.{vec_col} AS DOUBLE[]), p.pv) >= 0
+                            THEN (CASE p.plane % {bits_per_band} {weight_case} END)
+                            ELSE 0 END)::BIGINT AS sig
+            FROM {vec_table} e, {prefix}_planes p
+            WHERE e.{vec_col} IS NOT NULL
+            GROUP BY 1, 2
+        )
+    """
+
+
 def _banded(df: DataFrame, sig_udf, vec_col: str, keep: list[str]) -> DataFrame:
     """Explode per-vector band signatures to (band, sig) rows."""
     return df.select(
