@@ -289,7 +289,8 @@ def domain_mix_rates_sql(
         c AS (SELECT {stratum_col} AS s, count(*) AS cnt
               FROM {table} WHERE {stratum_col} IS NOT NULL
               GROUP BY {stratum_col}),
-        t AS (SELECT s, cnt, ({weight_case}) AS w FROM c),
+        t AS (SELECT s, cnt, ({weight_case}) AS w FROM c
+              WHERE ({weight_case}) > 0),
         ws AS (SELECT SUM(w) AS wsum FROM t),
         mi AS (SELECT MIN((cnt * wsum) // w) AS m FROM t, ws),
         r AS (SELECT s, (10000 * w * m) // (wsum * cnt) AS rate FROM t, ws, mi)

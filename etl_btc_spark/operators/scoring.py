@@ -142,6 +142,9 @@ HF_MODEL_IDS = {
 #: init costs seconds; the closure below is cloudpickled to executors
 #: and must not carry the model with it
 _HF_PIPES: dict = {}
+#: model ids whose pipeline construction already failed on THIS
+#: python worker — gates the once-per-worker error log in hf_model_fn
+_HF_PIPE_FAILED: set = set()
 
 
 def hf_available(model: str | None = None) -> bool:
@@ -224,6 +227,22 @@ def hf_model_fn(
             # raise here would abort the whole job after task retries
             pipe = _hf_pipe(model_id, max_length)
         except Exception:
+            # NULL-degrade, but never SILENTLY (ADVICE r5): a typo'd
+            # model id or broken install would otherwise emit an
+            # all-NULL scored column with no trace anywhere. Log the
+            # cause once per model per python worker — executor
+            # stderr lands in the Spark task logs.
+            import sys
+            import traceback
+
+            if model_id not in _HF_PIPE_FAILED:
+                _HF_PIPE_FAILED.add(model_id)
+                print(
+                    "hf_model_fn: pipeline construction failed for %r — "
+                    "emitting NULL rows for its batches" % model_id,
+                    file=sys.stderr,
+                )
+                traceback.print_exc(file=sys.stderr)
             out = pd.DataFrame(
                 {"label": [None] * len(texts), "score": [None] * len(texts)}
             )

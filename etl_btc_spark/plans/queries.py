@@ -3190,7 +3190,30 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q84_knn_lsh_join",
-    oracle=None,  # approximate banding; per-query recall + broadcast plan pinned in tests/test_approx_search.py
+    # value-level oracle (round 6): inlined-hyperplane band table in
+    # SQL, per-query candidate buckets, exact top-10 re-rank — the
+    # batched twin of q37's oracle
+    oracle=f"""
+        WITH {SIM.lsh_sigs_sql("embeddings")},
+        qsig AS (SELECT vec_id AS query_id, band, sig FROM ls_sigs WHERE vec_id % 50 = 0),
+        cand AS (
+            SELECT DISTINCT q.query_id, s.vec_id
+            FROM ls_sigs s JOIN qsig q USING (band, sig)
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   {SIM.cosine_sql('a.embedding', 'b.embedding')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {SIM.cosine_sql('a.embedding', 'b.embedding')} DESC,
+                                c.vec_id) AS rn
+            FROM cand c
+            JOIN embeddings a ON c.vec_id = a.vec_id
+            JOIN embeddings b ON c.query_id = b.vec_id
+        )
+        SELECT query_id, vec_id, round(1e-9 + sim, 6) AS cosine_sim
+        FROM scored WHERE rn <= 10
+    """,
     doc=(
         "§2.11 batched ANN retrieval (the training-pipeline shape): N "
         "query vectors kNN-joined against the persisted LSH band index in "
@@ -3209,7 +3232,7 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     ANN.ensure_lsh_index(spark, emb, idx, **LSH_INDEX_PARAMS)
     out = ANN.knn_lsh_join(spark, idx, emb, queries, k=10, dim=64)
     return out.select(
-        "query_id", "vec_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+        "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
 
 

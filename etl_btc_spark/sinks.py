@@ -85,15 +85,24 @@ def _table_exists(path: str) -> bool:
     if not os.path.isdir(path):
         return False
     for f in os.listdir(path):
-        # mirror Spark's InMemoryFileIndex rule: _/. names are
+        # mirror Spark's InMemoryFileIndex rule exactly (ADVICE r5):
+        # dot-prefixed names are ALWAYS hidden — compact_table's
+        # retired dirs embed the leaf name, which can contain '='
+        # (.cold_<uuid>__shard=3), and counting that crash debris as
+        # data would route upsert_by_key onto the exists path against
+        # a half-swapped table. Underscore-prefixed names are
         # metadata UNLESS they contain '=' — a partition column that
         # itself starts with an underscore (dir `__part=1`) is data,
-        # and skipping it here would route an upsert onto a live
-        # table through the destructive create-from-scratch path
+        # and skipping it would route an upsert onto a live table
+        # through the destructive create-from-scratch path.
+        if f.startswith("."):
+            continue
+        if f.startswith("_"):
+            if "=" in f:
+                return True
+            continue
         if "=" in f:  # hive partition dir
             return True
-        if f.startswith(("_", ".")):
-            continue
         if f.endswith(".parquet"):  # flat files
             return True
     return False
@@ -262,6 +271,30 @@ def with_content_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content_id", fingerprint(F.col(text_col)))
 
 
+def _publish_root_swap(path: str, shadow: str) -> None:
+    """Finish a committed root-level compaction: move the shadow's
+    compacted files into the table root (new part names are
+    job-unique, so no clashes; ``os.replace`` covers ``_SUCCESS``),
+    delete the _MANIFEST-listed old files, then drop the shadow.
+    Idempotent — a crash at any point is resumed by re-running
+    (already-moved files are gone from the shadow, already-deleted
+    olds raise FileNotFoundError and are skipped), which is exactly
+    what compact_table's recovery pass does."""
+    manifest = os.path.join(shadow, "_MANIFEST")
+    with open(manifest) as f:
+        old = [line for line in f.read().splitlines() if line]
+    for name in sorted(os.listdir(shadow)):
+        if name == "_MANIFEST":
+            continue
+        os.replace(os.path.join(shadow, name), os.path.join(path, name))
+    for name in old:
+        try:
+            os.remove(os.path.join(path, name))
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(shadow, ignore_errors=True)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -281,9 +314,11 @@ def compact_table(
     ever taking the table offline for a global rewrite).
 
     Shadow-write + swap per leaf. The shadow and retired dirs are
-    DOT-PREFIXED siblings with no ``=`` in the name, so Spark's file
-    index never mistakes them for extra hive partitions — swap debris
-    is invisible to readers. The swap itself is two renames, so a
+    DOT-PREFIXED siblings — always hidden under Spark's file-index
+    rule (and :func:`_table_exists` mirrors that rule), even though a
+    retired name can embed ``=`` via the leaf it encodes
+    (``.cold_<uuid>__shard=3``) — so swap debris is invisible to
+    readers. The swap itself is two renames, so a
     crash BETWEEN them can leave the leaf briefly absent; the retired
     dir encodes the leaf name (``.cold_<uuid>__<leaf>``) and the next
     compact_table call RESTORES any orphan whose leaf is missing
@@ -313,12 +348,17 @@ def compact_table(
         )
     # recovery pass: an interrupted prior run may have renamed a leaf
     # to .cold_<uuid>__<leaf> and died before publishing the shadow —
-    # restore the leaf from the retired copy, and clear stale shadows
+    # restore the leaf from the retired copy, and clear stale shadows.
+    # A shadow carrying a _MANIFEST is a COMMITTED root-level swap
+    # (see below): roll it forward instead of discarding it.
     for dirpath, dirnames, _ in os.walk(path):
         for d in list(dirnames):
             full = os.path.join(dirpath, d)
             if d.startswith(".cswap_"):
-                shutil.rmtree(full, ignore_errors=True)
+                if os.path.exists(os.path.join(full, "_MANIFEST")):
+                    _publish_root_swap(dirpath, full)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
                 dirnames.remove(d)
             elif d.startswith(".cold_") and "__" in d:
                 leaf = os.path.join(dirpath, d.split("__", 1)[1])
@@ -344,6 +384,31 @@ def compact_table(
         nbytes = sum(os.path.getsize(os.path.join(dirpath, f)) for f in parts)
         n_out = max(1, math.ceil(nbytes / target_file_bytes))
         if n_out >= len(parts):
+            continue
+        if dirpath == path:
+            # flat (unpartitioned) table: the leaf IS the table root,
+            # which cannot be dir-swapped — the retired/shadow dirs
+            # would land in the table's PARENT, where a crash leaves
+            # the whole table missing and the next run's recovery
+            # walk (over `path`) never sees the debris (ADVICE r5).
+            # Publish via a manifest-committed FILE swap inside the
+            # dir instead: shadow-write, then _MANIFEST (the commit
+            # point — lists the old files to retire), then move new
+            # files in and delete old ones. A crash before the
+            # manifest rolls back (shadow discarded); after it, the
+            # recovery pass rolls FORWARD (resumes the idempotent
+            # publish). Readers see transient duplicate rows only
+            # inside the publish window — the root-flavored analogue
+            # of the leaf swap's brief-absence window.
+            shadow = os.path.join(path, f".cswap_{uuid.uuid4().hex[:8]}")
+            df = spark.read.parquet(dirpath).coalesce(n_out)
+            if sort_within:
+                df = df.sortWithinPartitions(*sort_within)
+            df.write.mode("overwrite").parquet(shadow)
+            with open(os.path.join(shadow, "_MANIFEST"), "w") as mf:
+                mf.write("\n".join(parts) + "\n")
+            _publish_root_swap(path, shadow)
+            done["."] = (len(parts), n_out)
             continue
         parent = os.path.dirname(dirpath)
         shadow = os.path.join(parent, f".cswap_{uuid.uuid4().hex[:8]}")

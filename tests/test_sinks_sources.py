@@ -338,3 +338,68 @@ def test_compact_crash_recovery(spark, tmp_path):
     got = sorted(r["k"] for r in spark.read.parquet(path).collect())
     assert got == list(range(15))  # all rows restored, then compacted
     assert not any(d.startswith(".c") for d in os.listdir(path))
+
+
+def test_compact_root_table_crash_recovery(spark, tmp_path):
+    """Root-level (flat table) compaction (ADVICE r5): the leaf IS the
+    table dir, so the swap is a manifest-committed FILE swap inside
+    it. Before the manifest exists a crash rolls BACK (shadow
+    discarded, originals untouched); once _MANIFEST is written the
+    next run rolls FORWARD (publish completes). Either way no debris
+    escapes into the table's parent directory."""
+    import os
+
+    import pandas as pd
+
+    from etl_btc_spark import sinks as SK
+
+    path = str(tmp_path / "flat")
+    for i in range(3):
+        spark.createDataFrame(
+            pd.DataFrame({"k": range(i * 5, (i + 1) * 5)})
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    # crash BEFORE commit: a shadow without _MANIFEST is rolled back,
+    # then compaction proceeds fresh
+    os.makedirs(os.path.join(path, ".cswap_dead"))
+    done = SK.compact_table(spark, path, target_file_bytes=1 << 30)
+    assert done == {".": (3, 1)}
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(15))
+    assert [f for f in os.listdir(path) if f.endswith(".parquet")] != []
+    assert not any(d.startswith(".c") for d in os.listdir(path))
+    # nothing leaked into the PARENT dir (the r5 bug: shadow/retired
+    # siblings of the table root)
+    assert not any(d.startswith(".c") for d in os.listdir(str(tmp_path)))
+
+    # crash AFTER commit: simulate by hand-building a committed shadow
+    # (new file + manifest listing one old file) and crashing before
+    # publish — recovery must finish the swap, not discard it
+    olds = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    shadow = os.path.join(path, ".cswap_committed")
+    spark.createDataFrame(pd.DataFrame({"k": [99]})).coalesce(1).write.parquet(shadow)
+    with open(os.path.join(shadow, "_MANIFEST"), "w") as f:
+        f.write("\n".join(olds) + "\n")
+    SK.compact_table(spark, path, target_file_bytes=1 << 30)
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == [99]  # rolled forward: olds retired, shadow published
+    assert not any(d.startswith(".c") for d in os.listdir(path))
+
+
+def test_table_exists_ignores_dot_prefixed_debris(tmp_path):
+    """_table_exists (ADVICE r5): dot-prefixed names are ALWAYS hidden
+    — including compact_table's retired dirs whose embedded leaf name
+    contains '=' (.cold_<uuid>__shard=3). Only an underscore-prefixed
+    name with '=' (a real hive dir for a '_'-leading partition column)
+    counts as data."""
+    import os
+
+    from etl_btc_spark.sinks import _table_exists
+
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, ".cold_ab12__shard=3"))
+    os.makedirs(os.path.join(t, ".cswap_cd34"))
+    open(os.path.join(t, "_SUCCESS"), "w").close()
+    assert not _table_exists(t)  # debris + metadata only
+    os.makedirs(os.path.join(t, "__part=1"))
+    assert _table_exists(t)  # underscore-prefixed hive dir IS data
