@@ -1,8 +1,8 @@
 """Sharded HNSW graph index (K4 extension, round 5).
 
 The reference's actual ANN structure is a Qdrant HNSW graph with
-cosine metric (migrationsservice/init_qdrant.py:38-58, m=16,
-ef_construct=100) — rounds 2-4 covered the capability with LSH/IVF,
+cosine metric (migrationsservice/init_qdrant.py:38-58, m=32,
+ef_construct=128) — rounds 2-4 covered the capability with LSH/IVF,
 the distributed-native shapes. This module closes the remaining
 structural gap with the production way HNSW is scaled out (every
 hosted vector DB shards exactly like this): the corpus is hash-split
@@ -30,10 +30,16 @@ Spark mapping:
   codes), emits per-shard top-k, and the exact fp32 re-rank joins the
   base table by id — identical tail to :func:`ann_index.knn_ivf_join`.
 
-Neighbor selection is simple top-M by cosine (no diversity
-heuristic); on the test geometry that holds the same recall floors as
-the IVF path — the heuristic is a documented upgrade point, not a
-correctness gap.
+Neighbor selection uses the classic select-neighbors diversity
+heuristic (round 6; Malkov & Yashunin Alg. 4, the rule hnswlib/Qdrant
+build with): a candidate is kept only if it is closer to the inserted
+node than to any already-kept neighbor, with pruned candidates
+backfilling leftover slots. Plain top-M links only within local
+clusters — on blobby real-world embeddings the layer graphs decompose
+into disconnected cliques and the beam search can never leave the
+entry point's cluster (pinned by the clustered-geometry recall test);
+the heuristic keeps the long-range bridges that make the graph
+navigable.
 """
 
 from __future__ import annotations
@@ -121,13 +127,47 @@ def _greedy_descend(q, entry: int, adj, vecs_n) -> int:
     return best
 
 
-def _build_shard_graph(vecs_n, levels, M: int, efc: int):
+def _select_neighbors(cand, m: int, vecs_n, diversify: bool = True):
+    """Malkov & Yashunin Alg. 4 neighbor selection: scan candidates
+    closest-first and keep one only if it is closer to the inserted
+    node than to every already-kept neighbor (for cosine: no kept r
+    with sim(c, r) > sim(c, q)) — kept edges point in genuinely
+    different directions, preserving the long-range bridges a plain
+    top-M would prune away inside a tight cluster. Pruned candidates
+    backfill leftover slots closest-first (keepPrunedConnections), so
+    degree never drops below min(m, len(cand)). Fully deterministic:
+    ``cand`` arrives (sim desc, idx asc) from the beam search and
+    ties keep the candidate (strict >).
+
+    ``diversify=False`` restores plain top-M — kept only so the
+    clustered-geometry test can demonstrate WHY the heuristic exists.
+    """
+    if not diversify:
+        return [idx for _, idx in cand[:m]]
+    kept: list[int] = []
+    pruned: list[int] = []
+    for sim, idx in cand:
+        if len(kept) >= m:
+            break
+        v = vecs_n[idx]
+        if any(float(v @ vecs_n[r]) > sim for r in kept):
+            pruned.append(idx)
+        else:
+            kept.append(idx)
+    for idx in pruned:
+        if len(kept) >= m:
+            break
+        kept.append(idx)
+    return kept
+
+
+def _build_shard_graph(vecs_n, levels, M: int, efc: int, diversify: bool = True):
     """Insert nodes 0..n-1 (caller pre-sorts by id) into a fresh
     graph. Returns (adj_per_level, entry_idx): ``adj[l]`` maps node
     idx -> neighbor idx list. Max degree M above level 0, 2M at
-    level 0 (the standard HNSW setting)."""
-    import numpy as np
-
+    level 0 (the standard HNSW setting); both the insert-side edge
+    choice and the overflow prune run through
+    :func:`_select_neighbors`."""
     n = len(vecs_n)
     M0 = 2 * M
     adj: list[dict] = [dict() for _ in range(int(levels[0]) + 1)]
@@ -144,15 +184,20 @@ def _build_shard_graph(vecs_n, levels, M: int, efc: int):
         for l in range(min(li, maxlev), -1, -1):
             W = _search_layer(q, eps, efc, adj[l], vecs_n)
             mmax = M if l > 0 else M0
-            nbrs = [idx for _, idx in W[:M]]
+            nbrs = _select_neighbors(W, M, vecs_n, diversify)
             adj[l][i] = nbrs
             for nb in nbrs:
                 lst = adj[l][nb]
                 lst.append(i)
                 if len(lst) > mmax:
                     s = vecs_n[lst] @ vecs_n[nb]
-                    keep = np.argsort(-s, kind="stable")[:mmax]
-                    adj[l][nb] = [lst[j] for j in keep]
+                    # (sim desc, idx asc): same deterministic order
+                    # the beam search feeds the insert side
+                    cand = sorted(
+                        zip((float(x) for x in s), lst),
+                        key=lambda t: (-t[0], t[1]),
+                    )
+                    adj[l][nb] = _select_neighbors(cand, mmax, vecs_n, diversify)
             eps = [idx for _, idx in W]
         while len(adj) <= li:
             adj.append({})
@@ -434,8 +479,9 @@ def knn_hnsw_join(
     2. ``applyInPandas`` over the index's shard groups decodes each
        shard's int8 codes once, rebuilds the adjacency (id -> local
        position), and beam-searches EVERY query through that shard's
-       graph — per-shard top-k candidate ids, approx sims from the
-       codes;
+       graph — the per-shard shortlist is the FULL beam (ef
+       candidates), since int8 sims cannot order near-ties and only
+       the exact pass should decide the final k;
     3. exact fp32 re-rank: candidates join the base table by id and
        the (broadcast) query vectors by query id, one vectorized
        cosine per Arrow batch, rank window per query, top k.
@@ -443,8 +489,9 @@ def knn_hnsw_join(
     The fp32 base table is never shuffled. The ``groupBy(shard)``
     does exchange the INDEX rows (int8 codes + neighbor ids, the
     compact artifact — not the fp32 corpus) once per query BATCH,
-    amortized across every query in it; only ``n_shards × k``
-    candidate rows per query reach the re-rank join.
+    amortized across every query in it; only ``n_shards ×
+    max(ef_search, k)`` candidate rows per query reach the re-rank
+    join.
     """
     import numpy as np
 
@@ -516,14 +563,20 @@ def knn_hnsw_join(
             range(len(ids)), key=lambda i: (-(len(nbrs[i]) - 1), ids[i])
         )
         # candidate ids only — the exact fp32 re-rank recomputes the
-        # score, so shipping the int8 approx sim would be dead bytes
+        # score, so shipping the int8 approx sim would be dead bytes.
+        # The FULL beam shortlist (ef, not k) goes to the re-rank:
+        # int8 sims can't order near-ties inside a tight cluster
+        # (resolution ~1/127), so truncating to k here would freeze
+        # the codes' noisy ordering before the exact pass can fix it
+        # — the standard oversample-then-rescore shape quantized HNSW
+        # deployments use (r6, clustered-geometry test)
         out_q, out_i = [], []
         for qi in range(len(b_qids)):
             qv = b_qmat[qi]
             ep = entry
             for l in range(maxlev, 0, -1):
                 ep = _greedy_descend(qv, ep, adj[l], vecs_n)
-            top = _search_layer(qv, [ep], ef, adj[0], vecs_n)[:k]
+            top = _search_layer(qv, [ep], ef, adj[0], vecs_n)
             out_q.extend([b_qids[qi]] * len(top))
             out_i.extend(ids[idx] for _, idx in top)
         return pd.DataFrame({query_id_col: out_q, id_col: out_i})
