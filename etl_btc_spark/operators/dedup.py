@@ -830,28 +830,39 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    # the frame actually holding this round's checkpoint blocks —
+    # unpersist must target IT, not a projection derived from it
+    ckpt = labels
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # the did-anything-change flag rides INSIDE the checkpointed
+        # frame (r6): the previous shape re-joined new labels against
+        # old ones, paying a full extra join + scan job per round
+        # just for the convergence scalar. Now convergence is a
+        # LIMIT-1 probe over the already-materialized checkpoint —
+        # per-round cost is exactly the propagation join.
+        stepped = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.col("nbr_min") < F.col("label")).alias("__chg"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__chg")).limit(1).count()
+        # the new checkpoint is materialized — the previous round's
+        # blocks have no consumer left and can be dropped NOW instead
+        # of leaking one labels copy per round into executor storage
+        # (the final checkpoint stays: the returned plan reads it)
+        ckpt.unpersist(False)
+        ckpt = stepped
+        labels = stepped.drop("__chg")
         if changed == 0:
             break
     # labels are localCheckpointed (materialized): the edge cache has no

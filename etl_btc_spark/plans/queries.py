@@ -3760,6 +3760,7 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
             FROM scored
         ) WHERE rn = 1
     """,
+    headline=True,
     doc=(
         "§2.11 quality-aware dedup: duplicate clusters (q77's connected "
         "components — Pregel min-label, edges never on the driver) keep "
@@ -3768,7 +3769,10 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         "uses; singletons are their own cluster. One window per cluster "
         "on the ROUNDED score (deterministic across engines); oracle = "
         "the recursive transitive closure composed with the same "
-        "quality CASE"
+        "quality CASE. Headline since r6 (VERDICT r5 #5): the CC loop "
+        "reaches fixpoint in 2 rounds at sf0.1 (tiny cluster "
+        "diameters), each round one propagation join + a LIMIT-1 "
+        "convergence probe on the round's localCheckpoint"
     ),
 )
 def q97(spark: SparkSession, sf: str) -> DataFrame:

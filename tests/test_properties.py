@@ -455,3 +455,73 @@ def test_exact_n_sample_laws(spark):
     big_ids = {r["doc_id"] for r in SP.exact_n_sample(df, 10).collect()}
     small_ids = {r["doc_id"] for r in s1.collect()}
     assert {i for i in big_ids if i < 150} <= small_ids
+
+
+def test_sampling_laws_at_sf01(spark):
+    """VERDICT r5 #7: the r5 sampling laws re-asserted at 100k rows
+    (sf0.1 events, ~100x the smoke fixtures) — guards the
+    integer-rate and exact-N invariants against md5-bucket
+    discretization surprises that smoke-scale property runs cannot
+    see."""
+    from etl_btc_spark.operators import sampling as SP
+    from etl_btc_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.1"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", (F.col("user_id") % 8).cast("string").alias("dom")
+    )
+    n = ev.count()
+    assert n >= 100_000, n  # the point is scale
+
+    # exact-N: exactly 1000 per stratum, bit-deterministic re-run
+    s1 = SP.exact_n_sample(ev, 1000, stratum_col="dom", id_col="event_id")
+    per = {r["dom"]: r["n"] for r in s1.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert set(per.values()) == {1000}, per
+    s2 = SP.exact_n_sample(ev, 1000, stratum_col="dom", id_col="event_id")
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+    # split: no unassigned rows, every fraction within 5 sigma of its
+    # 9800/100/100 target, and the label is a pure function of the id
+    # (a subset scan assigns identical labels)
+    sp = SP.train_val_test_split(ev, id_col="event_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert None not in counts, counts
+    for label, width in (("train", 9800), ("val", 100), ("test", 100)):
+        p = width / 10_000
+        exp, sd = n * p, (n * p * (1 - p)) ** 0.5
+        assert abs(counts[label] - exp) <= 5 * sd + 1, (label, counts[label], exp)
+    sub = SP.train_val_test_split(
+        ev.filter(F.col("event_id") % 7 == 0), id_col="event_id"
+    )
+    diverged = (
+        sub.select("event_id", F.col("split").alias("s_sub"))
+        .join(sp.select("event_id", "split"), "event_id")
+        .filter(F.col("s_sub") != F.col("split"))
+        .count()
+    )
+    assert diverged == 0
+
+    # domain-mix integer rates at scale: uniform target -> every
+    # domain's kept count lands within 5 sigma of cnt * rate / 10000,
+    # and the post-mix domains are near-equal (that's the goal of the
+    # rebalance)
+    rates = SP.domain_mix_rates(ev, stratum_col="dom")
+    cnts = {
+        r["dom"]: r["n"]
+        for r in ev.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    kept = SP.stratified_sample(ev, rates, stratum_col="dom", id_col="event_id")
+    kc = {
+        r["dom"]: r["n"]
+        for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    for d, rate in rates.items():
+        p = rate / 10_000
+        exp, sd = cnts[d] * p, (cnts[d] * p * (1 - p)) ** 0.5
+        assert abs(kc[d] - exp) <= 5 * sd + 1, (d, kc[d], exp)
+    assert max(kc.values()) - min(kc.values()) <= 5 * max(
+        (cnts[d] * (rates[d] / 1e4) * (1 - rates[d] / 1e4)) ** 0.5 for d in rates
+    ) * 2 + 1
