@@ -225,6 +225,34 @@ def test_index_probe_plans_prune(spark, emb, tmp_path):
     assert re.search(r"PushedFilters: \[In\(sig", p)
 
 
+def test_lsh_index_layout_floor(spark, emb, tmp_path):
+    """VERDICT r6 #1: the index write must not collapse to one writer —
+    Spark 4.1's AQE coalesces a count-less repartition(cols) to a
+    single task on a small corpus (one file per band directory, probe
+    loses all scan parallelism). The explicit size-derived width
+    floors at 2 files per band so a probe of n_bands directories has
+    2×n_bands splits to parallelize over, and each file stays
+    internally sig-sorted for row-group skipping."""
+    import os
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    lsh = str(tmp_path / "lsh_layout")
+    ANN.build_lsh_index(spark, emb, lsh, dim=64, n_bands=8, bits_per_band=4)
+    per_band = {}
+    for d in os.listdir(os.path.join(lsh, "bands")):
+        if not d.startswith("band="):
+            continue
+        per_band[d] = len(
+            [f for f in os.listdir(os.path.join(lsh, "bands", d)) if f.endswith(".parquet")]
+        )
+    assert len(per_band) == 8
+    assert all(n >= 2 for n in per_band.values()), per_band
+    # ...and the floor stays bounded: a tiny corpus must not pay the
+    # full 32-task fanout the pre-r6 write always scheduled
+    assert sum(per_band.values()) <= 32, per_band
+
+
 def test_incremental_near_dupes_subset_recall_and_broadcast(spark, docs, tmp_path):
     """q74 shape: batch-vs-corpus near-dups must be a subset of the
     exact cross-Jaccard pairs (re-rank is exact), recover most of them
