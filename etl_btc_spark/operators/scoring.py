@@ -148,17 +148,23 @@ _HF_PIPE_FAILED: set = set()
 
 
 def hf_available(model: str | None = None) -> bool:
-    """True when the ``transformers`` stack imports AND (if ``model``
-    is given) its weights resolve locally without a network fetch —
-    the :func:`stateful.tws_available` gating pattern: callers and the
-    pytest branch on this up front instead of crashing executor-side
-    mid-query. This sandbox has neither, so everything falls back to
-    the oracle-checked stubs."""
+    """True when ``model`` can be scored by a LOCAL pipeline without a
+    network fetch — the :func:`stateful.tws_available` gating pattern:
+    callers and the pytest branch on this up front instead of crashing
+    executor-side mid-query. Two ways to qualify: the ``transformers``
+    stack imports and the checkpoint resolves from the local HF cache,
+    OR (round 7 — this sandbox has no transformers/torch and installs
+    are barred) the committed :mod:`minilm` artifact for the model
+    exists, a pure-numpy engine implementing the same pipeline
+    contract. The stub engine stays the oracle-checked default either
+    way; this gate only governs ``engine="hf"|"auto"``."""
     try:
         import torch  # noqa: F401
         import transformers  # noqa: F401
     except Exception:
-        return False
+        from etl_btc_spark.operators import minilm
+
+        return model is not None and minilm.available(HF_MODEL_IDS.get(model, model))
     if model is not None:
         try:
             from transformers import AutoConfig
@@ -171,14 +177,33 @@ def hf_available(model: str | None = None) -> bool:
     return True
 
 
-def _hf_pipe(model_id: str, max_length: int):
+def _hf_pipe(model_id: str, max_length: int, fallback: tuple | None = None):
+    """``fallback`` is ``(minilm_module, artifact_dir)`` resolved on
+    the DRIVER by :func:`hf_model_fn` — it must travel through the
+    closure (the module pickles by value), because an executor-side
+    ``import etl_btc_spark...`` dies with ModuleNotFoundError under
+    the driver contract (the package is loaded by file path, never on
+    the workers' PYTHONPATH) and would silently NULL every row."""
     key = (model_id, max_length)
     if key not in _HF_PIPES:
-        from transformers import (
-            AutoModelForSequenceClassification,
-            AutoTokenizer,
-            TextClassificationPipeline,
-        )
+        try:
+            from transformers import (
+                AutoModelForSequenceClassification,
+                AutoTokenizer,
+                TextClassificationPipeline,
+            )
+        except ImportError:
+            # no transformers stack on this host: the committed
+            # pure-numpy artifact (same pipeline call contract —
+            # minilm.MiniPipeline) is the documented fallback, so the
+            # tokenize→batch→label path still executes for real; a
+            # missing artifact re-raises and NULL-degrades via the
+            # caller's failure contract
+            if fallback is None:
+                raise
+            minilm_mod, mini_dir = fallback
+            _HF_PIPES[key] = minilm_mod.load_pipeline(mini_dir, max_length)
+            return _HF_PIPES[key]
 
         # local_files_only mirrors the hf_available() gate: the gate
         # promised no network fetch, so the executor-side build must
@@ -217,6 +242,16 @@ def hf_model_fn(
     LABEL_REMAP (Bullish→Positive etc., cryptobert.py:18-21)."""
 
     model_id = HF_MODEL_IDS.get(model, model)
+    # driver-side resolution of the no-transformers fallback: the
+    # minilm module reference pickles by value into the closure, and
+    # the artifact path is computed where __file__ resolves
+    from etl_btc_spark.operators import minilm
+
+    fallback = (
+        (minilm, minilm.artifact_dir(model_id))
+        if minilm.available(model_id)
+        else None
+    )
 
     def fn(texts: pd.Series) -> pd.DataFrame:
         try:
@@ -225,7 +260,7 @@ def hf_model_fn(
             # cache (driver-only cache, no shared FS) must degrade to
             # NULL rows like any other batch failure — an uncaught
             # raise here would abort the whole job after task retries
-            pipe = _hf_pipe(model_id, max_length)
+            pipe = _hf_pipe(model_id, max_length, fallback)
         except Exception:
             # NULL-degrade, but never SILENTLY (ADVICE r5): a typo'd
             # model id or broken install would otherwise emit an

@@ -1,8 +1,9 @@
 """Scoring surface (U1-U6) — stub/HF engine selection and failure
-semantics. The real-model path is capability-gated exactly like the
-transformWithStateInPandas variant: its pytest runs only where the
-transformers stack + weights exist, and the STUB path must stay
-byte-identical to what the q32 oracle checks regardless."""
+semantics. The engine="hf" path is capability-gated; round 7 commits
+a deterministic pure-numpy pipeline artifact (operators/minilm.py) so
+that path RUNS here despite the absent transformers stack. The STUB
+path must stay byte-identical to what the q32 oracle checks
+regardless of which hf backend is available."""
 
 import pandas as pd
 import pytest
@@ -37,17 +38,18 @@ def test_stub_default_unchanged_and_null_semantics(spark, docs):
     assert out[0]["cryptobert_score"] == pytest.approx(expect["score"].iloc[0])
 
 
-def test_auto_engine_falls_back_to_stub_when_hf_missing(spark, docs):
-    if SC.hf_available("cryptobert"):
-        pytest.skip("transformers present: auto selects the real path here")
+def test_auto_engine_falls_back_to_stub_when_hf_missing(spark, docs, monkeypatch):
+    """With the capability gate forced off (r7: the committed minilm
+    artifact makes hf_available() true here, so the missing-capability
+    branch needs an injected gate), auto must produce the stub rows."""
+    monkeypatch.setattr(SC, "hf_available", lambda model=None: False)
     stub = SC.score_documents(docs).orderBy("doc_id").collect()
     auto = SC.score_documents(docs, engine="auto").orderBy("doc_id").collect()
     assert [tuple(r) for r in auto] == [tuple(r) for r in stub]
 
 
-def test_hf_engine_fails_fast_when_unavailable(spark, docs):
-    if SC.hf_available("cryptobert"):
-        pytest.skip("transformers present: engine='hf' would run for real")
+def test_hf_engine_fails_fast_when_unavailable(spark, docs, monkeypatch):
+    monkeypatch.setattr(SC, "hf_available", lambda model=None: False)
     with pytest.raises(RuntimeError, match="transformers"):
         SC.score_documents(docs, engine="hf")
 
@@ -82,12 +84,15 @@ def test_custom_model_fn_failure_rows_null(spark, docs):
 
 @pytest.mark.skipif(
     not SC.hf_available("cryptobert"),
-    reason="transformers stack / local weights absent (documented env gap)",
+    reason="no transformers stack and no committed minilm artifact",
 )
 def test_hf_real_path_schema_and_null_on_failure(spark, docs):
-    """Gated like stateful's tws test: the REAL pipeline must return
-    the declared struct schema, remapped labels, and NULL-only-the-bad
-    -row semantics."""
+    """The engine="hf" pipeline path must return the declared struct
+    schema, remapped labels, and NULL-only-the-bad-row semantics.
+    Round 7: this RUNS here — without transformers the committed
+    pure-numpy minilm artifact backs _hf_pipe via the same pipeline
+    contract, so hf_model_fn's tokenize→batch→remap path executes
+    for real instead of skipping."""
     out = SC.score_documents(docs, engine="hf", models=("cryptobert", "finbert"))
     kinds = dict(out.dtypes)
     assert kinds["cryptobert_label"] == "string"
@@ -100,3 +105,110 @@ def test_hf_real_path_schema_and_null_on_failure(spark, docs):
             assert lab is None or lab in ("Positive", "Negative", "Neutral")
             sc = r[f"{m}_score"]
             assert sc is None or 0.0 <= sc <= 1.0
+
+
+def test_mini_artifact_deterministic(tmp_path):
+    """The committed minilm artifacts must be reproducible from
+    scripts/make_mini_hf.py at the recorded seed — the 'built once by
+    a script, deterministic' contract. Weights compare exactly;
+    config/vocab compare byte-for-byte."""
+    import json
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import make_mini_hf as MK
+
+    from etl_btc_spark.operators import minilm
+
+    for model_id in SC.HF_MODEL_IDS.values():
+        committed = minilm.artifact_dir(model_id)
+        with open(os.path.join(committed, "config.json")) as f:
+            cfg = json.load(f)
+        rebuilt = MK.build(
+            model_id,
+            cfg["mini_seed"],
+            {int(k): v for k, v in cfg["id2label"].items()},
+            out=str(tmp_path / model_id.replace("/", "__")),
+        )
+        for fname in ("config.json", "vocab.txt"):
+            with open(os.path.join(committed, fname), "rb") as a, open(
+                os.path.join(rebuilt, fname), "rb"
+            ) as b:
+                assert a.read() == b.read(), (model_id, fname)
+        wa = np.load(os.path.join(committed, "weights.npz"))
+        wb = np.load(os.path.join(rebuilt, "weights.npz"))
+        assert sorted(wa.files) == sorted(wb.files)
+        for k in wa.files:
+            assert np.array_equal(wa[k], wb[k]), (model_id, k)
+
+
+def test_mini_pipeline_contract_and_tokenizer():
+    """Pipeline-contract unit pins: truncation to max_length,
+    deterministic output, batch-size invariance, WordPiece continuation
+    pieces, and label/score ranges — the mechanics hf_model_fn relies
+    on when this engine backs _hf_pipe."""
+    from etl_btc_spark.operators import minilm
+
+    d = minilm.artifact_dir(SC.HF_MODEL_IDS["cryptobert"])
+    pipe = minilm.load_pipeline(d, 64)
+
+    # WordPiece: 'bullish' = 'bull' + '##ish' via greedy longest-match
+    assert minilm.wordpiece_tokenize("bullish", pipe.vocab) == ["bull", "##ish"]
+    # unknown codepoint collapses the word to [UNK], not a crash
+    assert minilm.wordpiece_tokenize("b€d ok", pipe.vocab)[0] == "[UNK]"
+
+    rows = ["bullish breakout", "bearish slide", "x" * 500, "", "flat"]
+    out = pipe(rows, batch_size=2)
+    # batch-size invariance: labels exact, scores to float32-GEMM
+    # tolerance (BLAS blocking differs by batch shape — true of real
+    # HF pipelines too); identical batching is exactly reproducible
+    out32 = pipe(rows, batch_size=32)
+    assert [o["label"] for o in out] == [o["label"] for o in out32]
+    assert all(abs(a["score"] - b["score"]) < 1e-5 for a, b in zip(out, out32))
+    assert out == pipe(rows, batch_size=2)  # deterministic
+    for o in out:
+        assert o["label"] in ("Bullish", "Bearish", "Neutral")
+        assert 0.0 < o["score"] <= 1.0
+    # truncation: a 500-char doc encodes to exactly max_length ids
+    assert len(pipe.encode("x" * 500)) == 64
+
+
+def test_hf_model_fn_per_row_fallback_isolates_bad_doc():
+    """hf_model_fn's batch-failure path: when the pipeline raises on a
+    batch, it retries row-by-row so only the poisoned row NULLs — the
+    reference's per-article error-continue (news_etl_dag.py:100-118).
+    Injected via the module pipe cache, so no transformers needed."""
+    import pandas as pd
+
+    class Poisoned:
+        def __call__(self, rows, batch_size=32):
+            if any("BAD" in r for r in rows):
+                raise RuntimeError("poisoned doc")
+            return [{"label": "Bullish", "score": 0.9} for _ in rows]
+
+    key = ("fake/poisoned", 64)
+    SC._HF_PIPES[key] = Poisoned()
+    try:
+        fn = SC.hf_model_fn("fake/poisoned")
+        out = fn(pd.Series(["good one", "BAD doc", "another good"]))
+        assert list(out["label"]) == ["Positive", None, "Positive"]
+        assert out["score"].iloc[0] == 0.9 and pd.isna(out["score"].iloc[1])
+    finally:
+        SC._HF_PIPES.pop(key, None)
+
+
+def test_hf_scoring_label_spread_and_oracle_isolation(spark, docs):
+    """engine='hf' must not leak into the oracle-checked default: the
+    stub rows for q32's fixture stay identical after an hf run, and
+    the hf run itself exercises >1 distinct label over the fixture
+    (a constant-label scorer would mean the forward pass ignores its
+    input)."""
+    before = SC.score_documents(docs).orderBy("doc_id").collect()
+    hf = SC.score_documents(docs, engine="hf", models=("cryptobert",)).collect()
+    labels = {r["cryptobert_label"] for r in hf}
+    assert len(labels) > 1, labels
+    after = SC.score_documents(docs).orderBy("doc_id").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
