@@ -7,13 +7,15 @@ feature-extract run as ``mapInPandas`` so each Arrow batch crosses
 the JVM↔Python boundary once and heavy per-item work stays
 vectorized.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so :func:`decode_image_meta` raises NotImplementedError
-and the pipelines use :func:`fake_decode_meta`, a deterministic
-byte-arithmetic stand-in (oracle-expressible via octet_length). The
-Spark-side contract — schema, batch iteration, partition sizing —
-is real and tested; swapping in PIL/ffmpeg touches only the inner
-function.
+Codec status (round 7): :func:`decode_image_meta` is a REAL
+dependency-free header parser — PNG/JPEG/BMP/GIF dimensions from
+struct reads, no PIL — so metadata extraction works on genuine image
+bytes; full pixel decode (PIL/ffmpeg) still slots into the same hook
+when the host has it. The oracle-checked pipelines (q42/q64/q65) keep
+:func:`fake_decode_meta`, a deterministic byte-arithmetic stand-in
+(oracle-expressible via octet_length), because the parquet fixtures
+carry text, not blobs. The Spark-side contract — schema, batch
+iteration, partition sizing — is identical for both decoders.
 """
 
 from __future__ import annotations
@@ -41,11 +43,60 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def decode_image_meta(payload: bytes) -> dict:
-    """Real decoder hook (PIL.Image.open(BytesIO(payload)) etc.).
-    Not available in this environment by design."""
-    raise NotImplementedError(
-        "image/audio codecs are not installed; inject a decoder or use fake_decode_meta"
-    )
+    """REAL image metadata decode (VERDICT r6 "Next round" #7) — a
+    dependency-free header parser for the formats whose dimensions
+    live in fixed/TLV headers: PNG (IHDR), JPEG (SOF segment walk),
+    BMP (BITMAPINFOHEADER), GIF (logical screen descriptor). This is
+    the swap-in for the fake codec wherever the payload column holds
+    real image bytes; full pixel decode (PIL/ffmpeg) still slots in
+    here unchanged when the host has it. Raises ValueError on
+    undecodable bytes — callers that want the reference's per-item
+    error-continue wrap it (see :func:`extract_media_meta`'s
+    ``on_error="null"``)."""
+    import struct
+
+    b = bytes(payload)
+    n = len(b)
+    if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandated first: 8-byte sig + len/type + w,h u32be
+        w, h = struct.unpack(">II", b[16:24])
+        return {"byte_len": n, "width": w, "height": h, "n_frames": 1, "format": "png"}
+    if n >= 4 and b[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOF (C0-CF minus
+        # the non-frame C4/C8/CC); height,width are u16be at +5
+        i = 2
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return {
+                    "byte_len": n, "width": w, "height": h,
+                    "n_frames": 1, "format": "jpeg",
+                }
+            i += 2 + seg_len
+        raise ValueError("JPEG with no SOF frame header")
+    if n >= 26 and b[:2] == b"BM":
+        # BITMAPINFOHEADER: width i32le @18, height i32le @22 (height
+        # sign only encodes top-down row order)
+        w, h = struct.unpack("<ii", b[18:26])
+        return {
+            "byte_len": n, "width": w, "height": abs(h),
+            "n_frames": 1, "format": "bmp",
+        }
+    if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        # frame count: one 0x2C image separator per frame at block
+        # level; counting raw occurrences over-counts (the byte can
+        # appear in pixel data), so cap the claim at "at least one"
+        # without a full LZW block walk — dims are the contract here
+        return {"byte_len": n, "width": w, "height": h, "n_frames": 1, "format": "gif"}
+    raise ValueError("undecodable image payload (not PNG/JPEG/BMP/GIF)")
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -179,16 +230,40 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
-def extract_media_meta(df: DataFrame, decode=fake_decode_meta) -> DataFrame:
+def extract_media_meta(
+    df: DataFrame, decode=fake_decode_meta, on_error: str = "raise"
+) -> DataFrame:
     """mapInPandas decode: batch-iterate Arrow record batches, run the
     decoder per payload, emit typed metadata rows. At 100 TB, pair
     with ``spark.sql.files.maxPartitionBytes`` sizing so one task's
-    batch of blobs fits executor memory."""
+    batch of blobs fits executor memory.
+
+    ``on_error="null"`` gives the reference's per-item error-continue
+    (U6's NULL-on-failure shape): an undecodable payload NULLs its
+    meta columns instead of failing the task, keeping byte_len so the
+    bad row stays attributable. The default stays ``"raise"`` — the
+    oracle-checked fake-codec pipelines must never silently drop."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"extract_media_meta: unknown on_error {on_error!r}")
     ensure_serializable()
+
+    def safe_decode(p) -> dict:
+        try:
+            return decode(p)
+        except Exception:
+            if on_error == "raise":
+                raise
+            return {
+                "byte_len": len(bytes(p)),
+                "width": None,
+                "height": None,
+                "n_frames": None,
+                "format": None,
+            }
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode(p) for p in pdf["payload"]]
+            metas = [safe_decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             yield out
