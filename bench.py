@@ -4,7 +4,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "builds": {name: sec, ...},
+     "calibration": {"range_sum_100m_sec": sec, "cpu": "...", ...},
      "sf": 0.1}
+
+``calibration`` is a fixed-size CPU-bound reference job + CPU model:
+divide two rounds' query timings by their calibration timings before
+calling anything a regression — bench files are recorded on whatever
+machine the round landed on (VERDICT r6 found a 1.38x apparent
+slowdown that was pure machine drift).
 
 Each query is fully executed via the noop sink (forces every operator
 to run, skips driver-side row serialization, like a real write job).
@@ -106,11 +113,44 @@ def time_builds(spark, sf_dir: str) -> dict[str, float]:
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.copytree(SK.artifact_path(sf_dir, "hnsw_index"), tmp)
     changed = emb.orderBy("vec_id").limit(50).select("vec_id")
+    stats: dict = {}
     t0 = time.time()
-    HN.refresh_hnsw_index(spark, emb, tmp, changed)
+    HN.refresh_hnsw_index(spark, emb, tmp, changed, stats_out=stats)
     builds["hnsw_refresh"] = round(time.time() - t0, 3)
+    # break-even context (VERDICT r6 #5): whether this refresh ran
+    # incrementally or fell back to a rebuild, and why
+    builds["hnsw_refresh_ctx"] = "affected=%s/%s mode=%s" % (
+        stats.get("affected"), stats.get("n_shards"), stats.get("mode")
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     return builds
+
+
+def calibrate(spark) -> dict:
+    """Machine fingerprint (VERDICT r6 #3/#4): BENCH_r{N}.json files
+    are recorded on whatever box the driver landed on, and round 6
+    burned a full judge A/B proving a 1.38x 'regression' was machine
+    drift. A fixed-size CPU-bound reference job plus the CPU model
+    lets any two bench files be normalized without re-running code."""
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(id * 3 + 1) AS s").collect()
+        times.append(time.time() - t0)
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {
+        "range_sum_100m_sec": round(min(times), 3),
+        "cpu": cpu,
+        "cpus_conf": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
 
 
 def main() -> None:
@@ -124,7 +164,18 @@ def main() -> None:
     run_query(spark, REGISTRY["q07_star_join_revenue"], sf_dir)
     run_query(spark, REGISTRY["q32_sentiment_scores"], sf_dir)
     builds = time_builds(spark, sf_dir)
+    calibration = calibrate(spark)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # the heaviest headline queries get extra repeats (VERDICT r6 #6):
+    # their best-of must sit below this box's run-to-run spread or
+    # every round re-litigates noise-vs-regression on exactly the
+    # queries where it matters most
+    heavy = {
+        "q97_cluster_best_dedup",
+        "q56_embedding_near_dupes_lsh",
+        "q40_minhash_near_dupes",
+        "q37_knn_lsh",
+    }
     timings: dict[str, float] = {}
     for q in headline:
         # best-of-N: report steady state, not first-run scheduling
@@ -134,7 +185,8 @@ def main() -> None:
         # keeps those per-corpus-version artifacts warm. Caches are
         # released BETWEEN queries so nothing accumulates across the
         # suite (VERDICT r3 item 7).
-        timings[q.name] = round(min(run_query(spark, q, sf_dir) for _ in range(repeats)), 3)
+        n = max(repeats, 5) if q.name in heavy else repeats
+        timings[q.name] = round(min(run_query(spark, q, sf_dir) for _ in range(n)), 3)
         release_scoped_caches()
         release_scoped_broadcasts()
     out = {
@@ -144,6 +196,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "builds": builds,
+        "calibration": calibration,
         "sf": sf,
     }
     print(json.dumps(out))

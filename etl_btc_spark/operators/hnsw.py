@@ -388,6 +388,7 @@ def refresh_hnsw_index(
     ef_construction: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    stats_out: dict | None = None,
 ) -> str:
     """Incremental index maintenance: rebuild ONLY the shards whose
     membership a change set touches, leaving every other shard's
@@ -408,6 +409,19 @@ def refresh_hnsw_index(
 
     Driver footprint: one ``collect()`` of DISTINCT affected shard
     ids — bounded by ``n_shards`` ints, never by the change volume.
+
+    Break-even guard (VERDICT r6 #5): when the change set touches a
+    MAJORITY of shards, the incremental path re-scans most of the
+    corpus anyway and then pays dynamic-overwrite commit plus the
+    emptied-shard second distinct on top — at bench scale that made
+    refresh (4.8 s) cost MORE than a full rebuild (4.2 s). So past
+    ``affected > n_shards/2`` this falls back to
+    :func:`build_hnsw_index` with the artifact's own geometry; the
+    answer is row-identical either way (bit-deterministic build), the
+    fallback just stops charging incremental overhead for a
+    non-incremental change. ``stats_out`` (optional dict) reports
+    ``affected``/``n_shards``/``mode`` so benchmarks can print the
+    break-even context next to the timing.
     """
     import shutil
 
@@ -424,7 +438,29 @@ def refresh_hnsw_index(
         r["shard"]
         for r in changed_ids.select(shard_of.alias("shard")).distinct().collect()
     )
+    if stats_out is not None:
+        stats_out.update(
+            {
+                "affected": len(affected),
+                "n_shards": n_shards,
+                "mode": "noop"
+                if not affected
+                else ("rebuild" if 2 * len(affected) > n_shards else "incremental"),
+            }
+        )
     if not affected:
+        return path
+    if 2 * len(affected) > n_shards:
+        build_hnsw_index(
+            spark,
+            vectors,
+            path,
+            M=M,
+            ef_construction=ef_construction,
+            n_shards=n_shards,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
         return path
     todo = vectors.filter(shard_of.isin(affected))
     nodes = _shard_nodes(todo, n_shards, M, ef_construction, vec_col, id_col)

@@ -3701,9 +3701,12 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     oracle=None,  # approximate graph search; refresh==rebuild byte-identity pinned in tests/test_approx_search.py
     doc=(
         "K4 incremental maintenance gate, HNSW flavor: the graph index "
-        "is built over 90% of the corpus, the remaining ids arrive as a "
-        "change set through refresh_hnsw_index (only their hash shards "
-        "rebuild, dynamic partition overwrite), and the probe kNN-joins "
+        "is built over ~3/4 of the corpus (everything outside hash shard "
+        "0 — the change set must stay a shard MINORITY or the r7 "
+        "break-even guard correctly reroutes it to a full rebuild), the "
+        "remaining ids arrive as a change set through refresh_hnsw_index "
+        "(only their hash shards rebuild, dynamic partition overwrite), "
+        "and the probe kNN-joins "
         "queries from both regions — because the build is "
         "bit-deterministic, this index is IDENTICAL to a from-scratch "
         "build AT THE SAME SHARD GEOMETRY (n_shards pinned explicitly "
@@ -3720,7 +3723,12 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     import shutil as _sh
 
     emb = load_table(spark, sf, "embeddings")
-    late = F.col("vec_id") % 10 == 0
+    # late arrivals = hash shard 0: a 1-of-4-shard change set, so the
+    # refresh exercises the INCREMENTAL arm (a % 10 == 0 change set
+    # spreads over every shard and the r7 break-even guard would
+    # reroute it to the rebuild arm, which q95's twin and the bench
+    # maintenance timing already cover)
+    late = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4)) == 0
     idx = _SK.artifact_path(sf, "hnsw_refreshed")
     # same composite-completion gating as q95 (build marks _BUILT
     # before the refresh has run)
@@ -3728,9 +3736,16 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     if not (HN._is_built(idx) and _os.path.exists(done)):
         _sh.rmtree(idx, ignore_errors=True)
         HN.build_hnsw_index(spark, emb.filter(~late), idx, n_shards=4, **HNSW_INDEX_PARAMS)
+        stats: dict = {}
         HN.refresh_hnsw_index(
-            spark, emb, idx, emb.filter(late).select("vec_id"), **HNSW_INDEX_PARAMS
+            spark,
+            emb,
+            idx,
+            emb.filter(late).select("vec_id"),
+            stats_out=stats,
+            **HNSW_INDEX_PARAMS,
         )
+        assert stats["mode"] == "incremental", stats
         with open(done, "w") as fh:
             fh.write("1\n")
     queries = emb.filter(F.col("vec_id") % 50 == 0)

@@ -825,7 +825,10 @@ def test_hnsw_refresh_equals_full_rebuild(spark, emb, tmp_path):
     HN.build_hnsw_index(spark, emb, idx, n_shards=4)
 
     # new snapshot: drop id 3 (delete), negate id 7's vector
-    # (update), add id 100000 (insert)
+    # (update), add id 100002 (insert). The insert id is chosen to
+    # hash into id 3's shard, keeping the change set at 2 of 4 shards
+    # — BELOW the r7 majority break-even, so this pins the
+    # INCREMENTAL path (the rebuild-fallback arm has its own test)
     upd = F.transform(F.col("embedding"), lambda x: -x)
     new_emb = (
         emb.filter(~F.col("vec_id").isin(3))
@@ -835,11 +838,11 @@ def test_hnsw_refresh_equals_full_rebuild(spark, emb, tmp_path):
         )
         .unionByName(
             emb.filter(F.col("vec_id") == 0).select(
-                (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+                (F.col("vec_id") + 100002).alias("vec_id"), "embedding", "label"
             )
         )
     )
-    changed = spark.createDataFrame([(3,), (7,), (100000,)], "vec_id: bigint")
+    changed = spark.createDataFrame([(3,), (7,), (100002,)], "vec_id: bigint")
     touched = {
         r["s"]
         for r in changed.select(
@@ -860,12 +863,45 @@ def test_hnsw_refresh_equals_full_rebuild(spark, emb, tmp_path):
         }
 
     before = {s: shard_bytes(s) for s in untouched}
-    HN.refresh_hnsw_index(spark, new_emb, idx, changed)
+    stats: dict = {}
+    HN.refresh_hnsw_index(spark, new_emb, idx, changed, stats_out=stats)
+    assert stats["mode"] == "incremental", stats
     for s in untouched:
         assert shard_bytes(s) == before[s], "untouched shard %d rewritten" % s
 
     full = str(tmp_path / "hnsw_full")
     HN.build_hnsw_index(spark, new_emb, full, n_shards=4)
+    da = spark.read.parquet(idx + "/nodes").orderBy("vec_id").collect()
+    db = spark.read.parquet(full + "/nodes").orderBy("vec_id").collect()
+    assert da == db
+
+
+def test_hnsw_refresh_majority_falls_back_to_rebuild(spark, emb, tmp_path):
+    """VERDICT r6 #5: a change set touching a MAJORITY of shards makes
+    the incremental path cost more than a rebuild (it scans most of
+    the corpus AND pays dynamic-overwrite + emptied-shard bookkeeping
+    on top), so refresh must fall back to build_hnsw_index at the
+    artifact's own geometry — and the answer must still equal the
+    from-scratch build row-for-row."""
+    from etl_btc_spark.operators import hnsw as HN
+
+    small = emb.limit(300)
+    idx = str(tmp_path / "hnsw_maj")
+    HN.build_hnsw_index(spark, small, idx, n_shards=2)
+
+    # bench shape: 50 new ids over a 2-shard index -> both affected
+    batch = small.limit(50).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    snapshot = small.unionByName(batch)
+    stats: dict = {}
+    HN.refresh_hnsw_index(
+        spark, snapshot, idx, batch.select("vec_id"), stats_out=stats
+    )
+    assert stats == {"affected": 2, "n_shards": 2, "mode": "rebuild"}
+
+    full = str(tmp_path / "hnsw_maj_full")
+    HN.build_hnsw_index(spark, snapshot, full, n_shards=2)
     da = spark.read.parquet(idx + "/nodes").orderBy("vec_id").collect()
     db = spark.read.parquet(full + "/nodes").orderBy("vec_id").collect()
     assert da == db
