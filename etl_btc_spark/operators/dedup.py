@@ -861,12 +861,22 @@ def incremental_near_dupes(
 def connected_components(
     pairs: DataFrame, max_iters: int = 20, a: str = "id_a", b: str = "id_b"
 ) -> DataFrame:
-    """Pregel-style min-label propagation: every node starts labeled
-    with itself; each round it adopts the smallest label among itself
-    and its neighbors; fixpoint = components. Near-dup clusters have
-    tiny diameters, so rounds ≈ 2-4; each round is one hash join +
-    map-side-combined min — the standard large-scale CC shape (no
-    driver-side graph, edges stay distributed).
+    """Pregel-style min-label propagation WITH pointer jumping: every
+    node starts labeled with itself; each round it adopts the smallest
+    of {its label, its neighbors' labels, its label's label}. The
+    neighbor term spreads the minimum one hop per round; the
+    label-of-label term (r7) halves the remaining pointer depth each
+    round, so a component of diameter d converges in O(log d) rounds
+    instead of O(d) — near-dup clusters have tiny diameters (2-4
+    rounds either way), but a CHAIN of templated near-dups at corpus
+    scale would otherwise need diameter-many shuffle rounds. Each
+    round is one edge hash join + map-side-combined min, plus one
+    labels self-join (node-count sized, smaller than the edge join)
+    — still the standard large-scale CC shape: no driver-side graph,
+    edges stay distributed. Correctness: a node's label is always a
+    member of its own component and never increases, so the fixpoint
+    (no label changed via either term) is exactly per-component
+    minima, same as pure propagation.
 
     Convergence is checked with a one-scalar count per round, and
     labels are localCheckpointed each round so the loop's lineage
@@ -900,14 +910,27 @@ def connected_components(
         # just for the convergence scalar. Now convergence is a
         # LIMIT-1 probe over the already-materialized checkpoint —
         # per-round cost is exactly the propagation join.
+        # pointer table: label value -> that node's own current label
+        # (every label IS a node id present in `labels`, so the left
+        # join only NULLs if that invariant ever broke — coalesce
+        # keeps it safe)
+        ptr = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("jlabel")
+        )
         stepped = (
             labels.join(prop, "node", "left")
+            .join(ptr, "label", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("nbr_min") < F.col("label")).alias("__chg"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                    F.coalesce(F.col("jlabel"), F.col("label")),
+                ).alias("label"),
+                (
+                    (F.col("nbr_min") < F.col("label"))
+                    | (F.col("jlabel") < F.col("label"))
+                ).alias("__chg"),
             )
         ).localCheckpoint()
         changed = stepped.filter(F.col("__chg")).limit(1).count()
@@ -929,8 +952,9 @@ def connected_components(
         edges.unpersist(False)
         raise RuntimeError(
             "connected_components: no fixpoint after %d rounds — a "
-            "component's diameter exceeds max_iters; raise max_iters "
-            "(one hash-join round per unit of graph diameter)" % max_iters
+            "component's diameter exceeds 2^max_iters-ish reach; raise "
+            "max_iters (pointer jumping needs ~log2(diameter) rounds)"
+            % max_iters
         )
     # labels are localCheckpointed (materialized): the edge cache has no
     # remaining consumer and can be dropped before returning

@@ -660,3 +660,26 @@ def test_connected_components_fails_loud_past_max_iters(spark):
     # and the same graph converges fine with enough rounds
     ok = DD.connected_components(pairs, max_iters=12)
     assert ok.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """r7 pointer jumping: a 200-edge path (diameter 200) must
+    converge well inside 20 rounds (pure one-hop propagation would
+    need 200) and still label every node with the component min."""
+    from etl_btc_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a: bigint, id_b: bigint"
+    )
+    out = DD.connected_components(pairs, max_iters=20)
+    assert out.count() == 201
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+    # two disjoint chains keep distinct minima
+    pairs2 = pairs.union(
+        spark.createDataFrame(
+            [(1000 + i, 1001 + i) for i in range(50)], "id_a: bigint, id_b: bigint"
+        )
+    )
+    out2 = DD.connected_components(pairs2, max_iters=20)
+    got = {r["cluster_id"] for r in out2.select("cluster_id").distinct().collect()}
+    assert got == {0, 1000}
