@@ -213,3 +213,75 @@ def pii_counts_sql(col: str) -> tuple[str, str]:
         f"len(regexp_extract_all({col}, '{EMAIL_RE}'))",
         f"len(regexp_extract_all({col}, '{PHONE_RE}'))",
     )
+
+
+def tfidf_keywords(df, k: int = 5, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top-k TF-IDF keywords (r7 extension of the §2.11
+    text-analysis surface — keyword extraction is the standard
+    document-profiling step next to quality/lang-id, and the reference
+    profiles documents before embedding them, init_qdrant.py:232-267).
+
+    Plan shape at 100 TB: one explode shuffle to (doc, token) term
+    counts, one token-level aggregate for document frequencies (a
+    vocabulary-sized table, orders of magnitude smaller than the
+    corpus), a token-key join of the two, and one rank window per
+    document. The corpus cardinality joins in as a BROADCAST 1-row
+    aggregate, not a driver-side collect, so the whole thing is one
+    lazy plan. Scores are epsilon-rounded BEFORE ranking so the
+    cross-engine float comparison (Spark vs DuckDB ln) cannot flip
+    near-tied ranks; ties break on token ascending.
+    """
+    from pyspark.sql import Window
+
+    toks = ws_tokens(normalize_text(F.col(text_col)))
+    words = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = words.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) + F.lit(1e-9), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tfidf")
+    )
+
+
+def tfidf_keywords_oracle_sql(k: int = 5) -> str:
+    """DuckDB mirror of :func:`tfidf_keywords` over the documents
+    view — identical tokenization, scoring, rounding and tie-break."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS token FROM w
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), nd AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.token,
+                   round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.df) + 1e-9, 6) AS tfidf
+            FROM tf JOIN dfreq USING (token), nd
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tfidf
+        FROM (
+            SELECT doc_id, token, tfidf, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

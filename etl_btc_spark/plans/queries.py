@@ -3831,3 +3831,20 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
 def q98(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "lang")
     return SP.exact_n_sample(docs, 20, stratum_col="lang")
+
+
+@register(
+    "q99_tfidf_keywords",
+    oracle=TX.tfidf_keywords_oracle_sql(k=5),
+    doc=(
+        "§2.11 text-analysis extension: per-document top-5 TF-IDF "
+        "keywords — explode→term-frequency shuffle, vocabulary-sized "
+        "document-frequency aggregate joined back by token, corpus "
+        "cardinality as a broadcast 1-row aggregate (no driver "
+        "collect), one rank window per doc; scores epsilon-rounded "
+        "before ranking so cross-engine ln() ulps cannot flip ranks"
+    ),
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.tfidf_keywords(docs, k=5)
