@@ -332,3 +332,73 @@ def knn_ivf(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_diagnostics(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding-space diagnostics (r7 extension): class
+    size, mean L2 norm, and mean cosine-to-class-centroid (intra-class
+    cohesion) — the standard pre-training sanity report over an
+    embedding column (degenerate norms and collapsed classes surface
+    here before a model trains on them).
+
+    Scale shape: centroids come from ONE posexplode shuffle keyed
+    (label, pos) — the aggregate output is labels x dim rows (tiny) —
+    reassembled in order and joined back as a BROADCAST, then one
+    per-label aggregate over the corpus. No driver-side collect, no
+    all-pairs anything; NULL vectors are excluded (consistent with
+    the index builders)."""
+    vec = F.col(vec_col)
+    base = df.filter(vec.isNotNull())
+    comp = base.select(F.col(label_col), F.posexplode(vec).alias("pos", "v"))
+    cen = comp.groupBy(label_col, "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    centroids = cen.groupBy(label_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    return (
+        base.join(F.broadcast(centroids), label_col)
+        .select(
+            F.col(label_col),
+            norm(vec).alias("nrm"),
+            cosine(vec, F.col("centroid")).alias("cos_c"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm") + F.lit(1e-9), 6).alias("avg_norm"),
+            F.round(F.avg("cos_c") + F.lit(1e-9), 6).alias("avg_centroid_cos"),
+        )
+    )
+
+
+def embedding_diagnostics_oracle_sql() -> str:
+    """DuckDB mirror of :func:`embedding_diagnostics` over the
+    embeddings view (DuckDB lacks WITH ORDINALITY — subscripts come
+    from generate_series instead; 1-based vs Spark's 0-based pos is
+    irrelevant: only the ORDER is used to reassemble)."""
+    cos = cosine_sql("e.embedding", "c.centroid")
+    nrm = "sqrt(" + DOT_SQL.format(a="e.embedding", b="e.embedding") + ")"
+    return f"""
+        WITH e AS (
+            SELECT label, embedding FROM embeddings WHERE embedding IS NOT NULL
+        ), comp AS (
+            SELECT label, i AS pos, embedding[i] AS v
+            FROM e, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        ), cen AS (
+            SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c
+            FROM comp GROUP BY label, pos
+        ), c AS (
+            SELECT label, list(c ORDER BY pos) AS centroid FROM cen GROUP BY label
+        )
+        SELECT e.label,
+               count(*) AS n,
+               round(avg({nrm}) + 1e-9, 6) AS avg_norm,
+               round(avg({cos}) + 1e-9, 6) AS avg_centroid_cos
+        FROM e JOIN c USING (label)
+        GROUP BY e.label
+    """

@@ -3848,3 +3848,18 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
 def q99(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return TX.tfidf_keywords(docs, k=5)
+
+
+@register(
+    "q100_embedding_diagnostics",
+    oracle=SIM.embedding_diagnostics_oracle_sql(),
+    doc=(
+        "embedding-space sanity report: per-label size, mean L2 norm, "
+        "mean cosine-to-centroid — centroid from one (label, pos) "
+        "posexplode aggregate (labels x dim rows) broadcast back over "
+        "the corpus, one per-label aggregate, no driver collect"
+    ),
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.embedding_diagnostics(emb)
