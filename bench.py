@@ -46,7 +46,7 @@ def run_query(spark, q, sf_dir: str) -> float:
     return time.time() - t0
 
 
-def time_builds(spark, sf_dir: str) -> dict[str, float]:
+def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     """Clear the sf's persisted artifacts, then time each build once.
     After this, the timed query runs hit warm artifacts (the ensure_
     guards skip), so ``queries`` is probe-only."""
@@ -117,13 +117,15 @@ def time_builds(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     HN.refresh_hnsw_index(spark, emb, tmp, changed, stats_out=stats)
     builds["hnsw_refresh"] = round(time.time() - t0, 3)
-    # break-even context (VERDICT r6 #5): whether this refresh ran
-    # incrementally or fell back to a rebuild, and why
-    builds["hnsw_refresh_ctx"] = "affected=%s/%s mode=%s" % (
-        stats.get("affected"), stats.get("n_shards"), stats.get("mode")
-    )
     shutil.rmtree(tmp, ignore_errors=True)
-    return builds
+    # break-even context (VERDICT r6 #5): whether the refresh ran
+    # incrementally or fell back to a rebuild, and why — kept OUT of
+    # `builds` (review r7: that dict's contract is {name: seconds})
+    ctx = {
+        "hnsw_refresh": "affected=%s/%s mode=%s"
+        % (stats.get("affected"), stats.get("n_shards"), stats.get("mode"))
+    }
+    return builds, ctx
 
 
 def calibrate(spark) -> dict:
@@ -163,7 +165,7 @@ def main() -> None:
     # Arrow + python-worker fork pool (pandas-UDF query)
     run_query(spark, REGISTRY["q07_star_join_revenue"], sf_dir)
     run_query(spark, REGISTRY["q32_sentiment_scores"], sf_dir)
-    builds = time_builds(spark, sf_dir)
+    builds, builds_ctx = time_builds(spark, sf_dir)
     calibration = calibrate(spark)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # the heaviest headline queries get extra repeats (VERDICT r6 #6):
@@ -196,6 +198,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "builds": builds,
+        "builds_ctx": builds_ctx,
         "calibration": calibration,
         "sf": sf,
     }

@@ -949,6 +949,10 @@ def connected_components(
         # labels — silently splitting one long-diameter component
         # (e.g. a chain of templated near-dups) into several clusters.
         # Wrong answers must not be quiet: fail with the knob to turn.
+        # (review r7: drop the final checkpoint too — nothing consumes
+        # it past the raise, and repeated failed attempts in a long-
+        # lived session would each strand a labels copy)
+        _unpersist_local_checkpoint(ckpt)
         edges.unpersist(False)
         raise RuntimeError(
             "connected_components: no fixpoint after %d rounds — a "

@@ -69,6 +69,9 @@ def decode_image_meta(payload: bytes) -> dict:
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # spec-legal 0xFF fill/padding byte before a marker
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

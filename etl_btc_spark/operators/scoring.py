@@ -164,7 +164,11 @@ def hf_available(model: str | None = None) -> bool:
     except Exception:
         from etl_btc_spark.operators import minilm
 
-        return model is not None and minilm.available(HF_MODEL_IDS.get(model, model))
+        if model is None:
+            # no-arg probe parity (review r7): a minilm-only host IS
+            # hf-capable — mirror the transformers arm's no-model True
+            return any(minilm.available(m) for m in HF_MODEL_IDS.values())
+        return minilm.available(HF_MODEL_IDS.get(model, model))
     if model is not None:
         try:
             from transformers import AutoConfig
@@ -192,7 +196,11 @@ def _hf_pipe(model_id: str, max_length: int, fallback: tuple | None = None):
                 AutoTokenizer,
                 TextClassificationPipeline,
             )
-        except ImportError:
+        except Exception:
+            # broad on purpose (review r7): transformers' lazy import
+            # machinery surfaces broken backends as RuntimeError/OSError,
+            # not ImportError — a broken-but-installed stack must reach
+            # the fallback, not silently NULL every row
             # no transformers stack on this host: the committed
             # pure-numpy artifact (same pipeline call contract —
             # minilm.MiniPipeline) is the documented fallback, so the

@@ -234,7 +234,12 @@ def tfidf_keywords(df, k: int = 5, id_col: str = "doc_id", text_col: str = "text
     from pyspark.sql import Window
 
     toks = ws_tokens(normalize_text(F.col(text_col)))
-    words = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    words = df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
+        # ws_tokens('') is [''] not [] (review r7): without this, an
+        # empty/whitespace-only doc gets '' as a high-IDF rank-1
+        # "keyword" — and the oracle agrees, so the gate can't catch it
+        F.col("token") != ""
+    )
     tf = words.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -266,7 +271,9 @@ def tfidf_keywords_oracle_sql(k: int = 5) -> str:
                    regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
             FROM documents
         ), tok AS (
-            SELECT doc_id, unnest(t) AS token FROM w
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(t) AS token FROM w
+            ) WHERE token <> ''
         ), tf AS (
             SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
         ), dfreq AS (

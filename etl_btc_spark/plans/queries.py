@@ -3745,7 +3745,15 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
             stats_out=stats,
             **HNSW_INDEX_PARAMS,
         )
-        assert stats["mode"] == "incremental", stats
+        if stats.get("mode") != "incremental":
+            # a real raise, not assert (review r7: asserts vanish
+            # under -O, and this query's registered purpose is gating
+            # the INCREMENTAL arm — silently becoming rebuild coverage
+            # would leave the gated path unexercised)
+            raise RuntimeError(
+                "q96 fixture no longer exercises the incremental "
+                "refresh arm: %r" % (stats,)
+            )
         with open(done, "w") as fh:
             fh.write("1\n")
     queries = emb.filter(F.col("vec_id") % 50 == 0)

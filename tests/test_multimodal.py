@@ -48,6 +48,12 @@ def test_decode_image_meta_real_headers():
         assert m["byte_len"] == len(payload)
         assert m["n_frames"] == 1
 
+    # spec-legal 0xFF fill/padding bytes before a marker must not
+    # desync the segment walk (review r7)
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + _jpeg(640, 480)[2:]
+    m = MM.decode_image_meta(padded)
+    assert (m["format"], m["width"], m["height"]) == ("jpeg", 640, 480)
+
     with pytest.raises(ValueError, match="undecodable"):
         MM.decode_image_meta(b"not an image at all")
     with pytest.raises(ValueError, match="no SOF"):
