@@ -3871,3 +3871,30 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
 def q100(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return SIM.embedding_diagnostics(emb)
+
+
+@register(
+    "q101_orc_roundtrip",
+    oracle="""
+        SELECT doc_id, text, lang, source FROM documents
+        WHERE lang IN ('en', 'de') ORDER BY doc_id LIMIT 200
+    """,
+    doc=(
+        "S3/S4/K-family extension (r7): ORC write -> declared-schema "
+        "ORC scan with a pushed-down IN filter (ORC stripes carry "
+        "min/max stats, so unlike the JSON/CSV landings the predicate "
+        "actually prunes) -> deterministic ORDER BY under the LIMIT; "
+        "oracle computes the same result from the source view (DuckDB "
+        "does not read ORC — the roundtrip is what's being checked)"
+    ),
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    path = SK.artifact_path(sf, "q101_docs_orc")
+    SK.write_orc(docs, path)
+    return (
+        SRC.read_orc_docs(spark, path)
+        .filter(F.col("lang").isin("en", "de"))
+        .orderBy("doc_id")
+        .limit(200)
+    )

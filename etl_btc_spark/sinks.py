@@ -81,6 +81,16 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     return path
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """ORC table write (r7) — the second footer-indexed columnar
+    format; pairs with sources.read_orc_docs for the q101 roundtrip.
+    Same write contract as parquet: stripe statistics make read-side
+    filters prune, so landing data compacted to ORC keeps the same
+    scan-pruning posture as parquet."""
+    df.write.mode(mode).orc(path)
+    return path
+
+
 def _table_exists(path: str) -> bool:
     if not os.path.isdir(path):
         return False

@@ -51,3 +51,13 @@ def read_csv_docs(spark: SparkSession, path: str) -> DataFrame:
         .option("header", "true")
         .csv(path)
     )
+
+
+def read_orc_docs(spark: SparkSession, path: str) -> DataFrame:
+    """S3/S4 extension (r7): ORC landing scan with a declared schema.
+    ORC is the other footer-indexed columnar format a lakehouse
+    ingests (Hive-era warehouses hand exactly this over) — unlike
+    JSON/CSV it carries stripe-level min/max statistics, so filters
+    genuinely push down (PushedFilters in the plan) instead of being
+    scan-time row tests."""
+    return spark.read.schema(DOC_LANDING_SCHEMA).orc(path)
