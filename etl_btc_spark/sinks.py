@@ -83,7 +83,7 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> str:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     """ORC table write (r7) — the second footer-indexed columnar
-    format; pairs with sources.read_orc_docs for the q101 roundtrip.
+    format; pairs with sources.read_orc_docs for the q99c roundtrip.
     Same write contract as parquet: stripe statistics make read-side
     filters prune, so landing data compacted to ORC keeps the same
     scan-pruning posture as parquet."""
