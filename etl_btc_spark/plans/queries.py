@@ -3844,6 +3844,7 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q99_tfidf_keywords",
     oracle=TX.tfidf_keywords_oracle_sql(k=5),
+    headline=True,
     doc=(
         "§2.11 text-analysis extension: per-document top-5 TF-IDF "
         "keywords — explode→term-frequency shuffle, vocabulary-sized "

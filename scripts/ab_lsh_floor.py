@@ -1,6 +1,12 @@
 """One-off A/B: LSH index build+probe cost at sf0.1 under different
 AQE coalesce floors for the index write. Informs the q37 fix
-(VERDICT r6 'Next round' #1)."""
+(VERDICT r6 'Next round' #1).
+
+CONCLUSION (r7): the minPartitionNum floors are INERT — Spark 4.1
+ignores that conf for REPARTITION_BY_COL shuffles, so every trial
+produced the same coalesced layout; the fix that shipped is an
+explicit size-derived partition count in build_lsh_index (see
+operators/ann_index.py). Kept as methodology documentation."""
 import os
 import shutil
 import sys
