@@ -683,3 +683,31 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     out2 = DD.connected_components(pairs2, max_iters=20)
     got = {r["cluster_id"] for r in out2.select("cluster_id").distinct().collect()}
     assert got == {0, 1000}
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=" \t\naAbBcC.,!?0-", max_size=24), min_size=1, max_size=6
+    )
+)
+@settings(**_SETTINGS)
+def test_tfidf_matches_duckdb_fuzz(spark, texts):
+    """q99's engine/oracle agreement for ARBITRARY small corpora —
+    mixed case, repeated tokens, punctuation-only and empty docs —
+    not just the fixture text. Pins tokenizer semantics (Java vs RE2
+    \\s), the empty-token filter, rounding, and rank tie-breaks."""
+    from etl_btc_spark.operators.textops import (
+        tfidf_keywords,
+        tfidf_keywords_oracle_sql,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = sorted(
+        (r["doc_id"], r["rank"], r["token"], r["tfidf"])
+        for r in tfidf_keywords(spark.createDataFrame(pdf), k=3).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(map(tuple, con.execute(tfidf_keywords_oracle_sql(k=3)).fetchall()))
+    con.close()
+    assert got == want
