@@ -39,10 +39,13 @@ from etl_btc_spark.operators.dedup import spread
 from etl_btc_spark.operators.similarity import cosine, lsh_band_sig_udf
 
 
-#: artifact format version — bumped when the on-disk layout changes
-#: (v2: INT8-quantized IVF posting lists) so stale artifacts rebuild
-#: instead of failing the probe
-_FORMAT = "v2"
+#: artifact format versions, PER FAMILY (review r7: a single shared
+#: constant meant bumping IVF's layout invalidated every LSH/HNSW
+#: artifact too — at 100 TB that is hours of spurious rebuild). Bump
+#: one family's version when ITS on-disk layout changes (ivf-v2:
+#: INT8-quantized posting lists) and stale artifacts of that family
+#: alone rebuild instead of failing the probe.
+_FORMATS = {"ivf": "ivf-v2", "lsh": "lsh-v1", "hnsw": "hnsw-v1"}
 
 #: broadcast variables whose lifetime outlives the function that made
 #: them (a batched probe returns a LAZY plan over the broadcast, so it
@@ -86,18 +89,30 @@ def _query_batch_is_small(queries: DataFrame, n_queries, bound: int) -> bool:
     return queries.limit(bound + 1).count() <= bound
 
 
-def _is_built(path: str) -> bool:
+def _is_built(path: str, family: str) -> bool:
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
         return False
     with open(marker) as f:
-        return f.read().strip() == _FORMAT
+        return f.read().strip() == _FORMATS[family]
 
 
-def _mark_built(path: str) -> None:
+def _mark_built(path: str, family: str) -> None:
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_BUILT"), "w") as f:
-        f.write(_FORMAT + "\n")
+        f.write(_FORMATS[family] + "\n")
+
+
+def _require_built(path: str, family: str) -> None:
+    """Probe-side guard (review r7): a crashed/partial build leaves
+    data files but no (or stale) _BUILT marker — probing it would
+    silently return incomplete neighbors. The append paths always
+    checked; the probes, which need it most, now do too."""
+    if not _is_built(path, family):
+        raise ValueError(
+            "no complete %s index at %r (missing/stale _BUILT marker — "
+            "crashed build? run the build/ensure path first)" % (family, path)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -159,9 +174,14 @@ def _top_m_centroids(vecs, cmat, m: int):
     if m == 1:
         # argmax returns the FIRST max -> lowest index wins ties
         return sims.argmax(axis=1)[:, None]
-    part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
-    order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1, kind="stable")
-    return np.take_along_axis(part, order, axis=1)
+    # full stable argsort, not argpartition (review r7): argpartition's
+    # choice among EQUAL sims straddling the m-boundary is unspecified
+    # (duplicate centroids genuinely occur — emptied Lloyd clusters,
+    # degenerate seeds), which would break the documented
+    # sim-desc-then-index-asc determinism across numpy versions.
+    # Centroid counts are small (<= a few thousand); the full sort is
+    # nowhere near the hot cost of the matmul above it.
+    return np.argsort(-sims, axis=1, kind="stable")[:, :m]
 
 
 # ---------------------------------------------------------------------------
@@ -384,14 +404,14 @@ def build_ivf_index(
         os.path.join(path, "assigned")
     )
     cent_bc.unpersist()
-    _mark_built(path)
+    _mark_built(path, "ivf")
     return path
 
 
 def ensure_ivf_index(spark: SparkSession, vectors: DataFrame, path: str, **kw) -> str:
     """Build-if-absent: queries probe the artifact; only the first
     caller per corpus version pays the build."""
-    if not _is_built(path):
+    if not _is_built(path, "ivf"):
         build_ivf_index(spark, vectors, path, **kw)
     return path
 
@@ -423,7 +443,7 @@ def append_ivf_index(
     it if the caller guarantees freshness) and fails loudly on
     overlap instead of silently double-indexing.
     """
-    if not _is_built(path):
+    if not _is_built(path, "ivf"):
         raise ValueError("append_ivf_index: no built index at %r" % path)
     assigned_path = os.path.join(path, "assigned")
     if verify_new:
@@ -480,6 +500,7 @@ def knn_ivf_indexed(
     3. keep a ``shortlist``×k candidate shortlist, join fp32 vectors
        back from the BASE table by id, exact cosine re-rank, top k.
     """
+    _require_built(path, "ivf")
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     # ONE driver action on the query side (ADVICE r4): fetch the row,
     # branch on it — a second first() would cost a job and could
@@ -652,12 +673,12 @@ def build_lsh_index(
         .parquet(os.path.join(path, "bands"))
     )
     _write_lsh_geom(path, dim, n_bands, bits_per_band)
-    _mark_built(path)
+    _mark_built(path, "lsh")
     return path
 
 
 def ensure_lsh_index(spark: SparkSession, vectors: DataFrame, path: str, **kw) -> str:
-    if not _is_built(path):
+    if not _is_built(path, "lsh"):
         build_lsh_index(spark, vectors, path, **kw)
     return path
 
@@ -685,7 +706,7 @@ def append_lsh_index(
     run ``sinks.compact_table(bands, sort_within=["sig"])``
     periodically to restore row-group-skipping tightness.
     """
-    if not _is_built(path):
+    if not _is_built(path, "lsh"):
         raise ValueError("append_lsh_index: no built index at %r" % path)
     geom = _read_lsh_geom(path)
     if geom is None:
@@ -739,6 +760,7 @@ def knn_lsh_indexed(
     back from the base table by id."""
     from etl_btc_spark.operators.similarity import band_signatures_np
 
+    _require_built(path, "lsh")
     _check_lsh_geom(path, dim, n_bands, bits_per_band)
     qrow = query.select(F.col(vec_col).alias("__qvec")).first()
     # empty query OR a NULL vector -> empty result, not a crash
@@ -814,7 +836,12 @@ def knn_lsh_join(
     """
     from etl_btc_spark.operators.similarity import lsh_band_sig_udf, pair_cosine_udf
 
+    _require_built(path, "lsh")
     _check_lsh_geom(path, dim, n_bands, bits_per_band)
+    # NULL query vectors can't be signed (review r7: the batched sig
+    # UDF would die on an inhomogeneous numpy stack, aborting the
+    # whole job) — drop them, same contract as the single-query probes
+    queries = queries.filter(F.col(vec_col).isNotNull())
     small = _query_batch_is_small(queries, n_queries, broadcast_max_queries)
     hint = F.broadcast if small else (lambda df: df)
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
@@ -912,6 +939,11 @@ def knn_ivf_join(
     from etl_btc_spark._pickle import ensure_serializable
 
     ensure_serializable()
+    _require_built(path, "ivf")
+    # NULL query vectors can't rank centroids (review r7: np.asarray
+    # over a None-bearing batch breaks the probe mapInPandas) — drop
+    # them, same contract as the single-query probes
+    queries = queries.filter(F.col(vec_col).isNotNull())
     small = _query_batch_is_small(queries, n_queries, broadcast_max_queries)
     hint = F.broadcast if small else (lambda df: df)
     centroids = spark.read.parquet(os.path.join(path, "centroids"))

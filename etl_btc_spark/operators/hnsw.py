@@ -58,9 +58,9 @@ from etl_btc_spark.operators.ann_index import (
     _is_built,
     _mark_built,
     _quantize_codes,
+    _require_built,
     _scoped_broadcast,
 )
-from etl_btc_spark.operators.dedup import spread
 
 
 def _stable_levels(ids, M: int):
@@ -271,6 +271,17 @@ def _shard_nodes(
             return pd.DataFrame({"shard": [], id_col: [], "q8": [], "nbrs": []})
         pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
         ids = pdf[id_col].tolist()
+        if len(ids) != len(set(ids)):
+            # review r7: graph edges carry IDS — with a duplicated id
+            # the probe's id->position map silently resolves every
+            # edge to ONE of the copies and strands the other,
+            # corrupting adjacency with no error. IVF/LSH merely
+            # waste rows on dup ids; here it must fail the build.
+            raise ValueError(
+                "build_hnsw_index: duplicate %s values in shard %s — "
+                "dedup the corpus before indexing"
+                % (id_col, int(pdf["shard"].iloc[0]))
+            )
         vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
@@ -296,7 +307,14 @@ def _shard_nodes(
         )
 
     return (
-        spread(vectors)
+        # no spread() here (review r7): the groupBy(shard) exchange
+        # below redistributes the rows anyway — a pre-shuffle spread
+        # would double-shuffle the full fp32 payload for nothing (the
+        # only pre-exchange work is the trivial hash projection, and
+        # build parallelism is bounded by n_shards post-exchange).
+        # _band_rows/_assign_quantized keep spread because THEIR heavy
+        # UDFs run before any shuffle.
+        vectors
         # a NULL vector can't be graphed — drop it from the index
         # (consistent with the probe skipping NULL-vector queries)
         .filter(F.col(vec_col).isNotNull())
@@ -375,7 +393,7 @@ def build_hnsw_index(
         shutil.rmtree(path, ignore_errors=True)
         raise ValueError("build_hnsw_index: vectors input has no indexable rows")
     _write_build_meta(path, n_shards, M, ef_construction)
-    _mark_built(path)
+    _mark_built(path, "hnsw")
     return path
 
 
@@ -451,6 +469,15 @@ def refresh_hnsw_index(
     if not affected:
         return path
     if 2 * len(affected) > n_shards:
+        # review r7: build_hnsw_index DESTROYS the artifact dir when
+        # the snapshot has no indexable rows — refresh must never turn
+        # a valid on-disk index into a missing one. Pre-check with a
+        # LIMIT-1 probe and fail BEFORE mutating anything.
+        if vectors.filter(F.col(vec_col).isNotNull()).limit(1).count() == 0:
+            raise ValueError(
+                "refresh_hnsw_index: snapshot has no indexable rows — "
+                "delete the artifact instead of refreshing to empty"
+            )
         build_hnsw_index(
             spark,
             vectors,
@@ -488,7 +515,7 @@ def refresh_hnsw_index(
 
 def ensure_hnsw_index(spark: SparkSession, vectors: DataFrame, path: str, **kw) -> str:
     """Build-if-absent, same contract as ensure_{lsh,ivf}_index."""
-    if not _is_built(path):
+    if not _is_built(path, "hnsw"):
         build_hnsw_index(spark, vectors, path, **kw)
     return path
 
@@ -536,6 +563,7 @@ def knn_hnsw_join(
     from etl_btc_spark._pickle import ensure_serializable
 
     ensure_serializable()
+    _require_built(path, "hnsw")
     # ONE evaluation of the query lineage: the collected rows feed the
     # beam search AND (below) the re-rank side — re-scanning `queries`
     # for the re-rank would diverge on a nondeterministic lineage.

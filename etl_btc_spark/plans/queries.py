@@ -3683,7 +3683,7 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     # between the two steps must not leave a half-built index that
     # every later run silently accepts
     done = _os.path.join(idx, "_APPENDED")
-    if not (ANN._is_built(idx) and _os.path.exists(done)):
+    if not (ANN._is_built(idx, "ivf") and _os.path.exists(done)):
         _sh.rmtree(idx, ignore_errors=True)
         ANN.build_ivf_index(spark, emb.filter(cut), idx, **IVF_INDEX_PARAMS)
         ANN.append_ivf_index(spark, emb.filter(~cut), idx)
@@ -3733,7 +3733,7 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     # same composite-completion gating as q95 (build marks _BUILT
     # before the refresh has run)
     done = _os.path.join(idx, "_REFRESHED")
-    if not (HN._is_built(idx) and _os.path.exists(done)):
+    if not (HN._is_built(idx, "hnsw") and _os.path.exists(done)):
         _sh.rmtree(idx, ignore_errors=True)
         HN.build_hnsw_index(spark, emb.filter(~late), idx, n_shards=4, **HNSW_INDEX_PARAMS)
         stats: dict = {}

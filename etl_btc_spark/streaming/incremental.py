@@ -279,7 +279,7 @@ def stream_hnsw_refresh(
             ver_col=ver_col,
         )
         snapshot = sess.read.parquet(table_path).drop("vpart")
-        if _is_built(index_path):
+        if _is_built(index_path, "hnsw"):
             # shard geometry is part of the existing artifact; refresh
             # reads it back rather than accepting build-only knobs
             rkw = {

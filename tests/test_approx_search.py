@@ -1157,3 +1157,62 @@ def test_hnsw_diversity_heuristic_on_clustered_geometry(spark, tmp_path):
         )
         recalls.append(len(ids & exact) / 10)
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_probe_guards_and_null_query_batches(spark, emb, tmp_path):
+    """Review r7 hardening: (1) probing a path with no complete build
+    raises instead of silently scanning partial files; (2) the batched
+    kNN joins tolerate NULL query vectors (dropped, like the
+    single-query probes) instead of crashing the sig/probe UDFs;
+    (3) an HNSW build over duplicate ids fails loudly (id-keyed edges
+    would silently mis-wire); (4) refreshing an HNSW index to an empty
+    snapshot refuses without destroying the artifact."""
+    import os
+
+    import pandas as pd
+
+    from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.operators import hnsw as HN
+
+    # (1) unbuilt-path probes raise
+    q = emb.filter(F.col("vec_id") == 0)
+    for fn in (
+        lambda p: ANN.knn_lsh_indexed(spark, p, emb, q, k=5),
+        lambda p: ANN.knn_ivf_indexed(spark, p, emb, q, k=5),
+        lambda p: ANN.knn_lsh_join(spark, p, emb, q, k=5),
+        lambda p: ANN.knn_ivf_join(spark, p, emb, q, k=5),
+        lambda p: HN.knn_hnsw_join(spark, p, emb, q, k=5),
+    ):
+        with pytest.raises(ValueError, match="_BUILT"):
+            fn(str(tmp_path / "nowhere"))
+
+    # (2) NULL query vectors in the batched joins: dropped, not a crash
+    lsh = str(tmp_path / "lsh_nullq")
+    ANN.build_lsh_index(spark, emb, lsh)
+    ivf = str(tmp_path / "ivf_nullq")
+    ANN.build_ivf_index(spark, emb, ivf, n_centroids=8)
+    null_row = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999_999], "embedding": [None], "label": [0]})
+    ).select("vec_id", F.col("embedding").cast("array<float>"), "label")
+    qbatch = emb.filter(F.col("vec_id") < 3).unionByName(null_row)
+    for fn, idx in ((ANN.knn_lsh_join, lsh), (ANN.knn_ivf_join, ivf)):
+        out = fn(spark, idx, emb, qbatch, k=5)
+        got = {r["query_id"] for r in out.select("query_id").distinct().collect()}
+        assert got == {0, 1, 2}  # NULL query contributes nothing
+
+    # (3) duplicate ids fail the HNSW build
+    dup = emb.limit(20).unionByName(emb.limit(5))
+    with pytest.raises(Exception, match="duplicate"):
+        HN.build_hnsw_index(spark, dup, str(tmp_path / "hnsw_dup"), n_shards=1)
+
+    # (4) refresh-to-empty refuses and leaves the artifact intact
+    hidx = str(tmp_path / "hnsw_empty_refresh")
+    small = emb.limit(40)
+    HN.build_hnsw_index(spark, small, hidx, n_shards=2)
+    empty_snapshot = small.filter(F.lit(False))
+    with pytest.raises(ValueError, match="no indexable rows"):
+        HN.refresh_hnsw_index(
+            spark, empty_snapshot, hidx, small.select("vec_id")
+        )
+    assert os.path.exists(os.path.join(hidx, "_BUILT"))
+    assert HN.knn_hnsw_join(spark, hidx, small, q, k=5).count() == 5
