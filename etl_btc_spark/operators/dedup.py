@@ -334,6 +334,29 @@ def band_keys(sig: Column, n_hashes: int, n_bands: int) -> Column:
     )
 
 
+def _minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    n_bands: int,
+    ngram: int,
+    do_spread: bool = True,
+) -> DataFrame:
+    """ONE (id, bkey) banded-signature pass — the shape shared by the
+    in-session self-join candidates, the persisted index build, and
+    the incremental batch probe (review r7: it was copy-pasted in all
+    three, so a banding change could silently diverge the persisted
+    index from the probe — exactly the family drift _SIGV guards)."""
+    sig = minhash_signature_udf(n_hashes, ngram=ngram)(
+        ws_tokens(normalize_text(F.col(text_col)))
+    )
+    base = spread(df) if do_spread else df
+    return base.select(F.col(id_col), sig.alias("sig")).select(
+        id_col, F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bkey")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -359,12 +382,8 @@ def minhash_lsh_candidates(
     when near-dups are sparse. Exact-Jaccard verify on the candidate
     set afterward.
     """
-    sig = minhash_signature_udf(n_hashes, ngram=ngram)(
-        ws_tokens(normalize_text(F.col(text_col)))
-    )
     banded = _scoped_persist(
-        spread(df).select(F.col(id_col), sig.alias("sig"))
-        .select(id_col, F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bkey"))
+        _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -678,15 +697,27 @@ def simhash_near_dupes(
     """SimHash near-dup pairs with Hamming distance <= ``max_hamming``
     (a < b), found by chunk banding instead of an O(n^2) scan.
 
-    The 64-bit signature splits into 4 16-bit chunks; by pigeonhole,
-    any pair within Hamming distance 3 agrees EXACTLY on >= 1 chunk,
-    so the band join loses nothing — for ``max_hamming`` <= 3 the
-    result is exactly the all-pairs answer, at hash-join cost on
-    16-bit keys (the standard Google/Manku near-dup shape). The
-    Hamming re-check on candidates is exact, so false bucket
-    collisions never leak through.
+    The 64-bit signature splits into ``max_hamming + 1`` near-equal
+    chunks (review r7 — the chunk count was a fixed 4, which is only
+    pigeonhole-complete for radius <= 3: a radius-4 caller silently
+    lost pairs differing in one bit per chunk): by pigeonhole, any
+    pair within ``max_hamming`` agrees EXACTLY on >= 1 chunk, so the
+    band join loses nothing and the result is exactly the all-pairs
+    answer, at hash-join cost on short integer keys (the standard
+    Google/Manku near-dup shape). The Hamming re-check on candidates
+    is exact, so false bucket collisions never leak through. The
+    default (radius 3 → 4 × 16-bit chunks) is bit-identical to the
+    pre-r7 layout.
     """
-    n_chunks = 4
+    if not 0 <= max_hamming < 64:
+        raise ValueError("simhash_near_dupes: max_hamming must be in [0, 63]")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    rem = 64 % n_chunks
+    # chunk i is [off, off + w_i) with the remainder spread over the
+    # first `rem` chunks — widths differ by at most 1 bit
+    widths = [width + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     # persisted: the SimHash UDF pass runs once, not once per
     # self-join side; the cache is (id, int64) only
     sig = _scoped_persist(df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh")))
@@ -698,8 +729,8 @@ def simhash_near_dupes(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sh"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sh"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("key"),
                     )
                     for i in range(n_chunks)
@@ -748,14 +779,7 @@ def build_minhash_index(
     :func:`incremental_near_dupes`). Ids + 8-byte keys only."""
     import os
 
-    sig = minhash_signature_udf(n_hashes, ngram=ngram)(
-        ws_tokens(normalize_text(F.col(text_col)))
-    )
-    banded = (
-        spread(df)
-        .select(F.col(id_col), sig.alias("sig"))
-        .select(id_col, F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bkey"))
-    )
+    banded = _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
     banded.write.mode("overwrite").parquet(os.path.join(path, "bands"))
     with open(os.path.join(path, "_SIGV"), "w") as f:
         f.write(_minhash_sigv(n_hashes, n_bands, ngram))
@@ -814,16 +838,18 @@ def incremental_near_dupes(
     """
     import os
 
-    sig = minhash_signature_udf(n_hashes, ngram=ngram)(
-        ws_tokens(normalize_text(F.col(text_col)))
-    )
-    batch_bands = (
-        batch.select(F.col(id_col), sig.alias("sig"))
-        .select(
-            F.col(id_col).alias("batch_id"),
-            F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bkey"),
+    # probe-side currency guard (review r7, the ann_index _require_built
+    # lesson): a crashed build or a different-family artifact would
+    # otherwise return near-zero candidates with no error
+    if not minhash_index_is_current(index_path, n_hashes, n_bands, ngram):
+        raise ValueError(
+            "incremental_near_dupes: no current MinHash index at %r for "
+            "family %r — rebuild with build_minhash_index"
+            % (index_path, _minhash_sigv(n_hashes, n_bands, ngram).strip())
         )
-    )
+    batch_bands = _minhash_banded(
+        batch, id_col, text_col, n_hashes, n_bands, ngram, do_spread=False
+    ).select(F.col(id_col).alias("batch_id"), "bkey")
     corpus_bands = spark.read.parquet(os.path.join(index_path, "bands")).select(
         F.col(id_col).alias("corpus_id"), "bkey"
     )

@@ -131,6 +131,15 @@ def token_packing(
         shard = F.col(shard_col).cast("bigint")
         order = order_col if order_col is not None else id_col
     else:
+        if order_col is not None:
+            # review r7: this combination used to silently pack in id
+            # order, discarding the caller's requested layout — the
+            # order only has meaning alongside the precomputed shard
+            raise ValueError(
+                "token_packing: order_col requires shard_col (a "
+                "precomputed layout); derived shards always pack in "
+                "id order"
+            )
         order = id_col
         if n_shards is not None:
             shard = (F.col(id_col) % n_shards).cast("bigint")
@@ -165,6 +174,13 @@ def _check_split_fractions(fractions: dict[str, int]) -> None:
     9999 would silently get less than its requested share)."""
     if not fractions:
         raise ValueError("train_val_test_split: fractions must be non-empty")
+    if any(w < 0 for w in fractions.values()):
+        # review r7: a negative width passed the sum check but shifted
+        # every later label's range, silently zeroing out a split
+        raise ValueError(
+            "train_val_test_split: negative fraction widths %r"
+            % {k: v for k, v in fractions.items() if v < 0}
+        )
     if sum(fractions.values()) > BUCKETS:
         raise ValueError(
             "train_val_test_split: fraction widths sum to %d > %d buckets"

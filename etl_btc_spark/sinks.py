@@ -188,13 +188,36 @@ def upsert_by_key(
     """
     exists = _table_exists(path)
     if partition_by is None:
+        if exists:
+            # heal an interrupted prior publish BEFORE reading (same
+            # protocol + .cswap_ prefix as compact_table, so either
+            # entry point recovers the other's debris): a shadow with
+            # _MANIFEST is committed — roll it forward; without, it
+            # never committed — discard it.
+            for d in os.listdir(path):
+                full = os.path.join(path, d)
+                if d.startswith(".cswap_") and os.path.isdir(full):
+                    if os.path.exists(os.path.join(full, "_MANIFEST")):
+                        _publish_root_swap(path, full)
+                    else:
+                        shutil.rmtree(full, ignore_errors=True)
         existing = spark.read.parquet(path) if exists else None
         merged = _merge_keyed(existing, batch, key, order_col, ver_col)
         if exists:
-            shadow = f"{path}__swap_{uuid.uuid4().hex[:8]}"
+            # manifest-committed in-place FILE swap (review r7): the
+            # previous rmtree-then-rename had a crash window where the
+            # whole table vanished — a restarted stream's checkpoint
+            # replay would then recreate it from ONE micro-batch,
+            # silently dropping all ingested history. Shadow lives
+            # INSIDE the table dir (dot-prefixed → invisible to
+            # readers); _MANIFEST is the commit point; the publish is
+            # idempotent and rolled forward by the recovery pass above.
+            old_parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            shadow = os.path.join(path, f".cswap_{uuid.uuid4().hex[:8]}")
             merged.write.mode("overwrite").parquet(shadow)
-            shutil.rmtree(path)
-            os.rename(shadow, path)
+            with open(os.path.join(shadow, "_MANIFEST"), "w") as mf:
+                mf.write("\n".join(old_parts) + "\n")
+            _publish_root_swap(path, shadow)
         else:
             merged.write.mode("overwrite").parquet(path)
         return path

@@ -48,6 +48,7 @@ def lookback_increment(
     series: str = "series_id",
     ts: str = "ts",
     prune_interval: str = "30 days",
+    strict: bool = True,
 ) -> int:
     """W12/T2: append ``batch`` to the feature store at ``table_path``
     with features recomputed over (last ``lookback`` rows per series ∪
@@ -67,6 +68,16 @@ def lookback_increment(
     per-series tail ranking; the tail keeps only raw input columns
     (column pruning) and the rank window shuffles lookback-bounded
     rows once on the series key.
+
+    Truncation guard (review r7): for a SPARSE series, ``lookback``
+    rows can span more wall-clock than ``prune_interval`` — the time
+    filter would then silently shorten the warm-up tail and break the
+    full-recompute-exact guarantee. With ``strict=True`` (default),
+    any batch series whose tail came back short triggers ONE LIMIT-1
+    existence probe for pre-boundary history; truncation raises with
+    the knob to turn (bigger ``prune_interval``). The probe is
+    skipped entirely — zero extra scan — when every series reaches
+    full ``lookback`` depth, which is the steady dense-series case.
     """
     if batch.isEmpty():  # T4: empty micro-batch is a no-op
         return 0
@@ -83,14 +94,45 @@ def lookback_increment(
         .filter(F.col("__rn") <= lookback)
         .drop("__rn")
     )
+    if strict:
+        # truncation probe: which batch series did NOT get a full-
+        # depth tail? (cheap: aggregates the already-lookback-bounded
+        # tail). Only for those, check whether pre-boundary history
+        # exists — LIMIT 1, so the scan stops at the first hit.
+        full_depth = (
+            tail.groupBy(series).count().filter(F.col("count") >= lookback).select(series)
+        )
+        short = batch.select(series).distinct().join(full_depth, series, "left_anti")
+        if short.limit(1).count() > 0:
+            boundary = F.lit(lo) - F.expr(f"INTERVAL {prune_interval}")
+            truncated = (
+                spark.read.parquet(table_path)
+                .filter(F.col(ts) < boundary)
+                .join(F.broadcast(short), series, "semi")
+                .limit(1)
+                .count()
+            )
+            if truncated:
+                raise ValueError(
+                    "lookback_increment: a sparse series' %d-row warm-up "
+                    "tail spans more than prune_interval=%r — the pruned "
+                    "scan would silently shorten its context and diverge "
+                    "from a full recompute. Raise prune_interval (or pass "
+                    "strict=False to accept the divergence)."
+                    % (lookback, prune_interval)
+                )
     enriched = feature_fn(tail.unionByName(batch))
     new_rows = (
         enriched.join(frontier, series, "left")
         .filter(F.col("__maxts").isNull() | (F.col(ts) > F.col("__maxts")))
         .drop("__maxts")
-    )
+    ).persist()
+    # persist before counting (review r7): the count ran the whole
+    # enrichment plan once and the append re-ran it — 2x the
+    # documented per-run cost
     n = new_rows.count()
     append_rows(new_rows, table_path)
+    new_rows.unpersist(False)
     return n
 
 

@@ -66,7 +66,13 @@ def stream_stateful_ses(
 
     def fn(key, pdfs, state: GroupState):
         level = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        # concat-then-sort, NOT per-chunk sort (review r7): one
+        # micro-batch can deliver a series as multiple Arrow chunks in
+        # arbitrary order — folding chunk 2's older rows after chunk
+        # 1's newer rows diverges from the batch kernel. Same shape as
+        # stream_stateful_signals / the tws variant.
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
             pdf = pdf.sort_values(ts).reset_index(drop=True)
             out = []
             for x in pdf[price]:
@@ -346,9 +352,16 @@ def chunked_landing(df: DataFrame, landing_dir: str, ts: str = "ts", chunks: int
     replays it as a realistic in-order micro-batch sequence."""
     # NTZ-safe numeric time axis for the percentile split
     tnum = F.unix_micros(F.col(ts).cast("timestamp"))
+    # review r7: a NULL ts fails every chunk predicate and the row
+    # lands in NO file — the replay silently sees fewer rows than the
+    # batch table. Refuse instead.
+    if df.filter(F.col(ts).isNull()).limit(1).count() > 0:
+        raise ValueError("chunked_landing: NULL %s rows cannot be chunked" % ts)
     bounds = df.select(
         F.percentile_approx(tnum, [i / chunks for i in range(1, chunks)], 10000).alias("b")
     ).first()["b"]
+    if bounds is None:  # empty input -> no landing files, not a crash
+        return
     lo = None
     for i in range(chunks):
         hi = bounds[i] if i < chunks - 1 else None
