@@ -403,3 +403,49 @@ def test_table_exists_ignores_dot_prefixed_debris(tmp_path):
     assert not _table_exists(t)  # debris + metadata only
     os.makedirs(os.path.join(t, "__part=1"))
     assert _table_exists(t)  # underscore-prefixed hive dir IS data
+
+
+def test_upsert_flat_crash_safe_publish(spark, tmp_path):
+    """Review r7: the flat upsert's old rmtree-then-rename swap had a
+    crash window where the whole table vanished (a restarted stream
+    would recreate it from one micro-batch). It now publishes via the
+    compact_table manifest-committed file swap: the table dir never
+    goes missing, an UNcommitted shadow rolls back at the next upsert,
+    and a COMMITTED shadow rolls forward."""
+    import os
+
+    path = str(tmp_path / "flat_upsert")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"content_id": [k for k, _ in rows], "doc_id": [v for _, v in rows]})
+    )
+    SK.upsert_by_key(spark, mk([("a", 1), ("b", 2)]), path, order_col="doc_id")
+    SK.upsert_by_key(spark, mk([("b", 0), ("c", 3)]), path, order_col="doc_id")
+    got = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 0, "c": 3}
+    # no swap debris, and the table stayed a plain parquet dir
+    assert not any(d.startswith(".c") for d in os.listdir(path))
+    assert not any(d.startswith(".c") for d in os.listdir(str(tmp_path)))
+
+    # crash BEFORE commit: uncommitted shadow is discarded, upsert
+    # proceeds over the intact table
+    os.makedirs(os.path.join(path, ".cswap_dead"))
+    SK.upsert_by_key(spark, mk([("d", 4)]), path, order_col="doc_id")
+    got = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 0, "c": 3, "d": 4}
+    assert not any(d.startswith(".c") for d in os.listdir(path))
+
+    # crash AFTER commit: a committed shadow (manifest listing every
+    # current data file) must be rolled FORWARD by the next upsert —
+    # the replacement content, not the stale files, is what the next
+    # merge reads
+    olds = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    shadow = os.path.join(path, ".cswap_commit")
+    spark.createDataFrame(
+        pd.DataFrame({"content_id": ["z"], "doc_id": [9]})
+    ).coalesce(1).write.parquet(shadow)
+    with open(os.path.join(shadow, "_MANIFEST"), "w") as f:
+        f.write("\n".join(olds) + "\n")
+    SK.upsert_by_key(spark, mk([("y", 8)]), path, order_col="doc_id")
+    got = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert got == {"z": 9, "y": 8}
+    assert not any(d.startswith(".c") for d in os.listdir(path))
