@@ -63,9 +63,15 @@ def asof_join(
     unioned = lhs.unionByName(rhs)
     # right rows (side=0) sort before left rows at identical ts, so an
     # exact-tie right row IS visible to the left row (ASOF >= semantics)
+    # final xxhash64(__r) term (review r7): with duplicate right rows
+    # at the same (key, ts), (ts, __side) alone leaves last() to pick
+    # whichever sorted last in shuffle order — run-to-run
+    # nondeterminism. The hash is an ARBITRARY but STABLE total order
+    # over the carried right values (identical duplicates tie
+    # harmlessly: same values either way).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts), F.col("__side"))
+        .orderBy(F.col(ts), F.col("__side"), F.xxhash64(F.col("__r")))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w)).filter(

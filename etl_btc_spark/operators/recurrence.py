@@ -98,11 +98,20 @@ def wilder_rsi(x: np.ndarray, period: int = 14) -> np.ndarray:
     loss = np.where(delta < 0, -delta, 0.0)
     ag = gain[:period].mean()
     al = loss[:period].mean()
-    out[period] = 100.0 - 100.0 / (1.0 + ag / al) if al else 100.0
+
+    def rsi_of(ag, al):
+        # review r7 talib parity: avgLoss==0 gives 100 only when some
+        # gain exists; a fully FLAT window (ag==al==0) is RSI 0 in
+        # talib's denominator-zero branch, not 100
+        if al:
+            return 100.0 - 100.0 / (1.0 + ag / al)
+        return 100.0 if ag else 0.0
+
+    out[period] = rsi_of(ag, al)
     for i in range(period + 1, n):
         ag = (ag * (period - 1) + gain[i - 1]) / period
         al = (al * (period - 1) + loss[i - 1]) / period
-        out[i] = 100.0 - 100.0 / (1.0 + ag / al) if al else 100.0
+        out[i] = rsi_of(ag, al)
     return out
 
 
@@ -214,7 +223,11 @@ _SYM4_REC_HI = _SYM4_DEC_HI[::-1].copy()
 
 
 def _sympad(x: np.ndarray, n: int) -> np.ndarray:
-    return np.concatenate([x[:n][::-1], x, x[-n:][::-1]])
+    # np.pad(symmetric) == concat([x[:n][::-1], x, x[-n:][::-1]]) when
+    # n <= len(x), and keeps tiling correctly when the series is
+    # SHORTER than the pad (review r7: the manual concat under-padded
+    # n<=5 series and the valid-mode convolutions crashed the stage)
+    return np.pad(x, n, mode="symmetric")
 
 
 def _dwt(x: np.ndarray):
@@ -255,7 +268,12 @@ def gaussian_reflect(x: np.ndarray, window_size: int = 20, sigma: float | None =
     radius = int(4.0 * sigma + 0.5)
     k = np.exp(-np.arange(-radius, radius + 1) ** 2 / (2.0 * sigma * sigma))
     k /= k.sum()
-    pad = np.concatenate([x[:radius][::-1], x, x[-radius:][::-1]])
+    if len(x) == 0:
+        return x.astype(np.float64)
+    # symmetric tiling for the same reason as _sympad (review r7: a
+    # series shorter than the 13-sample radius under-padded and the
+    # output length no longer matched the group, aborting the job)
+    pad = np.pad(x.astype(np.float64), radius, mode="symmetric")
     return np.convolve(pad, k[::-1], mode="valid")
 
 

@@ -173,10 +173,21 @@ def lsh_band_sig_udf(dim: int, n_bands: int, bits_per_band: int, seed: int = 42)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        # review r7: empty Arrow batches and NULL vectors both crashed
+        # the matmul (shape-(0,) and ragged None input) — a single
+        # NULL embedding aborted the whole query. NULL in -> NULL sig
+        # out (downstream posexplode drops the row, matching the
+        # oracle's WHERE embedding IS NOT NULL).
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        null_mask = vecs.isna()
+        rows = [([0.0] * dim if m else list(v)) for m, v in zip(null_mask, vecs)]
+        mat = np.array(rows, dtype=np.float64)  # (batch, dim)
         bits = (mat @ planes.T >= 0).astype(np.int64)  # (batch, planes)
         sigs = bits.reshape(len(mat), n_bands, bits_per_band) @ weights  # (batch, bands)
-        return pd.Series(sigs.tolist())
+        out = pd.Series(sigs.tolist())
+        out[null_mask.to_numpy()] = None
+        return out
 
     return _udf
 

@@ -1713,7 +1713,7 @@ _RSI_R = _REC_PRELUDE + """
         , rsi_raw AS (
             SELECT s.series_id, s.ts, s.rn,
                    CASE WHEN r.rn IS NULL THEN NULL
-                        WHEN r.al = 0 THEN 100.0
+                        WHEN r.al = 0 THEN (CASE WHEN r.ag = 0 THEN 0.0 ELSE 100.0 END)
                         ELSE 100.0 - 100.0 / (1.0 + r.ag / r.al)
                    END AS rsi
             FROM s LEFT JOIN r ON s.series_id = r.series_id AND s.rn = r.rn

@@ -49,6 +49,12 @@ def read_csv_docs(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.schema(DOC_LANDING_SCHEMA)
         .option("header", "true")
+        # multiLine (review r7): write_csv RFC-quotes embedded
+        # newlines; the default line-splitting reader would cut such a
+        # field into two records. Cost: multiLine CSV files are not
+        # split mid-file — at scale, land MANY files (they already
+        # are, per part-file) and compact to parquet early anyway.
+        .option("multiLine", "true")
         .csv(path)
     )
 

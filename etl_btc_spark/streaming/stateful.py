@@ -206,11 +206,19 @@ def _signals_step(st: dict, h: float, l: float, c: float, alpha: float, period: 
             if i == period:
                 st["ag"] = st["gain_sum"] / period
                 st["al"] = st["loss_sum"] / period
-                rsi = 100.0 - 100.0 / (1.0 + st["ag"] / st["al"]) if st["al"] else 100.0
+                rsi = (
+                    100.0 - 100.0 / (1.0 + st["ag"] / st["al"])
+                    if st["al"]
+                    else (100.0 if st["ag"] else 0.0)  # talib flat-window parity (r7)
+                )
         else:
             st["ag"] = (st["ag"] * (period - 1) + gain) / period
             st["al"] = (st["al"] * (period - 1) + loss) / period
-            rsi = 100.0 - 100.0 / (1.0 + st["ag"] / st["al"]) if st["al"] else 100.0
+            rsi = (
+                100.0 - 100.0 / (1.0 + st["ag"] / st["al"])
+                if st["al"]
+                else (100.0 if st["ag"] else 0.0)  # talib flat-window parity (r7)
+            )
     # --- Wilder ADX(period)/+DI/-DI ---
     pdi = mdi = adx = _NAN
     if i >= 1:

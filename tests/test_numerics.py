@@ -184,3 +184,42 @@ def test_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
+
+
+def test_short_series_kernels_no_crash():
+    """Review r7: series shorter than the smoothing radius/filter
+    support must produce length-n output (NaN-padded where undefined),
+    not crash the applyInPandas stage. Long-series behavior is pinned
+    unchanged by the oracle suite."""
+    import numpy as np
+
+    from etl_btc_spark.operators import recurrence as R
+
+    for n in (1, 2, 5, 12):
+        x = np.linspace(100.0, 101.0, n)
+        g = R.gaussian_reflect(x, window_size=20)
+        assert len(g) == n, (n, len(g))
+        assert np.isfinite(g).all()
+        w = R.wavelet_denoise(x, level=2)
+        assert len(w) == n, (n, len(w))
+        assert np.isfinite(w).all()
+
+
+def test_wilder_rsi_flat_window_talib_parity():
+    """Review r7: a fully flat warm-up window (avg gain == avg loss
+    == 0) is RSI 0 in talib's denominator-zero branch — the engine
+    emitted 100 and could fire phantom sell-signal crossovers."""
+    import numpy as np
+
+    from etl_btc_spark.operators import recurrence as R
+
+    flat = np.full(20, 50.0)
+    out = R.wilder_rsi(flat, period=14)
+    assert np.isnan(out[:14]).all()
+    assert (out[14:] == 0.0).all()
+    # all-gain stays 100; mixed stays in (0, 100)
+    rising = np.arange(20, dtype=np.float64)
+    assert (R.wilder_rsi(rising, 14)[14:] == 100.0).all()
+    mixed = 50.0 + np.sin(np.arange(40))
+    m = R.wilder_rsi(mixed, 14)[14:]
+    assert ((m > 0) & (m < 100)).all()
