@@ -135,6 +135,14 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     as md5 digests so the row stays narrow; a real pipeline would
     emit the frame tensor column here instead.
 
+    Deliberate divergence from q42's metadata (review r7, documented
+    rather than unified): ``n_frames`` here derives from the DECODED
+    stream's length (characters of the stub UTF-8 codec), while
+    ``fake_decode_meta`` describes the RAW payload (bytes) — for
+    multi-byte text the two counts differ, exactly as a real
+    container's byte-level header metadata can disagree with what a
+    decoder ultimately yields. Each is pinned by its own oracle.
+
     Scale shape: one Arrow crossing per batch, fan-out bounded by
     n_frames ≤ 30, output partitioning inherited from the scan — no
     shuffle."""
@@ -264,10 +272,15 @@ def extract_media_meta(
                 "format": None,
             }
 
+    meta_cols = [f.name for f in MEDIA_META_SCHEMA.fields if f.name != "doc_id"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [safe_decode(p) for p in pdf["payload"]]
-            out = pd.DataFrame(metas)
+            # explicit columns (review r7): pd.DataFrame([]) has ZERO
+            # columns, so an empty Arrow batch yielded a 1-column
+            # frame that failed the 6-field schema conversion
+            out = pd.DataFrame(metas, columns=meta_cols)
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             yield out
 

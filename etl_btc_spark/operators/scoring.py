@@ -57,7 +57,14 @@ def stub_model_fn(texts: pd.Series, salt: int = 0) -> pd.DataFrame:
     (U6). Oracle SQL equivalent: stub_sentiment_sql().
     """
     n = texts.str.len().fillna(0).astype("int64")
-    first = texts.str.slice(0, 1).map(lambda s: ord(s) if s else 0).astype("int64")
+    # isinstance guard (review r7): .str.slice maps None to NaN, and
+    # NaN is TRUTHY — `ord(s) if s else 0` raised TypeError and killed
+    # the whole Arrow batch on one NULL document, the opposite of the
+    # U6 NULL-on-failure contract. NULL text now behaves as length-0
+    # (-> the simulated-failure row, which the oracle also drops).
+    first = texts.str.slice(0, 1).map(
+        lambda s: ord(s) if isinstance(s, str) and s else 0
+    ).astype("int64")
     raw = (n + first + salt) % 3
     label = raw.map(lambda i: LABEL_REMAP[RAW_LABELS[int(i)]])
     score = ((n * 31 + first + salt) % 1000) / 1000.0
@@ -106,7 +113,9 @@ def stub_embedding_fn(texts: pd.Series, dim: int = 8) -> pd.Series:
     cover real similarity math; this covers the
     ArrayType(FloatType) UDF plumbing."""
     n = texts.str.len().fillna(0).astype("int64")
-    first = texts.str.slice(0, 1).map(lambda s: ord(s) if s else 0).astype("int64")
+    first = texts.str.slice(0, 1).map(
+        lambda s: ord(s) if isinstance(s, str) and s else 0  # NULL-safe (r7)
+    ).astype("int64")
     return pd.Series(
         [
             [float(((ln * (j + 1) + fc) % 97) / 97.0) for j in range(dim - 1)] + [1.0]

@@ -1100,7 +1100,9 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0)
     idx = _SK.artifact_path(sf, "lsh_index")
     ANN.ensure_lsh_index(spark, emb, idx, **LSH_INDEX_PARAMS)
-    out = ANN.knn_lsh_indexed(spark, idx, emb, query, k=10, dim=64)
+    out = ANN.knn_lsh_indexed(
+        spark, idx, emb, query, k=10, dim=LSH_INDEX_PARAMS["dim"]
+    )
     return out.select("vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
 
@@ -2517,6 +2519,11 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
         WITH e AS (
             SELECT user_id, ts,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             -- STRICT >: verified empirically (r7) —
+                             -- Spark's session_window MERGES an
+                             -- exactly-30-minute gap (one session for
+                             -- events at t and t+30m), so the strict
+                             -- inequality is the matching semantics
                              > INTERVAL 30 MINUTE
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
@@ -3230,7 +3237,9 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     idx = _SK.artifact_path(sf, "lsh_index")
     ANN.ensure_lsh_index(spark, emb, idx, **LSH_INDEX_PARAMS)
-    out = ANN.knn_lsh_join(spark, idx, emb, queries, k=10, dim=64)
+    out = ANN.knn_lsh_join(
+        spark, idx, emb, queries, k=10, dim=LSH_INDEX_PARAMS["dim"]
+    )
     return out.select(
         "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )

@@ -189,18 +189,10 @@ def upsert_by_key(
     exists = _table_exists(path)
     if partition_by is None:
         if exists:
-            # heal an interrupted prior publish BEFORE reading (same
-            # protocol + .cswap_ prefix as compact_table, so either
-            # entry point recovers the other's debris): a shadow with
-            # _MANIFEST is committed — roll it forward; without, it
-            # never committed — discard it.
-            for d in os.listdir(path):
-                full = os.path.join(path, d)
-                if d.startswith(".cswap_") and os.path.isdir(full):
-                    if os.path.exists(os.path.join(full, "_MANIFEST")):
-                        _publish_root_swap(path, full)
-                    else:
-                        shutil.rmtree(full, ignore_errors=True)
+            # heal any interrupted prior publish BEFORE reading (same
+            # protocol as compact_table, so either entry point
+            # recovers the other's debris)
+            _recover_swap_debris(path)
         existing = spark.read.parquet(path) if exists else None
         merged = _merge_keyed(existing, batch, key, order_col, ver_col)
         if exists:
@@ -232,6 +224,7 @@ def upsert_by_key(
         batch_merged = _merge_keyed(None, batch, key, order_col, ver_col)
         batch_merged.write.mode("overwrite").partitionBy(partition_by).parquet(path)
         return path
+    _recover_swap_debris(path)  # heal interrupted prior publishes first
     # a pre-existing FLAT table cannot be partition-swapped: its
     # part-files would survive next to the new partition dirs and
     # every key would silently double. Fail loudly instead.
@@ -245,6 +238,22 @@ def upsert_by_key(
             "upsert onto a flat table would duplicate keys — rewrite the "
             "table partitioned first (or call without partition_by)"
         )
+    # ...and a table written with a DIFFERENT partition column cannot
+    # either (review r7): publishing lang=... dirs next to source=...
+    # dirs corrupts the layout for every reader
+    foreign = sorted(
+        {
+            d.split("=", 1)[0]
+            for d in os.listdir(path)
+            if "=" in d and not d.startswith((".", "_"))
+            and d.split("=", 1)[0] != partition_by
+        }
+    )
+    if foreign:
+        raise ValueError(
+            f"{path} is partitioned by {foreign}, not {partition_by!r} — "
+            "a mismatched pruned upsert would mix partition schemes"
+        )
     # read ONLY the touched partitions of the existing table: the isin
     # (plus isNull when the batch carries NULL partition values) prunes
     # directories at scan planning
@@ -253,25 +262,39 @@ def upsert_by_key(
         pred = pred | F.col(partition_by).isNull()
     existing = spark.read.parquet(path).filter(pred)
     merged = _merge_keyed(existing, batch, key, order_col, ver_col)
-    shadow = f"{path}__swap_{uuid.uuid4().hex[:8]}"
+    # shadow INSIDE the table dir, dot-prefixed (review r7): the old
+    # sibling '{path}__swap_' shadow escaped every recovery walk, and
+    # the bare rmtree-then-rename swap could permanently lose a whole
+    # partition on a crash between the two calls. Now each partition
+    # publishes via the compact_table retire idiom: rename the live
+    # dir to .cold_<uuid>__<leaf>, rename the shadow dir in, then drop
+    # the retired copy. A crash at any point is healed by the entry
+    # recovery pass (leaf missing -> restore from .cold_; leaf present
+    # -> discard .cold_; leftover .uswap_ -> discard), and the upsert
+    # is idempotent under the at-least-once replay that follows.
+    tag = uuid.uuid4().hex[:8]
+    shadow = os.path.join(path, f".uswap_{tag}")
     merged.write.mode("overwrite").partitionBy(partition_by).parquet(shadow)
-    # per-partition atomic publish: swap every partition directory the
-    # merge produced. Directory names are taken from the SHADOW
+    # per-partition publish: directory names are taken from the SHADOW
     # listing, not rebuilt from raw values — Hive escapes special
     # characters (lang=pt%3ABR) and spells NULL as
     # __HIVE_DEFAULT_PARTITION__, and reconstructing f"{col}={v}" from
     # collected values would miss both and silently drop those rows.
     prefix = f"{partition_by}="
-    for part_dir in os.listdir(shadow):
+    for part_dir in sorted(os.listdir(shadow)):
         if not part_dir.startswith(prefix):
             continue
         src_dir = os.path.join(shadow, part_dir)
         dst_dir = os.path.join(path, part_dir)
         if not os.path.isdir(src_dir):
             continue
+        retired = None
         if os.path.isdir(dst_dir):
-            shutil.rmtree(dst_dir)
+            retired = os.path.join(path, f".cold_{tag}__{part_dir}")
+            os.rename(dst_dir, retired)
         os.rename(src_dir, dst_dir)
+        if retired is not None:
+            shutil.rmtree(retired, ignore_errors=True)
     shutil.rmtree(shadow, ignore_errors=True)
     return path
 
@@ -302,6 +325,40 @@ def write_bucketed(
 def with_content_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the deterministic content-hash key used by K3 (F10)."""
     return df.withColumn("content_id", fingerprint(F.col(text_col)))
+
+
+def _recover_swap_debris(path: str) -> None:
+    """Shared crash-recovery pass for every swap protocol in this
+    module (compact_table leaves, flat/pruned upserts): restore any
+    ``.cold_<uuid>__<leaf>`` whose leaf is missing (crash between
+    retire and publish — rolls that leaf BACK; the idempotent caller
+    re-applies its batch), discard retired dirs whose leaf exists
+    (crash after publish), roll ``.cswap_`` shadows FORWARD when they
+    carry a _MANIFEST (committed) and discard them when not, and
+    discard ``.uswap_`` shadows (pruned-upsert pre-publish debris —
+    their partitions either published already or roll back via their
+    .cold_ twins)."""
+    if not os.path.isdir(path):
+        return
+    for dirpath, dirnames, _ in os.walk(path):
+        for d in list(dirnames):
+            full = os.path.join(dirpath, d)
+            if d.startswith(".cswap_"):
+                if os.path.exists(os.path.join(full, "_MANIFEST")):
+                    _publish_root_swap(dirpath, full)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                dirnames.remove(d)
+            elif d.startswith(".uswap_"):
+                shutil.rmtree(full, ignore_errors=True)
+                dirnames.remove(d)
+            elif d.startswith(".cold_") and "__" in d:
+                leaf = os.path.join(dirpath, d.split("__", 1)[1])
+                if not os.path.exists(leaf):
+                    os.rename(full, leaf)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                dirnames.remove(d)
 
 
 def _publish_root_swap(path: str, shadow: str) -> None:
@@ -379,27 +436,10 @@ def compact_table(
             "them — re-land the table via foreachBatch, or compact the "
             "downstream copy" % path
         )
-    # recovery pass: an interrupted prior run may have renamed a leaf
-    # to .cold_<uuid>__<leaf> and died before publishing the shadow —
-    # restore the leaf from the retired copy, and clear stale shadows.
-    # A shadow carrying a _MANIFEST is a COMMITTED root-level swap
-    # (see below): roll it forward instead of discarding it.
-    for dirpath, dirnames, _ in os.walk(path):
-        for d in list(dirnames):
-            full = os.path.join(dirpath, d)
-            if d.startswith(".cswap_"):
-                if os.path.exists(os.path.join(full, "_MANIFEST")):
-                    _publish_root_swap(dirpath, full)
-                else:
-                    shutil.rmtree(full, ignore_errors=True)
-                dirnames.remove(d)
-            elif d.startswith(".cold_") and "__" in d:
-                leaf = os.path.join(dirpath, d.split("__", 1)[1])
-                if not os.path.exists(leaf):
-                    os.rename(full, leaf)
-                else:
-                    shutil.rmtree(full, ignore_errors=True)
-                dirnames.remove(d)
+    # recovery pass (shared with the upsert paths — see
+    # _recover_swap_debris): restore retired leaves, roll committed
+    # root swaps forward, discard uncommitted shadows
+    _recover_swap_debris(path)
     done: dict = {}
     for dirpath, dirnames, filenames in os.walk(path):
         base = os.path.basename(dirpath)

@@ -449,3 +449,42 @@ def test_upsert_flat_crash_safe_publish(spark, tmp_path):
     got = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
     assert got == {"z": 9, "y": 8}
     assert not any(d.startswith(".c") for d in os.listdir(path))
+
+
+def test_upsert_pruned_crash_recovery_and_scheme_guard(spark, tmp_path):
+    """Review r7: the pruned upsert's per-partition swap is now the
+    retire-then-publish idiom with entry-time recovery — a crash
+    between the two renames must not lose the partition — and a
+    mismatched partition column is refused before any mutation."""
+    import os
+
+    path = str(tmp_path / "pruned")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(
+            {
+                "content_id": [k for k, _ in rows],
+                "doc_id": [v for _, v in rows],
+                "lang": ["lx" if k in "ab" else "ly" for k, _ in rows],
+            }
+        )
+    )
+    SK.upsert_by_key(spark, mk([("a", 1), ("c", 3)]), path, order_col="doc_id", partition_by="lang")
+
+    # partition-scheme mismatch refused loudly
+    bad = mk([("a", 9)]).withColumnRenamed("lang", "source")
+    with pytest.raises(ValueError, match="partitioned by"):
+        SK.upsert_by_key(spark, bad, path, order_col="doc_id", partition_by="source")
+
+    # simulate a crash between retire and publish: lang=lx retired,
+    # replacement never moved in
+    lx = os.path.join(path, "lang=lx")
+    os.rename(lx, os.path.join(path, ".cold_dead__lang=lx"))
+    os.makedirs(os.path.join(path, ".uswap_dead"))
+    assert not os.path.exists(lx)
+    SK.upsert_by_key(spark, mk([("b", 2)]), path, order_col="doc_id", partition_by="lang")
+    got = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+    # 'a' was restored from the retired copy before the merge ran
+    assert got == {"a": 1, "b": 2, "c": 3}
+    assert not any(d.startswith((".cold_", ".uswap_")) for d in os.listdir(path))
+    # nothing leaked as a sibling of the table root
+    assert not any("swap" in d for d in os.listdir(str(tmp_path)))
