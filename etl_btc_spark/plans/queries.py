@@ -3913,3 +3913,139 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@register(
+    "q99d_vocabulary_head",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(t) AS token FROM w
+            ) WHERE token <> ''
+        )
+        SELECT token,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM tok
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT 50
+    """,
+    doc=(
+        "corpus vocabulary head: top-50 tokens by occurrence with "
+        "document frequency — the tokenizer-coverage / stopword-policy "
+        "profiling pass a pretraining pipeline runs before committing "
+        "to a vocab. One explode + one (token) aggregate with map-side "
+        "partials (count and count-distinct both combine before the "
+        "shuffle), TakeOrderedAndProject top-k — no global sort"
+    ),
+)
+def q99d(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = TX.ws_tokens(TX.normalize_text(F.col("text")))
+    return (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "q99e_quality_histogram",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id,
+                   {TX.WS_TOKEN_COUNT_SQL.format(col="text")} AS n_words,
+                   round({TX.quality_score_sql("text")}, 6) AS quality
+            FROM documents
+        )
+        SELECT CAST(least(floor(quality * 10), 9) AS INTEGER) AS decile,
+               count(*) AS n_docs,
+               round(1e-9 + avg(n_words), 6) AS avg_words,
+               round(1e-9 + avg(quality), 6) AS avg_quality
+        FROM q
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    doc=(
+        "quality-score histogram: decile buckets of the q29 score with "
+        "doc counts and mean token length — the threshold-picking view "
+        "a curation pipeline consults before filtering. Pure codegen "
+        "expressions into one 10-row aggregate"
+    ),
+)
+def q99e(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    q = F.round(TX.quality_score(F.col("text")), 6)
+    decile = F.least(F.floor(q * 10), F.lit(9)).cast("int")
+    return (
+        docs.select(
+            decile.alias("decile"),
+            TX.ws_token_count(F.col("text")).alias("n_words"),
+            q.alias("quality"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            sround(F.avg("n_words"), 6).alias("avg_words"),
+            sround(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q99f_duplication_report",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, source,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS cid
+            FROM documents
+        ), per AS (
+            SELECT source, cid, count(*) AS n FROM f GROUP BY source, cid
+        )
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               round(1e-9 + 1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_rate
+        FROM per
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "per-source exact-duplication report: docs, distinct contents "
+        "(md5 of normalized text), and duplicate rate — the per-domain "
+        "curation dashboard that decides which sources need near-dup "
+        "treatment. Two cascaded aggregates on (source, content) then "
+        "(source); both combine map-side"
+    ),
+)
+def q99f(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    cid = F.md5(TX.normalize_text(F.col("text")))
+    per = (
+        docs.select("source", cid.alias("cid"))
+        .groupBy("source", "cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            sround(
+                F.lit(1.0) - F.count(F.lit(1)) / F.sum("n").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
