@@ -488,3 +488,62 @@ def test_upsert_pruned_crash_recovery_and_scheme_guard(spark, tmp_path):
     assert not any(d.startswith((".cold_", ".uswap_")) for d in os.listdir(path))
     # nothing leaked as a sibling of the table root
     assert not any("swap" in d for d in os.listdir(str(tmp_path)))
+
+
+def test_upsert_pruned_publish_survives_any_crash_point(spark, tmp_path, monkeypatch):
+    """Systematic crash-point sweep (r7): kill the publish at EVERY
+    os.rename call in turn; after recovery + an idempotent replay of
+    the same batch, the table must equal the no-crash result, and no
+    key may ever be lost."""
+    import os as _os
+
+    want = {"a": 1, "b": 0, "c": 3, "d": 4}
+    base = [("a", 1), ("b", 2), ("c", 3)]
+    batch = [("b", 0), ("d", 4)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(
+            {
+                "content_id": [k for k, _ in rows],
+                "doc_id": [v for _, v in rows],
+                "lang": ["lx" if k in "ab" else "ly" for k, _ in rows],
+            }
+        )
+    )
+
+    crash_at = 0
+    while True:
+        path = str(tmp_path / f"sweep_{crash_at}")
+        SK.upsert_by_key(spark, mk(base), path, order_col="doc_id", partition_by="lang")
+
+        real_rename = _os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst):
+            # only meter renames inside THIS table (Spark's own commit
+            # protocol also renames; those must not be killed)
+            if src.startswith(path) and dst.startswith(path):
+                calls["n"] += 1
+                if calls["n"] == crash_at + 1:
+                    raise OSError("injected crash at rename #%d" % calls["n"])
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(_os, "rename", flaky_rename)
+        crashed = False
+        try:
+            SK.upsert_by_key(spark, mk(batch), path, order_col="doc_id", partition_by="lang")
+        except OSError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+
+        # recovery + at-least-once replay (what a checkpointed stream does)
+        SK.upsert_by_key(spark, mk(batch), path, order_col="doc_id", partition_by="lang")
+        got = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+        assert got == want, (crash_at, got)
+        assert not any(
+            d.startswith((".cold_", ".uswap_")) for d in _os.listdir(path)
+        ), crash_at
+        if not crashed:
+            break  # swept past the last publish-side rename
+        crash_at += 1
+    assert crash_at >= 2  # the sweep actually exercised crash points
