@@ -547,3 +547,56 @@ def test_upsert_pruned_publish_survives_any_crash_point(spark, tmp_path, monkeyp
             break  # swept past the last publish-side rename
         crash_at += 1
     assert crash_at >= 2  # the sweep actually exercised crash points
+
+
+def test_upsert_flat_publish_survives_any_crash_point(spark, tmp_path, monkeypatch):
+    """Flat-path twin of the pruned sweep: kill the manifest publish
+    at every os.replace / os.remove in turn; recovery + replay must
+    converge to the no-crash table with the dir never missing."""
+    import os as _os
+
+    want = {"a": 1, "b": 0, "c": 3, "d": 4}
+    base = [("a", 1), ("b", 2), ("c", 3)]
+    batch = [("b", 0), ("d", 4)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"content_id": [k for k, _ in rows], "doc_id": [v for _, v in rows]})
+    )
+
+    crash_at = 0
+    while True:
+        path = str(tmp_path / f"fsweep_{crash_at}")
+        SK.upsert_by_key(spark, mk(base), path, order_col="doc_id")
+
+        real_replace, real_remove = _os.replace, _os.remove
+        calls = {"n": 0}
+
+        def metered(fn):
+            def wrapped(*a):
+                if str(a[0]).startswith(path):
+                    calls["n"] += 1
+                    if calls["n"] == crash_at + 1:
+                        raise OSError("injected crash at fs-op #%d" % calls["n"])
+                return fn(*a)
+
+            return wrapped
+
+        monkeypatch.setattr(_os, "replace", metered(real_replace))
+        monkeypatch.setattr(_os, "remove", metered(real_remove))
+        crashed = False
+        try:
+            SK.upsert_by_key(spark, mk(batch), path, order_col="doc_id")
+        except OSError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(_os, "replace", real_replace)
+            monkeypatch.setattr(_os, "remove", real_remove)
+
+        assert _os.path.isdir(path), "table dir must NEVER vanish"
+        SK.upsert_by_key(spark, mk(batch), path, order_col="doc_id")
+        got = {r["content_id"]: r["doc_id"] for r in spark.read.parquet(path).collect()}
+        assert got == want, (crash_at, got)
+        assert not any(d.startswith(".c") for d in _os.listdir(path)), crash_at
+        if not crashed:
+            break
+        crash_at += 1
+    assert crash_at >= 2
