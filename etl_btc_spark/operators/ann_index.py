@@ -263,6 +263,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     n_assign: int = 2,
     sample_factor: int = 64,
+    centroid_ids: list | None = None,
 ) -> str:
     """K4: write an IVF index = (centroids table, assignment table
     partitioned by centroid_id).
@@ -299,6 +300,34 @@ def build_ivf_index(
     # (same policy as the HNSW build and append_ivf_index; without
     # this the rebuild path crashes on corpora the append tolerates)
     vectors = vectors.filter(F.col(vec_col).isNotNull())
+    if centroid_ids is not None:
+        # WARM-START centroids (r7): take the given ids' vectors
+        # verbatim, skip sampling and Lloyd entirely. Two uses: seed a
+        # rebuild from a previous index's centroids, and — the reason
+        # it exists here — an ORACLE-EXPRESSIBLE build (q99g): with
+        # centroids that are literally corpus rows, every downstream
+        # probe step (centroid ranking, pruned candidate fetch, exact
+        # re-rank) becomes plain SQL, so the probe machinery gets a
+        # value-level DuckDB oracle that the Lloyd path cannot.
+        # centroid_id = 1-based rank in the SORTED id list
+        # (deterministic); a missing id fails loudly.
+        want = sorted(centroid_ids)
+        rows = {
+            r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
+            for r in vectors.filter(F.col(id_col).isin(want))
+            .select(id_col, vec_col)
+            .collect()
+        }
+        missing = [i for i in want if i not in rows]
+        if missing:
+            raise ValueError(
+                "build_ivf_index: centroid_ids not in corpus: %r" % missing
+            )
+        cmat = np.array([rows[i] for i in want])
+        k = len(want)
+        return _write_ivf_artifact(
+            spark, vectors, path, cmat, k, vec_col, id_col, n_assign
+        )
     sample = (
         vectors.select(id_col, vec_col)
         .withColumn("__h", F.xxhash64(F.col(id_col)))
@@ -345,6 +374,24 @@ def build_ivf_index(
             members = svecs[a == j]
             if len(members):
                 cmat[j] = members.mean(axis=0)
+    return _write_ivf_artifact(spark, vectors, path, cmat, k, vec_col, id_col, n_assign)
+
+
+def _write_ivf_artifact(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    cmat,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    n_assign: int,
+) -> str:
+    """Persist (centroids table, quantized assignment table) for a
+    final centroid matrix — shared by the Lloyd and warm-start arms
+    so the artifact layout cannot drift between them."""
+    import numpy as np
+
     cent_rows = [
         (i + 1, [float(x) for x in cmat[i].astype(np.float32)]) for i in range(k)
     ]

@@ -4049,3 +4049,68 @@ def q99f(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: warm-start centroid ids for q99g — literal corpus rows, so the
+#: whole IVF probe chain is SQL-expressible (see build_ivf_index's
+#: centroid_ids arm)
+_Q99G_CENTROID_IDS = list(range(16))
+
+
+@register(
+    "q99g_knn_ivf_warm_oracle",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(vec_id + 1 AS INTEGER) AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id BETWEEN 0 AND 15
+        ), a AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {SIM.cosine_sql("e.embedding", "c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, c
+                WHERE e.embedding IS NOT NULL
+            ) WHERE rn <= 2
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), best AS (
+            SELECT centroid_id FROM c, q
+            ORDER BY {SIM.cosine_sql("c.cvec", "q.qv")} DESC, centroid_id
+            LIMIT 4
+        ), cand AS (
+            SELECT DISTINCT a.vec_id FROM a JOIN best USING (centroid_id)
+        )
+        SELECT e.vec_id, round(1e-9 + {_COS_Q}, 6) AS cosine_sim
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY {_COS_Q} DESC, e.vec_id
+        LIMIT 10
+    """,
+    doc=(
+        "IVF probe machinery under a FULL value oracle (r7): warm-start "
+        "centroids are literal corpus rows (ids 0-15), so centroid "
+        "ranking, n_assign=2 assignment, nprobe=4 pruned candidate "
+        "fetch, dedup and exact fp32 re-rank are all reproduced in "
+        "plain SQL — the coverage q38's Lloyd-refined index cannot "
+        "carry (its centroids are not oracle-expressible). The int8 "
+        "shortlist is deliberately un-cut (shortlist >> candidates) so "
+        "the exact re-rank decides; the int8 pre-rank keeps its own "
+        "recall pytest via q38/q85"
+    ),
+)
+def q99g(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    idx = _SK.artifact_path(sf, "ivf_warm_index")
+    if not ANN._is_built(idx, "ivf"):
+        ANN.build_ivf_index(
+            spark, emb, idx, n_centroids=16, centroid_ids=_Q99G_CENTROID_IDS
+        )
+    out = ANN.knn_ivf_indexed(
+        spark, idx, emb, query, k=10, nprobe=4, shortlist=1_000_000
+    )
+    return out.select("vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim"))
