@@ -179,6 +179,7 @@ def main() -> None:
         "q37_knn_lsh",
     }
     timings: dict[str, float] = {}
+    queries_ctx: dict[str, str] = {}
     for q in headline:
         # best-of-N: report steady state, not first-run scheduling
         # jitter. Repeats share the CacheManager state (a repeat's
@@ -189,6 +190,14 @@ def main() -> None:
         # suite (VERDICT r3 item 7).
         n = max(repeats, 5) if q.name in heavy else repeats
         timings[q.name] = round(min(run_query(spark, q, sf_dir) for _ in range(n)), 3)
+        if q.name == "q97_cluster_best_dedup":
+            # loop-depth context (VERDICT r7 #8): q97's cost is
+            # rounds-to-fixpoint-dependent — record it so a deeper-
+            # clustered corpus is diagnosable from this file alone
+            from etl_btc_spark.operators.dedup import LAST_CC_STATS
+
+            if "rounds" in LAST_CC_STATS:
+                queries_ctx[q.name] = "cc_rounds=%d" % LAST_CC_STATS["rounds"]
         release_scoped_caches()
         release_scoped_broadcasts()
     out = {
@@ -199,6 +208,7 @@ def main() -> None:
         "queries": timings,
         "builds": builds,
         "builds_ctx": builds_ctx,
+        "queries_ctx": queries_ctx,
         "calibration": calibration,
         "sf": sf,
     }

@@ -312,11 +312,29 @@ def build_ivf_index(
         # centroid_id = 1-based rank in the SORTED id list
         # (deterministic); a missing id fails loudly.
         want = sorted(centroid_ids)
-        rows = {
-            r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
-            for r in vectors.filter(F.col(id_col).isin(want))
+        # ADVICE r8: a duplicate in centroid_ids would keep BOTH
+        # copies in the sorted list, shifting every later 1-based
+        # centroid_id rank and desyncing the q99g-style oracle — and a
+        # duplicate id_col in the corpus would let the dict silently
+        # keep an arbitrary collected row. Fail loudly on both
+        # (mirrors the HNSW build's duplicate-id refusal).
+        if len(set(want)) != len(want):
+            raise ValueError(
+                "build_ivf_index: duplicate centroid_ids — each id maps to "
+                "one 1-based centroid rank, duplicates would shift the ranks"
+            )
+        fetched = (
+            vectors.filter(F.col(id_col).isin(want))
             .select(id_col, vec_col)
             .collect()
+        )
+        if len(fetched) > len(want):
+            raise ValueError(
+                "build_ivf_index: corpus has duplicate %s values among the "
+                "centroid ids — dedup the corpus before indexing" % id_col
+            )
+        rows = {
+            r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in fetched
         }
         missing = [i for i in want if i not in rows]
         if missing:
@@ -409,6 +427,18 @@ def _write_ivf_artifact(
     cent_pdf = pd.DataFrame(
         {"centroid_id": [r[0] for r in cent_rows], "centroid_vec": [r[1] for r in cent_rows]}
     )
+    # marker-first invalidation (r8, same posture as the HNSW build):
+    # when REBUILDING over an existing artifact, the overwrites below
+    # destroy centroids/assigned while a stale _BUILT marker (same
+    # content) would survive — a crash mid-rebuild then leaves a
+    # partial index that _require_built accepts. Drop the marker
+    # before the first mutating write; _mark_built re-marks at the
+    # end, so a crash at any point leaves a refused-probe state and
+    # ensure_ivf_index converges by rebuilding.
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
     spark.createDataFrame(cent_pdf, cent_schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "centroids"))
@@ -519,7 +549,20 @@ def append_ivf_index(
     # debt compact_table exists to fix. One reducer per centroid is
     # right here: append batches are small by definition
     quant = quant.repartition(max(k, 1), F.col("centroid_id"))
+    # marker-first invalidation (r8): parquet append commits per-job,
+    # so a crash mid-commit can land SOME of the batch's posting
+    # files — a half-appended batch under a still-valid marker is a
+    # half-readable index, and the duplicate guard above then refuses
+    # the replay. Drop the marker around the write: a crash leaves a
+    # refused-probe state, and recovery is ensure_ivf_index (the
+    # rebuild overwrites assigned/ wholesale, and the corpus — which
+    # includes the batch — is the source of truth).
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
     quant.write.mode("append").partitionBy("centroid_id").parquet(assigned_path)
+    _mark_built(path, "ivf")
     cent_bc.unpersist()
     return path
 
@@ -708,6 +751,14 @@ def build_lsh_index(
     # removes); at 2× every band spreads over ≥2 partitions in
     # practice while each writer still holds ~2 buckets
     fanout = max(2, (2 * n_writers) // max(n_bands, 1))
+    # marker-first invalidation (r8): a rebuild over an existing
+    # artifact must not leave a stale _BUILT accepting a half-written
+    # bands table after a crash — drop the marker before the
+    # overwrite, re-mark after geometry lands
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
     (
         banded.repartition(
             n_writers,
@@ -779,7 +830,17 @@ def append_lsh_index(
         vec_col,
         id_col,
     ).sortWithinPartitions("band", "sig")
+    # marker-first invalidation (r8): same rationale as
+    # append_ivf_index — a crash mid-append-commit can land part of
+    # the batch's band files under a still-valid marker, and the
+    # duplicate guard then refuses the replay. Refuse probes instead
+    # (marker down during the write); recovery is ensure_lsh_index.
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
     banded.write.mode("append").partitionBy("band").parquet(bands_path)
+    _mark_built(path, "lsh")
     return path
 
 

@@ -721,18 +721,24 @@ def simhash_near_dupes(
     # persisted: the SimHash UDF pass runs once, not once per
     # self-join side; the cache is (id, int64) only
     sig = _scoped_persist(df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh")))
+
+    def _chunk_key(i: int) -> Column:
+        # ADVICE r8: max_hamming=0 yields ONE full-width chunk, and
+        # (1 << 64) - 1 overflows LongType at plan time — the whole
+        # signature IS the key, no shift/mask needed
+        if widths[i] == 64:
+            return F.col("sh")
+        return F.shiftrightunsigned(F.col("sh"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
     chunks = sig.select(
         id_col,
         "sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sh"), offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("key"),
-                    )
+                    F.struct(F.lit(i).alias("chunk"), _chunk_key(i).alias("key"))
                     for i in range(n_chunks)
                 ]
             )
@@ -884,8 +890,20 @@ def incremental_near_dupes(
 # ---------------------------------------------------------------------------
 
 
+#: stats of the most recent :func:`connected_components` run
+#: (currently ``rounds``: rounds-to-fixpoint). Lets callers that only
+#: see the query registry surface (bench.py's ``queries_ctx``) report
+#: the loop depth next to the timing without threading a stats dict
+#: through every composed query (VERDICT r7 #8).
+LAST_CC_STATS: dict = {}
+
+
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, a: str = "id_a", b: str = "id_b"
+    pairs: DataFrame,
+    max_iters: int = 20,
+    a: str = "id_a",
+    b: str = "id_b",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Pregel-style min-label propagation WITH pointer jumping: every
     node starts labeled with itself; each round it adopts the smallest
@@ -904,9 +922,18 @@ def connected_components(
     (no label changed via either term) is exactly per-component
     minima, same as pure propagation.
 
-    Convergence is checked with a one-scalar count per round, and
-    labels are localCheckpointed each round so the loop's lineage
-    stays O(1) instead of O(iterations).
+    Each round is ONE Spark action (VERDICT r7 #2): the new labels
+    frame is localCheckpointed LAZILY, and the convergence count's
+    full scan is what materializes it — the changed-row count rides
+    in the same job that builds the checkpoint, instead of a separate
+    LIMIT-1 probe job per round. Lineage still truncates to the
+    checkpoint RDD, so the loop's plan stays O(1) in iterations.
+
+    ``stats_out`` (optional dict, same convention as
+    refresh_hnsw_index) reports ``rounds``: rounds-to-fixpoint, so
+    benchmarks can print the loop depth next to the timing — q97's
+    cost is round-count-dependent and a deeper-clustered corpus
+    should be diagnosable from the bench file alone.
 
     Returns (node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id of the component — the deterministic
@@ -924,18 +951,20 @@ def connected_components(
     # the frame actually holding this round's checkpoint blocks —
     # unpersist must target IT, not a projection derived from it
     ckpt = labels
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         prop = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
         # the did-anything-change flag rides INSIDE the checkpointed
-        # frame (r6): the previous shape re-joined new labels against
-        # old ones, paying a full extra join + scan job per round
-        # just for the convergence scalar. Now convergence is a
-        # LIMIT-1 probe over the already-materialized checkpoint —
-        # per-round cost is exactly the propagation join.
+        # frame (r6), and the checkpoint is LAZY (r8): the convergence
+        # count below is the materializing action — its full scan
+        # computes (and caches) every partition of the checkpoint RDD,
+        # so each round runs exactly ONE job instead of
+        # checkpoint-materialize + LIMIT-1 probe.
         # pointer table: label value -> that node's own current label
         # (every label IS a node id present in `labels`, so the left
         # join only NULLs if that invariant ever broke — coalesce
@@ -958,8 +987,8 @@ def connected_components(
                     | (F.col("jlabel") < F.col("label"))
                 ).alias("__chg"),
             )
-        ).localCheckpoint()
-        changed = stepped.filter(F.col("__chg")).limit(1).count()
+        ).localCheckpoint(eager=False)
+        changed = stepped.filter(F.col("__chg")).count()
         # the new checkpoint is materialized — the previous round's
         # blocks have no consumer left and are dropped NOW via the
         # checkpoint RDD itself (Dataset.unpersist would silently
@@ -989,6 +1018,10 @@ def connected_components(
     # labels are localCheckpointed (materialized): the edge cache has no
     # remaining consumer and can be dropped before returning
     edges.unpersist(False)
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS["rounds"] = rounds
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -381,6 +381,18 @@ def build_hnsw_index(
         )
     nodes = _shard_nodes(vectors, n_shards, M, ef_construction, vec_col, id_col)
     nodes_dir = os.path.join(path, "nodes")
+    # ADVICE r8 (medium): when rebuilding OVER an existing artifact,
+    # the overwrite below destroys nodes/ while a stale _BUILT marker
+    # (same content) would survive at the root — a crash mid-write
+    # then leaves a partial index that _require_built accepts.
+    # Marker-first invalidation: drop the marker before the first
+    # mutating write; probes refuse until _mark_built re-marks at the
+    # end, so a crash at any point leaves a refused-probe state,
+    # never a half-readable one.
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
     nodes.write.mode("overwrite").partitionBy("shard").parquet(nodes_dir)
     # the n_shards=None arm counted, but an explicit n_shards skips
     # that job — catch the 0-row (or all-NULL-vector) corpus HERE
@@ -478,19 +490,49 @@ def refresh_hnsw_index(
                 "refresh_hnsw_index: snapshot has no indexable rows — "
                 "delete the artifact instead of refreshing to empty"
             )
+        # ADVICE r8 (medium): an in-place rebuild overwrote nodes/
+        # under the surviving _BUILT marker — a crash mid-rebuild left
+        # a partial index that _require_built accepted. Rebuild into a
+        # dot-prefixed shadow sibling instead: the LIVE artifact stays
+        # fully readable until the shadow is complete, then publish
+        # with marker-first invalidation (drop live marker → swap
+        # nodes+meta → re-land the marker last). A crash before the
+        # marker drop keeps the old index; a crash after it leaves a
+        # refused-probe state; replaying the refresh converges either
+        # way (shadow debris is discarded and rebuilt).
+        shadow = path.rstrip(os.sep) + ".hswap"
+        shutil.rmtree(shadow, ignore_errors=True)
         build_hnsw_index(
             spark,
             vectors,
-            path,
+            shadow,
             M=M,
             ef_construction=ef_construction,
             n_shards=n_shards,
             vec_col=vec_col,
             id_col=id_col,
         )
+        try:
+            os.remove(os.path.join(path, "_BUILT"))
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(os.path.join(path, "nodes"), ignore_errors=True)
+        os.rename(os.path.join(shadow, "nodes"), os.path.join(path, "nodes"))
+        os.replace(os.path.join(shadow, "_SHARDS"), os.path.join(path, "_SHARDS"))
+        os.replace(os.path.join(shadow, "_BUILT"), os.path.join(path, "_BUILT"))
+        shutil.rmtree(shadow, ignore_errors=True)
         return path
     todo = vectors.filter(shard_of.isin(affected))
     nodes = _shard_nodes(todo, n_shards, M, ef_construction, vec_col, id_col)
+    # same marker-first posture for the incremental arm: dynamic
+    # overwrite commits per-job, so a crash mid-commit could mix old
+    # and new shard graphs under a still-valid marker. Probes refuse
+    # between here and the re-mark; replaying the refresh (same
+    # change set, deterministic build) converges.
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
     nodes.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("shard").parquet(os.path.join(path, "nodes"))
@@ -510,6 +552,7 @@ def refresh_hnsw_index(
     }
     for s in set(affected) - still:
         shutil.rmtree(os.path.join(path, "nodes", "shard=%d" % s), ignore_errors=True)
+    _mark_built(path, "hnsw")
     return path
 
 

