@@ -396,3 +396,48 @@ def exact_n_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: Column,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Derandomized Efraimidis–Spirakis weighted sampling WITHOUT
+    replacement (r8): keep the ``n`` rows with the largest
+    ``ln(u) / w`` where ``u ∈ (0,1)`` comes from the salted md5 of
+    the id (same engine-portable hash as every sampler here) and
+    ``w`` is the row's weight — quality-weighted corpus selection
+    ("sample 1M docs, prefer high quality") is this exact op. The
+    classic E-S key is ``u^(1/w)``; ``ln`` of it is monotone in it,
+    better-conditioned for the cross-engine epsilon-round, and keeps
+    the inclusion law: P(top-n) ∝ weight, deterministic under retries
+    and incremental re-runs because there is no RNG state.
+
+    Scale shape: one scan computing (key, weight) in codegen + one
+    TakeOrdered top-n — no shuffle, no window, no driver data. Weights
+    are floored at 1e-6 (a zero/negative weight would send the key to
+    -inf and just means "never pick me, unless nothing else is left").
+    Keys are epsilon-rounded; ties break on id ascending.
+    """
+    u = (_md5_prefix32(F.col(id_col), salt) + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.greatest(weight_col.cast("double"), F.lit(1e-6))
+    key = F.round(F.log(u) / w + F.lit(1e-9), 6)
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def weighted_sample_key_sql(
+    weight_sql: str, id_col: str = "doc_id", salt: str = "wsample"
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample`'s key expression."""
+    u = (
+        f"((('0x' || substring(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" + 0.5) / 4294967296.0)"
+    )
+    return f"round(1e-9 + ln({u}) / greatest({weight_sql}, 1e-6), 6)"

@@ -302,3 +302,169 @@ def tfidf_keywords_oracle_sql(k: int = 5) -> str:
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    n: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-n documents by BM25 relevance to a fixed query-term set
+    (r8 §2.11 extension: the ranking function next to q99's TF-IDF —
+    contamination triage, eval-set retrieval, and boosted-corpus
+    selection all run exactly this shape over a training corpus).
+
+    Plan shape at 100 TB: the explode is filtered to the |Q|-term
+    query set BEFORE the term-frequency shuffle, so the shuffle
+    carries only matching (doc, term) rows — a tiny fraction of the
+    corpus — unlike TF-IDF's full-vocabulary aggregate. Document
+    length comes from a pure codegen expression (no second tokenize
+    pass), corpus stats (N, avgdl) ride in as ONE broadcast 1-row
+    aggregate, and per-term document frequencies are a ≤|Q|-row
+    broadcast. Top-n is TakeOrdered, no global sort. IDF uses the
+    standard Robertson/Sparck-Jones form ln(1 + (N - df + 0.5) /
+    (df + 0.5)), positive for any df. Scores epsilon-rounded before
+    ranking; ties break on id ascending.
+    """
+    terms = sorted(set(query_terms))
+    toks = ws_tokens(normalize_text(F.col(text_col)))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(ws_token_count(F.col(text_col))).alias("avgdl"),
+    )
+    dl = df.select(
+        F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str], n: int = 20, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB mirror of :func:`bm25_scores` over the documents view."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    dl = WS_TOKEN_COUNT_SQL.format(col="text")
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id, unnest(t) AS token FROM w
+            ) WHERE token IN ({terms})
+            GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg({dl}) AS avgdl FROM documents
+        ), dl AS (
+            SELECT doc_id, {dl} AS dl FROM documents
+        )
+        SELECT tf.doc_id,
+               round(1e-9 + sum(
+                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * ({k1} + 1.0)
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN dfreq USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id, stats
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, tf.doc_id ASC
+        LIMIT {n}
+    """
+
+
+def unigram_negloglik(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document average negative log-likelihood under the corpus
+    unigram distribution (r8 §2.11 extension) — the cheapest
+    perplexity proxy a pretraining pipeline runs: a doc full of
+    corpus-typical tokens scores low, an outlier (wrong language,
+    binary soup, boilerplate the corpus has never seen tokens for)
+    scores high. The standard KenLM-perplexity filter slot, with the
+    LM replaced by the corpus's own unigram model so it stays
+    dependency-free and oracle-expressible.
+
+    Plan shape at 100 TB: one explode→(token) aggregate builds the
+    vocabulary-sized frequency table; the corpus token total rides as
+    a broadcast 1-row aggregate ON TOP of that table (vocab-sized
+    input, no second corpus pass); the exploded tokens then join the
+    frequency table by token (vocab side broadcastable at moderate
+    vocabularies, hash-join otherwise) and re-aggregate per doc.
+    Exactly two corpus-wide shuffles, same budget as TF-IDF.
+    Empty docs are dropped (no tokens → no likelihood).
+    """
+    from .dedup import _scoped_persist
+
+    toks = ws_tokens(normalize_text(F.col(text_col)))
+    words = df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
+        F.col("token") != ""
+    )
+    # persisted for the same reason tfidf_keywords persists tf: the
+    # frequency branch and the scoring branch both hang off `words`,
+    # and without a persist the corpus would tokenize twice. Persisting
+    # the (doc, token) pairs (not an aggregate) keeps the scoring
+    # branch's per-occurrence join input materialized too.
+    words = _scoped_persist(words)
+    freq = words.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    neg_ll = -F.log(F.col("n_tok") / F.col("n_total"))
+    return (
+        words.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(neg_ll) + F.lit(1e-9), 6).alias("avg_neg_loglik"),
+        )
+    )
+
+
+def unigram_negloglik_oracle_sql() -> str:
+    """DuckDB mirror of :func:`unigram_negloglik`."""
+    return """
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(t) AS token FROM w
+            ) WHERE token <> ''
+        ), freq AS (
+            SELECT token, count(*) AS n_tok FROM tok GROUP BY token
+        ), total AS (
+            SELECT sum(n_tok) AS n_total FROM freq
+        )
+        SELECT tok.doc_id,
+               count(*) AS n_tokens,
+               round(1e-9 + avg(-ln(freq.n_tok / total.n_total)), 6) AS avg_neg_loglik
+        FROM tok JOIN freq USING (token), total
+        GROUP BY tok.doc_id
+    """

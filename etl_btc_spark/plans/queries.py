@@ -2716,12 +2716,18 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
     "q72_approx_distinct",
     oracle=None,  # sketch implementations differ across engines; error
     # bound vs exact asserted in tests/test_numerics.py
-    doc="§2.11 sketch: approx_count_distinct (HLL++) per event_type — mergeable sketch, one pass, O(1) state per group; pytest pins <5% error vs exact",
+    doc="§2.11 sketch: approx_count_distinct (HLL++) per event_type — mergeable sketch, one pass, O(1) state per group; pytest pins <5% error vs exact at smoke AND bench SF",
 )
 def q72(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        # rsd=0.015, not the 0.05 default (r8): rsd is a STANDARD
+        # DEVIATION, not a bound — the default's 1σ=5% misses the
+        # advertised ≤5% error on real cardinalities about a third of
+        # the time (measured 6.6% at 5k distinct, sf0.1). 0.015 puts
+        # 3σ≈4.5% inside the claim for a ~4 KB per-group sketch —
+        # still O(1) state, still mergeable.
+        F.approx_count_distinct("user_id", rsd=0.015).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -4114,3 +4120,74 @@ def q99g(spark: SparkSession, sf: str) -> DataFrame:
         spark, idx, emb, query, k=10, nprobe=4, shortlist=1_000_000
     )
     return out.select("vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim"))
+
+
+#: fixed query-term set for q99h — drawn from the fixture corpus's
+#: vocabulary head (mixed frequencies) so the ranking is non-trivial
+#: at every SF
+_Q99H_TERMS = ["broadcast", "hash", "join", "window"]
+
+
+@register(
+    "q99h_bm25_topn",
+    oracle=TX.bm25_oracle_sql(_Q99H_TERMS, n=20),
+    doc=(
+        "§2.11 ranking extension (r8): top-20 documents by BM25 "
+        "(k1=1.2, b=0.75) for a fixed query-term set — the retrieval/"
+        "contamination-triage scorer next to q99's TF-IDF. The explode "
+        "filters to the |Q| query terms BEFORE the term-frequency "
+        "shuffle (the shuffle carries only matching rows), doc length "
+        "is a codegen expression (no second tokenize), corpus stats "
+        "and per-term document frequencies ride as broadcasts, top-n "
+        "is TakeOrdered"
+    ),
+)
+def q99h(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.bm25_scores(docs, _Q99H_TERMS, n=20)
+
+
+@register(
+    "q99i_weighted_sample",
+    oracle=f"""
+        SELECT doc_id,
+               round(1e-9 + {TX.quality_score_sql("text")}, 6) AS quality,
+               {SP.weighted_sample_key_sql("round(1e-9 + " + TX.quality_score_sql("text") + ", 6)")} AS es_key
+        FROM documents
+        ORDER BY es_key DESC, doc_id ASC
+        LIMIT 50
+    """,
+    doc=(
+        "§2.11 sampling extension (r8): quality-weighted corpus "
+        "selection — derandomized Efraimidis-Spirakis top-50 without "
+        "replacement, key = ln(md5-uniform)/quality. One codegen scan "
+        "+ TakeOrdered: no shuffle, no RNG state, deterministic under "
+        "retries; inclusion probability ∝ the q29 quality score "
+        "(law pinned in tests/test_properties.py)"
+    ),
+)
+def q99i(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    quality = sround(TX.quality_score(F.col("text")), 6)
+    return SP.weighted_sample(
+        docs.select("doc_id", quality.alias("quality")), 50, F.col("quality")
+    )
+
+
+@register(
+    "q99j_unigram_negloglik",
+    oracle=TX.unigram_negloglik_oracle_sql(),
+    doc=(
+        "§2.11 quality extension (r8): per-document average negative "
+        "log-likelihood under the corpus's own unigram distribution — "
+        "the dependency-free perplexity-proxy filter (KenLM slot) that "
+        "flags out-of-distribution docs. One persisted explode feeds "
+        "both the vocabulary-frequency aggregate and the per-doc "
+        "scoring join (same single-tokenize posture as q99); the "
+        "corpus token total is a broadcast 1-row aggregate over the "
+        "vocab table, not a second corpus pass"
+    ),
+)
+def q99j(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.unigram_negloglik(docs)

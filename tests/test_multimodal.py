@@ -122,3 +122,82 @@ def test_fake_codec_unchanged_for_oracle(spark):
         "n_frames": 1 + 100 % 30,
         "format": "fake/1",
     }
+
+
+def test_bmp_pixel_roundtrip_and_nn_resize():
+    """VERDICT r7 #6 unit layer: encode→decode is the identity for
+    RGB arrays (incl. odd widths that need row padding and top-down
+    headers), and the NN kernel picks the pixels the standard
+    center-mapping formula says it should."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for w in (5, 4, 1):  # 5 → 15-byte rows pad to 16; 4 → no pad
+        arr = rng.randint(0, 256, size=(3, w, 3), dtype=np.uint8)
+        assert np.array_equal(MM.decode_bmp_pixels(MM.encode_bmp(arr)), arr)
+
+    # top-down variant (negative height) decodes to the same array
+    arr = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    b = bytearray(MM.encode_bmp(arr))
+    stride = (2 * 3 + 3) & ~3
+    body = np.zeros((2, stride), dtype=np.uint8)
+    body[:, : 2 * 3] = arr[:, :, ::-1].reshape(2, 6)  # top-down BGR
+    b[22:26] = struct.pack("<i", -2)
+    b[54:] = body.tobytes()
+    assert np.array_equal(MM.decode_bmp_pixels(bytes(b)), arr)
+
+    # NN kernel: 4x4 gradient down to 2x2 picks centers (1,1),(1,3)...
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4)[:, :, None].repeat(3, axis=2)
+    small = MM.resize_pixels_nn(g, 2, 2)
+    assert small[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    # upscale 2x2 -> 4x4 repeats each source pixel 2x2
+    up = MM.resize_pixels_nn(small, 4, 4)
+    assert up[:, :, 0].tolist() == [
+        [5, 5, 7, 7], [5, 5, 7, 7], [13, 13, 15, 15], [13, 13, 15, 15]
+    ]
+
+    # refusals: non-BMP, 8-bit, truncated
+    with pytest.raises(ValueError):
+        MM.decode_bmp_pixels(b"PNG not bmp" * 10)
+    b8 = bytearray(MM.encode_bmp(arr))
+    b8[28:30] = struct.pack("<H", 8)
+    with pytest.raises(ValueError):
+        MM.decode_bmp_pixels(bytes(b8))
+    with pytest.raises(ValueError):
+        MM.decode_bmp_pixels(MM.encode_bmp(arr)[:-3])
+
+
+def test_resize_media_real_bmp_through_spark(spark):
+    """VERDICT r7 #6 end-to-end: REAL BMP bytes flow through the
+    mapInPandas resize path — decode, NN-resize, re-encode — and the
+    emitted md5/length match the locally computed resized image.
+    The fake codec (q65's oracle contract) is untouched."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(9)
+    imgs = {
+        1: rng.randint(0, 256, size=(16, 9, 3), dtype=np.uint8),
+        2: rng.randint(0, 256, size=(7, 31, 3), dtype=np.uint8),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(imgs), "payload": [MM.encode_bmp(a) for a in imgs.values()]}
+        )
+    )
+    rows = {
+        r.doc_id: r
+        for r in MM.resize_media(df, width=8, height=6, codec="bmp").collect()
+    }
+    for did, arr in imgs.items():
+        want = MM.encode_bmp(MM.resize_pixels_nn(arr, 8, 6))
+        assert rows[did].resized_md5 == hashlib.md5(want).hexdigest()
+        assert rows[did].resized_len == len(want)
+        assert (rows[did].width, rows[did].height) == (8, 6)
+    # header parser agrees with the pixel decoder on dimensions
+    meta = MM.decode_image_meta(MM.encode_bmp(imgs[1]))
+    assert (meta["width"], meta["height"]) == (9, 16)

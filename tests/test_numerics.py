@@ -186,6 +186,36 @@ def test_approx_distinct_error_bound(spark):
         assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
 
 
+def test_approx_distinct_error_bound_sf01(spark):
+    """VERDICT r7 #7: the ≤5% HLL++ bound, scale-tested. The smoke-SF
+    test above exercises tiny cardinalities where HLL++ is exact by
+    construction; this one runs the same sketch at sf0.1 (the bench
+    SF) over the documents and events tables so the error-bound claim
+    is empirical at the scale the sampling laws are tested at. One
+    aggregate per table — fast, no window, no join.
+
+    Uses q72's rsd=0.015 (3σ≈4.5%): writing this test at the DEFAULT
+    rsd=0.05 actually failed — 6.6% error at 5k distinct — because
+    rsd is a standard deviation, not a bound; that measurement is why
+    q72 overrides the default."""
+    from pyspark.sql import functions as F
+
+    from etl_btc_spark.tables import load_table
+
+    for table, col in (("documents", "doc_id"), ("events", "user_id")):
+        row = (
+            load_table(spark, "/root/testdata/sf0.1", table)
+            .agg(
+                F.approx_count_distinct(col, rsd=0.015).alias("approx"),
+                F.countDistinct(col).alias("exact"),
+            )
+            .collect()[0]
+        )
+        assert row["exact"] > 1000, (table, row["exact"])  # scale is the point
+        rel = abs(row["approx"] - row["exact"]) / row["exact"]
+        assert rel <= 0.05, (table, row["approx"], row["exact"], rel)
+
+
 def test_short_series_kernels_no_crash():
     """Review r7: series shorter than the smoothing radius/filter
     support must produce length-n output (NaN-padded where undefined),

@@ -70,3 +70,26 @@ def test_entry_contract(spark):
     os = mod.oracle_sql()
     assert set(os) <= set(qs)
     assert len(qs) == len(REGISTRY)
+
+
+def test_readme_counts():
+    """README's registry-contract paragraph is the document the
+    driver-window argument rests on — its counts rotted twice
+    (VERDICT r7 'What's wrong' #2), so pin them to the live registry:
+    the stated totals and the stated last-name window must match
+    reality or this fails the suite."""
+    import re
+
+    with open("/root/repo/README.md") as f:
+        readme = f.read()
+    total = len(REGISTRY)
+    oracled = sum(1 for q in REGISTRY.values() if q.oracle)
+    assert f"{total} named queries, {oracled} with DuckDB" in readme, (
+        "README registry counts are stale: registry has %d queries, "
+        "%d oracled" % (total, oracled)
+    )
+    last = sorted(REGISTRY)[-1].split("_")[0]  # e.g. 'q99g'
+    assert re.search(r"q51–%s\b" % re.escape(last), readme), (
+        "README selfcheck-window text is stale: last registry query is %s"
+        % last
+    )
