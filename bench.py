@@ -83,6 +83,13 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     _ensure_q63_tables(spark, sf_dir)
     builds["bucketed_tables"] = round(time.time() - t0, 3)
 
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = time.time()
+    TI.ensure_text_index(spark, docs, SK.artifact_path(sf_dir, "text_index"))
+    builds["text_index"] = round(time.time() - t0, 3)
+
     # index MAINTENANCE cost (VERDICT r5 #8): append/refresh are the
     # per-ingest steady-state price the way build is the per-corpus-
     # version one — track both round-over-round. Each op runs on a

@@ -4191,3 +4191,27 @@ def q99i(spark: SparkSession, sf: str) -> DataFrame:
 def q99j(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return TX.unigram_negloglik(docs)
+
+
+@register(
+    "q99k_bm25_indexed",
+    oracle=TX.bm25_oracle_sql(_Q99H_TERMS, n=20),
+    headline=True,
+    doc=(
+        "K4-for-text (r8): the same top-20 BM25 answer as q99h served "
+        "from the PERSISTED inverted index — build tokenizes the "
+        "corpus once into token-bucketed, token-sorted postings plus "
+        "doclen and a 1-row stats table; the probe is a pruned "
+        "postings scan (token IN (...) pushed to parquet, row-group "
+        "stats skip non-matching runs) with broadcast dfreq/stats and "
+        "a TakeOrdered top-n. Sharing q99h's oracle pins "
+        "index-probe ≡ direct-computation exactly"
+    ),
+)
+def q99k(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "text_index")
+    TI.ensure_text_index(spark, docs, idx)
+    return TI.bm25_probe(spark, idx, _Q99H_TERMS, n=20)

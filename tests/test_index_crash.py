@@ -376,3 +376,43 @@ def test_hnsw_refresh_fallback_crash_sweep(spark, corpus, query, tmp_path, monke
     _hnsw_refresh_sweep(
         spark, corpus, query, tmp_path, monkeypatch, 2, a + b, "hnf"
     )
+
+
+# ---------------------------------------------------------------------------
+# Text index (r8): same marker-first protocol, swept the same way
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def textcorpus(spark):
+    rng = np.random.RandomState(17)
+    vocab = ["join", "hash", "scan", "merge", "sort", "spill", "batch", "row"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.randint(3, 12)))
+                for _ in range(80)
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf).coalesce(2).persist()
+
+
+def test_text_index_rebuild_crash_sweep(spark, textcorpus, tmp_path, monkeypatch):
+    from etl_btc_spark.operators import text_index as TI
+
+    def probe(path):
+        return _rows(TI.bm25_probe(spark, path, ["join", "hash"], n=10))
+
+    build = lambda p: TI.build_text_index(spark, textcorpus, p)  # noqa: E731
+    _sweep(
+        monkeypatch,
+        tmp_path,
+        "txr",
+        "text",
+        build,
+        lambda p, run: run(lambda: build(p)),
+        probe,
+        build,
+    )

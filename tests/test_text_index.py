@@ -1,0 +1,134 @@
+"""Text-index (r8) pins: probe ≡ direct BM25 on arbitrary corpora,
+plan shape (pushed token filter, no corpus shuffle in the probe), and
+engine/oracle agreement for the direct scorer under fuzz."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_btc_spark.operators import text_index as TI
+from etl_btc_spark.operators.textops import bm25_oracle_sql, bm25_scores
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_TERMS = ["join", "hash", "scan"]
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["join", "hash", "scan", "merge", "sort", "x", ""]),
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_bm25_direct_matches_duckdb_fuzz(spark, texts):
+    """bm25_scores == its DuckDB oracle for arbitrary small corpora:
+    repeated terms, docs with no query terms, empty docs — pins
+    tokenizer, IDF form, length normalization, rounding, tie-break."""
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores(spark.createDataFrame(pdf), _TERMS, n=10).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(map(tuple, con.execute(bm25_oracle_sql(_TERMS, n=10)).fetchall()))
+    con.close()
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["join", "hash", "scan", "merge", "sort", "y"]),
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_bm25_probe_equals_direct_fuzz(spark, texts, tmp_path_factory):
+    """The persisted-index probe must return EXACTLY what the direct
+    computation returns for any corpus — the build/probe split can
+    never drift from the one-shot scorer (q99h/q99k share one oracle
+    for the fixture; this pins it for arbitrary inputs)."""
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    direct = sorted(
+        (r["doc_id"], r["bm25"]) for r in bm25_scores(df, _TERMS, n=10).collect()
+    )
+    path = str(tmp_path_factory.mktemp("ti") / "idx")
+    TI.build_text_index(spark, df, path)
+    probed = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in TI.bm25_probe(spark, path, _TERMS, n=10).collect()
+    )
+    assert probed == direct
+
+
+def test_bm25_probe_plan_pruned_no_shuffle(spark, tmp_path):
+    """q99k plan pin: the probe pushes token IN (...) to the postings
+    scan, joins everything as broadcasts, and tops out with
+    TakeOrdered — ZERO Exchange, so at 100 TB the per-query cost is
+    the pruned postings scan, never a corpus shuffle."""
+    import contextlib
+    import io
+    import re
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": ["join hash scan merge sort row batch %d" % i for i in range(40)],
+        }
+    )
+    path = str(tmp_path / "idx")
+    TI.build_text_index(spark, spark.createDataFrame(pdf), path)
+    out = TI.bm25_probe(spark, path, _TERMS, n=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert re.search(r"PushedFilters: \[.*In\(token", p), p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_text_index_probe_requires_built(spark, tmp_path):
+    """A missing/stale marker refuses the probe (the crash-sweep's
+    complete-or-refused contract, checked directly)."""
+    with pytest.raises(ValueError, match="no complete"):
+        TI.bm25_probe(spark, str(tmp_path / "nope"), _TERMS)
+
+
+def test_term_lookup_pruned(spark, tmp_path):
+    """term_lookup returns exactly the postings of the requested
+    terms with true term frequencies."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["join join hash", "merge", "hash Join"],
+        }
+    )
+    path = str(tmp_path / "idx")
+    TI.build_text_index(spark, spark.createDataFrame(pdf), path)
+    got = {
+        (r["token"], r["doc_id"]): r["tf"]
+        for r in TI.term_lookup(spark, path, ["join", "hash"]).collect()
+    }
+    # normalize_text lowercases: doc 2's "Join" counts as join
+    assert got == {("join", 0): 2, ("hash", 0): 1, ("hash", 2): 1, ("join", 2): 1}
