@@ -118,6 +118,17 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     builds["ivf_append"] = round(time.time() - t0, 3)
 
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(SK.artifact_path(sf_dir, "text_index"), tmp)
+    doc_batch = (
+        docs.orderBy("doc_id")
+        .limit(200)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    t0 = time.time()
+    TI.append_text_index(spark, doc_batch, tmp)
+    builds["text_append"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(tmp, ignore_errors=True)
     shutil.copytree(SK.artifact_path(sf_dir, "hnsw_index"), tmp)
     changed = emb.orderBy("vec_id").limit(50).select("vec_id")
     stats: dict = {}

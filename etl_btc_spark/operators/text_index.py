@@ -15,7 +15,11 @@ Artifact layout at ``path``:
   vocabulary size (vocab-sized partitionBy dirs would be a
   small-file catastrophe).
 - ``doclen/`` — (doc_id, dl) whitespace token lengths.
-- ``stats/`` — ONE row: corpus size and average doc length.
+- ``stats/`` — ONE row: ``(n_docs, total_dl)``. EXACT integers, not
+  a stored average: ``avgdl`` is derived at probe time as one double
+  division, so the insert-only append can update the stats exactly
+  (add the batch's counts) and ``append ≡ rebuild`` holds
+  bit-for-bit — the same maintenance guarantee the LSH family pins.
 - ``_BUILT`` marker, same marker-first crash protocol as the ANN
   families (ann_index._mark_built): the marker drops before any
   mutating write and re-lands last, so a crashed rebuild leaves a
@@ -30,6 +34,9 @@ corpus version instead of once per query.
 from __future__ import annotations
 
 import os
+import shutil
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,7 +83,7 @@ def build_text_index(
     doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(ws_token_count(F.col(text_col))).alias("avgdl"),
+        F.sum(ws_token_count(F.col(text_col))).alias("total_dl"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     _mark_built(path, "text")
@@ -87,6 +94,102 @@ def ensure_text_index(spark: SparkSession, df: DataFrame, path: str, **kw) -> st
     """Build-if-absent, same contract as ensure_{lsh,ivf,hnsw}_index."""
     if not _is_built(path, "text"):
         build_text_index(spark, df, path, **kw)
+    return path
+
+
+def _read_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(n_docs, avgdl) derived from the exact-integer stats row.
+    dl values are integers, so a double accumulation of them is exact
+    below 2^53 regardless of order — total_dl/n_docs here is
+    bit-identical to the avg() both the build's old form and the
+    DuckDB oracle compute."""
+    return spark.read.parquet(os.path.join(path, "stats")).select(
+        "n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl")
+    )
+
+
+def append_text_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_new: bool = True,
+) -> str:
+    """Insert-only incremental maintenance, the LSH-append posture
+    applied to text: tokenize ONLY the batch, append its postings and
+    doc lengths, and add its exact counts to the stats row — so
+    ``append ≡ rebuild`` holds bit-for-bit (BM25 reads tf/df/dl/
+    avgdl, all of which are exact integers or derived from them;
+    pinned by pytest). O(batch): no corpus pass.
+
+    Updates/deletes are refused like the other appends (a re-ingested
+    id's stale postings would double-count its terms); ``verify_new``
+    anti-joins batch ids against the doclen table (ids only) and
+    fails loudly on overlap. Marker-first around the writes: a crash
+    mid-append leaves a refused-probe state and recovery is
+    ensure_text_index on the current corpus snapshot. Postings from
+    appends land as additional files (sorted within themselves);
+    ``sinks.compact_table`` restores single-run token sortedness when
+    append debt accumulates, exactly like the LSH band files.
+    """
+    _require_built(path, "text")
+    doclen_path = os.path.join(path, "doclen")
+    if verify_new:
+        existing = spark.read.parquet(doclen_path).select(id_col)
+        n_dup = new_docs.select(id_col).join(existing, id_col).limit(1).count()
+        if n_dup:
+            raise ValueError(
+                "append_text_index: batch contains ids already indexed — "
+                "text append is insert-only (stale postings would "
+                "double-count terms); rebuild for update semantics"
+            )
+    toks = ws_tokens(normalize_text(F.col(text_col)))
+    words = new_docs.select(F.col(id_col), F.explode(toks).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = words.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    add = new_docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(ws_token_count(F.col(text_col))), F.lit(0)).alias(
+            "total_dl"
+        ),
+    ).collect()[0]
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    (
+        tf.repartition(1, F.col("token"))  # append batches are small
+        .sortWithinPartitions("token", id_col)
+        .write.mode("append")
+        .parquet(os.path.join(path, "postings"))
+    )
+    new_docs.select(
+        F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")
+    ).write.mode("append").parquet(doclen_path)
+    # exact-integer stats update — rewritten via a dot-prefixed shadow
+    # + atomic rename (the 1-row table must never be half-written)
+    import uuid
+
+    merged = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_docs": [old["n_docs"] + add["n_docs"]],
+                "total_dl": [old["total_dl"] + add["total_dl"]],
+            }
+        ),
+        "n_docs bigint, total_dl bigint",
+    )
+    shadow = os.path.join(path, ".stats_%s" % uuid.uuid4().hex[:8])
+    merged.coalesce(1).write.mode("overwrite").parquet(shadow)
+    stats_dir = os.path.join(path, "stats")
+    retired = os.path.join(path, ".stats_old_%s" % uuid.uuid4().hex[:8])
+    os.rename(stats_dir, retired)
+    os.rename(shadow, stats_dir)
+    shutil.rmtree(retired, ignore_errors=True)
+    _mark_built(path, "text")
     return path
 
 
@@ -112,7 +215,7 @@ def bm25_probe(
         F.col("token").isin(terms)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = spark.read.parquet(os.path.join(path, "stats"))
+    stats = _read_stats(spark, path)
     dl = spark.read.parquet(os.path.join(path, "doclen"))
     idf = F.log(
         F.lit(1.0)
@@ -128,6 +231,85 @@ def bm25_probe(
         .agg(F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(n)
+    )
+
+
+def bm25_join(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    max_distinct_terms: int = 100_000,
+) -> DataFrame:
+    """Batched retrieval: top-n BM25 documents for EVERY query row —
+    the decontamination/eval-retrieval shape ("for each eval prompt,
+    find its closest training docs"), the text analogue of the
+    batched kNN joins (q84/q85). ``queries`` carries
+    ``(query_id, terms array<string>)``.
+
+    Scale shape: the batch's DISTINCT terms are collected under a
+    bounded guard (they are vocabulary words — bounded by
+    ``max_distinct_terms``, NOT by corpus size; same posture as the
+    kNN joins' broadcast_max_queries) and pushed as a STATIC
+    ``token IN (...)`` predicate so the postings scan stays pruned
+    even for a dynamic query batch. Matching postings then join the
+    broadcast (query, token) pairs, doc lengths, and the 1-row
+    stats; one (query, doc) aggregate and one rank window
+    (WindowGroupLimit) per query finish it. Per-term document
+    frequencies are CORPUS-wide (reduced from the pruned postings),
+    identical to bm25_probe's, so a 1-query batch returns exactly
+    the single-probe answer (pinned by pytest)."""
+    from pyspark.sql import Window
+
+    _require_built(path, "text")
+    qt = (
+        queries.select(
+            F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
+        )
+        .withColumn("token", F.lower(F.col("token")))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    term_rows = qt.select("token").distinct().limit(max_distinct_terms + 1).collect()
+    if len(term_rows) > max_distinct_terms:
+        raise ValueError(
+            "bm25_join: query batch exceeds %d distinct terms — split the "
+            "batch (the static pushdown list must stay plan-sized)"
+            % max_distinct_terms
+        )
+    terms = sorted(r["token"] for r in term_rows)
+    tf = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("token").isin(terms)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = _read_stats(spark, path)
+    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(query_id_col, "rank", id_col, "bm25")
     )
 
 

@@ -4215,3 +4215,94 @@ def q99k(spark: SparkSession, sf: str) -> DataFrame:
     idx = SK.artifact_path(sf, "text_index")
     TI.ensure_text_index(spark, docs, idx)
     return TI.bm25_probe(spark, idx, _Q99H_TERMS, n=20)
+
+
+#: fixed query batch for q99l — three query-term sets over the
+#: fixture vocabulary, shared verbatim by the Spark build and the
+#: oracle's VALUES list
+_Q99L_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["join", "hash"]),
+    (2, ["window", "broadcast"]),
+    (3, ["scan", "merge", "sort"]),
+]
+
+
+def _q99l_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _Q99L_QUERIES for t in terms
+    )
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for _, terms in _Q99L_QUERIES for t in terms})
+    )
+    dl = TX.WS_TOKEN_COUNT_SQL.format(col="text")
+    k1, b = 1.2, 0.75
+    return f"""
+        WITH q(query_id, token) AS (VALUES {values}),
+        w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id, unnest(t) AS token FROM w
+            ) WHERE token IN ({all_terms})
+            GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg({dl}) AS avgdl FROM documents
+        ), dl AS (
+            SELECT doc_id, {dl} AS dl FROM documents
+        ), scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   round(1e-9 + sum(
+                       ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * ({k1} + 1.0)
+                       / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))
+                   ), 6) AS bm25
+            FROM tf
+            JOIN q USING (token)
+            JOIN dfreq USING (token)
+            JOIN dl ON dl.doc_id = tf.doc_id, stats
+            GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, bm25
+        FROM (
+            SELECT query_id, doc_id, bm25, row_number() OVER (
+                PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+
+
+@register(
+    "q99l_bm25_join",
+    oracle=_q99l_oracle(),
+    doc=(
+        "batched retrieval join (r8): top-10 BM25 docs for EVERY "
+        "query in a batch — the eval-decontamination shape, text "
+        "analogue of the batched kNN joins q84/q85. The batch's "
+        "distinct terms collect under a bounded vocabulary guard and "
+        "push as a STATIC token IN (...) to the postings scan, per-"
+        "(query,token) pairs broadcast back, one (query,doc) "
+        "aggregate, WindowGroupLimit top-n per query; a 1-query "
+        "batch ≡ the single probe exactly (pytest)"
+    ),
+)
+def q99l(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "text_index")
+    TI.ensure_text_index(spark, docs, idx)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [qid for qid, _ in _Q99L_QUERIES],
+                "terms": [terms for _, terms in _Q99L_QUERIES],
+            }
+        )
+    )
+    return TI.bm25_join(spark, idx, qdf, n=10)

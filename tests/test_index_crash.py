@@ -416,3 +416,41 @@ def test_text_index_rebuild_crash_sweep(spark, textcorpus, tmp_path, monkeypatch
         probe,
         build,
     )
+
+
+def test_text_index_append_crash_sweep(spark, textcorpus, tmp_path, monkeypatch):
+    from etl_btc_spark.operators import text_index as TI
+
+    rng = np.random.RandomState(29)
+    vocab = ["join", "hash", "scan", "merge"]
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(500, 510, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(vocab, size=rng.randint(2, 8)))
+                    for _ in range(10)
+                ],
+            }
+        )
+    ).coalesce(1).persist()
+
+    def probe(path):
+        return _rows(TI.bm25_probe(spark, path, ["join", "hash"], n=10))
+
+    full = textcorpus.union(batch)
+    _sweep(
+        monkeypatch,
+        tmp_path,
+        "txa",
+        "text",
+        lambda p: TI.build_text_index(spark, textcorpus, p),
+        lambda p, run: run(lambda: TI.append_text_index(spark, batch, p)),
+        probe,
+        # recovery: ensure on the current snapshot (append ≡ rebuild)
+        lambda p: (
+            shutil.rmtree(p, ignore_errors=True),
+            TI.build_text_index(spark, full, p),
+        ),
+    )
+    batch.unpersist()

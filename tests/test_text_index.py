@@ -132,3 +132,72 @@ def test_term_lookup_pruned(spark, tmp_path):
     }
     # normalize_text lowercases: doc 2's "Join" counts as join
     assert got == {("join", 0): 2, ("hash", 0): 1, ("hash", 2): 1, ("join", 2): 1}
+
+
+def test_text_index_append_equals_rebuild(spark, tmp_path):
+    """append ≡ rebuild bit-for-bit: BM25 reads tf/df/dl and the
+    exact-integer stats row, all of which the insert-only append
+    updates exactly — same maintenance guarantee the LSH family
+    pins. Also: duplicate batch ids are refused (stale postings
+    would double-count terms)."""
+    base = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": ["join hash scan %d" % (i % 5) for i in range(30)],
+        }
+    )
+    batch = pd.DataFrame(
+        {
+            "doc_id": range(100, 110),
+            "text": ["merge join sort %d" % i for i in range(10)],
+        }
+    )
+    appended = str(tmp_path / "app")
+    TI.build_text_index(spark, spark.createDataFrame(base), appended)
+    TI.append_text_index(spark, spark.createDataFrame(batch), appended)
+    rebuilt = str(tmp_path / "reb")
+    TI.build_text_index(
+        spark, spark.createDataFrame(pd.concat([base, batch])), rebuilt
+    )
+    for terms in (["join"], ["merge", "scan"], ["sort", "hash", "join"]):
+        a = [tuple(r) for r in TI.bm25_probe(spark, appended, terms, n=50).collect()]
+        b = [tuple(r) for r in TI.bm25_probe(spark, rebuilt, terms, n=50).collect()]
+        assert a == b, terms
+    # exact-integer stats merged correctly
+    sa = spark.read.parquet(appended + "/stats").collect()[0]
+    sb = spark.read.parquet(rebuilt + "/stats").collect()[0]
+    assert (sa["n_docs"], sa["total_dl"]) == (sb["n_docs"], sb["total_dl"])
+
+    with pytest.raises(ValueError, match="insert-only"):
+        TI.append_text_index(spark, spark.createDataFrame(batch), appended)
+
+
+def test_bm25_join_single_query_equals_probe(spark, tmp_path):
+    """A 1-query bm25_join batch returns EXACTLY the single-probe
+    answer (corpus-wide dfs, same scoring, same tie-break), and the
+    vocabulary guard refuses an oversized term batch."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(25),
+            "text": ["join hash scan merge %d extra words here" % (i % 7) for i in range(25)],
+        }
+    )
+    path = str(tmp_path / "idx")
+    TI.build_text_index(spark, spark.createDataFrame(pdf), path)
+    probe = [
+        (r["doc_id"], r["bm25"])
+        for r in TI.bm25_probe(spark, path, ["join", "merge"], n=8).collect()
+    ]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": [7], "terms": [["join", "merge"]]})
+    )
+    joined = [
+        (r["doc_id"], r["bm25"])
+        for r in TI.bm25_join(spark, path, qdf, n=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert joined == probe
+
+    with pytest.raises(ValueError, match="distinct terms"):
+        TI.bm25_join(spark, path, qdf, n=8, max_distinct_terms=1)
