@@ -342,3 +342,88 @@ def stream_hnsw_refresh(
         .start()
         .awaitTermination()
     )
+
+
+def stream_text_index_append(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Continuous TEXT index maintenance (r8) — the inverted-index
+    twin of :func:`stream_hnsw_refresh`: stream document arrivals
+    from a landing zone and keep BOTH the document table and the
+    postings artifact current at O(batch) per trigger.
+
+    Each micro-batch: (1) idempotent content-keyed MERGE into the
+    document table (K3 — the table is the source of truth); (2) the
+    batch is anti-joined against the already-indexed ids and only the
+    genuinely-new rows run :func:`operators.text_index.
+    append_text_index` — so at-least-once redelivery converges
+    (replayed rows vanish in the anti-join) without tripping the
+    append's insert-only duplicate refusal.
+
+    Self-healing: if a previous trigger crashed mid-append the marker
+    is down (the append's marker-first protocol), and the sink
+    REBUILDS the index from the merged table instead of appending —
+    wholesale overwrite clears any partial-append debris, and the
+    table's idempotent MERGE means the rebuild sees exactly the
+    corpus the crashed trigger intended. Documents are immutable
+    (content-hash ids, the reference's news-ingestion model); updates
+    need a rebuild by design, same as the IVF/LSH appends.
+    """
+    import os as _os
+
+    from etl_btc_spark.operators.ann_index import _is_built as _idx_built
+    from etl_btc_spark.operators.text_index import (
+        append_text_index,
+        build_text_index,
+    )
+
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def sink(micro_batch: DataFrame, epoch_id: int) -> None:
+        if micro_batch.isEmpty():  # T4
+            return
+        sess = micro_batch.sparkSession
+        batch = micro_batch.dropDuplicates([id_col])
+        upsert_by_key(sess, batch, table_path, key=id_col, order_col=id_col)
+        snapshot = sess.read.parquet(table_path)
+        if not _idx_built(index_path, "text"):
+            # first batch, or a crashed append left the marker down —
+            # rebuild from the merged table (source of truth)
+            build_text_index(
+                sess, snapshot, index_path, id_col=id_col, text_col=text_col
+            )
+            return
+        existing = sess.read.parquet(
+            _os.path.join(index_path, "doclen")
+        ).select(id_col)
+        fresh = batch.join(existing, id_col, "left_anti").persist()
+        try:
+            if fresh.limit(1).count() == 0:
+                return  # pure redelivery — everything already indexed
+            append_text_index(
+                sess,
+                fresh,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                # the anti-join IS the freshness proof; skip the
+                # append's own duplicate probe (one less job)
+                verify_new=False,
+            )
+        finally:
+            fresh.unpersist()
+
+    (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

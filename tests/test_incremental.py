@@ -372,3 +372,70 @@ def test_stream_hnsw_refresh_converges_to_rebuild(spark, tmp_path):
     )
     got2 = spark.read.parquet(index2 + "/nodes").orderBy("vec_id").collect()
     assert got2 == want
+
+
+def test_stream_text_index_append_converges_and_self_heals(spark, tmp_path):
+    """Continuous text-index maintenance (r8): streaming document
+    arrivals through stream_text_index_append must leave the document
+    table AND the postings artifact equivalent to a from-scratch
+    build over the final corpus — across (1) initial build, (2) an
+    incremental insert batch, (3) a full replay from a fresh
+    checkpoint (at-least-once redelivery: the anti-join makes the
+    replayed rows vanish), and (4) a crashed append (marker down) on
+    the NEXT trigger, which must self-heal by rebuilding from the
+    merged table."""
+    import os
+
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    schema = docs.schema
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "docs")
+    index = str(tmp_path / "tindex")
+    ckpt = str(tmp_path / "ckpt")
+    terms = ["join", "hash", "scan"]
+
+    def probe(idx):
+        return [tuple(r) for r in TI.bm25_probe(spark, idx, terms, n=30).collect()]
+
+    # batch 1 -> full build
+    docs.filter(F.col("doc_id") < 60).write.mode("append").parquet(landing)
+    INC.stream_text_index_append(spark, landing, schema, table, index, ckpt)
+    assert spark.read.parquet(table).count() == 60
+
+    # batch 2: inserts 60-99, PLUS a redelivered overlap of 50-59
+    # (at-least-once): overlap rows must vanish in the anti-join
+    docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).write.mode(
+        "append"
+    ).parquet(landing)
+    INC.stream_text_index_append(spark, landing, schema, table, index, ckpt)
+    assert spark.read.parquet(table).count() == 100
+
+    full = str(tmp_path / "full")
+    TI.build_text_index(spark, spark.read.parquet(table), full)
+    assert probe(index) == probe(full)
+    sa = spark.read.parquet(index + "/stats").collect()[0]
+    sb = spark.read.parquet(full + "/stats").collect()[0]
+    assert (sa["n_docs"], sa["total_dl"]) == (sb["n_docs"], sb["total_dl"])
+
+    # full replay from a fresh checkpoint: both landing files
+    # reprocess; idempotent MERGE + anti-joined append converge
+    table2, index2 = str(tmp_path / "docs2"), str(tmp_path / "tindex2")
+    INC.stream_text_index_append(
+        spark, landing, schema, table2, index2, str(tmp_path / "ckpt2")
+    )
+    assert spark.read.parquet(table2).count() == 100
+    assert probe(index2) == probe(full)
+
+    # crashed-append simulation: marker down, partial postings debris —
+    # the next trigger rebuilds from the table and heals
+    os.remove(os.path.join(index, "_BUILT"))
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).write.mode(
+        "append"
+    ).parquet(landing)
+    INC.stream_text_index_append(spark, landing, schema, table, index, ckpt)
+    full2 = str(tmp_path / "full2")
+    TI.build_text_index(spark, spark.read.parquet(table), full2)
+    assert spark.read.parquet(table).count() == 120
+    assert probe(index) == probe(full2)
