@@ -83,7 +83,11 @@ def build_text_index(
     doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(ws_token_count(F.col(text_col))).alias("total_dl"),
+        # coalesce: sum over an empty corpus is NULL, and a NULL
+        # total_dl would poison the first append's exact-integer merge
+        F.coalesce(F.sum(ws_token_count(F.col(text_col))), F.lit(0)).alias(
+            "total_dl"
+        ),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     _mark_built(path, "text")
@@ -104,7 +108,11 @@ def _read_stats(spark: SparkSession, path: str) -> DataFrame:
     bit-identical to the avg() both the build's old form and the
     DuckDB oracle compute."""
     return spark.read.parquet(os.path.join(path, "stats")).select(
-        "n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl")
+        "n_docs",
+        # greatest(...,1): an EMPTY index has n_docs=0 and ANSI mode
+        # makes 0/0 a hard error, not NULL — the probe's result is
+        # empty either way, the divisor guard just keeps the plan legal
+        (F.col("total_dl") / F.greatest(F.col("n_docs"), F.lit(1))).alias("avgdl"),
     )
 
 

@@ -201,3 +201,23 @@ def test_bm25_join_single_query_equals_probe(spark, tmp_path):
 
     with pytest.raises(ValueError, match="distinct terms"):
         TI.bm25_join(spark, path, qdf, n=8, max_distinct_terms=1)
+
+
+def test_text_index_empty_corpus_then_append(spark, tmp_path):
+    """An empty corpus builds a valid (empty) index with exact-zero
+    stats — sum over nothing is NULL without the coalesce, and a NULL
+    total_dl would crash the first append's integer merge. The first
+    real batch then appends cleanly and probes correctly."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    path = str(tmp_path / "idx")
+    TI.build_text_index(spark, empty, path)
+    s = spark.read.parquet(path + "/stats").collect()[0]
+    assert (s["n_docs"], s["total_dl"]) == (0, 0)
+    assert TI.bm25_probe(spark, path, ["join"], n=5).count() == 0
+
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["join hash", "join"]})
+    )
+    TI.append_text_index(spark, batch, path)
+    got = [(r["doc_id"], r["bm25"]) for r in TI.bm25_probe(spark, path, ["join"], n=5).collect()]
+    assert [d for d, _ in got] == [2, 1]  # shorter doc ranks first
