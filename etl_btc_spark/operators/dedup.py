@@ -19,6 +19,8 @@ Scale notes baked into each shape:
 
 from __future__ import annotations
 
+import threading
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -890,12 +892,35 @@ def incremental_near_dupes(
 # ---------------------------------------------------------------------------
 
 
-#: stats of the most recent :func:`connected_components` run
-#: (currently ``rounds``: rounds-to-fixpoint). Lets callers that only
-#: see the query registry surface (bench.py's ``queries_ctx``) report
-#: the loop depth next to the timing without threading a stats dict
-#: through every composed query (VERDICT r7 #8).
-LAST_CC_STATS: dict = {}
+class _LastCCStats(threading.local):
+    """Stats of the most recent :func:`connected_components` run ON
+    THIS THREAD (currently ``rounds``: rounds-to-fixpoint). Lets
+    callers that only see the query registry surface (bench.py's
+    ``queries_ctx``) report the loop depth next to the timing without
+    threading a stats dict through every composed query (VERDICT r7
+    #8). Thread-LOCAL (review r8): a process-global dict raced under
+    any parallel query runner — one thread's clear/write landing
+    between another thread's run and its read reports the wrong
+    round count. ``stats_out`` remains the explicit channel."""
+
+    def __init__(self) -> None:
+        self.rounds: int | None = None
+
+    def get(self, key: str, default=None):
+        # dict-compatible read surface for existing callers
+        return getattr(self, key, default) if getattr(self, key, None) is not None else default
+
+    def __contains__(self, key: str) -> bool:
+        return getattr(self, key, None) is not None
+
+    def __getitem__(self, key: str):
+        v = getattr(self, key, None)
+        if v is None:
+            raise KeyError(key)
+        return v
+
+
+LAST_CC_STATS = _LastCCStats()
 
 
 def connected_components(
@@ -1018,8 +1043,7 @@ def connected_components(
     # labels are localCheckpointed (materialized): the edge cache has no
     # remaining consumer and can be dropped before returning
     edges.unpersist(False)
-    LAST_CC_STATS.clear()
-    LAST_CC_STATS["rounds"] = rounds
+    LAST_CC_STATS.rounds = rounds
     if stats_out is not None:
         stats_out["rounds"] = rounds
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

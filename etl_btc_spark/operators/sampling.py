@@ -416,17 +416,33 @@ def weighted_sample(
     the inclusion law: P(top-n) ∝ weight, deterministic under retries
     and incremental re-runs because there is no RNG state.
 
-    Scale shape: one scan computing (key, weight) in codegen + one
-    TakeOrdered top-n — no shuffle, no window, no driver data. Weights
-    are floored at 1e-6 (a zero/negative weight would send the key to
-    -inf and just means "never pick me, unless nothing else is left").
-    Keys are epsilon-rounded; ties break on id ascending.
+    Scale shape: one scan computing (key, weight) in codegen, a
+    BROADCAST 1-row max-weight aggregate, and one TakeOrdered top-n —
+    no data shuffle, no window, no driver data. Weights are floored
+    at 1e-6 (a zero/negative weight would send the key to -inf and
+    just means "never pick me, unless nothing else is left").
+
+    The raw E-S log-key ln(u)/w is normalized by the corpus's MAX
+    weight before the cross-engine epsilon-round (review r8): without
+    the normalization, weights around 1e4 squeeze every key into
+    [-0.0022, 0] and round(·, 6) collapses them into massive ties —
+    selection degrades to lowest-id-first instead of P ∝ weight.
+    ln(u)·w_max/w is a positive-constant multiple of the raw key
+    (order-identical, so the inclusion law is untouched) whose top
+    of the ranking always lives near 0 at unit scale, making the
+    6-decimal round scale-invariant. w_max·(÷w) are single IEEE
+    multiplies/divides — correctly rounded in every engine, so only
+    ln() ULPs remain, same as every other ln-based oracle here.
+    Ties break on id ascending.
     """
     u = (_md5_prefix32(F.col(id_col), salt) + F.lit(0.5)) / F.lit(4294967296.0)
     w = F.greatest(weight_col.cast("double"), F.lit(1e-6))
-    key = F.round(F.log(u) / w + F.lit(1e-9), 6)
+    wmax = df.agg(F.max(w).alias("w_max"))
+    key = F.round(F.lit(1e-9) + F.log(u) * F.col("w_max") / w, 6)
     return (
-        df.withColumn("es_key", key)
+        df.crossJoin(F.broadcast(wmax))
+        .withColumn("es_key", key)
+        .drop("w_max")
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
@@ -435,9 +451,18 @@ def weighted_sample(
 def weighted_sample_key_sql(
     weight_sql: str, id_col: str = "doc_id", salt: str = "wsample"
 ) -> str:
-    """DuckDB mirror of :func:`weighted_sample`'s key expression."""
+    """DuckDB mirror of :func:`weighted_sample`'s key expression.
+    Expects a joined 1-row relation aliased ``wmax`` providing
+    ``w_max`` (see :func:`weighted_sample_wmax_sql`)."""
     u = (
         f"((('0x' || substring(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
         f" + 0.5) / 4294967296.0)"
     )
-    return f"round(1e-9 + ln({u}) / greatest({weight_sql}, 1e-6), 6)"
+    return (
+        f"round(1e-9 + ln({u}) * wmax.w_max / greatest({weight_sql}, 1e-6), 6)"
+    )
+
+
+def weighted_sample_wmax_sql(weight_sql: str, table: str = "documents") -> str:
+    """The 1-row max-weight subquery the key expression joins."""
+    return f"(SELECT max(greatest({weight_sql}, 1e-6)) AS w_max FROM {table}) wmax"

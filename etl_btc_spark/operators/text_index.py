@@ -42,7 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_btc_spark.operators.ann_index import _is_built, _mark_built, _require_built
-from etl_btc_spark.operators.textops import normalize_text, ws_token_count, ws_tokens
+from etl_btc_spark.operators.textops import (
+    bm25_contrib,
+    normalize_query_terms,
+    normalize_text,
+    ws_token_count,
+    ws_tokens,
+)
 
 #: postings write width: files stay pruned-scannable (sorted runs of
 #: token within each) while the write keeps every core busy
@@ -59,6 +65,7 @@ def build_text_index(
     """Write the inverted index artifact. One explode→TF shuffle over
     the corpus (the only token-level pass), one codegen scan for doc
     lengths, one vocab-level aggregate for the stats row."""
+    _recover_stats_debris(path)
     toks = ws_tokens(normalize_text(F.col(text_col)))
     words = df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
         F.col("token") != ""
@@ -99,6 +106,26 @@ def ensure_text_index(spark: SparkSession, df: DataFrame, path: str, **kw) -> st
     if not _is_built(path, "text"):
         build_text_index(spark, df, path, **kw)
     return path
+
+
+def _recover_stats_debris(path: str) -> None:
+    """Heal an interrupted stats swap (review r8: a crash between the
+    swap's renames stranded ``.stats_*`` dirs forever — no other path
+    removed dot-prefixed debris). If the live ``stats`` dir is
+    missing and a retired copy exists, restore it (the marker is down
+    at that point, so probes refuse either way and the next
+    build/append proceeds from a consistent layout); then discard all
+    remaining ``.stats_*`` debris."""
+    if not os.path.isdir(path):
+        return
+    retired = sorted(
+        d for d in os.listdir(path) if d.startswith(".stats_old_")
+    )
+    if retired and not os.path.isdir(os.path.join(path, "stats")):
+        os.rename(os.path.join(path, retired[0]), os.path.join(path, "stats"))
+    for d in os.listdir(path):
+        if d.startswith(".stats_"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _read_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -142,6 +169,7 @@ def append_text_index(
     append debt accumulates, exactly like the LSH band files.
     """
     _require_built(path, "text")
+    _recover_stats_debris(path)
     doclen_path = os.path.join(path, "doclen")
     if verify_new:
         existing = spark.read.parquet(doclen_path).select(id_col)
@@ -215,28 +243,25 @@ def bm25_probe(
     stats skip non-matching token runs), document frequencies reduce
     over those few rows, stats and dfreq broadcast, the doclen join
     runs on the already-tiny matching set, and top-n is TakeOrdered.
-    Scores/tie-breaks are IDENTICAL to textops.bm25_scores — pinned
-    by the shared q99h oracle: index probe ≡ direct computation."""
+    Scores/tie-breaks are IDENTICAL to textops.bm25_scores (the
+    per-term contribution is literally the shared ``bm25_contrib``
+    expression, and terms go through the same
+    ``normalize_query_terms``) — pinned by the shared q99h oracle:
+    index probe ≡ direct computation."""
     _require_built(path, "text")
-    terms = sorted(set(query_terms))
+    terms = normalize_query_terms(query_terms)
     tf = spark.read.parquet(os.path.join(path, "postings")).filter(
         F.col("token").isin(terms)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = _read_stats(spark, path)
     dl = spark.read.parquet(os.path.join(path, "doclen"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
     return (
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("bm25"))
+        .agg(F.round(F.sum(bm25_contrib(k1, b)) + F.lit(1e-9), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(n)
     )
@@ -297,19 +322,13 @@ def bm25_join(
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = _read_stats(spark, path)
     dl = spark.read.parquet(os.path.join(path, "doclen"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
     scored = (
         tf.join(F.broadcast(qt), "token")
         .join(F.broadcast(dfreq), "token")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("bm25"))
+        .agg(F.round(F.sum(bm25_contrib(k1, b)) + F.lit(1e-9), 6).alias("bm25"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("bm25").desc(), F.col(id_col).asc()
@@ -329,5 +348,5 @@ def term_lookup(
     scan of the artifact."""
     _require_built(path, "text")
     return spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("token").isin(sorted(set(terms)))
+        F.col("token").isin(normalize_query_terms(terms))
     )

@@ -304,6 +304,50 @@ def tfidf_keywords_oracle_sql(k: int = 5) -> str:
     """
 
 
+def normalize_query_terms(query_terms: list[str]) -> list[str]:
+    """ONE normalization for every BM25/term-lookup entry point
+    (review r8): corpus tokens are lowercased by normalize_text, so
+    query terms must lowercase identically or a mixed-case term
+    silently matches nothing in one entry point while another entry
+    point (which did lowercase) matches — contradictory results with
+    no error. Also strips/dedups/sorts and drops empties."""
+    return sorted({t.strip().lower() for t in query_terms if t and t.strip()})
+
+
+def bm25_contrib(k1: float = 1.2, b: float = 0.75) -> Column:
+    """The per-(doc, term) BM25 contribution, shared by the direct
+    scorer and BOTH index-probe paths (review r8: the expression was
+    copy-pasted three times and drifted once already). Expects the
+    standard column names ``tf, df, dl, n_docs, avgdl`` in scope.
+    IDF is the Robertson/Sparck-Jones form ln(1 + (N - df + 0.5) /
+    (df + 0.5)), positive for any df."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    return idf * F.col("tf") * (k1 + 1.0) / denom
+
+
+def bm25_contrib_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`bm25_contrib`, shared by every BM25
+    oracle builder (same drift rationale). Same column-name contract:
+    tf.tf, dfreq.df, dl.dl, stats.n_docs, stats.avgdl."""
+    return (
+        f"ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+        f" * tf.tf * ({k1} + 1.0)"
+        f" / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))"
+    )
+
+
+def sql_str_list(values: list[str]) -> str:
+    """Comma-joined SQL string literals with quotes escaped (review
+    r8: bare f"'{t}'" wrapping breaks — or injects into — the oracle
+    for any term containing a quote, and apostrophe terms are
+    legitimate vocabulary under the whitespace tokenizer)."""
+    return ", ".join("'%s'" % v.replace("'", "''") for v in values)
+
+
 def bm25_scores(
     df,
     query_terms: list[str],
@@ -330,7 +374,7 @@ def bm25_scores(
     (df + 0.5)), positive for any df. Scores epsilon-rounded before
     ranking; ties break on id ascending.
     """
-    terms = sorted(set(query_terms))
+    terms = normalize_query_terms(query_terms)
     toks = ws_tokens(normalize_text(F.col(text_col)))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("token"))
@@ -346,18 +390,12 @@ def bm25_scores(
     dl = df.select(
         F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
     return (
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("bm25"))
+        .agg(F.round(F.sum(bm25_contrib(k1, b)) + F.lit(1e-9), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(n)
     )
@@ -367,7 +405,7 @@ def bm25_oracle_sql(
     query_terms: list[str], n: int = 20, k1: float = 1.2, b: float = 0.75
 ) -> str:
     """DuckDB mirror of :func:`bm25_scores` over the documents view."""
-    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    terms = sql_str_list(normalize_query_terms(query_terms))
     dl = WS_TOKEN_COUNT_SQL.format(col="text")
     return f"""
         WITH w AS (
@@ -387,11 +425,7 @@ def bm25_oracle_sql(
             SELECT doc_id, {dl} AS dl FROM documents
         )
         SELECT tf.doc_id,
-               round(1e-9 + sum(
-                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                   * tf.tf * ({k1} + 1.0)
-                   / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))
-               ), 6) AS bm25
+               round(1e-9 + sum({bm25_contrib_sql(k1, b)}), 6) AS bm25
         FROM tf
         JOIN dfreq USING (token)
         JOIN dl ON dl.doc_id = tf.doc_id, stats

@@ -4153,16 +4153,19 @@ def q99h(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id,
                round(1e-9 + {TX.quality_score_sql("text")}, 6) AS quality,
                {SP.weighted_sample_key_sql("round(1e-9 + " + TX.quality_score_sql("text") + ", 6)")} AS es_key
-        FROM documents
+        FROM documents,
+             {SP.weighted_sample_wmax_sql("round(1e-9 + " + TX.quality_score_sql("text") + ", 6)")}
         ORDER BY es_key DESC, doc_id ASC
         LIMIT 50
     """,
     doc=(
         "§2.11 sampling extension (r8): quality-weighted corpus "
         "selection — derandomized Efraimidis-Spirakis top-50 without "
-        "replacement, key = ln(md5-uniform)/quality. One codegen scan "
-        "+ TakeOrdered: no shuffle, no RNG state, deterministic under "
-        "retries; inclusion probability ∝ the q29 quality score "
+        "replacement, key = ln(md5-uniform)·w_max/quality (max-weight "
+        "normalized so the 6-decimal cross-engine round is scale-"
+        "invariant). One codegen scan + broadcast 1-row max + "
+        "TakeOrdered: no data shuffle, no RNG state, deterministic "
+        "under retries; inclusion probability ∝ the q29 quality score "
         "(law pinned in tests/test_properties.py)"
     ),
 )
@@ -4229,10 +4232,12 @@ _Q99L_QUERIES: list[tuple[int, list[str]]] = [
 
 def _q99l_oracle() -> str:
     values = ", ".join(
-        f"({qid}, '{t}')" for qid, terms in _Q99L_QUERIES for t in terms
+        "(%d, '%s')" % (qid, t.replace("'", "''"))
+        for qid, terms in _Q99L_QUERIES
+        for t in terms
     )
-    all_terms = ", ".join(
-        f"'{t}'" for t in sorted({t for _, terms in _Q99L_QUERIES for t in terms})
+    all_terms = TX.sql_str_list(
+        TX.normalize_query_terms([t for _, terms in _Q99L_QUERIES for t in terms])
     )
     dl = TX.WS_TOKEN_COUNT_SQL.format(col="text")
     k1, b = 1.2, 0.75
@@ -4255,11 +4260,7 @@ def _q99l_oracle() -> str:
             SELECT doc_id, {dl} AS dl FROM documents
         ), scored AS (
             SELECT q.query_id, tf.doc_id,
-                   round(1e-9 + sum(
-                       ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                       * tf.tf * ({k1} + 1.0)
-                       / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))
-                   ), 6) AS bm25
+                   round(1e-9 + sum({TX.bm25_contrib_sql(k1, b)}), 6) AS bm25
             FROM tf
             JOIN q USING (token)
             JOIN dfreq USING (token)

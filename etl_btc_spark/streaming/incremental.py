@@ -372,9 +372,18 @@ def stream_text_index_append(
     REBUILDS the index from the merged table instead of appending —
     wholesale overwrite clears any partial-append debris, and the
     table's idempotent MERGE means the rebuild sees exactly the
-    corpus the crashed trigger intended. Documents are immutable
-    (content-hash ids, the reference's news-ingestion model); updates
-    need a rebuild by design, same as the IVF/LSH appends.
+    corpus the crashed trigger intended.
+
+    Updates (review r8): nothing ENFORCES the content-hash-id
+    immutability this sink assumes, and a redelivered id carrying
+    DIFFERENT text would update the table (batch wins the MERGE)
+    while the ids-only anti-join dropped it from indexing — stale
+    postings under a valid marker, silently wrong scores. So the
+    sink compares overlapping ids' text against the pre-merge table
+    first: any conflict routes the trigger through the full rebuild
+    (the documented update path for every insert-only index family),
+    keeping table and index consistent at the cost of one rebuild
+    per update-carrying trigger.
     """
     import os as _os
 
@@ -391,11 +400,27 @@ def stream_text_index_append(
             return
         sess = micro_batch.sparkSession
         batch = micro_batch.dropDuplicates([id_col])
+        # changed-text probe BEFORE the merge (the pre-merge table
+        # still holds the old text): any overlapping id whose text
+        # differs forces the rebuild path below
+        has_update = False
+        if _idx_built(index_path, "text"):
+            pre = sess.read.parquet(table_path).select(
+                F.col(id_col), F.col(text_col).alias("__old_text")
+            )
+            has_update = (
+                batch.join(pre, id_col)
+                .filter(~F.col(text_col).eqNullSafe(F.col("__old_text")))
+                .limit(1)
+                .count()
+                > 0
+            )
         upsert_by_key(sess, batch, table_path, key=id_col, order_col=id_col)
         snapshot = sess.read.parquet(table_path)
-        if not _idx_built(index_path, "text"):
-            # first batch, or a crashed append left the marker down —
-            # rebuild from the merged table (source of truth)
+        if has_update or not _idx_built(index_path, "text"):
+            # first batch, a crashed append (marker down), or an
+            # update-carrying redelivery — rebuild from the merged
+            # table (source of truth)
             build_text_index(
                 sess, snapshot, index_path, id_col=id_col, text_col=text_col
             )

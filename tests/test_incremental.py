@@ -439,3 +439,20 @@ def test_stream_text_index_append_converges_and_self_heals(spark, tmp_path):
     TI.build_text_index(spark, spark.read.parquet(table), full2)
     assert spark.read.parquet(table).count() == 120
     assert probe(index) == probe(full2)
+
+    # update-carrying redelivery (review r8): a known id arrives with
+    # DIFFERENT text — the ids-only anti-join would have silently
+    # kept the STALE postings; the sink must detect the conflict and
+    # rebuild, keeping table and index consistent
+    docs.filter(F.col("doc_id") < 5).withColumn(
+        "text", F.concat(F.lit("join join join hash "), F.col("text"))
+    ).write.mode("append").parquet(landing)
+    INC.stream_text_index_append(spark, landing, schema, table, index, ckpt)
+    snap = spark.read.parquet(table)
+    assert snap.count() == 120  # updates, not inserts
+    assert (
+        snap.filter(F.col("doc_id") == 0).first()["text"].startswith("join join")
+    )
+    full3 = str(tmp_path / "full3")
+    TI.build_text_index(spark, snap, full3)
+    assert probe(index) == probe(full3)

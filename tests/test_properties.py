@@ -758,66 +758,66 @@ def test_weighted_sample_inclusion_law_and_plan(spark):
     obeys the weighted-inclusion law — across many salts, items with
     10x the weight are included in the top-n far more often than the
     rest (the law lives in the FORMULA, so it's checked with a fast
-    local mirror of the exact md5/ln key); (2) Spark's output for one
+    local mirror of the exact md5/ln key) — and, per review r8, it
+    keeps obeying it at weights ~1e4 where the UN-normalized key
+    collapsed under the 6-decimal round; (2) Spark's output for one
     salt equals the locally computed top-n exactly (engine agreement,
-    incl. tie-break); (3) the plan is scan + TakeOrdered, no
-    Exchange-shuffle of the corpus."""
+    incl. tie-break); (3) the plan is scan + broadcast 1-row max +
+    TakeOrdered — no data Exchange of the corpus."""
     import hashlib
     import math
 
     from etl_btc_spark.operators import sampling as SP
 
     n_items, n_pick = 200, 20
-    heavy = set(range(0, n_items, 10))  # 20 items at weight 0.9
-    weights = {i: (0.9 if i in heavy else 0.09) for i in range(n_items)}
+    heavy = set(range(0, n_items, 10))
 
-    def key(i: int, salt: str) -> float:
+    def mirror_key(i: int, salt: str, weights: dict) -> float:
         h = hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8]
         u = (int(h, 16) + 0.5) / 4294967296.0
-        return round(1e-9 + math.log(u) / max(weights[i], 1e-6), 6)
+        w_max = max(max(weights.values()), 1e-6)
+        return round(1e-9 + math.log(u) * w_max / max(weights[i], 1e-6), 6)
 
-    def top(salt: str) -> set:
-        order = sorted(range(n_items), key=lambda i: (-key(i, salt), i))
-        return set(order[:n_pick])
+    def rates(weights: dict) -> tuple[float, float]:
+        hits_heavy = hits_light = 0
+        for s in range(60):
+            order = sorted(
+                range(n_items),
+                key=lambda i: (-mirror_key(i, f"s{s}_", weights), i),
+            )
+            t = set(order[:n_pick])
+            hits_heavy += len(t & heavy)
+            hits_light += len(t - heavy)
+        return (
+            hits_heavy / (60 * len(heavy)),
+            hits_light / (60 * (n_items - len(heavy))),
+        )
 
-    hits_heavy = hits_light = 0
-    for s in range(60):
-        t = top(f"s{s}_")
-        hits_heavy += len(t & heavy)
-        hits_light += len(t - heavy)
-    rate_heavy = hits_heavy / (60 * len(heavy))
-    rate_light = hits_light / (60 * (n_items - len(heavy)))
-    # 10x weight → much higher inclusion rate; 4x is a loose floor
-    # (exact E-S theory puts it near 8x for this geometry)
-    assert rate_heavy > 4 * rate_light, (rate_heavy, rate_light)
+    # 10x weight → much higher inclusion; 4x is a loose floor (E-S
+    # theory puts it near 8x for this geometry). The law must hold at
+    # BOTH unit-scale and 1e4-scale weights — the second regime is
+    # where the un-normalized round(ln(u)/w, 6) key collapsed into
+    # lowest-id-first ties (review r8).
+    for scale in (1.0, 1e4):
+        weights = {
+            i: (0.9 if i in heavy else 0.09) * scale for i in range(n_items)
+        }
+        rate_heavy, rate_light = rates(weights)
+        assert rate_heavy > 4 * rate_light, (scale, rate_heavy, rate_light)
 
+    weights = {i: (0.9 if i in heavy else 0.09) * 1e4 for i in range(n_items)}
     pdf = pd.DataFrame(
         {"doc_id": range(n_items), "w": [weights[i] for i in range(n_items)]}
     )
     out = SP.weighted_sample(spark.createDataFrame(pdf), n_pick, F.col("w"))
     got = [r["doc_id"] for r in out.collect()]
     want_order = sorted(
-        range(n_items),
-        key=lambda i: (
-            -round(
-                1e-9
-                + math.log(
-                    (
-                        int(
-                            hashlib.md5(f"wsample{i}".encode()).hexdigest()[:8], 16
-                        )
-                        + 0.5
-                    )
-                    / 4294967296.0
-                )
-                / max(weights[i], 1e-6),
-                6,
-            ),
-            i,
-        ),
+        range(n_items), key=lambda i: (-mirror_key(i, "wsample", weights), i)
     )[:n_pick]
     assert got == want_order
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
-    assert "Exchange" not in plan, plan
+    # the 1-row max rides in as a broadcast; the corpus itself is
+    # never hash-shuffled
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -221,3 +221,61 @@ def test_text_index_empty_corpus_then_append(spark, tmp_path):
     TI.append_text_index(spark, batch, path)
     got = [(r["doc_id"], r["bm25"]) for r in TI.bm25_probe(spark, path, ["join"], n=5).collect()]
     assert [d for d, _ in got] == [2, 1]  # shorter doc ranks first
+
+
+def test_query_term_normalization_consistent(spark, tmp_path):
+    """Review r8: every entry point lowercases query terms through the
+    ONE shared normalize_query_terms — a mixed-case term must return
+    identical results from the direct scorer, the single probe, the
+    batched join, and term_lookup (it used to match in bm25_join but
+    silently return nothing from bm25_probe)."""
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["join hash", "join join", "hash"]}
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "idx")
+    TI.build_text_index(spark, df, path)
+    mixed = ["Join", "HASH"]
+    lower = ["join", "hash"]
+    direct_m = sorted(map(tuple, bm25_scores(df, mixed, n=5).collect()))
+    direct_l = sorted(map(tuple, bm25_scores(df, lower, n=5).collect()))
+    assert direct_m == direct_l and direct_m
+    probe_m = sorted(map(tuple, TI.bm25_probe(spark, path, mixed, n=5).collect()))
+    assert probe_m == direct_l
+    qdf = spark.createDataFrame(pd.DataFrame({"query_id": [1], "terms": [mixed]}))
+    join_m = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in TI.bm25_join(spark, path, qdf, n=5).collect()
+    )
+    assert join_m == [(d, s) for d, s in sorted((r[0], r[1]) for r in direct_l)]
+    assert TI.term_lookup(spark, path, ["JOIN"]).count() == 2
+
+
+def test_stats_swap_debris_recovery(spark, tmp_path):
+    """Review r8: a crash inside the append's stats swap stranded
+    .stats_* dirs forever. The recovery pass restores a retired stats
+    dir when the live one is missing and discards all debris on the
+    next build/append."""
+    import os
+
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["join hash", "join"]})
+    path = str(tmp_path / "idx")
+    TI.build_text_index(spark, spark.createDataFrame(pdf), path)
+
+    # simulate the crash window: stats renamed away, shadow present,
+    # marker down (the append removes it before mutating)
+    os.rename(os.path.join(path, "stats"), os.path.join(path, ".stats_old_ab"))
+    os.makedirs(os.path.join(path, ".stats_cd"))
+    os.remove(os.path.join(path, "_BUILT"))
+
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5], "text": ["hash hash"]})
+    )
+    # ensure-path recovery: rebuild over the dir heals layout + debris
+    TI.ensure_text_index(
+        spark, spark.createDataFrame(pdf).union(batch), path
+    )
+    assert not [d for d in os.listdir(path) if d.startswith(".stats_")]
+    s = spark.read.parquet(path + "/stats").collect()[0]
+    assert s["n_docs"] == 3
+    assert TI.bm25_probe(spark, path, ["hash"], n=5).count() == 2
