@@ -350,3 +350,115 @@ def term_lookup(
     return spark.read.parquet(os.path.join(path, "postings")).filter(
         F.col("token").isin(normalize_query_terms(terms))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram substring index (pg_trgm shape): substring search without a
+# full-corpus scan per query
+# ---------------------------------------------------------------------------
+
+
+def _char_trigrams(s):
+    """Distinct character 3-grams of an (already normalized) string
+    column — pure codegen: sequence → substring gather → distinct."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(0))),
+            lambda i: F.substring(s, i, F.lit(3)),
+        )
+    )
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Persist (trigram, doc_id) postings over the normalized text —
+    the pg_trgm play: ANY substring of length ≥ 3 that occurs in a
+    document implies every one of its trigrams occurs, so a
+    trigram-postings intersection is a LOSSLESS prefilter for
+    substring search and the per-query cost becomes a pruned postings
+    scan + an exact contains() verify on the few candidates, instead
+    of scanning 100 TB of text per query. Same layout/marker/crash
+    posture as the inverted token index (trigram-bucketed files,
+    trigram-sorted within, marker-first invalidation); the trigram
+    family reuses the ``text`` format marker under ``path`` since the
+    artifacts are structurally identical postings tables.
+    """
+    _recover_stats_debris(path)
+    norm = normalize_text(F.col(text_col))
+    grams = df.select(
+        F.col(id_col), F.explode(_char_trigrams(norm)).alias("token")
+    ).filter(F.length("token") == 3)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    (
+        grams.repartition(_POSTING_BUCKETS, F.col("token"))
+        .sortWithinPartitions("token", id_col)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    _mark_built(path, "text")
+    return path
+
+
+def ensure_trigram_index(spark: SparkSession, df: DataFrame, path: str, **kw) -> str:
+    if not _is_built(path, "text"):
+        build_trigram_index(spark, df, path, **kw)
+    return path
+
+
+def substring_search(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT substring search served by the trigram index: the
+    needle's trigrams push as a static ``token IN (...)`` to the
+    postings scan, a doc qualifies as a CANDIDATE only if it carries
+    ALL of them (count == |trigrams| after the pruned scan), and the
+    exact ``contains()`` verify runs on the candidates alone — the
+    trigram prefilter is lossless, so the result is identical to a
+    full-corpus LIKE scan (the oracle) at a fraction of the cost.
+    Needles shorter than 3 normalized chars carry no trigram
+    evidence and fall back to the direct scan, documented and
+    plan-visible. Matching is over normalize_text (lower,
+    whitespace-collapsed) on both sides — the same canonical form
+    every text operator here uses."""
+    import re as _re
+
+    norm_needle = _re.sub(r"\s+", " ", needle.strip().lower())
+    norm = normalize_text(F.col(text_col))
+    if len(norm_needle) < 3:
+        # no trigram evidence — direct scan (still column-pruned)
+        return (
+            docs.filter(F.contains(norm, F.lit(norm_needle)))
+            .select(id_col)
+            .orderBy(id_col)
+        )
+    _require_built(path, "text")
+    grams = sorted(
+        {norm_needle[i : i + 3] for i in range(len(norm_needle) - 2)}
+    )
+    cand = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("token").isin(grams))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") == len(grams))
+        .select(id_col)
+    )
+    return (
+        docs.join(cand, id_col, "left_semi")
+        .filter(F.contains(norm, F.lit(norm_needle)))
+        .select(id_col)
+        .orderBy(id_col)
+    )

@@ -4307,3 +4307,32 @@ def q99l(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return TI.bm25_join(spark, idx, qdf, n=10)
+
+
+_Q99M_NEEDLE = "hash join"
+
+
+@register(
+    "q99m_substring_search",
+    oracle=f"""
+        SELECT doc_id FROM documents
+        WHERE contains(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '{_Q99M_NEEDLE}')
+        ORDER BY doc_id
+    """,
+    doc=(
+        "trigram substring index (r8, pg_trgm shape): EXACT substring "
+        "search served from persisted (trigram, doc_id) postings — "
+        "the needle's trigrams push as a static token IN (...) to the "
+        "pruned postings scan, candidates must carry ALL of them "
+        "(lossless pigeonhole prefilter), and the exact contains() "
+        "verify runs on candidates only. The oracle is the full-scan "
+        "LIKE answer, so the gate proves index-served ≡ direct scan"
+    ),
+)
+def q99m(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "trigram_index")
+    TI.ensure_trigram_index(spark, docs, idx)
+    return TI.substring_search(spark, idx, docs, _Q99M_NEEDLE)

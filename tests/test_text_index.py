@@ -279,3 +279,54 @@ def test_stats_swap_debris_recovery(spark, tmp_path):
     s = spark.read.parquet(path + "/stats").collect()[0]
     assert s["n_docs"] == 3
     assert TI.bm25_probe(spark, path, ["hash"], n=5).count() == 2
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abch ", min_size=0, max_size=12), min_size=1, max_size=6
+    ),
+    needle=st.text(alphabet="abch ", min_size=1, max_size=6),
+)
+@settings(**_SETTINGS)
+def test_substring_search_equals_direct_scan_fuzz(spark, texts, needle, tmp_path_factory):
+    """The trigram prefilter is LOSSLESS: index-served substring
+    search must equal the direct contains() scan for arbitrary
+    corpora and needles — including needles under 3 chars (fallback
+    path), absent needles, whitespace-heavy needles, and docs shorter
+    than the trigram width."""
+    import re
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path_factory.mktemp("tg") / "idx")
+    TI.build_trigram_index(spark, df, path)
+    got = [r["doc_id"] for r in TI.substring_search(spark, path, df, needle).collect()]
+    norm_needle = re.sub(r"\s+", " ", needle.strip().lower())
+    want = sorted(
+        i
+        for i, t in enumerate(texts)
+        if norm_needle in re.sub(r"\s+", " ", t.strip().lower())
+    )
+    assert got == want
+
+
+def test_substring_search_plan_pruned(spark, tmp_path):
+    """The candidate pass pushes the needle's trigrams to the
+    postings scan (row-group pruning) — never a full postings read."""
+    import contextlib
+    import io
+    import re
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(30), "text": ["hash join plan %d" % i for i in range(30)]}
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "idx")
+    TI.build_trigram_index(spark, df, path)
+    out = TI.substring_search(spark, path, df, "hash join")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert re.search(r"PushedFilters: \[.*In\(token", p), p
+    assert [r["doc_id"] for r in out.collect()] == list(range(30))
