@@ -4336,3 +4336,45 @@ def q99m(spark: SparkSession, sf: str) -> DataFrame:
     idx = SK.artifact_path(sf, "trigram_index")
     TI.ensure_trigram_index(spark, docs, idx)
     return TI.substring_search(spark, idx, docs, _Q99M_NEEDLE)
+
+
+@register(
+    "q99n_zorder_roundtrip",
+    oracle="""
+        SELECT user_id, event_id, CAST(round(value, 4) AS DOUBLE) AS value
+        FROM events
+        WHERE user_id BETWEEN 3 AND 7
+          AND value BETWEEN 10 AND 120
+        ORDER BY event_id
+    """,
+    doc=(
+        "K1 extension (r8): Z-order-clustered write → multi-column "
+        "box-predicate read-back. The write clusters rows by the "
+        "interleaved-bit Morton value of (user_id, value) so every "
+        "file covers a small 2-d rectangle and parquet min-max stats "
+        "skip most files for ANY conjunctive range predicate — the "
+        "Delta/Iceberg OPTIMIZE ZORDER analogue with no table-format "
+        "dependency. Oracle computes the same filter over the source "
+        "view (the roundtrip + filter correctness is what's gated; "
+        "the files-skipped benefit is pinned in pytest against an "
+        "unclustered twin)"
+    ),
+)
+def q99n(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.col("value").cast("double").alias("value")
+    )
+    path = SK.artifact_path(sf, "events_zorder")
+    # gate on _SUCCESS, not the dir: a crashed write leaves a partial
+    # dir that isdir() would trust; Spark commits _SUCCESS last, and
+    # the rewrite is a wholesale overwrite, so retrying converges
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        SK.write_zordered(ev, path, ["user_id", "value"], target_files=16)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("user_id").between(3, 7) & F.col("value").between(10, 120))
+        .select(
+            "user_id", "event_id", sround(F.col("value"), 4).alias("value")
+        )
+        .orderBy("event_id")
+    )

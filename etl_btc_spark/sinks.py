@@ -31,7 +31,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_btc_spark.operators.textops import fingerprint
@@ -88,6 +88,87 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     filters prune, so landing data compacted to ORC keeps the same
     scan-pruning posture as parquet."""
     df.write.mode(mode).orc(path)
+    return path
+
+
+def zorder_value(cols: list[Column], mins: list, maxs: list, bits: int = 16) -> Column:
+    """Morton (Z-order) value: min/max-normalize each column to a
+    ``bits``-bit rank, then interleave the bits — pure codegen (a
+    python loop EMITS the shift/mask expression terms; nothing runs
+    per-row in python). Rows close in z are close in EVERY dimension,
+    which is what makes multi-column file skipping work."""
+    k = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = max(float(hi) - float(lo), 1.0)
+        scaled.append(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (c.cast("double") - float(lo)) * (((1 << bits) - 1) / span)
+                    ).cast("long"),
+                    F.lit(0),
+                ),
+                F.lit((1 << bits) - 1),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + ci
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_files: int = 32,
+    mode: str = "overwrite",
+) -> str:
+    """K1 extension (r8): Z-order-clustered parquet write — the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` analogue for multi-column
+    scan pruning. Partitioning prunes on ONE directory key; at 100 TB
+    the second predicate ("user X AND this week") otherwise reads
+    every file of the matched partition. Clustering rows by the
+    interleaved-bit Morton value makes every output file cover a
+    small hyper-rectangle of the clustered columns, so parquet's
+    per-file/row-group min-max stats skip most files for ANY
+    conjunctive range predicate over them — no new file format, no
+    index artifact, just row layout.
+
+    Cost shape: one bounded min/max aggregate (k columns, 1 row —
+    driver metadata, same policy as every other bounded collect
+    here), one range shuffle on the z-value (repartitionByRange pays
+    a sampling pass, the standard price of clustered writes), and a
+    per-file sort. The z column itself is dropped — the layout, not
+    the value, is the product. Reads need nothing special: the
+    pruning is ordinary stats-based skipping (pinned by pytest
+    against an unclustered twin of the same data).
+    """
+    row = df.agg(
+        *[F.min(c).alias("lo_%d" % i) for i, c in enumerate(cols)],
+        *[F.max(c).alias("hi_%d" % i) for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [row["lo_%d" % i] for i in range(len(cols))]
+    maxs = [row["hi_%d" % i] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs):
+        raise ValueError(
+            "write_zordered: cluster columns must be non-NULL numeric "
+            "(got an all-NULL or empty column among %r)" % (cols,)
+        )
+    z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
     return path
 
 

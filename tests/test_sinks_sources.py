@@ -600,3 +600,67 @@ def test_upsert_flat_publish_survives_any_crash_point(spark, tmp_path, monkeypat
             break
         crash_at += 1
     assert crash_at >= 2
+
+
+def test_zorder_write_prunes_multicolumn_boxes(spark, tmp_path):
+    """r8 Z-order clustering: for a 2-d box predicate, far fewer
+    files of the z-ordered layout can possibly match (their per-file
+    min/max rectangles miss the box) than of an unclustered layout of
+    the SAME data — that stats-based skipping is the entire point of
+    the Morton layout. Also: the written rows are exactly the input
+    (layout, not content, changed), and NULL cluster columns refuse."""
+    import pandas as pd
+    import pytest as _pytest
+
+    rng = __import__("numpy").random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "x": rng.randint(0, 1000, 40_000),
+            "y": rng.randint(0, 1000, 40_000),
+            "payload": rng.randint(0, 1 << 30, 40_000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    SK.write_zordered(df, zpath, ["x", "y"], target_files=16)
+    # unclustered twin: same data, same file count, hash-scattered
+    df.repartition(16, F.col("payload")).write.mode("overwrite").parquet(rpath)
+
+    def files_matching_box(path, x0, x1, y0, y1):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+                F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+            )
+            .collect()
+        )
+        hit = sum(
+            1
+            for r in stats
+            if r["xmax"] >= x0 and r["xmin"] <= x1 and r["ymax"] >= y0 and r["ymin"] <= y1
+        )
+        return hit, len(stats)
+
+    zhit, ztot = files_matching_box(zpath, 100, 150, 200, 250)
+    rhit, rtot = files_matching_box(rpath, 100, 150, 200, 250)
+    assert rtot >= 16 and rhit == rtot  # scattered layout: every file matches
+    assert zhit * 4 <= ztot, (zhit, ztot)  # z layout: ≤ a quarter can match
+
+    # content identity (multiset) and query equality
+    za = spark.read.parquet(zpath)
+    assert za.count() == 40_000
+    box = (F.col("x").between(100, 150)) & (F.col("y").between(200, 250))
+    assert (
+        za.filter(box).agg(F.sum("payload")).collect()[0][0]
+        == df.filter(box).agg(F.sum("payload")).collect()[0][0]
+    )
+
+    with _pytest.raises(ValueError, match="non-NULL"):
+        nulls = spark.createDataFrame(
+            pd.DataFrame({"x": [None, None], "y": [1, 2]}),
+            "x int, y int",
+        )
+        SK.write_zordered(nulls, str(tmp_path / "n"), ["x", "y"])
