@@ -85,10 +85,13 @@ def _search_layer(q, eps, ef: int, adj, vecs_n):
     import numpy as np
 
     visited = set(eps)
-    sims = vecs_n[eps] @ q
-    cand = [(-float(s), int(e)) for s, e in zip(sims, eps)]
+    # .tolist() once per gather instead of float()/int() per element
+    # (r8 perf: the per-element casts were measurable at build scale;
+    # values are the identical BLAS results either way)
+    sims = (vecs_n[eps] @ q).tolist()
+    cand = [(-s, int(e)) for s, e in zip(sims, eps)]
     heapq.heapify(cand)
-    res = [(float(s), int(e)) for s, e in zip(sims, eps)]
+    res = [(s, int(e)) for s, e in zip(sims, eps)]
     heapq.heapify(res)
     while cand:
         neg, c = heapq.heappop(cand)
@@ -98,11 +101,11 @@ def _search_layer(q, eps, ef: int, adj, vecs_n):
         if not fresh:
             continue
         visited.update(fresh)
-        s = vecs_n[fresh] @ q
+        s = (vecs_n[fresh] @ q).tolist()
         for sim, idx in zip(s, fresh):
             if len(res) < ef or sim > res[0][0]:
-                heapq.heappush(cand, (-float(sim), int(idx)))
-                heapq.heappush(res, (float(sim), int(idx)))
+                heapq.heappush(cand, (-sim, idx))
+                heapq.heappush(res, (sim, idx))
                 if len(res) > ef:
                     heapq.heappop(res)
     return sorted(res, key=lambda t: (-t[0], t[1]))
@@ -144,16 +147,27 @@ def _select_neighbors(cand, m: int, vecs_n, diversify: bool = True):
     """
     if not diversify:
         return [idx for _, idx in cand[:m]]
+    # r8 perf: the candidate-vs-kept similarities were 80+ scalar BLAS
+    # dots per call (the build's #2 hotspot). One |cand|×|cand| Gram
+    # matmul up front (tolisted once — numpy scalar indexing would
+    # give the overhead right back) turns the scan into plain-python
+    # comparisons over ≤m kept entries — identical BLAS dot products,
+    # identical keep/prune decisions.
+    idxs = [idx for _, idx in cand]
+    sub = vecs_n[idxs]
+    gram = (sub @ sub.T).tolist()
     kept: list[int] = []
+    kept_pos: list[int] = []
     pruned: list[int] = []
-    for sim, idx in cand:
+    for ci, (sim, idx) in enumerate(cand):
         if len(kept) >= m:
             break
-        v = vecs_n[idx]
-        if any(float(v @ vecs_n[r]) > sim for r in kept):
+        row = gram[ci]
+        if any(row[r] > sim for r in kept_pos):
             pruned.append(idx)
         else:
             kept.append(idx)
+            kept_pos.append(ci)
     for idx in pruned:
         if len(kept) >= m:
             break
