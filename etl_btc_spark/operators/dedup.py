@@ -1350,3 +1350,140 @@ def contamination_check(
         F.count(F.lit(1)).alias("n_contaminating"),
         F.max("overlap").alias("max_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS shape):
+# PARTIAL-overlap detection — shared passages, not whole-doc similarity
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document winnowed fingerprint set (r8): hash every
+    character k-gram of the normalized text, slide a w-window over
+    the hash sequence, keep each window's MINIMUM — the winnowing
+    guarantee is that any shared substring of length ≥ k + w - 1
+    contributes at least one IDENTICAL fingerprint to both documents,
+    so COPIED PASSAGES are detectable even when the documents as a
+    whole are dissimilar (the case whole-doc MinHash/SimHash
+    deliberately ignore). Distinct window-min VALUES form the set —
+    deterministic, engine-portable (the k-gram hash is the same
+    md5-prefix32 every sampler here uses), and entirely codegen:
+    one sequence→substring→md5 transform plus one windowed
+    array_min transform per document, no shuffle until the caller
+    aggregates. Documents shorter than ``k`` normalized chars have no
+    k-grams and emit no fingerprints.
+
+    Returns (id, fp) — one row per distinct fingerprint per doc.
+    """
+    s = normalize_text(F.col(text_col))
+    n_grams = F.greatest(F.length(s) - (k - 1), F.lit(0))
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.substring(s, i, F.lit(k))), 1, 8), 16, 10
+    ).cast("long")
+    hs = F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+    # the hash array MUST land as its own column before the window
+    # pass: referencing the `hs` EXPRESSION inside the window lambda
+    # makes Spark re-evaluate the whole k-gram transform once PER
+    # WINDOW POSITION — O(n²) md5 calls per document (measured: the
+    # sf0.001 fingerprint pass went from stuck-past-4-minutes to
+    # 4.8 s). Catalyst's CollapseProject keeps the intermediate
+    # because __hs is multi-referenced and non-cheap; the plan pin in
+    # tests/test_properties.py fails if that ever changes.
+    tmp = df.filter(F.length(s) >= k).withColumn("__hs", hs)
+    col = F.col("__hs")
+    n_windows = F.greatest(F.size(col) - (w - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda p: F.array_min(F.slice(col, p, w)),
+        )
+    )
+    return tmp.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 8,
+    w: int = 4,
+    max_postings: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints
+    (a < b) with the shared count — the plagiarism/boilerplate-reuse
+    report. Found by an inverted-index join on the fingerprint value
+    (banded-join cost, never all-pairs); fingerprints present in more
+    than ``max_postings`` documents are dropped FIRST — ubiquitous
+    passages (license headers, templates) are boilerplate, and at
+    100 TB one such fingerprint would otherwise quadratically blow up
+    the self-join (same posting-bound posture as contamination_check,
+    and mirrored verbatim in the oracle so the gate covers the
+    guard)."""
+    fps = _scoped_persist(winnow_fingerprints(df, k, w, id_col, text_col))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= max_postings)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_oracle_ctes(k: int = 8, w: int = 4, max_postings: int = 1000) -> str:
+    """DuckDB CTE chain mirroring winnow_fingerprints +
+    winnow_overlap_pairs over the documents view: ``wpairs`` is the
+    (id_a, id_b, n_shared) relation before the min_shared filter."""
+    return f"""
+        nrm AS (
+            SELECT doc_id,
+                   trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+            FROM documents
+        ), hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(s) - {k - 1}),
+                       i -> ('0x' || substring(md5(substring(s, CAST(i AS INTEGER), {k})), 1, 8))::BIGINT
+                   ) AS h
+            FROM nrm WHERE len(s) >= {k}
+        ), fp AS (
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(h) - {w - 1}, 1)),
+                           p -> list_aggregate(h[CAST(p AS INTEGER):CAST(p + {w - 1} AS INTEGER)], 'min')
+                       )) AS fp
+                FROM hs
+            )
+        ), rare AS (
+            SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {max_postings}
+        ), kept AS (
+            SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)
+        ), wpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+    """

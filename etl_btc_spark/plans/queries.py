@@ -4378,3 +4378,31 @@ def q99n(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q99o_winnow_overlap",
+    oracle=(
+        "WITH "
+        + DD.winnow_oracle_ctes(k=16, w=8)
+        + " SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared"
+        " FROM wpairs WHERE n_shared >= 5"
+    ),
+    doc=(
+        "winnowing fingerprints (r8, MOSS shape): document pairs "
+        "sharing ≥5 winnowed 16-gram window-min fingerprints (w=8 — "
+        "guarantee window 23 chars, tuned so the template-generated "
+        "fixture corpus reports SUBSTANTIAL shared passages, not its "
+        "ubiquitous sentence patterns) — "
+        "PARTIAL-overlap detection (copied passages), the case "
+        "whole-doc MinHash/SimHash similarity deliberately ignores. "
+        "Any shared substring of ≥ k+w-1 chars is guaranteed to "
+        "contribute an identical fingerprint to both docs (pytest "
+        "pins the guarantee); pairs come from an inverted-index join "
+        "with a posting bound dropping ubiquitous boilerplate "
+        "fingerprints, never an all-pairs scan"
+    ),
+)
+def q99o(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return DD.winnow_overlap_pairs(docs, min_shared=5, k=16, w=8)

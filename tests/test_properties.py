@@ -821,3 +821,62 @@ def test_weighted_sample_inclusion_law_and_plan(spark):
     # the 1-row max rides in as a broadcast; the corpus itself is
     # never hash-shuffled
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+@given(
+    pads=st.lists(st.text(alphabet="xyz qrs", min_size=0, max_size=30), min_size=4, max_size=4),
+    texts=st.lists(st.text(alphabet="abch ", max_size=20), min_size=1, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_winnow_guarantee_and_oracle_fuzz(spark, pads, texts):
+    """Winnowing (q99o): (1) THE GUARANTEE — any substring of length
+    ≥ k + w - 1 shared by two documents contributes at least one
+    identical fingerprint to both, so the planted-passage pair is
+    always detected regardless of surrounding context; (2) the Spark
+    pipeline hash-matches its DuckDB oracle for arbitrary corpora
+    (empty/short docs, repeated content)."""
+    from etl_btc_spark.operators import dedup as DD
+
+    k, w = 8, 4
+    passage = "the stolen paragraph travels verbatim"  # 37 ≥ k+w-1=11
+    docs = [
+        pads[0] + " " + passage + " " + pads[1],
+        pads[2] + " " + passage + " " + pads[3],
+    ] + texts
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    df = spark.createDataFrame(pdf)
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in DD.winnow_overlap_pairs(df, min_shared=1, k=k, w=w).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1  # the guarantee
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        (a, b): n
+        for a, b, n in con.execute(
+            "WITH " + DD.winnow_oracle_ctes(k=k, w=w)
+            + " SELECT id_a, id_b, n_shared FROM wpairs WHERE n_shared >= 1"
+        ).fetchall()
+    }
+    con.close()
+    DD.release_scoped_caches()
+    assert pairs == want
+
+
+def test_winnow_hash_array_not_inlined(spark):
+    """The k-gram hash array must materialize as its own column: if
+    Catalyst ever inlines __hs into the window-min lambda, every
+    window position re-evaluates the WHOLE k-gram transform — O(n²)
+    md5 calls per document (measured: the sf0.001 pass went from
+    stuck-past-4-minutes to 4.8 s when this landed)."""
+    from etl_btc_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["some text long enough here"]})
+    )
+    plan = (
+        DD.winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("__hs") >= 2, plan
