@@ -45,7 +45,17 @@ from etl_btc_spark.operators.similarity import cosine, lsh_band_sig_udf
 #: one family's version when ITS on-disk layout changes (ivf-v2:
 #: INT8-quantized posting lists) and stale artifacts of that family
 #: alone rebuild instead of failing the probe.
-_FORMATS = {"ivf": "ivf-v2", "lsh": "lsh-v1", "hnsw": "hnsw-v1", "text": "text-v2"}
+_FORMATS = {
+    "ivf": "ivf-v2",
+    "lsh": "lsh-v1",
+    "hnsw": "hnsw-v1",
+    "text": "text-v2",
+    # distinct family string (review r8): trigram postings are
+    # structurally identical to token postings, but probing one as
+    # the other silently returns false negatives — the marker is
+    # exactly the mechanism that must refuse that
+    "trigram": "trigram-v1",
+}
 
 #: broadcast variables whose lifetime outlives the function that made
 #: them (a batched probe returns a LAZY plan over the broadcast, so it

@@ -403,12 +403,12 @@ def build_trigram_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "postings"))
     )
-    _mark_built(path, "text")
+    _mark_built(path, "trigram")
     return path
 
 
 def ensure_trigram_index(spark: SparkSession, df: DataFrame, path: str, **kw) -> str:
-    if not _is_built(path, "text"):
+    if not _is_built(path, "trigram"):
         build_trigram_index(spark, df, path, **kw)
     return path
 
@@ -432,10 +432,17 @@ def substring_search(
     evidence and fall back to the direct scan, documented and
     plan-visible. Matching is over normalize_text (lower,
     whitespace-collapsed) on both sides — the same canonical form
-    every text operator here uses."""
+    every text operator here uses. The needle normalizes with the
+    SAME ASCII whitespace class Java's \\s matches (review r8:
+    python's default unicode \\s also collapses NBSP etc., which the
+    doc-side Spark regex does NOT — the two sides must disagree on no
+    character or index-served results diverge from a raw scan)."""
     import re as _re
 
-    norm_needle = _re.sub(r"\s+", " ", needle.strip().lower())
+    # ASCII-only strip for the same reason as the ASCII \s flag
+    norm_needle = _re.sub(
+        r"\s+", " ", needle.strip(" \t\n\r\f\v").lower(), flags=_re.ASCII
+    )
     norm = normalize_text(F.col(text_col))
     if len(norm_needle) < 3:
         # no trigram evidence — direct scan (still column-pruned)
@@ -444,7 +451,7 @@ def substring_search(
             .select(id_col)
             .orderBy(id_col)
         )
-    _require_built(path, "text")
+    _require_built(path, "trigram")
     grams = sorted(
         {norm_needle[i : i + 3] for i in range(len(norm_needle) - 2)}
     )

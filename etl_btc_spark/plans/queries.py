@@ -4341,7 +4341,7 @@ def q99m(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q99n_zorder_roundtrip",
     oracle="""
-        SELECT user_id, event_id, CAST(round(value, 4) AS DOUBLE) AS value
+        SELECT user_id, event_id, CAST(round(1e-9 + value, 4) AS DOUBLE) AS value
         FROM events
         WHERE user_id BETWEEN 3 AND 7
           AND value BETWEEN 10 AND 120

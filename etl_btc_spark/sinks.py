@@ -96,8 +96,22 @@ def zorder_value(cols: list[Column], mins: list, maxs: list, bits: int = 16) -> 
     ``bits``-bit rank, then interleave the bits — pure codegen (a
     python loop EMITS the shift/mask expression terms; nothing runs
     per-row in python). Rows close in z are close in EVERY dimension,
-    which is what makes multi-column file skipping work."""
+    which is what makes multi-column file skipping work.
+
+    ``bits * len(cols)`` must fit in 63 bits (review r8): Spark's
+    shiftleft masks the shift count mod 64, so an overlong interleave
+    would silently wrap — bit 63 flips the long's sign (range
+    partitioning then splits every hyper-rectangle at the sign
+    boundary) and shifts ≥64 collide onto low bits (distant points
+    alias). Refuse instead of scrambling."""
     k = len(cols)
+    if bits * k > 63:
+        raise ValueError(
+            "zorder_value: bits*len(cols) = %d exceeds 63 — lower `bits` "
+            "(e.g. bits=%d for %d columns); an overlong interleave would "
+            "silently wrap shift counts and scramble the clustering"
+            % (bits * k, 63 // k, k)
+        )
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = max(float(hi) - float(lo), 1.0)
@@ -152,13 +166,25 @@ def write_zordered(
     row = df.agg(
         *[F.min(c).alias("lo_%d" % i) for i, c in enumerate(cols)],
         *[F.max(c).alias("hi_%d" % i) for i, c in enumerate(cols)],
+        # per-row enforcement in the SAME job (review r8): min/max
+        # skip NULLs, so the all-NULL check alone let partially-NULL
+        # columns through — those rows would silently cluster at the
+        # dimension's origin and pollute every file's stats
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias("nn_%d" % i)
+            for i, c in enumerate(cols)
+        ],
     ).collect()[0]
     mins = [row["lo_%d" % i] for i in range(len(cols))]
     maxs = [row["hi_%d" % i] for i in range(len(cols))]
-    if any(v is None for v in mins + maxs):
+    nulls = [row["nn_%d" % i] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs) or any(n > 0 for n in nulls):
         raise ValueError(
-            "write_zordered: cluster columns must be non-NULL numeric "
-            "(got an all-NULL or empty column among %r)" % (cols,)
+            "write_zordered: cluster columns must be non-NULL numeric — "
+            "%r has NULL rows or is empty (NULL rows would cluster at "
+            "the dimension's origin and pollute file stats; filter or "
+            "impute them first)"
+            % [c for c, n in zip(cols, nulls) if n or n is None]
         )
     z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
     (

@@ -664,3 +664,28 @@ def test_zorder_write_prunes_multicolumn_boxes(spark, tmp_path):
             "x int, y int",
         )
         SK.write_zordered(nulls, str(tmp_path / "n"), ["x", "y"])
+
+
+def test_zorder_guards(spark, tmp_path):
+    """Review r8: (1) bits*len(cols) > 63 refuses instead of silently
+    wrapping shift counts (bit 63 is the sign bit; ≥64 aliases);
+    (2) PARTIALLY-NULL cluster columns refuse too — min/max skip
+    NULLs, so only the all-NULL case was caught before while NULL
+    rows silently clustered at the dimension's origin."""
+    import pandas as pd
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2], "b": [3, 4], "c": [5, 6], "d": [7, 8]})
+    )
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        SK.write_zordered(df, str(tmp_path / "z1"), ["a", "b", "c", "d"], bits=16)
+    # 4 cols fit at bits=15
+    SK.write_zordered(df, str(tmp_path / "z2"), ["a", "b", "c", "d"], bits=15, target_files=1)
+    assert spark.read.parquet(str(tmp_path / "z2")).count() == 2
+
+    part_null = spark.createDataFrame(
+        pd.DataFrame({"a": [1, None, 3], "b": [1, 2, 3]}), "a int, b int"
+    )
+    with _pytest.raises(ValueError, match="non-NULL"):
+        SK.write_zordered(part_null, str(tmp_path / "z3"), ["a", "b"])

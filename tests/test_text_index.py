@@ -330,3 +330,31 @@ def test_substring_search_plan_pruned(spark, tmp_path):
     p = buf.getvalue()
     assert re.search(r"PushedFilters: \[.*In\(token", p), p
     assert [r["doc_id"] for r in out.collect()] == list(range(30))
+
+
+def test_trigram_family_marker_and_unicode_needle(spark, tmp_path):
+    """Review r8 follow-ups: (1) a TOKEN index probed as a trigram
+    index must REFUSE (structurally identical postings, silently-
+    wrong results otherwise — the marker family exists for this);
+    (2) needle normalization uses the ASCII whitespace class Java's
+    \\s matches, so a non-breaking space inside the needle is NOT
+    collapsed — index-served results agree with the raw scan on
+    unicode-whitespace content in both directions."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["hash join stays", "hash join collapses"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    token_path = str(tmp_path / "tok")
+    TI.build_text_index(spark, df, token_path)
+    with pytest.raises(ValueError, match="no complete trigram"):
+        TI.substring_search(spark, token_path, df, "hash join")
+
+    tri_path = str(tmp_path / "tri")
+    TI.build_trigram_index(spark, df, tri_path)
+    # NBSP needle matches only the NBSP doc; ASCII needle only the other
+    assert [r["doc_id"] for r in TI.substring_search(spark, tri_path, df, "hash join").collect()] == [0]
+    assert [r["doc_id"] for r in TI.substring_search(spark, tri_path, df, "hash join").collect()] == [1]
