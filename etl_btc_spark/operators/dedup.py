@@ -822,6 +822,45 @@ def minhash_index_is_current(
         return f.read() == _minhash_sigv(n_hashes, n_bands, ngram)
 
 
+def append_minhash_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    ngram: int = 3,
+) -> str:
+    """Insert-only maintenance for the MinHash band index (r8) — the
+    LSH-append posture: band ONLY the batch and append its (id, bkey)
+    rows. The hash family is frozen (validated against the persisted
+    _SIGV), so append ≡ rebuild exactly, like the hyperplane LSH.
+    Marker-first around the write: a crash mid-append leaves a
+    refused-probe state and recovery is a rebuild from the corpus
+    table (what :func:`streaming.incremental.stream_neardup_ingest`
+    does automatically)."""
+    import os
+
+    if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
+        raise ValueError(
+            "append_minhash_index: no current MinHash index at %r for "
+            "family %r — rebuild with build_minhash_index"
+            % (path, _minhash_sigv(n_hashes, n_bands, ngram).strip())
+        )
+    banded = _minhash_banded(
+        new_docs, id_col, text_col, n_hashes, n_bands, ngram, do_spread=False
+    )
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    banded.write.mode("append").parquet(os.path.join(path, "bands"))
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write("ok\n")
+    return path
+
+
 def incremental_near_dupes(
     spark,
     index_path: str,

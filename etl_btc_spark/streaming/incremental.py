@@ -452,3 +452,139 @@ def stream_text_index_append(
         .start()
         .awaitTermination()
     )
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **mh_kwargs,
+) -> None:
+    """Continuous NEAR-dup-deduplicated corpus ingestion (r8) — the
+    production shape for building a training corpus from a stream:
+    per micro-batch, drop every arriving document that is a near-dup
+    of the ALREADY-KEPT corpus (probed against the persisted MinHash
+    band index at O(index-scan + batch), never an all-corpus
+    self-join), resolve near-dup clusters WITHIN the batch keeping
+    the smallest id, MERGE the survivors into the corpus table, and
+    append ONLY the survivors' band rows to the index. Exact-dup
+    streaming ingestion is q50's watermark dedup; this is its
+    near-dup big sibling.
+
+    Keep policy (deterministic): a document survives iff it is not
+    within ``threshold`` Jaccard of any kept document with a smaller
+    id — processing batches in arrival order and ids within a batch
+    ascending. Batch-sequential equivalence is pinned by pytest: the
+    streamed (table, index) equals applying the same policy batch by
+    batch with the batch-mode operators.
+
+    Replay safety: survivors MERGE idempotently by id; the index
+    append is anti-joined against the already-indexed ids, so a
+    redelivered batch's rows vanish instead of double-banding. A
+    crashed index append (marker down — append_minhash_index is
+    marker-first) self-heals on the next trigger by REBUILDING the
+    index from the corpus table, exactly the stream_text_index_append
+    posture.
+    """
+    import os as _os
+
+    from etl_btc_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        connected_components,
+        incremental_near_dupes,
+        minhash_index_is_current,
+        minhash_near_dupes,
+        release_scoped_caches,
+    )
+
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _drop_in_batch_dupes(batch: DataFrame) -> DataFrame:
+        """Keep the min-id representative of every in-batch near-dup
+        cluster (transitively, via connected components)."""
+        pairs = minhash_near_dupes(
+            batch, threshold, id_col, text_col, **mh_kwargs
+        ).select("id_a", "id_b")
+        if pairs.limit(1).count() == 0:
+            return batch
+        cc = connected_components(pairs)
+        losers = cc.filter(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias(id_col)
+        )
+        return batch.join(losers, id_col, "left_anti")
+
+    def sink(micro_batch: DataFrame, epoch_id: int) -> None:
+        if micro_batch.isEmpty():  # T4
+            return
+        sess = micro_batch.sparkSession
+        batch = micro_batch.dropDuplicates([id_col])
+        have_index = minhash_index_is_current(index_path, **mh_kwargs)
+        if not have_index and _os.path.isdir(table_path):
+            # crashed append (marker down) or lost index with a live
+            # corpus: rebuild BEFORE probing — healing after the probe
+            # would let this batch's corpus near-dups slip through
+            # (caught by the self-heal test's planted duplicate)
+            build_minhash_index(
+                sess,
+                sess.read.parquet(table_path),
+                index_path,
+                id_col,
+                text_col,
+                **mh_kwargs,
+            )
+            have_index = True
+        if have_index:
+            corpus = sess.read.parquet(table_path)
+            dup_ids = (
+                incremental_near_dupes(
+                    sess, index_path, corpus, batch, threshold,
+                    id_col, text_col, **mh_kwargs,
+                )
+                .select(F.col("batch_id").alias(id_col))
+                .distinct()
+            )
+            batch = batch.join(dup_ids, id_col, "left_anti")
+        kept = _drop_in_batch_dupes(batch).persist()
+        try:
+            if kept.limit(1).count() == 0:
+                return
+            upsert_by_key(sess, kept, table_path, key=id_col, order_col=id_col)
+            if have_index:
+                indexed = sess.read.parquet(
+                    _os.path.join(index_path, "bands")
+                ).select(id_col).distinct()
+                fresh = kept.join(indexed, id_col, "left_anti")
+                if fresh.limit(1).count() > 0:
+                    append_minhash_index(
+                        sess, fresh, index_path, id_col, text_col, **mh_kwargs
+                    )
+            else:
+                # first trigger, or a crashed append left the marker
+                # down — rebuild from the merged table (source of
+                # truth; wholesale overwrite clears partial debris)
+                build_minhash_index(
+                    sess,
+                    sess.read.parquet(table_path),
+                    index_path,
+                    id_col,
+                    text_col,
+                    **mh_kwargs,
+                )
+        finally:
+            kept.unpersist()
+            release_scoped_caches()
+
+    (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -456,3 +456,104 @@ def test_stream_text_index_append_converges_and_self_heals(spark, tmp_path):
     full3 = str(tmp_path / "full3")
     TI.build_text_index(spark, snap, full3)
     assert probe(index) == probe(full3)
+
+
+def test_stream_neardup_ingest_equals_sequential_batches(spark, tmp_path):
+    """Streaming near-dup ingestion (r8): the streamed (corpus table,
+    band index) must equal applying the SAME keep policy batch by
+    batch with the batch-mode operators — across (1) an initial batch
+    with an in-batch near-dup cluster, (2) a second batch carrying
+    near-dups of already-kept docs plus fresh docs, (3) a full replay
+    from a fresh checkpoint, and (4) a crashed index append (marker
+    down), which must self-heal by rebuilding from the table."""
+    import os
+
+    from etl_btc_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = {r["doc_id"]: r["text"] for r in docs.limit(40).collect()}
+
+    def mk(rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [i for i, _ in rows], "text": [t for _, t in rows]}
+            )
+        )
+
+    # batch 1: docs 0-19, plus 100/101 duplicating 0's text (in-batch cluster)
+    b1 = [(i, base[i]) for i in range(20)] + [(100, base[0]), (101, base[0])]
+    # batch 2: 20-29 fresh, plus 200/201 duplicating kept docs 5 and 100's text
+    b2 = [(i, base[i]) for i in range(20, 30)] + [(200, base[5]), (201, base[0])]
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "corpus")
+    index = str(tmp_path / "mindex")
+    ckpt = str(tmp_path / "ckpt")
+
+    mk(b1).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
+    mk(b2).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
+
+    # sequential reference with the batch-mode operators, same policy
+    def in_batch_keep(df):
+        pairs = DD.minhash_near_dupes(df, 0.8).select("id_a", "id_b")
+        if pairs.limit(1).count() == 0:
+            return df
+        losers = (
+            DD.connected_components(pairs)
+            .filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias("doc_id"))
+        )
+        return df.join(losers, "doc_id", "left_anti")
+
+    ref_table = str(tmp_path / "ref_corpus")
+    ref_index = str(tmp_path / "ref_index")
+    kept1 = in_batch_keep(mk(b1))
+    kept1.write.mode("overwrite").parquet(ref_table)
+    DD.build_minhash_index(spark, kept1, ref_index)
+    corpus = spark.read.parquet(ref_table)
+    dups = (
+        DD.incremental_near_dupes(spark, ref_index, corpus, mk(b2), 0.8)
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+    )
+    kept2 = in_batch_keep(mk(b2).join(dups, "doc_id", "left_anti"))
+    kept2.write.mode("append").parquet(ref_table)
+    DD.release_scoped_caches()
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    want = {r["doc_id"]: r["text"] for r in spark.read.parquet(ref_table).collect()}
+    assert got == want
+    # the in-batch cluster kept only doc 0; batch-2 near-dups dropped
+    assert 0 in got and 100 not in got and 101 not in got
+    assert 200 not in got and 201 not in got and 25 in got
+    # index covers exactly the kept ids
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(index + "/bands").select("doc_id").distinct().collect()
+    }
+    assert idx_ids == set(got)
+
+    # full replay from a fresh checkpoint converges to the same state
+    table2, index2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    INC.stream_neardup_ingest(
+        spark, landing, mk(b1).schema, table2, index2, str(tmp_path / "ck2")
+    )
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(table2).collect()}
+    assert got2 == want
+
+    # crashed-append self-heal: marker down + batch 3 → rebuild covers all
+    os.remove(os.path.join(index, "_BUILT"))
+    b3 = [(i, base[i]) for i in range(30, 35)] + [(300, base[22])]
+    mk(b3).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
+    got3 = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    assert got3 == set(want) | {30, 31, 32, 33, 34}  # 300 is a near-dup of 22
+    idx_ids3 = {
+        r["doc_id"]
+        for r in spark.read.parquet(index + "/bands").select("doc_id").distinct().collect()
+    }
+    assert idx_ids3 == got3
