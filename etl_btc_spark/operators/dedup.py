@@ -1095,6 +1095,7 @@ def dup_clusters(
     text_col: str = "text",
     ngram: int = 3,
     exact: bool = True,
+    **lsh_kwargs,
 ) -> DataFrame:
     """Duplicate-cluster assignment: near-dup pairs → connected
     components → (doc_id, cluster_id, cluster canonical = min id).
@@ -1109,7 +1110,7 @@ def dup_clusters(
     pairs = (
         jaccard_pairs(df, threshold, id_col, text_col, ngram)
         if exact
-        else minhash_near_dupes(df, threshold, id_col, text_col, ngram)
+        else minhash_near_dupes(df, threshold, id_col, text_col, ngram, **lsh_kwargs)
     )
     return connected_components(pairs.select("id_a", "id_b")).select(
         F.col("node").alias(id_col), "cluster_id"

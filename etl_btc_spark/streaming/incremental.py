@@ -477,20 +477,32 @@ def stream_neardup_ingest(
     streaming ingestion is q50's watermark dedup; this is its
     near-dup big sibling.
 
-    Keep policy (deterministic): a document survives iff it is not
-    within ``threshold`` Jaccard of any kept document with a smaller
-    id — processing batches in arrival order and ids within a batch
-    ascending. Batch-sequential equivalence is pinned by pytest: the
-    streamed (table, index) equals applying the same policy batch by
-    batch with the batch-mode operators.
+    Keep policy (deterministic, stated precisely — review r8): within
+    a batch, near-dup CLUSTERS (transitive closure of ≥ threshold
+    pairs) resolve to their smallest id; across batches, a document
+    is dropped iff it is ≥ threshold Jaccard of some ALREADY-KEPT
+    document. The two granularities differ by design — transitive
+    in-batch, direct-pair cross-batch — so where a cluster straddles
+    a batch boundary the outcome depends on the batching, as it does
+    in ANY streaming dedup (a kept doc is never retroactively
+    evicted). What IS pinned by pytest is batch-sequential
+    equivalence: the streamed (table, index) equals applying exactly
+    this policy batch by batch with the batch-mode operators. Same-id
+    rows within one batch resolve deterministically to the MINIMUM
+    text (dropDuplicates would keep a partition-order-dependent row
+    and break replay convergence).
 
-    Replay safety: survivors MERGE idempotently by id; the index
-    append is anti-joined against the already-indexed ids, so a
-    redelivered batch's rows vanish instead of double-banding. A
-    crashed index append (marker down — append_minhash_index is
-    marker-first) self-heals on the next trigger by REBUILDING the
-    index from the corpus table, exactly the stream_text_index_append
-    posture.
+    Replay safety: a redelivered UNCHANGED doc is ≥ threshold of its
+    own indexed copy, so the probe drops it — no id bookkeeping
+    needed — and survivors MERGE idempotently. A redelivered id with
+    CHANGED text that survives the probe is an UPDATE: the trigger
+    merges it and REBUILDS the index from the table (stale bands
+    under a valid marker would hide future duplicates of the new
+    text — the stream_text_index_append lesson; an update whose new
+    text still near-dups the kept corpus is dropped like any other
+    near-dup). A crashed index append (marker down —
+    append_minhash_index is marker-first) self-heals on the next
+    trigger by rebuilding from the table BEFORE probing.
     """
     import os as _os
 
@@ -508,7 +520,9 @@ def stream_neardup_ingest(
 
     def _drop_in_batch_dupes(batch: DataFrame) -> DataFrame:
         """Keep the min-id representative of every in-batch near-dup
-        cluster (transitively, via connected components)."""
+        cluster — the dup_clusters(exact=False) policy inlined for
+        the empty-pairs short-circuit (equivalence to dup_clusters
+        is pinned by pytest so the two encodings cannot diverge)."""
         pairs = minhash_near_dupes(
             batch, threshold, id_col, text_col, **mh_kwargs
         ).select("id_a", "id_b")
@@ -524,7 +538,15 @@ def stream_neardup_ingest(
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
-        batch = micro_batch.dropDuplicates([id_col])
+        # deterministic same-id resolution: MIN text wins (review r8 —
+        # dropDuplicates keeps a partition-order-dependent row, so a
+        # replay could band a different text than it merged)
+        w = Window.partitionBy(id_col).orderBy(text_col)
+        batch = (
+            micro_batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         have_index = minhash_index_is_current(index_path, **mh_kwargs)
         if not have_index and _os.path.isdir(table_path):
             # crashed append (marker down) or lost index with a live
@@ -551,24 +573,40 @@ def stream_neardup_ingest(
                 .distinct()
             )
             batch = batch.join(dup_ids, id_col, "left_anti")
-        kept = _drop_in_batch_dupes(batch).persist()
+        # localCheckpoint, not persist (review r8): kept's lineage
+        # reads the pre-merge corpus files, which the MERGE's root
+        # swap deletes — a post-merge recomputation would crash on
+        # the vanished files. The checkpoint materializes kept's rows
+        # before anything mutates.
+        kept = _drop_in_batch_dupes(batch).localCheckpoint()
         try:
             if kept.limit(1).count() == 0:
                 return
-            upsert_by_key(sess, kept, table_path, key=id_col, order_col=id_col)
+            has_update = False
             if have_index:
-                indexed = sess.read.parquet(
-                    _os.path.join(index_path, "bands")
-                ).select(id_col).distinct()
-                fresh = kept.join(indexed, id_col, "left_anti")
-                if fresh.limit(1).count() > 0:
-                    append_minhash_index(
-                        sess, fresh, index_path, id_col, text_col, **mh_kwargs
-                    )
+                pre = sess.read.parquet(table_path).select(
+                    F.col(id_col), F.col(text_col).alias("__old_text")
+                )
+                has_update = (
+                    kept.join(pre, id_col)
+                    .filter(~F.col(text_col).eqNullSafe(F.col("__old_text")))
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            upsert_by_key(sess, kept, table_path, key=id_col, order_col=id_col)
+            if have_index and not has_update:
+                # survivors are all NEW ids (redelivered unchanged
+                # docs were dropped by the probe as self-near-dups, a
+                # changed doc routes through the rebuild below) —
+                # append directly, no per-trigger index rescan
+                append_minhash_index(
+                    sess, kept, index_path, id_col, text_col, **mh_kwargs
+                )
             else:
-                # first trigger, or a crashed append left the marker
-                # down — rebuild from the merged table (source of
-                # truth; wholesale overwrite clears partial debris)
+                # first trigger, or an update-carrying one — rebuild
+                # from the merged table (source of truth; wholesale
+                # overwrite clears stale/partial bands)
                 build_minhash_index(
                     sess,
                     sess.read.parquet(table_path),
@@ -578,7 +616,11 @@ def stream_neardup_ingest(
                     **mh_kwargs,
                 )
         finally:
-            kept.unpersist()
+            from etl_btc_spark.operators.dedup import (
+                _unpersist_local_checkpoint,
+            )
+
+            _unpersist_local_checkpoint(kept)
             release_scoped_caches()
 
     (

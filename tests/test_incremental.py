@@ -494,6 +494,16 @@ def test_stream_neardup_ingest_equals_sequential_batches(spark, tmp_path):
 
     mk(b1).write.mode("append").parquet(landing)
     INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
+    # the inline in-batch policy ≡ dup_clusters(exact=False) keep-min
+    # (review r8: two encodings of one policy must be pinned together)
+    cl = DD.dup_clusters(mk(b1), 0.8, exact=False)
+    losers = {
+        r["doc_id"]
+        for r in cl.filter(F.col("doc_id") != F.col("cluster_id")).collect()
+    }
+    DD.release_scoped_caches()
+    t1_ids = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    assert t1_ids == {i for i, _ in b1} - losers
     mk(b2).write.mode("append").parquet(landing)
     INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
 
@@ -557,3 +567,23 @@ def test_stream_neardup_ingest_equals_sequential_batches(spark, tmp_path):
         for r in spark.read.parquet(index + "/bands").select("doc_id").distinct().collect()
     }
     assert idx_ids3 == got3
+
+    # review r8 scenarios: (a) same id twice in one batch with two
+    # texts → the MIN text wins deterministically; (b) a kept id
+    # republished with substantially NEW text is an UPDATE — merged,
+    # and the index REBUILDS so the new text's bands replace the
+    # stale ones…
+    new22 = "entirely reworked narrative with novel uncommon vocabulary here"
+    b4 = [(500, "zz version-b text"), (500, "aa version-a text"), (22, new22)]
+    mk(b4).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
+    rows4 = {r["doc_id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    assert rows4[500] == "aa version-a text"
+    assert rows4[22] == new22
+    # …(c) proven end-to-end: a later doc duplicating 22's NEW text
+    # is caught (stale bands would have let it through)
+    b5 = [(600, new22), (601, base[35])]
+    mk(b5).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
+    final_ids = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    assert 600 not in final_ids and 601 in final_ids
