@@ -320,7 +320,11 @@ def _feature_schema(base: T.StructType) -> T.StructType:
 
 
 def _compute_features(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    # stable sort + value tie-break (review r8, mirrored in the
+    # streaming folds): unstable sort over shuffle-ordered input made
+    # tied timestamps fold in a run-dependent order
+    tie = [c for c in ("close", "high", "low") if c in pdf.columns]
+    pdf = pdf.sort_values(["ts"] + tie, kind="mergesort").reset_index(drop=True)
     x = pdf["close"].to_numpy(dtype=np.float64)
     pdf["close_kalman_filter"] = kalman_1d(x)
     pdf["close_savitzky_golay_filter"] = savgol(x)

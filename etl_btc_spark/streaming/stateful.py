@@ -20,6 +20,7 @@ matching the reference's own policy of never reprocessing the past
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,7 +74,14 @@ def stream_stateful_ses(
         # stream_stateful_signals / the tws variant.
         pdf = pd.concat(list(pdfs))
         if len(pdf):
-            pdf = pdf.sort_values(ts).reset_index(drop=True)
+            # stable sort + value tie-break (review r8): bare
+            # sort_values(ts) is an UNSTABLE quicksort over
+            # arbitrarily-ordered Arrow chunks, so tied timestamps
+            # fold in a run-dependent order — with the value as the
+            # tie key, equal-(ts,value) rows are interchangeable and
+            # the fold is deterministic (same policy in the batch
+            # kernel and the signals/tws variants)
+            pdf = pdf.sort_values([ts, price], kind="mergesort").reset_index(drop=True)
             out = []
             for x in pdf[price]:
                 level = float(x) if level is None else alpha * float(x) + (1.0 - alpha) * level
@@ -173,8 +181,6 @@ def _signals_step(st: dict, h: float, l: float, c: float, alpha: float, period: 
     operation, so a time-ordered stream reproduces the batch feature
     stack (reference ta_signals.py:6-69 semantics). Returns the output
     row values; mutates ``st`` in place."""
-    import numpy as np
-
     i = st["n"]
     a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
     # --- EMA family (seed s_0 = x_0, pandas ewm(adjust=False)) ---
@@ -323,7 +329,12 @@ def stream_stateful_signals(
             st = _signals_init()
         # concat-then-sort: a series' rows may span Arrow chunks within
         # one micro-batch; the fold must see them in event-time order
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts).reset_index(drop=True)
+        # stable + (close, high, low) tie-break — see stream_stateful_ses
+        pdf = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .sort_values([ts, "close", "high", "low"], kind="mergesort")
+            .reset_index(drop=True)
+        )
         rows = [
             _signals_step(st, float(h), float(l), float(c), alpha)
             for h, l, c in zip(pdf["high"], pdf["low"], pdf["close"])
@@ -358,28 +369,54 @@ def chunked_landing(df: DataFrame, landing_dir: str, ts: str = "ts", chunks: int
     """Split a batch table into ``chunks`` time-ordered landing files
     (oldest first), so an availableNow drain with maxFilesPerTrigger=1
     replays it as a realistic in-order micro-batch sequence."""
+    import os
+    import time
+
     # NTZ-safe numeric time axis for the percentile split
     tnum = F.unix_micros(F.col(ts).cast("timestamp"))
-    # review r7: a NULL ts fails every chunk predicate and the row
-    # lands in NO file — the replay silently sees fewer rows than the
-    # batch table. Refuse instead.
-    if df.filter(F.col(ts).isNull()).limit(1).count() > 0:
-        raise ValueError("chunked_landing: NULL %s rows cannot be chunked" % ts)
-    bounds = df.select(
-        F.percentile_approx(tnum, [i / chunks for i in range(1, chunks)], 10000).alias("b")
-    ).first()["b"]
-    if bounds is None:  # empty input -> no landing files, not a crash
-        return
-    lo = None
-    for i in range(chunks):
-        hi = bounds[i] if i < chunks - 1 else None
-        part = df
-        if lo is not None:
-            part = part.filter(tnum > F.lit(lo))
-        if hi is not None:
-            part = part.filter(tnum <= F.lit(hi))
-        part.coalesce(1).write.mode("append").parquet(landing_dir)
-        lo = hi
+    # review r7/r8: a ts that is NULL — or that CASTS to NULL (an
+    # unparseable string) — fails every chunk predicate and the row
+    # lands in NO file: the replay silently sees fewer rows than the
+    # batch table. Guard on the post-cast axis, which covers both.
+    df = df.persist()  # review r8: one materialization, not chunks+2 scans
+    try:
+        if df.filter(tnum.isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "chunked_landing: NULL/uncastable %s rows cannot be chunked" % ts
+            )
+        bounds = df.select(
+            F.percentile_approx(tnum, [i / chunks for i in range(1, chunks)], 10000).alias("b")
+        ).first()["b"]
+        if bounds is None:
+            # empty input: the no-crash contract must hold END-TO-END
+            # (review r8) — the caller's readStream needs an existing
+            # dir with a discoverable schema, so write the empty frame
+            df.coalesce(1).write.mode("append").parquet(landing_dir)
+            return
+        lo = None
+        for i in range(chunks):
+            hi = bounds[i] if i < chunks - 1 else None
+            part = df
+            if lo is not None:
+                part = part.filter(tnum > F.lit(lo))
+            if hi is not None:
+                part = part.filter(tnum <= F.lit(hi))
+            part.coalesce(1).write.mode("append").parquet(landing_dir)
+            # review r8: the in-order replay contract rides on file
+            # mtime, and back-to-back tiny writes can land inside one
+            # mtime-granularity tick — FileStreamSource then breaks
+            # the tie by arbitrary path order (random part UUIDs).
+            # Stamp each chunk's files with an explicitly increasing
+            # mtime so the ordering is never left to the filesystem.
+            stamp = time.time() + i - chunks
+            for name in os.listdir(landing_dir):
+                if name.endswith(".parquet"):
+                    p = os.path.join(landing_dir, name)
+                    if os.path.getmtime(p) > stamp:
+                        os.utime(p, (stamp, stamp))
+            lo = hi
+    finally:
+        df.unpersist(False)
 
 
 # ---------------------------------------------------------------------------
@@ -451,7 +488,9 @@ def stream_stateful_ses_tws(
         def handleInputRows(self, key, rows, timerValues):
             prev = self._level.get()
             level = None if prev is None else float(prev[0])
-            pdf = pd.concat(list(rows), ignore_index=True).sort_values(ts)
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                [ts, price], kind="mergesort"
+            )
             out = []
             for x in pdf[price]:
                 level = (

@@ -253,3 +253,35 @@ def test_wilder_rsi_flat_window_talib_parity():
     mixed = 50.0 + np.sin(np.arange(40))
     m = R.wilder_rsi(mixed, 14)[14:]
     assert ((m > 0) & (m < 100)).all()
+
+
+def test_compute_features_deterministic_under_tied_timestamps():
+    """Review r8: bare sort_values('ts') was an unstable quicksort,
+    so two rows sharing a timestamp folded in input-order — which is
+    shuffle-dependent. With the stable value tie-break, the feature
+    stack must be identical no matter how the input rows arrive."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_btc_spark.operators import recurrence as RC
+
+    rng = np.random.RandomState(3)
+    n = 60
+    ts = pd.date_range("2024-01-01", periods=n, freq="h").to_numpy()
+    ts[10] = ts[11]  # tied timestamps with different values
+    ts[30] = ts[31]
+    pdf = pd.DataFrame(
+        {
+            "series_id": 1,
+            "ts": ts,
+            "close": rng.rand(n) * 100,
+            "high": rng.rand(n) * 100 + 100,
+            "low": rng.rand(n) * 10,
+        }
+    )
+    a = RC._compute_features(pdf.copy())
+    b = RC._compute_features(pdf.iloc[::-1].reset_index(drop=True))
+    cols = [c for c in a.columns if c not in ("series_id",)]
+    pd.testing.assert_frame_equal(
+        a[cols].reset_index(drop=True), b[cols].reset_index(drop=True)
+    )
