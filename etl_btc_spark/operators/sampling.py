@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 
 from etl_btc_spark.operators.textops import ws_token_count
 
-#: hash-bucket modulus: md5-prefix-16-bit → 0..65535, reduced mod 1e4
+#: hash-bucket modulus: md5-prefix-32-bit → 0..4294967295, reduced
+#: mod 1e4 (32 bits, NOT 16 — review r8: 65536 mod 10000 would skew
+#: low buckets by 7/6, exactly the bias hash_bucket's docstring
+#: explains; 2^32 mod 10000 bias is ~1e-6)
 BUCKETS = 10_000
 
 
@@ -85,6 +88,11 @@ def stratified_sample(
 
 
 def stratified_sample_sql(rates: dict[str, int], stratum_col: str = "lang", id_col: str = "doc_id") -> str:
+    if not rates:
+        # mirror contract (review r8): stratified_sample({}) keeps
+        # nothing; a zero-WHEN CASE is a DuckDB parse error, so emit
+        # a valid always-false predicate instead
+        return "(1 = 0)"
     cases = " ".join(f"WHEN {stratum_col} = '{s}' THEN {r}" for s, r in sorted(rates.items()))
     return f"{hash_bucket_sql(id_col)} < (CASE {cases} ELSE 0 END)"
 
@@ -144,9 +152,15 @@ def token_packing(
         if n_shards is not None:
             shard = (F.col(id_col) % n_shards).cast("bigint")
         else:
-            # exact integer division (DIV), not floor(double) — ids above
-            # 2^53 would round in float space
-            shard = F.expr(f"CAST({id_col} DIV {docs_per_shard} AS BIGINT)")
+            # exact integer FLOOR division — DIV truncates toward
+            # zero, which disagrees with the oracle's // (floor) for
+            # negative ids (review r8); subtracting the nonnegative
+            # pmod first makes DIV exact floor with no float round
+            # trip (ids above 2^53 would round in double space)
+            shard = F.expr(
+                f"CAST(({id_col} - pmod({id_col}, {docs_per_shard}))"
+                f" DIV {docs_per_shard} AS BIGINT)"
+            )
     toks = ws_token_count(F.col(text_col))
     w = (
         Window.partitionBy("shard")
@@ -270,6 +284,11 @@ def domain_mix_rates(
     scan+filter. Integer-only math means the DuckDB oracle
     reproduces the rates bit-for-bit from the same counts — no
     float-boundary drift in the keep predicate."""
+    # argument check FIRST (review r8): after the aggregate, an
+    # invalid call paid a corpus scan before failing — and on an
+    # empty corpus the early return skipped validation entirely
+    if target is not None and weight_fn is not None:
+        raise ValueError("domain_mix_rates: pass target OR weight_fn, not both")
     counts = {
         r[stratum_col]: r["cnt"]
         for r in df.groupBy(stratum_col).agg(F.count("*").alias("cnt")).collect()
@@ -277,8 +296,6 @@ def domain_mix_rates(
     }
     if not counts:
         return {}
-    if target is not None and weight_fn is not None:
-        raise ValueError("domain_mix_rates: pass target OR weight_fn, not both")
     if target is None:
         target = {d: (weight_fn(d) if weight_fn else 1) for d in counts}
     weights = {d: w for d, w in target.items() if d in counts and w > 0}
@@ -389,6 +406,8 @@ def exact_n_sample(
     100 TB the window input can be pre-pruned with a bucket
     predicate (keep hash buckets well below n/|stratum| quantile)
     before ranking, making the sort input a sliver of the corpus."""
+    if "__rn" in df.columns:
+        raise ValueError("exact_n_sample: input must not carry a __rn column")
     okey = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(stratum_col).orderBy(okey, id_col)
     return (
@@ -435,6 +454,12 @@ def weighted_sample(
     ln() ULPs remain, same as every other ln-based oracle here.
     Ties break on id ascending.
     """
+    clash = {"es_key", "w_max"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "weighted_sample: input must not carry reserved columns %s"
+            % sorted(clash)
+        )
     u = (_md5_prefix32(F.col(id_col), salt) + F.lit(0.5)) / F.lit(4294967296.0)
     w = F.greatest(weight_col.cast("double"), F.lit(1e-6))
     wmax = df.agg(F.max(w).alias("w_max"))

@@ -64,18 +64,34 @@ def pair_cosine_udf():
 
     ensure_serializable()
 
-    @F.pandas_udf(T.DoubleType())
-    def _udf(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        a = np.array(va.tolist(), dtype=np.float64)
-        b = np.array(vb.tolist(), dtype=np.float64)
+    def _kernel(a_rows: list, b_rows: list) -> "np.ndarray":
+        a = np.array(a_rows, dtype=np.float64)
+        b = np.array(b_rows, dtype=np.float64)
         dots = np.einsum("ij,ij->i", a, b)
         denom = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(np.einsum("ij,ij->i", b, b))
         with np.errstate(divide="ignore", invalid="ignore"):
             c = dots / denom
         c[~np.isfinite(c)] = 0.0
-        return pd.Series(c)
+        return c
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        # NULL rows → 0.0, matching cosine()'s coalesce (review r8:
+        # np.array over a mix of None and lists raised on the whole
+        # batch, so one NULL vector killed the stage — parity with
+        # the expression form means degrading per-row instead)
+        null_mask = va.isna().to_numpy() | vb.isna().to_numpy()
+        if null_mask.any():
+            out = np.zeros(len(va), dtype=np.float64)
+            ok = ~null_mask
+            if ok.any():
+                out[ok] = _kernel(
+                    va[ok].tolist(), vb[ok].tolist()
+                )
+            return pd.Series(out)
+        return pd.Series(_kernel(va.tolist(), vb.tolist()))
 
     return _udf
 
@@ -253,26 +269,32 @@ def knn_lsh(
     """Approximate top-k: candidate = shares >=1 LSH band with the
     query; exact cosine re-rank on candidates only.
 
-    Scale shape: vectors are exploded to n_bands (band, sig) rows —
-    signatures materialized once by the vectorized UDF — and
-    hash-joined against the query's (tiny, broadcast) band table: a
-    sub-linear bucket probe instead of a full scan. At 100 TB the
-    banded table is the precomputed "index" (written once, bucketed
-    by signature — see :mod:`etl_btc_spark.operators.ann_index`).
+    Scale shape: vectors are exploded to n_bands (band, sig) rows
+    carrying IDS ONLY (review r8: carrying the embedding through the
+    ×n_bands explode and a groupBy-first duplicated every vector 8×
+    through two shuffles — the re-rank joins vectors back by id on
+    the deduped candidate set instead, the same posture
+    embedding_near_dupes_lsh documents and the persisted-index probes
+    use) and hash-joined against the query's (tiny, broadcast) band
+    table: a sub-linear bucket probe instead of a full scan. At
+    100 TB the banded table is the precomputed "index" (written once,
+    bucketed by signature — see
+    :mod:`etl_btc_spark.operators.ann_index`).
     """
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
-    v_banded = _banded(vectors, sig_udf, vec_col, [id_col, vec_col])
+    v_banded = _banded(vectors, sig_udf, vec_col, [id_col])
     q_banded = F.broadcast(
         _banded(query.select(F.col(vec_col).alias("__qvec")), sig_udf, "__qvec", ["__qvec"])
     )
     cands = (
         v_banded.join(q_banded, ["band", "sig"])
         .groupBy(id_col)
-        .agg(F.first(vec_col).alias(vec_col), F.first("__qvec").alias("__qvec"))
+        .agg(F.first("__qvec").alias("__qvec"))
     )
     sim = cosine(F.col(vec_col), F.col("__qvec"))
     return (
-        cands.select(id_col, sim.alias("cosine_sim"))
+        cands.join(vectors.select(id_col, vec_col), id_col)
+        .select(id_col, sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -296,6 +318,12 @@ def ivf_assign(
     Returns (assigned, centroids). At scale, ``assigned`` would be
     written partitioned by ``centroid_id`` so probes prune partitions.
     """
+    # NULL embeddings can't seed or be assigned (review r8): unfiltered,
+    # a NULL among the lowest ids became a degenerate all-sims-0
+    # centroid and NULL rows tie-broke into centroid 1, surfacing as
+    # sim-0.0 "neighbors" — the persisted-index family and every
+    # DuckDB oracle drop NULLs, so this in-memory variant must too
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     centroids = F.broadcast(
         vectors.orderBy(id_col)
         .limit(n_centroids)

@@ -1259,3 +1259,41 @@ def test_probe_guards_and_null_query_batches(spark, emb, tmp_path):
         )
     assert os.path.exists(os.path.join(hidx, "_BUILT"))
     assert HN.knn_hnsw_join(spark, hidx, small, q, k=5).count() == 5
+
+
+def test_pair_cosine_and_ivf_null_tolerance(spark):
+    """Review r8: (1) pair_cosine_udf degrades NULL rows to 0.0 like
+    the cosine() expression instead of killing the stage on the mixed
+    None/list batch; (2) the in-memory IVF drops NULL embeddings —
+    unfiltered, a NULL among the lowest ids became a degenerate
+    centroid and NULL rows surfaced as sim-0.0 'neighbors'."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "a": [[1.0, 0.0], None, [0.0, 1.0], [1.0, 1.0]],
+            "b": [[1.0, 0.0], [1.0, 0.0], None, [1.0, 1.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, a array<double>, b array<double>")
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.select("vec_id", SIM.pair_cosine_udf()(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert got[0] == 1.0 and got[3] == pytest.approx(1.0)
+    assert got[1] == 0.0 and got[2] == 0.0  # NULL → 0.0, no crash
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3, 4],
+                "embedding": [None, [1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]],
+            }
+        ),
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 1)
+    out = [r["vec_id"] for r in SIM.knn_ivf(emb, q, k=5, n_centroids=2, nprobe=2).collect()]
+    assert 0 not in out  # the NULL row is never a neighbor
+    assert out[0] == 1
