@@ -82,10 +82,9 @@ def bollinger(
     sell = close crosses UP through the upper band,
     both strict and false during warm-up (see module docstring).
     """
-    w = Window.partitionBy(series).orderBy(ts)
-    frame = w.rowsBetween(-(period - 1), 0)
-    mid = F.avg(close).over(frame)
-    sd = F.stddev_pop(close).over(frame)
+    w = series_window(series, ts)
+    mid = sma(close, period, w)
+    sd = F.stddev_pop(close).over(w.rowsBetween(-(period - 1), 0))
     upper = mid + ndev * sd
     lower = mid - ndev * sd
     c = F.col(close)
@@ -136,7 +135,11 @@ def gaussian_smooth(
         neighbor = F.lag(c, -off).over(w)  # lag(-k) == lead(k)
         num = num + F.coalesce(neighbor * F.lit(wt), F.lit(0.0))
         den = den + F.when(neighbor.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
-    return num / den
+    # try_divide (review r8): when a row and its whole kernel
+    # neighborhood are NULL, den is 0.0 and a bare division is a hard
+    # DIVIDE_BY_ZERO under ANSI mode (verified) — an all-NULL
+    # neighborhood has no defined smoothed value, so yield NULL
+    return F.try_divide(num, den)
 
 
 def tumbling_candles(

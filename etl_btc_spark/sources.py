@@ -49,6 +49,12 @@ def read_csv_docs(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.schema(DOC_LANDING_SCHEMA)
         .option("header", "true")
+        # enforceSchema=false (review r8): the default applies the
+        # declared schema POSITIONALLY and skips the header without
+        # validating it — a landing file with reordered columns would
+        # silently misparse (text into doc_id as NULLs). Validating
+        # the header against the schema fails loudly instead.
+        .option("enforceSchema", "false")
         # multiLine (review r7): write_csv RFC-quotes embedded
         # newlines; the default line-splitting reader would cut such a
         # field into two records. Cost: multiLine CSV files are not

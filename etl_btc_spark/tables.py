@@ -54,8 +54,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # matching DuckDB's ns→us parquet read, which is the oracle):
         #   * bigint — when spark.sql.legacy.parquet.nanosAsLong was set
         #     at session build (session.DEFAULT_CONF does): rebuild from
-        #     the raw int64 nanos; convert_timezone pins wall-clock UTC
-        #     regardless of the session timezone.
+        #     the raw int64 nanos via timezone-free NTZ interval
+        #     arithmetic (see the r8 note below).
         #   * timestamp_ntz — native nanos read (pyspark ≥ 4.1 reads
         #     TIMESTAMP(NANOS) directly, truncating to micros; the
         #     legacy conf is ignored when set after session start, so a
@@ -64,10 +64,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = spark.read.parquet(table_path(sf_dir, name))
         ts_kind = dict(raw.dtypes)["ts"]
         if ts_kind == "bigint":
+            # review r8: the previous convert_timezone(UTC, UTC,
+            # timestamp_micros(...)) did NOT pin UTC wall-clock — the
+            # implicit LTZ→NTZ cast inside convert_timezone uses the
+            # SESSION timezone, so a non-UTC foreign session shifted
+            # every events timestamp by its UTC offset (verified
+            # empirically). Pure interval arithmetic on an NTZ base is
+            # timezone-free by construction: NTZ-epoch + micros as an
+            # exact DECIMAL seconds interval.
             return raw.withColumn(
                 "ts",
-                F.convert_timezone(
-                    F.lit("UTC"), F.lit("UTC"), F.timestamp_micros(F.expr("ts DIV 1000"))
+                F.expr(
+                    "to_timestamp_ntz('1970-01-01 00:00:00') + make_interval("
+                    "0, 0, 0, 0, 0, 0, "
+                    "CAST(ts DIV 1000 AS DECIMAL(26,0)) / 1000000)"
                 ),
             )
         return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
@@ -99,8 +109,10 @@ def price_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SQL fragment producing the identical series for the DuckDB oracle.
+#: SQL fragment producing the identical series for the DuckDB oracle
+#: (interpolates N_SERIES — review r8: a hardcoded % 8 here could
+#: silently diverge from the python constant).
 PRICE_SERIES_SQL = (
-    "SELECT user_id % 8 AS series_id, ts, value AS close, "
+    f"SELECT user_id % {N_SERIES} AS series_id, ts, value AS close, "
     "value * 1.01 AS high, value * 0.99 AS low FROM events"
 )

@@ -689,3 +689,33 @@ def test_zorder_guards(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="non-NULL"):
         SK.write_zordered(part_null, str(tmp_path / "z3"), ["a", "b"])
+
+
+def test_events_load_timezone_independent(spark):
+    """Review r8 (verified bug): the bigint-nanos branch's old
+    convert_timezone(UTC, UTC, timestamp_micros(...)) shifted every
+    events timestamp by the SESSION timezone's UTC offset (the
+    implicit LTZ→NTZ cast uses the session zone). The NTZ interval
+    arithmetic is timezone-free: a New-York session must read the
+    identical wall-clock DuckDB reads."""
+    import duckdb
+
+    from etl_btc_spark.tables import load_table, table_path
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = [
+            (r["event_id"], r["ts"])
+            for r in load_table(ns, SF_SMOKE, "events")
+            .orderBy("event_id")
+            .limit(5)
+            .collect()
+        ]
+    finally:
+        ns.conf.set("spark.sql.session.timeZone", "UTC")
+    want = duckdb.sql(
+        f"SELECT event_id, ts FROM read_parquet('{table_path(SF_SMOKE, 'events')}') "
+        "ORDER BY event_id LIMIT 5"
+    ).fetchall()
+    assert got == [(i, t) for i, t in want]
