@@ -49,7 +49,9 @@ _FORMATS = {
     "ivf": "ivf-v2",
     "lsh": "lsh-v1",
     "hnsw": "hnsw-v1",
-    "text": "text-v2",
+    # v3 (r9): dl denormalized onto the posting rows — a v2 artifact
+    # (no dl column) must be refused, not probed
+    "text": "text-v3",
     # distinct family string (review r8): trigram postings are
     # structurally identical to token postings, but probing one as
     # the other silently returns false negatives — the marker is

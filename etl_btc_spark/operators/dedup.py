@@ -788,6 +788,17 @@ def build_minhash_index(
     import os
 
     banded = _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
+    # marker-first invalidation (ADVICE r8): a rebuild over a LIVE
+    # artifact (stream_neardup_ingest's update path) must refuse
+    # probes from the first mutating write — a crash mid-overwrite
+    # would otherwise leave partial bands under a surviving 'ok'
+    # marker, minhash_index_is_current would stay True, and the
+    # sink's self-heal branch would never fire.
+    for marker in ("_BUILT", "_SIGV"):
+        try:
+            os.remove(os.path.join(path, marker))
+        except FileNotFoundError:
+            pass
     banded.write.mode("overwrite").parquet(os.path.join(path, "bands"))
     with open(os.path.join(path, "_SIGV"), "w") as f:
         f.write(_minhash_sigv(n_hashes, n_bands, ngram))

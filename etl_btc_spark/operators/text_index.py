@@ -8,13 +8,21 @@ write time and probed thereafter, init_qdrant.py:232-267).
 Artifact layout at ``path``:
 
 - ``postings/`` — one row per (token, doc_id) with the term
-  frequency, hash-bucketed into a FIXED number of parquet files and
-  sorted by token within each file. Probes push ``token IN (...)``
-  to the scan, so row-group min/max stats skip everything outside
-  the query's tokens; bucketing bounds the file count independent of
-  vocabulary size (vocab-sized partitionBy dirs would be a
-  small-file catastrophe).
-- ``doclen/`` — (doc_id, dl) whitespace token lengths.
+  frequency AND the document's token length ``dl`` denormalized in
+  (one small int per row, r9 — so probes NEVER touch a corpus-sized
+  side table; see below), hash-bucketed into a FIXED number of
+  parquet files and sorted by token within each file. Probes push
+  ``token IN (...)`` to the scan, so row-group min/max stats skip
+  everything outside the query's tokens; bucketing bounds the file
+  count independent of vocabulary size (vocab-sized partitionBy dirs
+  would be a small-file catastrophe).
+- ``doclen/`` — (doc_id, dl) whitespace token lengths. NOT read by
+  any probe (r9: the probe-side ``tf.join(doclen)`` was a per-query
+  scan of a corpus-sized table — the exact corpus pass the index
+  exists to avoid; at sf0.01 AQE broadcast hid it, at 100 TB it
+  degrades to a full doclen scan per query). Kept as the
+  registered-ids set for the append's insert-only duplicate check
+  and the streaming sink's already-indexed anti-join.
 - ``stats/`` — ONE row: ``(n_docs, total_dl)``. EXACT integers, not
   a stored average: ``avgdl`` is derived at probe time as one double
   division, so the insert-only append can update the stats exactly
@@ -55,6 +63,29 @@ from etl_btc_spark.operators.textops import (
 _POSTING_BUCKETS = 32
 
 
+def _postings_of(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(token, id, tf, dl) rows for a document frame — the ONE
+    postings encoder build and append both use. ``dl`` is the
+    per-document window sum of tf, which equals ``ws_token_count``
+    exactly: both sides split the trimmed text on ``\\s+`` (the
+    normalize lowercases but never changes the token count), a
+    whitespace-only/empty doc produces ZERO postings rows (so its
+    dl never appears anywhere), and a NULL text explodes to nothing.
+    Denormalizing dl here (r9) is what lets every probe run from the
+    pruned postings scan alone — one small int per posting row buys
+    corpus-independent queries."""
+    from pyspark.sql import Window
+
+    toks = ws_tokens(normalize_text(F.col(text_col)))
+    words = df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = words.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+
+
 def build_text_index(
     spark: SparkSession,
     df: DataFrame,
@@ -66,11 +97,7 @@ def build_text_index(
     the corpus (the only token-level pass), one codegen scan for doc
     lengths, one vocab-level aggregate for the stats row."""
     _recover_stats_debris(path)
-    toks = ws_tokens(normalize_text(F.col(text_col)))
-    words = df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
-        F.col("token") != ""
-    )
-    tf = words.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    tf = _postings_of(df, id_col, text_col)
     # marker-first invalidation (same posture as the ANN families): a
     # rebuild over a live artifact must refuse probes from the first
     # mutating write until the new marker lands
@@ -180,11 +207,7 @@ def append_text_index(
                 "text append is insert-only (stale postings would "
                 "double-count terms); rebuild for update semantics"
             )
-    toks = ws_tokens(normalize_text(F.col(text_col)))
-    words = new_docs.select(F.col(id_col), F.explode(toks).alias("token")).filter(
-        F.col("token") != ""
-    )
-    tf = words.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    tf = _postings_of(new_docs, id_col, text_col)
     old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
     add = new_docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -239,10 +262,12 @@ def bm25_probe(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-n documents by BM25 from the persisted index — NO corpus
-    pass: ``token IN (...)`` pushes to the postings scan (row-group
-    stats skip non-matching token runs), document frequencies reduce
-    over those few rows, stats and dfreq broadcast, the doclen join
-    runs on the already-tiny matching set, and top-n is TakeOrdered.
+    pass AT ALL (r9): ``token IN (...)`` pushes to the postings scan
+    (row-group stats skip non-matching token runs), document
+    frequencies reduce over those few rows, ``dl`` rides ON the
+    posting rows (denormalized at build/append time — the former
+    doclen join scanned a corpus-sized table per query), the 1-row
+    stats and dfreq broadcast, and top-n is TakeOrdered.
     Scores/tie-breaks are IDENTICAL to textops.bm25_scores (the
     per-term contribution is literally the shared ``bm25_contrib``
     expression, and terms go through the same
@@ -255,10 +280,8 @@ def bm25_probe(
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = _read_stats(spark, path)
-    dl = spark.read.parquet(os.path.join(path, "doclen"))
     return (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(bm25_contrib(k1, b)) + F.lit(1e-9), 6).alias("bm25"))
@@ -290,8 +313,9 @@ def bm25_join(
     ``max_distinct_terms``, NOT by corpus size; same posture as the
     kNN joins' broadcast_max_queries) and pushed as a STATIC
     ``token IN (...)`` predicate so the postings scan stays pruned
-    even for a dynamic query batch. Matching postings then join the
-    broadcast (query, token) pairs, doc lengths, and the 1-row
+    even for a dynamic query batch. Matching postings (which carry
+    ``dl``, r9 — no doclen side table) then join the broadcast
+    (query, token) pairs and the 1-row
     stats; one (query, doc) aggregate and one rank window
     (WindowGroupLimit) per query finish it. Per-term document
     frequencies are CORPUS-wide (reduced from the pruned postings),
@@ -304,7 +328,14 @@ def bm25_join(
         queries.select(
             F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
         )
-        .withColumn("token", F.lower(F.col("token")))
+        # same canonical form as normalize_query_terms (ADVICE r8: a
+        # whitespace-padded term matched in bm25_probe but silently
+        # matched nothing here) — lower + strip; the strip uses Java's
+        # ASCII \s class, matching the doc-side tokenizer's split class
+        .withColumn(
+            "token",
+            F.lower(F.regexp_replace(F.col("token"), r"^\s+|\s+$", "")),
+        )
         .filter(F.col("token") != "")
         .distinct()
     )
@@ -321,11 +352,9 @@ def bm25_join(
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = _read_stats(spark, path)
-    dl = spark.read.parquet(os.path.join(path, "doclen"))
     scored = (
         tf.join(F.broadcast(qt), "token")
         .join(F.broadcast(dfreq), "token")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(bm25_contrib(k1, b)) + F.lit(1e-9), 6).alias("bm25"))
@@ -385,8 +414,10 @@ def build_trigram_index(
     of scanning 100 TB of text per query. Same layout/marker/crash
     posture as the inverted token index (trigram-bucketed files,
     trigram-sorted within, marker-first invalidation); the trigram
-    family reuses the ``text`` format marker under ``path`` since the
-    artifacts are structurally identical postings tables.
+    family registers its OWN ``trigram-v1`` marker — the artifacts
+    are structurally identical postings tables, which is exactly why
+    the marker must refuse cross-family probes (a token probe against
+    trigram postings would silently return false negatives).
     """
     _recover_stats_debris(path)
     norm = normalize_text(F.col(text_col))

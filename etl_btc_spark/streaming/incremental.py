@@ -399,7 +399,17 @@ def stream_text_index_append(
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
-        batch = micro_batch.dropDuplicates([id_col])
+        # deterministic same-id resolution (ADVICE r8): dropDuplicates
+        # keeps a partition-order-dependent row, so an at-least-once
+        # replay could index a different text variant than the first
+        # attempt and force a spurious full rebuild — MIN text wins,
+        # same policy as stream_neardup_ingest
+        w = Window.partitionBy(id_col).orderBy(text_col)
+        batch = (
+            micro_batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         # changed-text probe BEFORE the merge (the pre-merge table
         # still holds the old text): any overlapping id whose text
         # differs forces the rebuild path below

@@ -401,6 +401,11 @@ def chunked_landing(df: DataFrame, landing_dir: str, ts: str = "ts", chunks: int
                 part = part.filter(tnum > F.lit(lo))
             if hi is not None:
                 part = part.filter(tnum <= F.lit(hi))
+            before = (
+                set(os.listdir(landing_dir))
+                if os.path.isdir(landing_dir)
+                else set()
+            )
             part.coalesce(1).write.mode("append").parquet(landing_dir)
             # review r8: the in-order replay contract rides on file
             # mtime, and back-to-back tiny writes can land inside one
@@ -408,12 +413,15 @@ def chunked_landing(df: DataFrame, landing_dir: str, ts: str = "ts", chunks: int
             # the tie by arbitrary path order (random part UUIDs).
             # Stamp each chunk's files with an explicitly increasing
             # mtime so the ordering is never left to the filesystem.
+            # Only THIS write's files (ADVICE r8: an mtime-threshold
+            # sweep also rewound files landed by a previous
+            # chunked_landing call — the writes append — scrambling
+            # the cross-call replay order the stamping guarantees).
             stamp = time.time() + i - chunks
             for name in os.listdir(landing_dir):
-                if name.endswith(".parquet"):
+                if name.endswith(".parquet") and name not in before:
                     p = os.path.join(landing_dir, name)
-                    if os.path.getmtime(p) > stamp:
-                        os.utime(p, (stamp, stamp))
+                    os.utime(p, (stamp, stamp))
             lo = hi
     finally:
         df.unpersist(False)

@@ -106,6 +106,10 @@ def test_bm25_probe_plan_pruned_no_shuffle(spark, tmp_path):
     assert re.search(r"PushedFilters: \[.*In\(token", p), p
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange hashpartitioning" not in p, p
+    # r9: dl rides on the posting rows — NO scan of the corpus-sized
+    # doclen table may appear in any probe plan (at 100 TB that join
+    # was a full per-query corpus pass)
+    assert "doclen" not in p, p
 
 
 def test_text_index_probe_requires_built(spark, tmp_path):
