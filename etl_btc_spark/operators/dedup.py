@@ -787,6 +787,8 @@ def build_minhash_index(
     :func:`incremental_near_dupes`). Ids + 8-byte keys only."""
     import os
 
+    from etl_btc_spark.operators import tombstones as TS
+
     banded = _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
     # marker-first invalidation (ADVICE r8): a rebuild over a LIVE
     # artifact (stream_neardup_ingest's update path) must refuse
@@ -799,7 +801,14 @@ def build_minhash_index(
             os.remove(os.path.join(path, marker))
         except FileNotFoundError:
             pass
-    banded.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    # a rebuild re-derives the artifact from the source-of-truth
+    # table — any supersede history is obsolete, gen restarts at 0,
+    # and crashed-compaction debris is garbage
+    TS.clear_tombstones(path)
+    TS.clear_fold_debris(path)
+    TS.with_gen(banded, 0).write.mode("overwrite").parquet(
+        os.path.join(path, "bands")
+    )
     with open(os.path.join(path, "_SIGV"), "w") as f:
         f.write(_minhash_sigv(n_hashes, n_bands, ngram))
     with open(os.path.join(path, "_BUILT"), "w") as f:
@@ -812,8 +821,10 @@ def _minhash_sigv(n_hashes: int, n_bands: int, ngram: int) -> str:
     A probe signing its batch with a DIFFERENT family (base hash or
     params) than the artifact was built with silently loses recall —
     the md5p32 tag exists precisely because round 6 switched the base
-    hash from crc32 and every crc32-era artifact became garbage."""
-    return "md5p32:%d:%d:%d\n" % (n_hashes, n_bands, ngram)
+    hash from crc32 and every crc32-era artifact became garbage.
+    ``g1`` (r9): band rows now carry the tombstone mechanism's gen
+    column — a pre-r9 artifact (no gen) must be refused, not probed."""
+    return "md5p32:g1:%d:%d:%d\n" % (n_hashes, n_bands, ngram)
 
 
 def minhash_index_is_current(
@@ -853,6 +864,8 @@ def append_minhash_index(
     does automatically)."""
     import os
 
+    from etl_btc_spark.operators import tombstones as TS
+
     if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
         raise ValueError(
             "append_minhash_index: no current MinHash index at %r for "
@@ -866,7 +879,114 @@ def append_minhash_index(
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
-    banded.write.mode("append").parquet(os.path.join(path, "bands"))
+    # inserts stamp the CURRENT generation: rows appended after an
+    # upsert must outlive that upsert's tombstones
+    TS.with_gen(banded, TS.read_gen(path)).write.mode("append").parquet(
+        os.path.join(path, "bands")
+    )
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write("ok\n")
+    return path
+
+
+def upsert_minhash_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    stale_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    ngram: int = 3,
+) -> str:
+    """O(batch) UPDATE maintenance (r9, VERDICT r8 #1) via the shared
+    superseded-ids sidecar: tombstone the stale ids' band rows and
+    append the batch's new bands at a bumped generation — the
+    reference's per-id upsert semantics (init_qdrant.py:228-271) with
+    NO corpus pass (through r8 the only update path was a full
+    rebuild: one mutated doc per trigger re-banded the whole corpus).
+
+    ``stale_ids`` is the one-column frame of ids whose OLD rows must
+    die — the streaming sink passes exactly the changed ids it
+    already detected. ``None`` computes the overlap itself from an
+    id-only columnar scan of the band table (still no re-banding).
+    Probe equivalence to a rebuild over the updated corpus is pinned
+    by pytest; existing band files are never rewritten (byte-identity
+    pinned too). Crash posture: marker-first around gen-bump +
+    tombstone append + band append, so any crash leaves a
+    refused-probe state whose recovery is the standard rebuild."""
+    import os
+
+    from etl_btc_spark.operators import tombstones as TS
+
+    if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
+        raise ValueError(
+            "upsert_minhash_index: no current MinHash index at %r for "
+            "family %r — rebuild with build_minhash_index"
+            % (path, _minhash_sigv(n_hashes, n_bands, ngram).strip())
+        )
+    if stale_ids is None:
+        existing = (
+            spark.read.parquet(os.path.join(path, "bands"))
+            .select(id_col)
+            .distinct()
+        )
+        stale_ids = docs.select(id_col).join(existing, id_col, "semi")
+    banded = _minhash_banded(
+        docs, id_col, text_col, n_hashes, n_bands, ngram, do_spread=False
+    )
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    g = TS.bump_gen(path)
+    TS.append_tombstones(spark, stale_ids, path, id_col, dead_below=g)
+    TS.with_gen(banded, g).write.mode("append").parquet(
+        os.path.join(path, "bands")
+    )
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write("ok\n")
+    return path
+
+
+def compact_minhash_index(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    ngram: int = 3,
+) -> str:
+    """Fold the supersede sidecar in: rewrite ONLY live band rows at
+    gen 0, clear tombstones — probes stop paying the (tiny) sidecar
+    anti-filter and the artifact returns to its pristine shape. A
+    no-op when no tombstones exist. Publish is shadow-dir + rename
+    under the marker-down window (a crash leaves refused-probe;
+    recovery is the standard rebuild)."""
+    import os
+
+    from etl_btc_spark.operators import tombstones as TS
+
+    if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
+        raise ValueError(
+            "compact_minhash_index: no current MinHash index at %r" % path
+        )
+    if not TS.has_tombstones(path):
+        return path
+    TS.clear_fold_debris(path)
+    live = TS.live_rows(
+        spark, spark.read.parquet(os.path.join(path, "bands")), path, id_col
+    )
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    TS.with_gen(live.drop(TS.GEN_COL), 0).write.mode("overwrite").parquet(
+        os.path.join(path, ".bands_shadow")
+    )
+    TS.fold_swap(path, "bands", ".bands_shadow")
+    TS.clear_tombstones(path)
     with open(os.path.join(path, "_BUILT"), "w") as f:
         f.write("ok\n")
     return path
@@ -905,12 +1025,19 @@ def incremental_near_dupes(
             "family %r — rebuild with build_minhash_index"
             % (index_path, _minhash_sigv(n_hashes, n_bands, ngram).strip())
         )
+    from etl_btc_spark.operators import tombstones as TS
+
     batch_bands = _minhash_banded(
         batch, id_col, text_col, n_hashes, n_bands, ngram, do_spread=False
     ).select(F.col(id_col).alias("batch_id"), "bkey")
-    corpus_bands = spark.read.parquet(os.path.join(index_path, "bands")).select(
-        F.col(id_col).alias("corpus_id"), "bkey"
-    )
+    # superseded band rows (an upserted doc's OLD text) must not
+    # produce candidates — live_rows is identity when never upserted
+    corpus_bands = TS.live_rows(
+        spark,
+        spark.read.parquet(os.path.join(index_path, "bands")),
+        index_path,
+        id_col,
+    ).select(F.col(id_col).alias("corpus_id"), "bkey")
     cands = _scoped_persist(
         corpus_bands.join(F.broadcast(batch_bands), "bkey")
         .select("batch_id", "corpus_id")

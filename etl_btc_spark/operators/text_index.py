@@ -49,6 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_btc_spark.operators import tombstones as TS
 from etl_btc_spark.operators.ann_index import _is_built, _mark_built, _require_built
 from etl_btc_spark.operators.textops import (
     bm25_contrib,
@@ -105,14 +106,20 @@ def build_text_index(
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
+    # a rebuild re-derives from the source-of-truth corpus: any
+    # supersede history is obsolete, generations restart at 0, and
+    # crashed-compaction debris is garbage
+    TS.clear_tombstones(path)
+    TS.clear_fold_debris(path)
     (
-        tf.repartition(_POSTING_BUCKETS, F.col("token"))
+        TS.with_gen(tf, 0)
+        .repartition(_POSTING_BUCKETS, F.col("token"))
         .sortWithinPartitions("token", id_col)
         .write.mode("overwrite")
         .parquet(os.path.join(path, "postings"))
     )
-    doclen = df.select(
-        F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")
+    doclen = TS.with_gen(
+        df.select(F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")), 0
     )
     doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     stats = df.agg(
@@ -219,26 +226,32 @@ def append_text_index(
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
+    gen = TS.read_gen(path)  # inserts stamp the CURRENT generation
     (
-        tf.repartition(1, F.col("token"))  # append batches are small
+        TS.with_gen(tf, gen)
+        .repartition(1, F.col("token"))  # append batches are small
         .sortWithinPartitions("token", id_col)
         .write.mode("append")
         .parquet(os.path.join(path, "postings"))
     )
-    new_docs.select(
-        F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")
+    TS.with_gen(
+        new_docs.select(F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")),
+        gen,
     ).write.mode("append").parquet(doclen_path)
-    # exact-integer stats update — rewritten via a dot-prefixed shadow
-    # + atomic rename (the 1-row table must never be half-written)
+    _swap_stats(
+        spark, path, old["n_docs"] + add["n_docs"], old["total_dl"] + add["total_dl"]
+    )
+    _mark_built(path, "text")
+    return path
+
+
+def _swap_stats(spark: SparkSession, path: str, n_docs: int, total_dl: int) -> None:
+    """Exact-integer stats rewrite via a dot-prefixed shadow + atomic
+    rename (the 1-row table must never be half-written)."""
     import uuid
 
     merged = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "n_docs": [old["n_docs"] + add["n_docs"]],
-                "total_dl": [old["total_dl"] + add["total_dl"]],
-            }
-        ),
+        pd.DataFrame({"n_docs": [n_docs], "total_dl": [total_dl]}),
         "n_docs bigint, total_dl bigint",
     )
     shadow = os.path.join(path, ".stats_%s" % uuid.uuid4().hex[:8])
@@ -248,6 +261,134 @@ def append_text_index(
     os.rename(stats_dir, retired)
     os.rename(shadow, stats_dir)
     shutil.rmtree(retired, ignore_errors=True)
+
+
+def upsert_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """O(batch) UPDATE maintenance (r9, VERDICT r8 #1) via the shared
+    superseded-ids sidecar: ids in ``docs`` that are already indexed
+    get their stale postings TOMBSTONED (probes live-filter them out
+    — document frequencies, term frequencies and dl all come from
+    live rows only), and the whole batch's postings append at a
+    bumped generation. The stats row adjusts by exact integers:
+    ``n_docs`` grows only by the genuinely-new ids, ``total_dl`` by
+    (batch dl sum − superseded ids' old dl sum), so probe scores are
+    IDENTICAL to a from-scratch rebuild over the updated corpus
+    (pinned by pytest). Cost: tokenizes ONLY the batch; the single
+    corpus-shaped touch is one columnar scan of the doclen registry
+    to find the overlap and its old lengths — never a re-tokenize.
+
+    Where r8's only documented update path was a full rebuild (the
+    streaming sink paid one corpus pass per update-carrying trigger),
+    this leaves every pre-existing posting file byte-identical.
+    Marker-first: a crash anywhere leaves refused-probe; recovery is
+    the standard rebuild from the corpus table."""
+    from pyspark.sql import Window
+
+    _require_built(path, "text")
+    _recover_stats_debris(path)
+    doclen_path = os.path.join(path, "doclen")
+    batch_ids = docs.select(id_col)
+    # latest registered dl per overlapping id (doclen accumulates one
+    # row per generation; max-gen wins) — one scan of the tiny-row
+    # registry, aggregated to two driver scalars
+    dl_reg = spark.read.parquet(doclen_path).join(
+        F.broadcast(batch_ids), id_col, "semi"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col(TS.GEN_COL).desc())
+    old = (
+        dl_reg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("old_dl"),
+        )
+        .collect()[0]
+    )
+    cur = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    add = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(ws_token_count(F.col(text_col))), F.lit(0)).alias(
+            "total_dl"
+        ),
+    ).collect()[0]
+    tf = _postings_of(docs, id_col, text_col)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    g = TS.bump_gen(path)
+    stale = docs.select(id_col).join(
+        spark.read.parquet(doclen_path).select(id_col), id_col, "semi"
+    )
+    TS.append_tombstones(spark, stale, path, id_col, dead_below=g)
+    (
+        TS.with_gen(tf, g)
+        .repartition(1, F.col("token"))
+        .sortWithinPartitions("token", id_col)
+        .write.mode("append")
+        .parquet(os.path.join(path, "postings"))
+    )
+    TS.with_gen(
+        docs.select(F.col(id_col), ws_token_count(F.col(text_col)).alias("dl")), g
+    ).write.mode("append").parquet(doclen_path)
+    _swap_stats(
+        spark,
+        path,
+        cur["n_docs"] + add["n_docs"] - old["n_overlap"],
+        cur["total_dl"] + add["total_dl"] - old["old_dl"],
+    )
+    _mark_built(path, "text")
+    return path
+
+
+def compact_text_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> str:
+    """Fold the supersede sidecar in: rewrite only LIVE postings (and
+    the latest doclen row per id) at generation 0 with the build's
+    bucketed/sorted layout, clear tombstones. No-op without
+    tombstones. Stats are already exact (the upserts maintained them
+    integer-exactly), so they are untouched. Shadow-dir + rename
+    publish under the marker-down window."""
+    from pyspark.sql import Window
+
+    _require_built(path, "text")
+    if not TS.has_tombstones(path):
+        return path
+    TS.clear_fold_debris(path)
+    live = TS.live_rows(
+        spark, spark.read.parquet(os.path.join(path, "postings")), path, id_col
+    ).drop(TS.GEN_COL)
+    w = Window.partitionBy(id_col).orderBy(F.col(TS.GEN_COL).desc())
+    latest_dl = (
+        spark.read.parquet(os.path.join(path, "doclen"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "dl")
+    )
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    (
+        TS.with_gen(live, 0)
+        .repartition(_POSTING_BUCKETS, F.col("token"))
+        .sortWithinPartitions("token", id_col)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, ".postings_shadow"))
+    )
+    TS.with_gen(latest_dl, 0).write.mode("overwrite").parquet(
+        os.path.join(path, ".doclen_shadow")
+    )
+    TS.fold_swap(path, "postings", ".postings_shadow")
+    TS.fold_swap(path, "doclen", ".doclen_shadow")
+    TS.clear_tombstones(path)
     _mark_built(path, "text")
     return path
 
@@ -275,8 +416,15 @@ def bm25_probe(
     index probe ≡ direct computation."""
     _require_built(path, "text")
     terms = normalize_query_terms(query_terms)
-    tf = spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("token").isin(terms)
+    # live_rows BEFORE dfreq: superseded postings must count in
+    # neither the term nor the document frequencies
+    tf = TS.live_rows(
+        spark,
+        spark.read.parquet(os.path.join(path, "postings")).filter(
+            F.col("token").isin(terms)
+        ),
+        path,
+        id_col,
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = _read_stats(spark, path)
@@ -347,8 +495,13 @@ def bm25_join(
             % max_distinct_terms
         )
     terms = sorted(r["token"] for r in term_rows)
-    tf = spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("token").isin(terms)
+    tf = TS.live_rows(
+        spark,
+        spark.read.parquet(os.path.join(path, "postings")).filter(
+            F.col("token").isin(terms)
+        ),
+        path,
+        id_col,
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = _read_stats(spark, path)
@@ -376,9 +529,14 @@ def term_lookup(
     concordance primitive): (token, doc_id, tf) rows from a pruned
     scan of the artifact."""
     _require_built(path, "text")
-    return spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("token").isin(normalize_query_terms(terms))
-    )
+    return TS.live_rows(
+        spark,
+        spark.read.parquet(os.path.join(path, "postings")).filter(
+            F.col("token").isin(normalize_query_terms(terms))
+        ),
+        path,
+        id_col,
+    ).select("token", id_col, "tf")
 
 
 # ---------------------------------------------------------------------------

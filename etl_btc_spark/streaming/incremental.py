@@ -374,23 +374,26 @@ def stream_text_index_append(
     table's idempotent MERGE means the rebuild sees exactly the
     corpus the crashed trigger intended.
 
-    Updates (review r8): nothing ENFORCES the content-hash-id
-    immutability this sink assumes, and a redelivered id carrying
-    DIFFERENT text would update the table (batch wins the MERGE)
-    while the ids-only anti-join dropped it from indexing — stale
-    postings under a valid marker, silently wrong scores. So the
-    sink compares overlapping ids' text against the pre-merge table
-    first: any conflict routes the trigger through the full rebuild
-    (the documented update path for every insert-only index family),
-    keeping table and index consistent at the cost of one rebuild
-    per update-carrying trigger.
+    Updates (review r8, mechanism r9): nothing ENFORCES the
+    content-hash-id immutability this sink assumes, and a redelivered
+    id carrying DIFFERENT text would update the table (batch wins the
+    MERGE) while the ids-only anti-join dropped it from indexing —
+    stale postings under a valid marker, silently wrong scores. So
+    the sink compares overlapping ids' text against the pre-merge
+    table first; conflicting rows route through
+    :func:`operators.text_index.upsert_text_index`, which SUPERSEDES
+    the stale postings via the shared tombstone sidecar and appends
+    the new ones at a bumped generation — O(batch), where r8 rebuilt
+    the whole index per update-carrying trigger.
     """
     import os as _os
 
     from etl_btc_spark.operators.ann_index import _is_built as _idx_built
+    from etl_btc_spark.operators.dedup import _unpersist_local_checkpoint
     from etl_btc_spark.operators.text_index import (
         append_text_index,
         build_text_index,
+        upsert_text_index,
     )
 
     src = spark.readStream.schema(schema).parquet(landing_dir)
@@ -402,7 +405,7 @@ def stream_text_index_append(
         # deterministic same-id resolution (ADVICE r8): dropDuplicates
         # keeps a partition-order-dependent row, so an at-least-once
         # replay could index a different text variant than the first
-        # attempt and force a spurious full rebuild — MIN text wins,
+        # attempt and force a spurious supersede — MIN text wins,
         # same policy as stream_neardup_ingest
         w = Window.partitionBy(id_col).orderBy(text_col)
         batch = (
@@ -411,49 +414,67 @@ def stream_text_index_append(
             .drop("__rn")
         )
         # changed-text probe BEFORE the merge (the pre-merge table
-        # still holds the old text): any overlapping id whose text
-        # differs forces the rebuild path below
-        has_update = False
+        # still holds the old text); localCheckpoint for the same
+        # reason stream_neardup_ingest does — the lineage reads the
+        # pre-merge corpus files, which the MERGE's root swap deletes
+        changed = None
         if _idx_built(index_path, "text"):
             pre = sess.read.parquet(table_path).select(
                 F.col(id_col), F.col(text_col).alias("__old_text")
             )
-            has_update = (
+            changed = (
                 batch.join(pre, id_col)
                 .filter(~F.col(text_col).eqNullSafe(F.col("__old_text")))
-                .limit(1)
-                .count()
-                > 0
+                .drop("__old_text")
+                .localCheckpoint()
             )
-        upsert_by_key(sess, batch, table_path, key=id_col, order_col=id_col)
-        snapshot = sess.read.parquet(table_path)
-        if has_update or not _idx_built(index_path, "text"):
-            # first batch, a crashed append (marker down), or an
-            # update-carrying redelivery — rebuild from the merged
-            # table (source of truth)
-            build_text_index(
-                sess, snapshot, index_path, id_col=id_col, text_col=text_col
-            )
-            return
-        existing = sess.read.parquet(
-            _os.path.join(index_path, "doclen")
-        ).select(id_col)
-        fresh = batch.join(existing, id_col, "left_anti").persist()
         try:
-            if fresh.limit(1).count() == 0:
-                return  # pure redelivery — everything already indexed
-            append_text_index(
-                sess,
-                fresh,
-                index_path,
-                id_col=id_col,
-                text_col=text_col,
-                # the anti-join IS the freshness proof; skip the
-                # append's own duplicate probe (one less job)
-                verify_new=False,
-            )
+            upsert_by_key(sess, batch, table_path, key=id_col, order_col=id_col)
+            if not _idx_built(index_path, "text"):
+                # first batch or a crashed append/upsert (marker
+                # down) — rebuild from the merged table (source of
+                # truth; the build clears any sidecar debris)
+                build_text_index(
+                    sess,
+                    sess.read.parquet(table_path),
+                    index_path,
+                    id_col=id_col,
+                    text_col=text_col,
+                )
+                return
+            existing = sess.read.parquet(
+                _os.path.join(index_path, "doclen")
+            ).select(id_col)
+            fresh = batch.join(existing, id_col, "left_anti").persist()
+            try:
+                if changed is not None and changed.limit(1).count() > 0:
+                    # update-carrying trigger (r9): supersede stale
+                    # postings, append new+changed — O(batch)
+                    upsert_text_index(
+                        sess,
+                        fresh.unionByName(changed),
+                        index_path,
+                        id_col=id_col,
+                        text_col=text_col,
+                    )
+                    return
+                if fresh.limit(1).count() == 0:
+                    return  # pure redelivery — everything already indexed
+                append_text_index(
+                    sess,
+                    fresh,
+                    index_path,
+                    id_col=id_col,
+                    text_col=text_col,
+                    # the anti-join IS the freshness proof; skip the
+                    # append's own duplicate probe (one less job)
+                    verify_new=False,
+                )
+            finally:
+                fresh.unpersist()
         finally:
-            fresh.unpersist()
+            if changed is not None:
+                _unpersist_local_checkpoint(changed)
 
     (
         src.writeStream.foreachBatch(sink)
@@ -506,17 +527,22 @@ def stream_neardup_ingest(
     own indexed copy, so the probe drops it — no id bookkeeping
     needed — and survivors MERGE idempotently. A redelivered id with
     CHANGED text that survives the probe is an UPDATE: the trigger
-    merges it and REBUILDS the index from the table (stale bands
-    under a valid marker would hide future duplicates of the new
-    text — the stream_text_index_append lesson; an update whose new
-    text still near-dups the kept corpus is dropped like any other
-    near-dup). A crashed index append (marker down —
-    append_minhash_index is marker-first) self-heals on the next
-    trigger by rebuilding from the table BEFORE probing.
+    merges it and SUPERSEDES its stale band rows through the shared
+    tombstone sidecar (r9, ``upsert_minhash_index``) — O(batch +
+    sidecar), where r8 rebuilt the ENTIRE index per update-carrying
+    trigger (one mutated doc made every trigger a full corpus pass).
+    Stale bands can't hide future duplicates of the new text: probes
+    live-filter the sidecar, and the new bands are appended in the
+    same marker-down window. An update whose new text still near-dups
+    the kept corpus is dropped like any other near-dup. A crashed
+    index append/upsert (marker down — both are marker-first)
+    self-heals on the next trigger by rebuilding from the table
+    BEFORE probing.
     """
     import os as _os
 
     from etl_btc_spark.operators.dedup import (
+        _unpersist_local_checkpoint,
         append_minhash_index,
         build_minhash_index,
         connected_components,
@@ -524,6 +550,7 @@ def stream_neardup_ingest(
         minhash_index_is_current,
         minhash_near_dupes,
         release_scoped_caches,
+        upsert_minhash_index,
     )
 
     src = spark.readStream.schema(schema).parquet(landing_dir)
@@ -589,34 +616,28 @@ def stream_neardup_ingest(
         # the vanished files. The checkpoint materializes kept's rows
         # before anything mutates.
         kept = _drop_in_batch_dupes(batch).localCheckpoint()
+        changed = None
         try:
             if kept.limit(1).count() == 0:
                 return
-            has_update = False
             if have_index:
                 pre = sess.read.parquet(table_path).select(
                     F.col(id_col), F.col(text_col).alias("__old_text")
                 )
-                has_update = (
+                # materialized BEFORE the merge for the same reason
+                # kept checkpoints: the lineage reads the pre-merge
+                # corpus files, which the MERGE's root swap deletes
+                changed = (
                     kept.join(pre, id_col)
                     .filter(~F.col(text_col).eqNullSafe(F.col("__old_text")))
-                    .limit(1)
-                    .count()
-                    > 0
+                    .select(id_col)
+                    .localCheckpoint()
                 )
             upsert_by_key(sess, kept, table_path, key=id_col, order_col=id_col)
-            if have_index and not has_update:
-                # survivors are all NEW ids (redelivered unchanged
-                # docs were dropped by the probe as self-near-dups, a
-                # changed doc routes through the rebuild below) —
-                # append directly, no per-trigger index rescan
-                append_minhash_index(
-                    sess, kept, index_path, id_col, text_col, **mh_kwargs
-                )
-            else:
-                # first trigger, or an update-carrying one — rebuild
-                # from the merged table (source of truth; wholesale
-                # overwrite clears stale/partial bands)
+            if not have_index:
+                # first trigger (or post-crash self-heal handled
+                # above): build from the merged table, the source of
+                # truth
                 build_minhash_index(
                     sess,
                     sess.read.parquet(table_path),
@@ -625,12 +646,31 @@ def stream_neardup_ingest(
                     text_col,
                     **mh_kwargs,
                 )
+            elif changed is not None and changed.limit(1).count() > 0:
+                # update-carrying trigger (r9): supersede the changed
+                # ids' stale band rows via the tombstone sidecar and
+                # append the survivors' new bands — O(batch + sidecar)
+                # where r8 re-banded the whole corpus here
+                upsert_minhash_index(
+                    sess,
+                    kept,
+                    index_path,
+                    stale_ids=changed,
+                    id_col=id_col,
+                    text_col=text_col,
+                    **mh_kwargs,
+                )
+            else:
+                # survivors are all NEW ids (redelivered unchanged
+                # docs were dropped by the probe as self-near-dups) —
+                # append directly, no per-trigger index rescan
+                append_minhash_index(
+                    sess, kept, index_path, id_col, text_col, **mh_kwargs
+                )
         finally:
-            from etl_btc_spark.operators.dedup import (
-                _unpersist_local_checkpoint,
-            )
-
             _unpersist_local_checkpoint(kept)
+            if changed is not None:
+                _unpersist_local_checkpoint(changed)
             release_scoped_caches()
 
     (

@@ -571,8 +571,22 @@ def test_stream_neardup_ingest_equals_sequential_batches(spark, tmp_path):
     # review r8 scenarios: (a) same id twice in one batch with two
     # texts → the MIN text wins deterministically; (b) a kept id
     # republished with substantially NEW text is an UPDATE — merged,
-    # and the index REBUILDS so the new text's bands replace the
-    # stale ones…
+    # and the index SUPERSEDES the stale bands through the tombstone
+    # sidecar (r9): O(batch), pinned below by byte-identity of every
+    # pre-existing band file (r8 rebuilt the whole index here)…
+    import hashlib
+
+    def _file_hashes(d):
+        out = {}
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    pre_files = _file_hashes(os.path.join(index, "bands"))
+    assert not os.path.isdir(os.path.join(index, "tombstones"))
     new22 = "entirely reworked narrative with novel uncommon vocabulary here"
     b4 = [(500, "zz version-b text"), (500, "aa version-a text"), (22, new22)]
     mk(b4).write.mode("append").parquet(landing)
@@ -580,6 +594,14 @@ def test_stream_neardup_ingest_equals_sequential_batches(spark, tmp_path):
     rows4 = {r["doc_id"]: r["text"] for r in spark.read.parquet(table).collect()}
     assert rows4[500] == "aa version-a text"
     assert rows4[22] == new22
+    # the update touched O(batch): every pre-existing band file is
+    # byte-identical, the new bands landed as NEW files, and the
+    # supersede went to the sidecar
+    post_files = _file_hashes(os.path.join(index, "bands"))
+    assert set(pre_files) <= set(post_files)
+    assert all(post_files[p] == h for p, h in pre_files.items())
+    assert len(post_files) > len(pre_files)
+    assert os.path.isdir(os.path.join(index, "tombstones"))
     # …(c) proven end-to-end: a later doc duplicating 22's NEW text
     # is caught (stale bands would have let it through)
     b5 = [(600, new22), (601, base[35])]
