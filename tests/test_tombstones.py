@@ -294,6 +294,135 @@ def test_text_upsert_crash_sweep(spark, tmp_path, monkeypatch, tx_state):
     assert crash_at >= 3, "sweep found too few crash points"
 
 
+def _mk_vecs(spark, ids, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(ids),
+                "embedding": [
+                    [float(x) for x in rng.randn(16).astype("float32")]
+                    for _ in ids
+                ],
+            }
+        )
+    )
+
+
+_LSH_KW = dict(dim=16, n_bands=4, bits_per_band=4)
+
+
+def test_lsh_upsert_equals_rebuild(spark, tmp_path):
+    """Upserted LSH index answers EXACTLY like a rebuild over the
+    updated corpus (hyperplanes are deterministic in _GEOM), with
+    every pre-existing band file byte-identical; compaction folds."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    base = _mk_vecs(spark, range(100), seed=7)
+    # vectors 0-4 get entirely NEW embeddings; 200-204 are fresh
+    moved = _mk_vecs(spark, list(range(5)) + list(range(200, 205)), seed=99)
+    updated = base.filter(F.col("vec_id") >= 5).unionByName(moved)
+
+    path = str(tmp_path / "lsh")
+    ANN.build_lsh_index(spark, base, path, **_LSH_KW)
+    pre_files = _file_hashes(os.path.join(path, "bands"))
+    ANN.upsert_lsh_index(spark, moved, path)
+    post_files = _file_hashes(os.path.join(path, "bands"))
+    assert all(post_files[p] == h for p, h in pre_files.items())
+    assert len(post_files) > len(pre_files)
+    assert TS.has_tombstones(path) and TS.read_gen(path) == 1
+
+    rebuilt = str(tmp_path / "lsh_rebuilt")
+    ANN.build_lsh_index(spark, updated, rebuilt, **_LSH_KW)
+
+    def probe(p, q):
+        out = [
+            tuple(r)
+            for r in ANN.knn_lsh_indexed(
+                spark, p, updated, q, k=10, **_LSH_KW
+            ).collect()
+        ]
+        ANN.release_scoped_broadcasts()
+        return out
+
+    queries = [_mk_vecs(spark, [9000 + i], seed=40 + i) for i in range(4)]
+    for q in queries:
+        assert probe(path, q) == probe(rebuilt, q)
+    # the batched join agrees too
+    qb = _mk_vecs(spark, [9100, 9101, 9102], seed=55)
+    ja = sorted(
+        tuple(r) for r in ANN.knn_lsh_join(spark, path, updated, qb, k=5, **_LSH_KW).collect()
+    )
+    jb = sorted(
+        tuple(r) for r in ANN.knn_lsh_join(spark, rebuilt, updated, qb, k=5, **_LSH_KW).collect()
+    )
+    assert ja == jb
+
+    ANN.compact_lsh_index(spark, path)
+    assert not TS.has_tombstones(path) and TS.read_gen(path) == 0
+    for q in queries:
+        assert probe(path, q) == probe(rebuilt, q)
+    # live band rows after the fold: exactly one signature set per id
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    per_id = bands.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_id] == [_LSH_KW["n_bands"]]
+
+
+def test_ivf_upsert_equals_frozen_centroid_rebuild(spark, tmp_path):
+    """Upserted IVF index ≡ a frozen-centroid re-assignment over the
+    updated corpus (the centroids never move on the upsert path, so
+    the comparison target is build_ivf_index warm-started from the
+    SAME centroids)."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    base = _mk_vecs(spark, range(120), seed=3)
+    moved = _mk_vecs(spark, list(range(3)) + list(range(300, 305)), seed=77)
+    updated = base.filter(F.col("vec_id") >= 3).unionByName(moved)
+
+    path = str(tmp_path / "ivf")
+    ANN.build_ivf_index(spark, base, path, n_centroids=4)
+    pre_files = _file_hashes(os.path.join(path, "assigned"))
+    ANN.upsert_ivf_index(spark, moved, path)
+    post_files = _file_hashes(os.path.join(path, "assigned"))
+    assert all(post_files[p] == h for p, h in pre_files.items())
+    assert TS.has_tombstones(path) and TS.read_gen(path) == 1
+
+    # frozen-centroid twin: rebuild the assignment table over the
+    # updated corpus with EXACTLY this index's centroid matrix
+    import numpy as np
+
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cmat = np.array([r["centroid_vec"] for r in cents], dtype=np.float64)
+    twin = str(tmp_path / "ivf_twin")
+    ANN._write_ivf_artifact(
+        spark, updated, twin, cmat, len(cents), "embedding", "vec_id", n_assign=2
+    )
+
+    def probe(p, q):
+        out = [
+            tuple(r)
+            for r in ANN.knn_ivf_indexed(
+                spark, p, updated, q, k=8, nprobe=2
+            ).collect()
+        ]
+        ANN.release_scoped_broadcasts()
+        return out
+
+    for i in range(4):
+        q = _mk_vecs(spark, [9500 + i], seed=60 + i)
+        assert probe(path, q) == probe(twin, q), i
+
+    ANN.compact_ivf_index(spark, path)
+    assert not TS.has_tombstones(path) and TS.read_gen(path) == 0
+    q = _mk_vecs(spark, [9600], seed=91)
+    assert probe(path, q) == probe(twin, q)
+
+
 def test_minhash_append_after_upsert_survives(spark, tmp_path, mh_state):
     """Rows appended AFTER an upsert stamp the current generation, so
     an earlier tombstone can never kill them."""
