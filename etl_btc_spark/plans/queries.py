@@ -4201,14 +4201,17 @@ def q99j(spark: SparkSession, sf: str) -> DataFrame:
     oracle=TX.bm25_oracle_sql(_Q99H_TERMS, n=20),
     headline=True,
     doc=(
-        "K4-for-text (r8): the same top-20 BM25 answer as q99h served "
-        "from the PERSISTED inverted index — build tokenizes the "
-        "corpus once into token-bucketed, token-sorted postings plus "
-        "doclen and a 1-row stats table; the probe is a pruned "
-        "postings scan (token IN (...) pushed to parquet, row-group "
-        "stats skip non-matching runs) with broadcast dfreq/stats and "
-        "a TakeOrdered top-n. Sharing q99h's oracle pins "
-        "index-probe ≡ direct-computation exactly"
+        "K4-for-text (r8; r9 layout): the same top-20 BM25 answer as "
+        "q99h served from the PERSISTED inverted index — build "
+        "tokenizes the corpus once into token-bucketed, token-sorted "
+        "positional postings with dl DENORMALIZED onto the rows (r9: "
+        "probes never touch a corpus-sized side table) plus a 1-row "
+        "exact-integer stats table; the probe is a pruned postings "
+        "scan (token IN (...) pushed to parquet, row-group stats skip "
+        "non-matching runs) with broadcast dfreq/stats and a "
+        "TakeOrdered top-n — zero Exchange, corpus-independent. "
+        "Sharing q99h's oracle pins index-probe ≡ direct-computation "
+        "exactly"
     ),
 )
 def q99k(spark: SparkSession, sf: str) -> DataFrame:
