@@ -136,6 +136,56 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     HN.refresh_hnsw_index(spark, emb, tmp, changed, stats_out=stats)
     builds["hnsw_refresh"] = round(time.time() - t0, 3)
     shutil.rmtree(tmp, ignore_errors=True)
+
+    # r9: UPDATE maintenance via the tombstone sidecar — the
+    # steady-state price of a mutated batch, tracked next to the
+    # appends (VERDICT r8 #1's O(batch) claim, measured). Clones
+    # again; the minhash index builds at a BENCH-PRIVATE path (q74
+    # owns artifact "minhash_index" and builds it over a corpus
+    # SLICE — reusing its path with a full-corpus build would poison
+    # its probe).
+    from etl_btc_spark.operators import dedup as DD
+
+    up_vecs = (
+        emb.orderBy("vec_id")
+        .limit(200)
+        .withColumn("embedding", F.transform(F.col("embedding"), lambda x: x + F.lit(0.25)))
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(SK.artifact_path(sf_dir, "lsh_index"), tmp)
+    t0 = time.time()
+    ANN.upsert_lsh_index(spark, up_vecs, tmp, stale_ids=up_vecs.select("vec_id"))
+    builds["lsh_upsert"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(SK.artifact_path(sf_dir, "ivf_index"), tmp)
+    t0 = time.time()
+    ANN.upsert_ivf_index(spark, up_vecs, tmp, stale_ids=up_vecs.select("vec_id"))
+    builds["ivf_upsert"] = round(time.time() - t0, 3)
+
+    up_docs = (
+        docs.orderBy("doc_id")
+        .limit(200)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" updated variant")))
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(SK.artifact_path(sf_dir, "text_index"), tmp)
+    t0 = time.time()
+    TI.upsert_text_index(spark, up_docs, tmp)
+    builds["text_upsert"] = round(time.time() - t0, 3)
+
+    mh = SK.artifact_path(sf_dir, "bench_minhash_index")
+    t0 = time.time()
+    DD.build_minhash_index(spark, docs, mh)
+    builds["minhash_index"] = round(time.time() - t0, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(mh, tmp)
+    t0 = time.time()
+    DD.upsert_minhash_index(
+        spark, up_docs, tmp, stale_ids=up_docs.select("doc_id")
+    )
+    builds["minhash_upsert"] = round(time.time() - t0, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
     # break-even context (VERDICT r6 #5): whether the refresh ran
     # incrementally or fell back to a rebuild, and why — kept OUT of
     # `builds` (review r7: that dict's contract is {name: seconds})
