@@ -645,6 +645,28 @@ def upsert_ivf_index(
     return path
 
 
+def delete_ivf_ids(
+    spark: SparkSession, ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> str:
+    """O(batch) DELETE via the shared tombstone sidecar (r9) — the
+    exact case the insert-only append refuses ('a stale id's rows
+    live under its old centroid, which can't be located without
+    scanning the index'): the rows stay put and die by tombstone;
+    probes live-filter, compaction reclaims. Marker-first."""
+    if not _is_built(path, "ivf"):
+        raise ValueError("delete_ivf_ids: no built index at %r" % path)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    g = TS.bump_gen(path)
+    TS.append_tombstones(
+        spark, ids.select(id_col).distinct(), path, id_col, dead_below=g
+    )
+    _mark_built(path, "ivf")
+    return path
+
+
 def compact_ivf_index(spark: SparkSession, path: str, id_col: str = "vec_id") -> str:
     """Fold the supersede sidecar in: rewrite only live assignment
     rows at gen 0 in the partitioned layout, clear tombstones. No-op
@@ -1019,6 +1041,26 @@ def upsert_lsh_index(
     TS.append_tombstones(spark, stale_ids, path, id_col, dead_below=g)
     TS.with_gen(banded, g).write.mode("append").partitionBy("band").parquet(
         bands_path
+    )
+    _mark_built(path, "lsh")
+    return path
+
+
+def delete_lsh_ids(
+    spark: SparkSession, ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> str:
+    """O(batch) DELETE via the shared tombstone sidecar (r9): the
+    ids' band rows die in place under every signature partition they
+    live in — no need to locate them. Tombstone-only; marker-first."""
+    if not _is_built(path, "lsh"):
+        raise ValueError("delete_lsh_ids: no built index at %r" % path)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    g = TS.bump_gen(path)
+    TS.append_tombstones(
+        spark, ids.select(id_col).distinct(), path, id_col, dead_below=g
     )
     _mark_built(path, "lsh")
     return path

@@ -950,6 +950,41 @@ def upsert_minhash_index(
     return path
 
 
+def delete_minhash_ids(
+    spark,
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    ngram: int = 3,
+) -> str:
+    """O(batch) DELETE via the shared tombstone sidecar (r9): the
+    ids' band rows die in place — a forgotten document stops hiding
+    new near-duplicates of itself immediately; compaction drops the
+    bytes later. Tombstone-only (no stats in this family); absent or
+    already-deleted ids tombstone harmlessly. Marker-first."""
+    import os
+
+    from etl_btc_spark.operators import tombstones as TS
+
+    if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
+        raise ValueError(
+            "delete_minhash_ids: no current MinHash index at %r" % path
+        )
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    g = TS.bump_gen(path)
+    TS.append_tombstones(
+        spark, ids.select(id_col).distinct(), path, id_col, dead_below=g
+    )
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write("ok\n")
+    return path
+
+
 def compact_minhash_index(
     spark,
     path: str,

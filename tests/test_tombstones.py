@@ -438,3 +438,108 @@ def test_minhash_append_after_upsert_survives(spark, tmp_path, mh_state):
         _mk_docs(spark, [(904, "post upsert doc")]),
     )
     assert any(c == 200 for _, c, _ in got)
+
+
+def test_text_delete_matches_rebuild_without_ids(spark, tmp_path):
+    """DELETE (r9): tombstone-only removal — probes and the exact-
+    integer stats match a from-scratch rebuild WITHOUT the deleted
+    docs; double-delete is a no-op (no double-subtract); a deleted id
+    re-enters via upsert and stats stay exact; compaction drops the
+    dead registry rows so the fold can't resurrect refusals."""
+    from etl_btc_spark.operators import text_index as TI
+
+    corpus = _mk_docs(spark, _TXT_BASE)
+    path = str(tmp_path / "txd")
+    TI.build_text_index(spark, corpus, path)
+
+    victims = _mk_docs(spark, [(i, "x") for i in (2, 5, 9)]).select("doc_id")
+    TI.delete_text_ids(spark, victims, path)
+    remaining = _mk_docs(spark, [(i, t) for i, t in _TXT_BASE if i not in (2, 5, 9)])
+    rebuilt = str(tmp_path / "txd_reb")
+    TI.build_text_index(spark, remaining, rebuilt)
+    assert _tx_probe(spark, path) == _tx_probe(spark, rebuilt)
+    sa = spark.read.parquet(path + "/stats").collect()[0]
+    sb = spark.read.parquet(rebuilt + "/stats").collect()[0]
+    assert (sa["n_docs"], sa["total_dl"]) == (sb["n_docs"], sb["total_dl"])
+
+    # double-delete + deleting an absent id: both no-ops
+    TI.delete_text_ids(spark, victims, path)
+    TI.delete_text_ids(spark, _mk_docs(spark, [(999, "x")]).select("doc_id"), path)
+    sa2 = spark.read.parquet(path + "/stats").collect()[0]
+    assert (sa2["n_docs"], sa2["total_dl"]) == (sb["n_docs"], sb["total_dl"])
+
+    # re-add one deleted id with NEW text via upsert: counted as new
+    back = _mk_docs(spark, [(5, "probe filter join restored")])
+    TI.upsert_text_index(spark, back, path)
+    rebuilt2 = str(tmp_path / "txd_reb2")
+    TI.build_text_index(spark, remaining.unionByName(back), rebuilt2)
+    assert _tx_probe(spark, path) == _tx_probe(spark, rebuilt2)
+    sc = spark.read.parquet(path + "/stats").collect()[0]
+    sd = spark.read.parquet(rebuilt2 + "/stats").collect()[0]
+    assert (sc["n_docs"], sc["total_dl"]) == (sd["n_docs"], sd["total_dl"])
+
+    # compaction folds deletes physically: no dead postings, registry
+    # holds exactly the live ids, probes unchanged
+    TI.compact_text_index(spark, path)
+    assert not TS.has_tombstones(path)
+    assert _tx_probe(spark, path) == _tx_probe(spark, rebuilt2)
+    reg_ids = {
+        r["doc_id"] for r in spark.read.parquet(path + "/doclen").collect()
+    }
+    assert 2 not in reg_ids and 9 not in reg_ids and 5 in reg_ids
+
+
+def test_minhash_lsh_ivf_deletes(spark, tmp_path, mh_state):
+    """DELETE across the stats-free families: dead rows stop
+    producing candidates immediately; re-add works (append stamps the
+    current generation, at/after the delete's dead_below)."""
+    from etl_btc_spark.operators import ann_index as ANN
+
+    # minhash: delete doc 7, then a probe with 7's text finds nothing
+    path, _, updated, _ = mh_state
+    DD.delete_minhash_ids(spark, _mk_docs(spark, [(7, "x")]).select("doc_id"), path)
+    got = _mh_probe(spark, path, updated, _mk_docs(spark, [(903, dict(_BASE)[7])]))
+    assert not any(c == 7 for _, c, _ in got)
+    # re-add via append: visible again
+    DD.append_minhash_index(spark, _mk_docs(spark, [(7, dict(_BASE)[7])]), path)
+    got2 = _mh_probe(spark, path, updated, _mk_docs(spark, [(903, dict(_BASE)[7])]))
+    assert any(c == 7 for _, c, _ in got2)
+
+    # LSH + IVF: deleted vector never returned by any probe
+    base = _mk_vecs(spark, range(60), seed=31)
+    target = base.filter(F.col("vec_id") == 17)
+    qvec = target.select(
+        F.col("vec_id") + 9000, F.col("embedding")
+    ).toDF("vec_id", "embedding")
+
+    lp = str(tmp_path / "lshd")
+    ANN.build_lsh_index(spark, base, lp, **_LSH_KW)
+    pre = [
+        r["vec_id"]
+        for r in ANN.knn_lsh_indexed(spark, lp, base, qvec, k=5, **_LSH_KW).collect()
+    ]
+    ANN.release_scoped_broadcasts()
+    assert 17 in pre
+    ANN.delete_lsh_ids(spark, target.select("vec_id"), lp)
+    post = [
+        r["vec_id"]
+        for r in ANN.knn_lsh_indexed(spark, lp, base, qvec, k=5, **_LSH_KW).collect()
+    ]
+    ANN.release_scoped_broadcasts()
+    assert 17 not in post
+
+    ip = str(tmp_path / "ivfd")
+    ANN.build_ivf_index(spark, base, ip, n_centroids=4)
+    pre = [
+        r["vec_id"]
+        for r in ANN.knn_ivf_indexed(spark, ip, base, qvec, k=5, nprobe=4).collect()
+    ]
+    ANN.release_scoped_broadcasts()
+    assert 17 in pre
+    ANN.delete_ivf_ids(spark, target.select("vec_id"), ip)
+    post = [
+        r["vec_id"]
+        for r in ANN.knn_ivf_indexed(spark, ip, base, qvec, k=5, nprobe=4).collect()
+    ]
+    ANN.release_scoped_broadcasts()
+    assert 17 not in post
