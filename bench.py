@@ -1,11 +1,18 @@
 """Benchmark harness: times the registry's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line as the LAST
+line of stdout:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "builds": {name: sec, ...},
-     "calibration": {"range_sum_100m_sec": sec, "cpu": "...", ...},
-     "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+The FULL record — per-query min/median/max spread (``queries_var``),
+build/maintenance timings (``builds``), machine calibration — is
+written to ``.benchmarks/bench_full.json`` next to this file
+(VERDICT r9 #2: the r9 single line carried everything and outgrew the
+driver's tail capture, so the round record lost the headline number;
+the contract line must stay small and LAST, the detail goes to the
+sidecar file).
 
 ``calibration`` is a fixed-size CPU-bound reference job + CPU model:
 divide two rounds' query timings by their calibration timings before
@@ -280,20 +287,32 @@ def main() -> None:
                 queries_ctx[q.name] = "cc_rounds=%d" % LAST_CC_STATS["rounds"]
         release_scoped_caches()
         release_scoped_broadcasts()
-    out = {
+    compact = {
         "metric": "headline query wall-clock (noop sink), local[%s]"
         % os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "sf": sf,
+    }
+    full = {
+        **compact,
         "queries_var": queries_var,
         "builds": builds,
         "builds_ctx": builds_ctx,
         "queries_ctx": queries_ctx,
         "calibration": calibration,
-        "sf": sf,
     }
-    print(json.dumps(out))
+    side_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+    os.makedirs(side_dir, exist_ok=True)
+    with open(os.path.join(side_dir, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # the compact contract line is the LAST stdout line (flush stderr
+    # first so Spark shutdown chatter can't interleave after it)
+    sys.stderr.flush()
+    print(json.dumps(compact))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

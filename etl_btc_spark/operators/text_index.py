@@ -298,11 +298,18 @@ def upsert_text_index(
     streaming sink paid one corpus pass per update-carrying trigger),
     this leaves every pre-existing posting file byte-identical.
     Marker-first: a crash anywhere leaves refused-probe; recovery is
-    the standard rebuild from the corpus table."""
+    the standard rebuild from the corpus table.
+
+    Batch contract (ADVICE r9): ONE row per id, enforced — a repeated
+    id would double-count in the exact-integer stats while
+    ``_postings_of`` merges it into one document, and its two doclen
+    rows at the same generation would make later latest-per-id dl
+    resolution nondeterministic."""
     from pyspark.sql import Window
 
     _require_built(path, "text")
     _recover_stats_debris(path)
+    TS.require_unique_ids(docs, id_col, "upsert_text_index")
     doclen_path = os.path.join(path, "doclen")
     batch_ids = docs.select(id_col)
     # latest LIVE registered dl per overlapping id (doclen accumulates
@@ -579,8 +586,9 @@ def bm25_join(
         )
         # same canonical form as normalize_query_terms (ADVICE r8: a
         # whitespace-padded term matched in bm25_probe but silently
-        # matched nothing here) — lower + strip; the strip uses Java's
-        # ASCII \s class, matching the doc-side tokenizer's split class
+        # matched nothing here) — lower + ASCII-\s strip; since ADVICE
+        # r9 normalize_query_terms strips ASCII-only too, so the two
+        # entry points agree on every character
         .withColumn(
             "token",
             F.lower(F.regexp_replace(F.col("token"), r"^\s+|\s+$", "")),
@@ -849,8 +857,11 @@ def upsert_trigram_index(
     """O(batch) UPDATE maintenance via the shared tombstone sidecar
     (r9): already-indexed ids' gram rows die by supersede, the whole
     batch's grams append at a bumped generation, probes live-filter.
-    Marker-first; crash recovery is the standard rebuild."""
+    One row per id enforced (ADVICE r9 — repeated rows would all land
+    live and inflate the pigeonhole count). Marker-first; crash
+    recovery is the standard rebuild."""
     _require_built(path, "trigram")
+    TS.require_unique_ids(docs, id_col, "upsert_trigram_index")
     postings_path = os.path.join(path, "postings")
     stale = docs.select(id_col).join(
         spark.read.parquet(postings_path).select(id_col), id_col, "semi"

@@ -310,8 +310,27 @@ def normalize_query_terms(query_terms: list[str]) -> list[str]:
     query terms must lowercase identically or a mixed-case term
     silently matches nothing in one entry point while another entry
     point (which did lowercase) matches — contradictory results with
-    no error. Also strips/dedups/sorts and drops empties."""
-    return sorted({t.strip().lower() for t in query_terms if t and t.strip()})
+    no error. Also strips/dedups/sorts and drops empties.
+
+    The strip is ASCII-``\\s`` ONLY (ADVICE r9): the doc-side
+    tokenizer splits on Java's ASCII ``\\s`` class, and
+    ``bm25_join``'s Column-side mirror uses the same
+    ``regexp_replace(^\\s+|\\s+$)`` — python's default unicode
+    ``str.strip()`` would also eat NBSP etc. and make the same padded
+    term normalize differently across entry points. ASCII-strip is
+    the canonical form; all probe-literal helpers (this,
+    ``text_index.normalize_needle``, bm25_join's expression) agree on
+    it."""
+    import re as _re
+
+    out = set()
+    for t in query_terms:
+        if not t:
+            continue
+        t = _re.sub(r"^\s+|\s+$", "", t.lower(), flags=_re.ASCII)
+        if t:
+            out.add(t)
+    return sorted(out)
 
 
 def bm25_contrib(k1: float = 1.2, b: float = 0.75) -> Column:

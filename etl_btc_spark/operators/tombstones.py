@@ -8,9 +8,10 @@ under the wrong centroid (IVF), or hide future duplicates (MinHash).
 Through r8 the only documented update path was a FULL REBUILD — at
 100 TB one mutated document per trigger turns every streaming trigger
 into a full corpus pass (VERDICT r8 "What's wrong #1"). This module
-gives all four families O(batch + probe) updates instead, with the
-reference's own upsert semantics (the vector store upserts points by
-id, init_qdrant.py:228-271) done scale-safely:
+gives all four families O(batch + probe) updates instead — the
+upsert-by-id capability the reference's vector store exposes (which
+init_qdrant.py:228-271 defeats by minting a fresh uuid4 id per call,
+effectively insert-only) done scale-safely:
 
 - every index row carries a ``gen`` (long) column — the artifact
   generation that wrote it. Builds write gen 0; insert-only appends
@@ -94,6 +95,32 @@ def append_tombstones(
         .write.mode("append")
         .parquet(os.path.join(path, TOMB_DIR))
     )
+
+
+def require_unique_ids(df: DataFrame, id_col: str, caller: str) -> None:
+    """Upsert batches must carry ONE row per id (ADVICE r9): a batch
+    repeating an id lands two live row sets at the SAME generation —
+    the text family double-counts the repeated doc in its
+    exact-integer stats while ``_postings_of`` merges it into one
+    document, and latest-per-id resolution (row_number over gen desc)
+    becomes a nondeterministic tie. The streaming sinks dedup (min
+    text per id) before calling; this guard makes every public upsert
+    ENFORCE the contract instead of silently assuming it. One bounded
+    aggregate job over the batch."""
+    dup = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "%s: batch repeats %s values — upsert batches must carry "
+            "exactly one row per id (repeated rows would all land live at "
+            "the same generation and double-count); dedup the batch first, "
+            "e.g. min-text per id as the streaming sinks do" % (caller, id_col)
+        )
 
 
 def has_tombstones(path: str) -> bool:

@@ -393,6 +393,23 @@ def chunked_landing(df: DataFrame, landing_dir: str, ts: str = "ts", chunks: int
             # dir with a discoverable schema, so write the empty frame
             df.coalesce(1).write.mode("append").parquet(landing_dir)
             return
+        # ADVICE r9: the per-chunk stamps below start `chunks` seconds
+        # in the past, so two calls to the same landing dir less than
+        # ~chunks seconds apart could give the SECOND call's early
+        # chunks mtimes older than the first call's late chunks —
+        # scrambling exactly the cross-call replay order the stamping
+        # guarantees. Floor the whole ladder at (max mtime of
+        # pre-existing landing parquet) + 1 so stamps are monotone
+        # ACROSS calls, not just within one.
+        start = time.time() - chunks
+        if os.path.isdir(landing_dir):
+            prior = [
+                os.path.getmtime(os.path.join(landing_dir, n))
+                for n in os.listdir(landing_dir)
+                if n.endswith(".parquet")
+            ]
+            if prior:
+                start = max(start, max(prior) + 1.0)
         lo = None
         for i in range(chunks):
             hi = bounds[i] if i < chunks - 1 else None
@@ -417,7 +434,7 @@ def chunked_landing(df: DataFrame, landing_dir: str, ts: str = "ts", chunks: int
             # sweep also rewound files landed by a previous
             # chunked_landing call — the writes append — scrambling
             # the cross-call replay order the stamping guarantees).
-            stamp = time.time() + i - chunks
+            stamp = start + i
             for name in os.listdir(landing_dir):
                 if name.endswith(".parquet") and name not in before:
                     p = os.path.join(landing_dir, name)
