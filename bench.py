@@ -180,6 +180,11 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     t0 = time.time()
     TI.upsert_text_index(spark, up_docs, tmp)
     builds["text_upsert"] = round(time.time() - t0, 3)
+    # sidecar fold-in (r10): the periodic cost the auto-compaction
+    # policy pays when the tombstone debt crosses its threshold
+    t0 = time.time()
+    TI.compact_text_index(spark, tmp)
+    builds["text_compact"] = round(time.time() - t0, 3)
 
     mh = SK.artifact_path(sf_dir, "bench_minhash_index")
     t0 = time.time()
@@ -192,6 +197,9 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
         spark, up_docs, tmp, stale_ids=up_docs.select("doc_id")
     )
     builds["minhash_upsert"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    DD.compact_minhash_index(spark, tmp)
+    builds["minhash_compact"] = round(time.time() - t0, 3)
     shutil.rmtree(tmp, ignore_errors=True)
     # break-even context (VERDICT r6 #5): whether the refresh ran
     # incrementally or fell back to a rebuild, and why — kept OUT of
