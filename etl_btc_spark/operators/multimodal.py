@@ -368,6 +368,347 @@ def encode_bmp(pixels) -> bytes:
     return header + info + pix
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG, grayscale (r10, VERDICT r9 #7): huffman + DCT decode
+# and a matching encoder, stdlib/numpy only — the third real pixel
+# path next to BMP (r8) and PNG (r9). The reference stores no pixels
+# at all (its image handling is payload-only), so this is extension
+# polish; the q65-family fake-codec oracles are untouched.
+# ---------------------------------------------------------------------------
+
+#: JPEG zigzag scan order, generated (not transcribed) from the spec's
+#: anti-diagonal walk so the 64-entry constant cannot carry a typo
+_JPEG_ZZ = [
+    r * 8 + (s - r)
+    for s in range(15)
+    for r in (
+        range(max(0, s - 7), min(s, 7) + 1)
+        if s % 2
+        else reversed(range(max(0, s - 7), min(s, 7) + 1))
+    )
+]
+
+
+def _jpeg_dct_mat():
+    import numpy as np
+
+    k = np.arange(8, dtype=np.float64)
+    C = 0.5 * np.cos((2.0 * k[None, :] + 1.0) * k[:, None] * np.pi / 16.0)
+    C[0, :] *= 1.0 / np.sqrt(2.0)
+    return C  # F = C @ f @ C.T ;  f = C.T @ F @ C
+
+
+def _jpeg_build_huff(bits, vals):
+    """Canonical JPEG Huffman table: {(length, code): symbol}."""
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+#: simple VALID tables the encoder embeds via DHT (the decoder is
+#: table-driven from the stream, so Annex K's suggested tables are
+#: unnecessary): DC categories 0-11 all at 4 bits, the 162 AC
+#: (run, size) symbols all at 9 bits — canonical, Kraft-satisfying,
+#: and never the all-ones code
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0]
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, size: int) -> None:
+        if size == 0:
+            return
+        self.acc = (self.acc << size) | (val & ((1 << size) - 1))
+        self.n += size
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; a marker
+    (0xFF followed by non-zero) ends the segment."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.b):
+            raise ValueError("truncated JPEG entropy data")
+        byte = self.b[self.pos]
+        if byte == 0xFF:
+            nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("JPEG entropy data ended at a marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        ln, code = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def at_marker(self) -> tuple[int, int] | None:
+        """(marker, next_pos) if the next aligned bytes are a marker."""
+        if (
+            self.pos + 1 < len(self.b)
+            and self.b[self.pos] == 0xFF
+            and self.b[self.pos + 1] != 0x00
+        ):
+            return self.b[self.pos + 1], self.pos + 2
+        return None
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v - ((1 << size) - 1) if v < (1 << (size - 1)) else v
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """REAL pixel decode for baseline sequential GRAYSCALE JPEG (r10):
+    marker walk -> DQT/DHT/SOF0/SOS parse -> Huffman entropy decode
+    (tables come from the stream's own DHT segments, with DRI/RSTn
+    restart handling) -> dequantize -> dezigzag -> 2-D IDCT per 8x8
+    block -> level shift, clamp, crop. Returns (h, w, 3) uint8 RGB
+    (gray replicated), the shared contract of the BMP/PNG decoders so
+    one resize/encode kernel serves all three. Color (multi-component)
+    and progressive (SOF2) JPEGs raise — PIL territory, same posture
+    as palette/interlaced PNG."""
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    dims = None
+    comp_q = 0
+    restart = 0
+    sos = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = (b[pos + 2] << 8) | b[pos + 3]
+        seg = b[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.float64)
+                tbl[_JPEG_ZZ] = np.frombuffer(
+                    seg, dtype=np.uint8, count=64, offset=i + 1
+                )
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                if len(bits) < 16 or i + 17 + nv > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
+                vals = list(seg[i + 17 : i + 17 + nv])
+                (huff_ac if tc else huff_dc)[th] = _jpeg_build_huff(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h, w = (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4]
+            if seg[0] != 8 or seg[5] != 1:
+                raise ValueError("only 8-bit grayscale JPEG is hand-decoded")
+            if seg[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            comp_q = seg[8]
+            dims = (h, w)
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise ValueError("progressive/extended JPEG is not hand-decoded")
+        elif marker == 0xDD:  # DRI
+            restart = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:  # SOS
+            td, ta = seg[2] >> 4, seg[2] & 0xF
+            sos = (td, ta, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if dims is None or sos is None:
+        raise ValueError("truncated JPEG (missing SOF/SOS)")
+    td, ta, data_pos = sos
+    h, w = dims
+    q = qt[comp_q]
+    dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+    C = _jpeg_dct_mat()
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((by * 8, bx * 8), dtype=np.float64)
+    rd = _JpegBitReader(b, data_pos)
+    pred = 0
+    mcu = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart and mcu and mcu % restart == 0:
+                m = rd.at_marker()
+                if m is None or not (0xD0 <= m[0] <= 0xD7):
+                    raise ValueError("missing JPEG restart marker")
+                rd.pos, rd.acc, rd.n = m[1], 0, 0
+                pred = 0
+            coef = np.zeros(64, dtype=np.float64)
+            size = rd.huff(dc_tab)
+            diff = _jpeg_extend(rd.bits(size), size) if size else 0
+            pred += diff
+            coef[0] = pred
+            k = 1
+            while k < 64:
+                sym = rd.huff(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run overflow")
+                coef[k] = _jpeg_extend(rd.bits(size), size)
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_JPEG_ZZ] = coef
+            f = C.T @ (blk.reshape(8, 8) * q) @ C
+            out[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = f
+            mcu += 1
+    px = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    return np.repeat(px[:, :, None], 3, axis=2)
+
+
+def encode_jpeg(pixels, quant: int = 1) -> bytes:
+    """Inverse of :func:`decode_jpeg_pixels` for the resize roundtrip:
+    (h, w, 3) uint8 RGB -> BT.601 luma -> baseline grayscale JPEG
+    (SOF0, flat quantization at ``quant``, the module's own canonical
+    Huffman tables embedded via DHT). Fully deterministic — pure
+    integer/numpy arithmetic, no library codec — so resize output
+    hashes are stable across machines. ``quant=1`` keeps the DCT
+    roundtrip near-lossless (|error| <= ~2), which is what the
+    real-bytes pytest pins."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_jpeg: expected (h, w, 3) RGB")
+    gray = np.round(
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    ).astype(np.float64)
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(gray, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+    C = _jpeg_dct_mat()
+    dc_code = {s: (4, s) for s in _JPEG_DC_VALS}  # canonical: code == index
+    ac_code = {s: (9, i) for i, s in enumerate(_JPEG_AC_VALS)}
+    wtr = _JpegBitWriter()
+    pred = 0
+    for yb in range(by):
+        for xb in range(bx):
+            blk = padded[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] - 128.0
+            coef = np.round((C @ blk @ C.T) / float(quant)).astype(np.int64)
+            zz = coef.reshape(64)[_JPEG_ZZ]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size = int(diff).bit_length() if diff else 0
+            ln, code = dc_code[size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            nz = np.nonzero(zz[1:])[0]
+            k = 0
+            for idx in nz:
+                run = int(idx) - k
+                while run > 15:
+                    ln, code = ac_code[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                v = int(zz[1 + idx])
+                size = abs(v).bit_length()
+                ln, code = ac_code[(run << 4) | size]
+                wtr.write(code, ln)
+                wtr.write(v if v > 0 else v + (1 << size) - 1, size)
+                k = int(idx) + 1
+            if k < 63:
+                ln, code = ac_code[0x00]  # EOB
+                wtr.write(code, ln)
+    data = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zzq = bytes([quant] * 64)
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + zzq)
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        + seg(0xC4, dht)
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + data
+        + b"\xff\xd9"
+    )
+
+
 def resize_pixels_nn(pixels, width: int, height: int):
     """Nearest-neighbor resize as two numpy index gathers — the
     vectorized kernel the Arrow batch path calls per item. Uses the
@@ -397,20 +738,21 @@ def resize_media(
 ) -> DataFrame:
     """Resize-to-model-input over the opaque payload column.
 
-    ``codec="bmp"`` (r8) and ``codec="png"`` (r9) are REAL pixel
-    paths: decode the bytes (uncompressed 24-bit BMP, or 8-bit
-    gray/RGB/GA/RGBA PNG via stdlib zlib + de-filtering),
-    nearest-neighbor resize to (width, height) with the vectorized
-    numpy kernel, re-encode in the same format, and emit the resized
-    image's md5/length — two formats genuinely round-trip end-to-end
-    with no host image libraries. ``codec="fake"`` keeps the
-    deterministic truncation stand-in the q65 oracle checks (the
-    parquet fixtures carry text, not blobs); a PIL-backed codec slots
-    into the same per-item hook unchanged. Same mapInPandas batch
-    contract either way."""
+    ``codec="bmp"`` (r8), ``codec="png"`` (r9) and ``codec="jpeg"``
+    (r10) are REAL pixel paths: decode the bytes (uncompressed 24-bit
+    BMP; 8-bit gray/RGB/GA/RGBA PNG via stdlib zlib + de-filtering;
+    baseline grayscale JPEG via huffman + IDCT), nearest-neighbor
+    resize to (width, height) with the vectorized numpy kernel,
+    re-encode in the same format, and emit the resized image's
+    md5/length — three formats genuinely round-trip end-to-end with
+    no host image libraries. ``codec="fake"`` keeps the deterministic
+    truncation stand-in the q65 oracle checks (the parquet fixtures
+    carry text, not blobs); a PIL-backed codec slots into the same
+    per-item hook unchanged. Same mapInPandas batch contract either
+    way."""
     import hashlib
 
-    if codec not in ("fake", "bmp", "png"):
+    if codec not in ("fake", "bmp", "png", "jpeg"):
         raise ValueError(f"resize_media: unknown codec {codec!r}")
     ensure_serializable()
     budget = max(16, (width * height) // 256)
@@ -421,6 +763,11 @@ def resize_media(
             return hashlib.md5(out).hexdigest(), len(out)
         if codec == "png":
             out = encode_png(resize_pixels_nn(decode_png_pixels(p), width, height))
+            return hashlib.md5(out).hexdigest(), len(out)
+        if codec == "jpeg":
+            out = encode_jpeg(
+                resize_pixels_nn(decode_jpeg_pixels(p), width, height)
+            )
             return hashlib.md5(out).hexdigest(), len(out)
         s = bytes(p).decode("utf-8")[:budget]
         return hashlib.md5(s.encode("utf-8")).hexdigest(), len(s)

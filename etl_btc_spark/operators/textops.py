@@ -421,16 +421,24 @@ def bm25_scores(
 
 
 def bm25_oracle_sql(
-    query_terms: list[str], n: int = 20, k1: float = 1.2, b: float = 0.75
+    query_terms: list[str],
+    n: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
 ) -> str:
-    """DuckDB mirror of :func:`bm25_scores` over the documents view."""
+    """DuckDB mirror of :func:`bm25_scores` over the documents view.
+    ``corpus_sql`` substitutes a modified corpus (r10, the q99r index
+    lifecycle gate: upserted texts applied, deleted ids removed) —
+    stats, doc lengths and frequencies all derive from it, exactly as
+    the index's exact-integer stats must after upsert/delete."""
     terms = sql_str_list(normalize_query_terms(query_terms))
     dl = WS_TOKEN_COUNT_SQL.format(col="text")
     return f"""
-        WITH w AS (
+        WITH corpus AS ({corpus_sql}), w AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
-            FROM documents
+            FROM corpus
         ), tf AS (
             SELECT doc_id, token, count(*) AS tf FROM (
                 SELECT doc_id, unnest(t) AS token FROM w
@@ -439,9 +447,9 @@ def bm25_oracle_sql(
         ), dfreq AS (
             SELECT token, count(*) AS df FROM tf GROUP BY token
         ), stats AS (
-            SELECT count(*) AS n_docs, avg({dl}) AS avgdl FROM documents
+            SELECT count(*) AS n_docs, avg({dl}) AS avgdl FROM corpus
         ), dl AS (
-            SELECT doc_id, {dl} AS dl FROM documents
+            SELECT doc_id, {dl} AS dl FROM corpus
         )
         SELECT tf.doc_id,
                round(1e-9 + sum({bm25_contrib_sql(k1, b)}), 6) AS bm25

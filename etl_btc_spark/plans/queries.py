@@ -4613,3 +4613,129 @@ def q99q(spark: SparkSession, sf: str) -> DataFrame:
     idx = SK.artifact_path(sf, "text_index")
     TI.ensure_text_index(spark, docs, idx)
     return TI.phrase_probe(spark, idx, _Q99Q_PHRASE)
+
+
+_Q99R_REV = " lifecycle revision join join merge"
+_Q99R_CORPUS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id < 5 THEN text || '%s' ELSE text END AS text
+    FROM documents
+    WHERE doc_id < 10 OR doc_id >= 15
+""" % _Q99R_REV
+
+
+@register(
+    "q99r_text_index_lifecycle",
+    oracle=TX.bm25_oracle_sql(_Q99H_TERMS, n=20, corpus_sql=_Q99R_CORPUS_SQL),
+    doc=(
+        "FULL text-index lifecycle under the value gate (r10, VERDICT "
+        "r9 #6): build over the corpus, UPSERT revised text for ids "
+        "0-4 (supersede via the tombstone sidecar, exact-integer "
+        "stats adjust), DELETE ids 10-14 (tombstone-only, stats "
+        "subtract), probe through the live-filtered postings, COMPACT "
+        "the sidecar in, probe again — the query raises unless the "
+        "pre- and post-compaction probes are identical, and the "
+        "returned post-compaction answer must hash-match a DuckDB "
+        "BM25 computed directly over the MODIFIED corpus (revisions "
+        "applied, deletions removed: n_docs, avgdl, df, tf and dl all "
+        "shift). This puts upsert, delete, tombstone probing AND "
+        "fold-in under the driver's eye end-to-end, where r9 had "
+        "them pytest-only"
+    ),
+)
+def q99r(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "q99r_text_index")
+    # lifecycle queries mutate their artifact: rebuild fresh per run
+    # so the result is deterministic under the driver's repeats
+    shutil.rmtree(idx, ignore_errors=True)
+    TI.build_text_index(spark, docs, idx)
+    upd = docs.filter(F.col("doc_id") < 5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(_Q99R_REV))
+    )
+    TI.upsert_text_index(spark, upd, idx)
+    TI.delete_text_ids(
+        spark,
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+            "doc_id"
+        ),
+        idx,
+    )
+    pre = [tuple(r) for r in TI.bm25_probe(spark, idx, _Q99H_TERMS, n=20).collect()]
+    TI.compact_text_index(spark, idx)
+    post = TI.bm25_probe(spark, idx, _Q99H_TERMS, n=20)
+    if [tuple(r) for r in post.collect()] != pre:
+        raise ValueError(
+            "q99r: post-compaction probe diverged from the pre-compaction "
+            "(tombstone-filtered) probe — fold-in broke equivalence"
+        )
+    return post
+
+
+_Q99S_REV = " zz hash join zz"
+
+
+@register(
+    "q99s_trigram_lifecycle",
+    oracle=f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id < 5 THEN text || '{_Q99S_REV}' ELSE text END AS text
+            FROM documents
+            WHERE doc_id < 10 OR doc_id >= 15
+        )
+        WHERE contains(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '{_Q99M_NEEDLE}')
+        ORDER BY doc_id
+    """,
+    doc=(
+        "trigram-index lifecycle under the value gate (r10, VERDICT "
+        "r9 #6): build, UPSERT ids 0-4 with text that newly contains "
+        "the needle, DELETE ids 10-14, probe through live-filtered "
+        "gram postings, COMPACT, probe again (raises on pre/post "
+        "divergence). Oracle = full-scan LIKE over the modified "
+        "corpus, so the upserted docs MUST appear (their new grams "
+        "are live), deleted docs MUST NOT (their grams are "
+        "tombstoned), and the pigeonhole prefilter stays lossless "
+        "through the whole update history"
+    ),
+)
+def q99s(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "q99s_trigram_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    TI.build_trigram_index(spark, docs, idx)
+    upd = docs.filter(F.col("doc_id") < 5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(_Q99S_REV))
+    )
+    TI.upsert_trigram_index(spark, upd, idx)
+    TI.delete_trigram_ids(
+        spark,
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+            "doc_id"
+        ),
+        idx,
+    )
+    mod_docs = docs.filter(
+        (F.col("doc_id") < 10) | (F.col("doc_id") >= 15)
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 5, F.concat(F.col("text"), F.lit(_Q99S_REV))
+        ).otherwise(F.col("text")),
+    )
+    pre = [
+        tuple(r)
+        for r in TI.substring_search(spark, idx, mod_docs, _Q99M_NEEDLE).collect()
+    ]
+    TI.compact_trigram_index(spark, idx)
+    post = TI.substring_search(spark, idx, mod_docs, _Q99M_NEEDLE)
+    if [tuple(r) for r in post.collect()] != pre:
+        raise ValueError(
+            "q99s: post-compaction probe diverged from the pre-compaction "
+            "(tombstone-filtered) probe — fold-in broke equivalence"
+        )
+    return post
