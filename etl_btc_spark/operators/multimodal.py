@@ -709,6 +709,239 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# GIF (r10, the rest of VERDICT r9 #4): LZW decode/encode, stdlib/
+# numpy only — the fourth real pixel path. First frame, global or
+# local palette, interlace de-woven; animation frames beyond the
+# first are out of scope (the meta parser reports dims either way).
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes starting at
+    min_code+1 bits, clear/EOI codes, dictionary capped at 4096."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    table: list[list[int] | None] = []
+    code_size = min_code + 1
+    prev: list[int] | None = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        code_size = min_code + 1
+        prev = None
+
+    reset()
+    acc = n = 0
+    for byte in data:
+        acc |= byte << n
+        n += 8
+        while n >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            n -= code_size
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+                if entry is None:
+                    raise ValueError("corrupt GIF LZW stream")
+                out.extend(entry)
+                prev = entry
+                continue
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            table.append(prev + entry[:1])
+            prev = entry
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """Real dictionary LZW encoder, the exact bit-level inverse of
+    :func:`_gif_lzw_decode` (width growth mirrored; clear emitted when
+    the dictionary fills at 12 bits)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    buf = bytearray()
+    acc = n = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += size
+        while n >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    code_size = min_code + 1
+    d: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in d:
+            w = wk
+            continue
+        emit(d[w], code_size)
+        d[wk] = next_code
+        next_code += 1
+        # the decoder's table lags the encoder's by ONE entry (its
+        # first post-clear code defines nothing), so the width grows
+        # when next_code - 1 reaches 1 << code_size — the giflib
+        # pairing; at the 12-bit cap, clear and restart
+        if next_code > 4095:
+            emit(clear, code_size)
+            d = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code + 1
+        elif next_code - 1 >= (1 << code_size):
+            code_size += 1
+        w = (k,)
+    if w:
+        emit(d[w], code_size)
+    emit(eoi, code_size)
+    if n:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL pixel decode for GIF (r10): header + logical screen
+    descriptor, global/local color table, extension-block skip, LZW
+    decompress of the FIRST image, interlace de-weave, palette map.
+    Returns (h, w, 3) uint8 RGB — the shared decoder contract.
+    Multi-frame animations decode their first frame (the sampling
+    operator treats later frames as opaque, same as the meta parser);
+    a first frame smaller than the logical screen raises rather than
+    guessing a background composite."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _par = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        npal = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(
+            b, dtype=np.uint8, count=npal * 3, offset=pos
+        ).reshape(npal, 3)
+        pos += npal * 3
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError("corrupt GIF block stream")
+        if pos + 11 > len(b):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+        pos += 10
+        pal = global_pal
+        if iflags & 0x80:
+            npal = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                b, dtype=np.uint8, count=npal * 3, offset=pos
+            ).reshape(npal, 3)
+            pos += npal * 3
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("GIF first frame does not cover the screen")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(data), min_code)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            woven = np.zeros_like(arr)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, h, step)
+                for r in rows:
+                    woven[r] = arr[src]
+                    src += 1
+            arr = woven
+        if (arr >= len(pal)).any():
+            raise ValueError("GIF pixel index outside the color table")
+        return pal[arr]
+    raise ValueError("truncated GIF (no image descriptor)")
+
+
+def encode_gif(pixels) -> bytes:
+    """Inverse of :func:`decode_gif_pixels`: (h, w, 3) uint8 RGB with
+    at most 256 distinct colors → single-frame GIF87a (global palette
+    of the image's sorted unique colors, non-interlaced, real LZW).
+    Deterministic, so resize output hashes are stable. The ≤256-color
+    contract always holds for the resize roundtrip: nearest-neighbor
+    sampling only reuses source pixels, and any decoded GIF has ≤256
+    colors by construction."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_gif: expected (h, w, 3) RGB")
+    flat = arr.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    bits = max(1, int(len(pal) - 1).bit_length())  # palette size exponent
+    npal = 1 << bits
+    pal_bytes = pal.tobytes() + b"\x00" * ((npal - len(pal)) * 3)
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode(idx.reshape(-1), min_code)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + pal_bytes
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
 def resize_pixels_nn(pixels, width: int, height: int):
     """Nearest-neighbor resize as two numpy index gathers — the
     vectorized kernel the Arrow batch path calls per item. Uses the
@@ -738,21 +971,22 @@ def resize_media(
 ) -> DataFrame:
     """Resize-to-model-input over the opaque payload column.
 
-    ``codec="bmp"`` (r8), ``codec="png"`` (r9) and ``codec="jpeg"``
-    (r10) are REAL pixel paths: decode the bytes (uncompressed 24-bit
-    BMP; 8-bit gray/RGB/GA/RGBA PNG via stdlib zlib + de-filtering;
-    baseline grayscale JPEG via huffman + IDCT), nearest-neighbor
-    resize to (width, height) with the vectorized numpy kernel,
-    re-encode in the same format, and emit the resized image's
-    md5/length — three formats genuinely round-trip end-to-end with
-    no host image libraries. ``codec="fake"`` keeps the deterministic
+    ``codec="bmp"`` (r8), ``codec="png"`` (r9), ``codec="jpeg"`` and
+    ``codec="gif"`` (r10) are REAL pixel paths: decode the bytes
+    (uncompressed 24-bit BMP; 8-bit gray/RGB/GA/RGBA PNG via stdlib
+    zlib + de-filtering; baseline grayscale JPEG via huffman + IDCT;
+    GIF via LZW + palette map), nearest-neighbor resize to
+    (width, height) with the vectorized numpy kernel, re-encode in
+    the same format, and emit the resized image's md5/length — all
+    four header formats genuinely round-trip end-to-end with no host
+    image libraries. ``codec="fake"`` keeps the deterministic
     truncation stand-in the q65 oracle checks (the parquet fixtures
     carry text, not blobs); a PIL-backed codec slots into the same
     per-item hook unchanged. Same mapInPandas batch contract either
     way."""
     import hashlib
 
-    if codec not in ("fake", "bmp", "png", "jpeg"):
+    if codec not in ("fake", "bmp", "png", "jpeg", "gif"):
         raise ValueError(f"resize_media: unknown codec {codec!r}")
     ensure_serializable()
     budget = max(16, (width * height) // 256)
@@ -768,6 +1002,11 @@ def resize_media(
             out = encode_jpeg(
                 resize_pixels_nn(decode_jpeg_pixels(p), width, height)
             )
+            return hashlib.md5(out).hexdigest(), len(out)
+        if codec == "gif":
+            # nn-resize only reuses source pixels, so the <=256-color
+            # re-encode contract always holds for decoded GIFs
+            out = encode_gif(resize_pixels_nn(decode_gif_pixels(p), width, height))
             return hashlib.md5(out).hexdigest(), len(out)
         s = bytes(p).decode("utf-8")[:budget]
         return hashlib.md5(s.encode("utf-8")).hexdigest(), len(s)

@@ -432,3 +432,125 @@ def test_resize_media_jpeg_real_bytes(spark):
         )
         assert rows[did].resized_md5 == hashlib.md5(want).hexdigest()
         assert rows[did].resized_len == len(want)
+
+
+def test_gif_pixel_roundtrip_lzw_and_interlace():
+    """r10 (the rest of VERDICT r9 #4): real GIF pixel path. (1) LZW
+    encode->decode identity on long index streams that cross code-
+    width growth AND the 12-bit dictionary clear; (2) full-file
+    roundtrip across palette sizes; (3) a HAND-ASSEMBLED clear-per-
+    symbol stream (bits written manually, so the bit reader + palette
+    map are pinned independently of the module's encoder); (4) an
+    INTERLACED file de-weaves to the original rows; (5) refusals."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.RandomState(7)
+    for n, ncol in ((1, 2), (700, 4), (20000, 16), (5000, 256)):
+        idx = rng.randint(0, ncol, size=n).tolist()
+        mc = max(2, int(ncol - 1).bit_length())
+        assert MM._gif_lzw_decode(MM._gif_lzw_encode(idx, mc), mc) == idx
+
+    for shape, ncol in (((8, 8), 2), ((33, 17), 16), ((64, 64), 256), ((1, 1), 1)):
+        colors = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+        arr = colors[rng.randint(0, ncol, size=shape)]
+        assert np.array_equal(MM.decode_gif_pixels(MM.encode_gif(arr)), arr)
+
+    # hand-assembled 2x2 BW image: clear-per-symbol coding — stream
+    # [clear,0,clear,1,clear,1,clear,0,eoi] at a constant 3 bits,
+    # packed LSB-first by hand
+    bits = [b for c in (4, 0, 4, 1, 4, 1, 4, 0, 5) for b in ((c >> i) & 1 for i in range(3))]
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    hand = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+        + bytes([0, 0, 0, 255, 255, 255])
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2, len(by)])
+        + bytes(by)
+        + b"\x00\x3b"
+    )
+    want = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]], np.uint8
+    )
+    assert np.array_equal(MM.decode_gif_pixels(hand), want)
+
+    # interlaced: transmit rows in GIF pass order, set the interlace
+    # flag; the decoder must weave them back
+    h, w = 10, 4
+    colors = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    arr = colors[rng.randint(0, 8, size=(h, w))]
+    order = [
+        r
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, h, step)
+    ]
+    pal, idx2 = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+    idx2 = idx2.reshape(h, w)[order]
+    nbits = max(1, int(len(pal) - 1).bit_length())
+    npal, mc = 1 << nbits, max(2, nbits)
+    lzw = MM._gif_lzw_encode(idx2.reshape(-1), mc)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        ch = lzw[i : i + 255]
+        sub.append(len(ch))
+        sub += ch
+    sub.append(0)
+    gi = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (nbits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x00" * ((npal - len(pal)) * 3)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+        + bytes([mc])
+        + bytes(sub)
+        + b"\x3b"
+    )
+    assert np.array_equal(MM.decode_gif_pixels(gi), arr)
+
+    with _pytest.raises(ValueError):
+        MM.decode_gif_pixels(b"not a gif")
+    with _pytest.raises(ValueError):
+        MM.decode_gif_pixels(MM.encode_gif(want)[:20])  # truncated
+    bad = np.zeros((17, 17, 3), np.uint8)  # 289 distinct (r, g) pairs
+    bad[:, :, 0] = np.arange(17)[:, None]
+    bad[:, :, 1] = np.arange(17)[None, :]
+    with _pytest.raises(ValueError):
+        MM.encode_gif(bad)
+
+
+def test_resize_media_gif_real_bytes(spark):
+    """codec="gif" end-to-end over the Arrow batch path; hashes equal
+    a local recompute. q65 fake-codec contract untouched."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    colors = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    imgs = {
+        1: colors[rng.randint(0, 16, size=(12, 10))],
+        2: colors[rng.randint(0, 16, size=(9, 21))],
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(imgs), "payload": [MM.encode_gif(a) for a in imgs.values()]}
+        )
+    )
+    rows = {
+        r.doc_id: r
+        for r in MM.resize_media(df, width=8, height=6, codec="gif").collect()
+    }
+    for did, arr in imgs.items():
+        want = MM.encode_gif(MM.resize_pixels_nn(arr, 8, 6))
+        assert rows[did].resized_md5 == hashlib.md5(want).hexdigest()
+        assert rows[did].resized_len == len(want)

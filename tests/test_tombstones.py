@@ -543,3 +543,42 @@ def test_minhash_lsh_ivf_deletes(spark, tmp_path, mh_state):
     ]
     ANN.release_scoped_broadcasts()
     assert 17 not in post
+
+
+def test_upserts_refuse_duplicate_id_batches(spark, tmp_path):
+    """ADVICE r9: a batch repeating an id would land two live row
+    sets at the SAME generation (double-counted text stats,
+    nondeterministic latest-per-id dl) — every family upsert must
+    refuse it loudly instead of assuming the caller deduped."""
+    from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.operators import text_index as TI
+
+    corpus = _mk_docs(spark, _BASE)
+    dup_docs = _mk_docs(spark, [(5, "variant a"), (5, "variant b")])
+
+    mh = str(tmp_path / "mh")
+    DD.build_minhash_index(spark, corpus, mh)
+    with pytest.raises(ValueError, match="repeats doc_id"):
+        DD.upsert_minhash_index(spark, dup_docs, mh)
+
+    tx = str(tmp_path / "tx")
+    TI.build_text_index(spark, corpus, tx)
+    with pytest.raises(ValueError, match="repeats doc_id"):
+        TI.upsert_text_index(spark, dup_docs, tx)
+
+    tg = str(tmp_path / "tg")
+    TI.build_trigram_index(spark, corpus, tg)
+    with pytest.raises(ValueError, match="repeats doc_id"):
+        TI.upsert_trigram_index(spark, dup_docs, tg)
+
+    vecs = _mk_vecs(spark, range(40), seed=11)
+    dup_vecs = _mk_vecs(spark, [3, 3], seed=12)
+    lsh = str(tmp_path / "lsh")
+    ANN.build_lsh_index(spark, vecs, lsh, **_LSH_KW)
+    with pytest.raises(ValueError, match="repeats vec_id"):
+        ANN.upsert_lsh_index(spark, dup_vecs, lsh)
+
+    ivf = str(tmp_path / "ivf")
+    ANN.build_ivf_index(spark, vecs, ivf, n_centroids=4)
+    with pytest.raises(ValueError, match="repeats vec_id"):
+        ANN.upsert_ivf_index(spark, dup_vecs, ivf)
