@@ -279,9 +279,14 @@ def main() -> None:
         # machine drift from regression across rounds — record the
         # run-to-run distribution so the judge can read noise bands
         # from this file alone
+        med = (
+            samples[n // 2]
+            if n % 2
+            else (samples[n // 2 - 1] + samples[n // 2]) / 2.0
+        )
         queries_var[q.name] = {
             "min": round(samples[0], 3),
-            "median": round(samples[len(samples) // 2], 3),
+            "median": round(med, 3),
             "max": round(samples[-1], 3),
             "n": n,
         }

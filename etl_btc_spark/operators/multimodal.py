@@ -478,7 +478,13 @@ class _JpegBitReader:
         if self.n == 0:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        b = (self.acc >> self.n) & 1
+        # drop the consumed bit (review r10): without this mask the
+        # accumulator grows into a bignum holding every consumed bit,
+        # making entropy decode QUADRATIC in stream size (a 384px
+        # image took 71 s; masked, 0.6 s — identical output)
+        self.acc &= (1 << self.n) - 1
+        return b
 
     def bits(self, size: int) -> int:
         v = 0
@@ -586,8 +592,12 @@ def decode_jpeg_pixels(payload: bytes):
         raise ValueError("truncated JPEG (missing SOF/SOS)")
     td, ta, data_pos = sos
     h, w = dims
-    q = qt[comp_q]
-    dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+    q = qt.get(comp_q)
+    dc_tab, ac_tab = huff_dc.get(td), huff_ac.get(ta)
+    if q is None or dc_tab is None or ac_tab is None:
+        # refusal contract (review r10): every malformed-input path
+        # raises ValueError, never a bare KeyError
+        raise ValueError("JPEG references a missing quant/Huffman table")
     C = _jpeg_dct_mat()
     by, bx = (h + 7) // 8, (w + 7) // 8
     out = np.zeros((by * 8, bx * 8), dtype=np.float64)

@@ -38,6 +38,53 @@ from etl_btc_spark.sinks import append_rows, upsert_by_key
 #: the reference's warm-up depth (btc_usdt_etl_dag.py:31)
 DEFAULT_LOOKBACK = 299
 
+#: metadata file pinning a table's vpart hash modulus (review r10):
+#: vpart = pmod(xxhash64(id), n) is only partition-stable for a FIXED
+#: n — a stream restarted with a different n_table_parts would hash a
+#: redelivered id into a DIFFERENT partition, the pruned MERGE would
+#: never see the old row, and the table would silently hold two live
+#: rows per updated key (with the changed-id probe missing the stale
+#: one). Underscore-prefixed without '=', so Spark's file index and
+#: _table_exists both treat it as hidden metadata.
+_VPARTS_FILE = "_VPARTS"
+
+
+def _check_vparts(table_path: str, n: int) -> None:
+    """Refuse a sink start whose ``n_table_parts`` differs from the
+    modulus the table was created with. Runs BEFORE the merge — after
+    a mismatch merged, the duplicate keys would be silent."""
+    import os
+
+    marker = os.path.join(table_path, _VPARTS_FILE)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        have = int(f.read().strip())
+    if have != n:
+        raise ValueError(
+            "streaming sink: table at %r was created with n_table_parts=%d "
+            "but this stream was started with %d — vpart hashing is only "
+            "partition-stable for a fixed modulus, and merging under a "
+            "different one silently duplicates updated keys. Restart with "
+            "%d, or rewrite the table under the new modulus first."
+            % (table_path, have, n, have)
+        )
+
+
+def _stamp_vparts(table_path: str, n: int) -> None:
+    """Record the modulus after the first successful merge (atomic
+    tmp+replace; idempotent). Written AFTER the write because the
+    create-path ``mode("overwrite")`` would wipe a pre-written file."""
+    import os
+
+    marker = os.path.join(table_path, _VPARTS_FILE)
+    if os.path.exists(marker) or not os.path.isdir(table_path):
+        return
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("%d\n" % n)
+    os.replace(tmp, marker)
+
 
 def lookback_increment(
     spark: SparkSession,
@@ -175,6 +222,16 @@ def stream_ingest_dedup(
       (r10, the posture every streaming sink now shares), so the
       per-trigger MERGE is O(batch + touched partitions), never a
       whole-table rewrite. Readers just ``.drop("vpart")``.
+
+    Sizing ``n_table_parts`` (the one knob a deployment must set):
+    a batch of B distinct keys touches ≈ min(B, n) hash partitions,
+    each holding table/n bytes, so per-trigger I/O ≈ min(B, n) ×
+    table/n. Pick n well ABOVE the per-trigger distinct-key count
+    and so table/n lands at a few GB — e.g. a 100 TB corpus with
+    ~10⁴-doc hourly batches wants n in the tens of thousands, not
+    64 (the small default suits tests/small stores). The documented
+    upgrade path for finer-than-partition pruning is a Delta/Iceberg
+    MERGE (file-level rewrite), per the sinks module docstring.
     """
     src = spark.readStream.schema(schema).parquet(landing_dir)
     deduped = src.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([key_col])
@@ -183,6 +240,7 @@ def stream_ingest_dedup(
     def sink(micro_batch: DataFrame, epoch_id: int) -> None:
         if micro_batch.isEmpty():  # T4
             return
+        _check_vparts(table_path, n_table_parts)
         upsert_by_key(
             micro_batch.sparkSession,
             micro_batch.withColumn("vpart", part),
@@ -191,6 +249,7 @@ def stream_ingest_dedup(
             order_col=ts_col,
             partition_by="vpart",
         )
+        _stamp_vparts(table_path, n_table_parts)
 
     (
         deduped.writeStream.foreachBatch(sink)
@@ -282,7 +341,9 @@ def stream_hnsw_refresh(
        partitioned on ``pmod(xxhash64(id), n_table_parts)``, a pure
        function of the key (partition-stable, the K3 requirement), so
        the upsert reads/rewrites only the hash partitions the batch's
-       ids land in;
+       ids land in (sizing: per-trigger I/O ≈ min(batch_keys, n) ×
+       table/n — pick n above the per-trigger distinct-id count and
+       so table/n is a few GB);
     2. **HNSW shard refresh** driven by the batch's ids
        (:func:`operators.hnsw.refresh_hnsw_index`) — only the graph
        shards those ids hash into rebuild, against the post-MERGE
@@ -322,6 +383,7 @@ def stream_hnsw_refresh(
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
+        _check_vparts(table_path, n_table_parts)
         upsert_by_key(
             sess,
             micro_batch.withColumn("vpart", part),
@@ -331,6 +393,7 @@ def stream_hnsw_refresh(
             partition_by="vpart",
             ver_col=ver_col,
         )
+        _stamp_vparts(table_path, n_table_parts)
         snapshot = sess.read.parquet(table_path).drop("vpart")
         if _is_built(index_path, "hnsw"):
             # shard geometry is part of the existing artifact; refresh
@@ -417,7 +480,15 @@ def stream_text_index_append(
     via :func:`operators.text_index.compact_text_index` (≡ rebuild,
     pytest-pinned) — a long-running stream's sidecar debt stays
     bounded instead of growing one tiny file (plus one broadcast row
-    set per probe) per update trigger forever. Pass 0 to disable.
+    set per probe) per update trigger forever. The fold rewrites
+    live postings (O(index), amortized over the threshold's worth of
+    triggers); when trigger latency matters more than steadiness,
+    pass 0 and run ``compact_text_index`` from an out-of-band
+    maintenance job instead. Sizing ``n_table_parts``: per-trigger
+    table I/O ≈ min(batch_keys, n) × table/n — pick n well above the
+    per-trigger distinct-id count and so table/n is a few GB (64
+    suits tests/small stores; a 100 TB corpus wants tens of
+    thousands).
     """
     import os as _os
 
@@ -450,18 +521,21 @@ def stream_text_index_append(
             .drop("__rn")
             .withColumn("vpart", part)
         )
-        # the batch's touched hash partitions: bounded by
-        # n_table_parts, never by batch rows — drives BOTH the pruned
-        # changed-text probe and the pruned MERGE
-        touched = [r[0] for r in batch.select("vpart").distinct().collect()]
+        _check_vparts(table_path, n_table_parts)
         # changed-text probe BEFORE the merge (the pre-merge table
         # still holds the old text); localCheckpoint for the same
         # reason stream_neardup_ingest does — the lineage reads the
         # pre-merge corpus files, which the MERGE's partition swap
-        # retires. The probe scan prunes to the batch's vpart dirs
-        # (r10 — the r9 full-table two-column scan per trigger).
+        # retires. The probe scan prunes to the batch's touched vpart
+        # dirs (r10 — the r9 full-table two-column scan per trigger);
+        # the touched collect (bounded by n_table_parts) is scoped to
+        # this branch, the only consumer (review r10 — the merge runs
+        # its own distinct internally).
         changed = None
         if _idx_built(index_path, "text"):
+            touched = [
+                r[0] for r in batch.select("vpart").distinct().collect()
+            ]
             pre = (
                 sess.read.parquet(table_path)
                 .filter(F.col("vpart").isin(touched))
@@ -483,6 +557,7 @@ def stream_text_index_append(
                 order_col=id_col,
                 partition_by="vpart",
             )
+            _stamp_vparts(table_path, n_table_parts)
             batch = batch.drop("vpart")
             if not _idx_built(index_path, "text"):
                 # first batch or a crashed append/upsert (marker
@@ -616,7 +691,12 @@ def stream_neardup_ingest(
     files, the update-carrying trigger folds it in via
     :func:`operators.dedup.compact_minhash_index` (≡ rebuild,
     pytest-pinned), bounding a long-running stream's sidecar debt.
-    Pass 0 to disable.
+    The fold is O(index) amortized over the threshold; pass 0 and
+    compact out-of-band when trigger latency dominates. Sizing
+    ``n_table_parts``: per-trigger table I/O ≈ min(batch_keys, n) ×
+    table/n — pick n well above the per-trigger distinct-id count
+    and so table/n is a few GB (64 suits tests/small stores; a
+    100 TB corpus wants tens of thousands).
     """
     import os as _os
 
@@ -666,6 +746,7 @@ def stream_neardup_ingest(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        _check_vparts(table_path, n_table_parts)
         have_index = minhash_index_is_current(index_path, **mh_kwargs)
         if not have_index and _os.path.isdir(table_path):
             # crashed append (marker down) or lost index with a live
@@ -733,6 +814,7 @@ def stream_neardup_ingest(
                 order_col=id_col,
                 partition_by="vpart",
             )
+            _stamp_vparts(table_path, n_table_parts)
             if not have_index:
                 # first trigger (or post-crash self-heal handled
                 # above): build from the merged table, the source of

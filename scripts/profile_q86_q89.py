@@ -49,9 +49,17 @@ def main() -> None:
             release_scoped_caches()
             release_scoped_broadcasts()
         samples.sort()
+        # true median (review r10): samples[n//2] alone is the
+        # upper-mid element for even n — biased high, and this script
+        # exists precisely to adjudicate small drift claims
+        med = (
+            samples[n // 2]
+            if n % 2
+            else (samples[n // 2 - 1] + samples[n // 2]) / 2.0
+        )
         print(
             "%s: min %.3f  median %.3f  max %.3f  (n=%d)"
-            % (name, samples[0], samples[n // 2], samples[-1], n)
+            % (name, samples[0], med, samples[-1], n)
         )
 
 

@@ -760,3 +760,37 @@ def test_stream_text_sink_auto_compacts_sidecar(spark, tmp_path):
     full2 = str(tmp_path / "full2")
     TI.build_text_index(spark, spark.read.parquet(table).drop("vpart"), full2)
     assert probe(index) == probe(full2)
+
+
+def test_stream_sink_refuses_changed_vpart_modulus(spark, tmp_path):
+    """Review r10: vpart hashing is only partition-stable for a FIXED
+    modulus — a stream restarted with a different n_table_parts must
+    refuse BEFORE merging (a mismatched merge silently duplicates
+    updated keys), and the table must carry the _VPARTS pin."""
+    import os
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "docs")
+    index = str(tmp_path / "tindex")
+    docs.filter(F.col("doc_id") < 30).write.mode("append").parquet(landing)
+    INC.stream_text_index_append(
+        spark, landing, docs.schema, table, index, str(tmp_path / "ck1")
+    )
+    assert os.path.exists(os.path.join(table, "_VPARTS"))
+    with open(os.path.join(table, "_VPARTS")) as f:
+        assert int(f.read().strip()) == 64
+
+    docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35)).write.mode(
+        "append"
+    ).parquet(landing)
+    with pytest.raises(Exception, match="n_table_parts"):
+        INC.stream_text_index_append(
+            spark, landing, docs.schema, table, index, str(tmp_path / "ck1"),
+            n_table_parts=8,
+        )
+    # the matching modulus still works after the refusal
+    INC.stream_text_index_append(
+        spark, landing, docs.schema, table, index, str(tmp_path / "ck1")
+    )
+    assert spark.read.parquet(table).count() == 35

@@ -554,3 +554,18 @@ def test_resize_media_gif_real_bytes(spark):
         want = MM.encode_gif(MM.resize_pixels_nn(arr, 8, 6))
         assert rows[did].resized_md5 == hashlib.md5(want).hexdigest()
         assert rows[did].resized_len == len(want)
+
+
+def test_jpeg_missing_table_refuses_with_valueerror():
+    """Review r10: a baseline JPEG whose SOS references a Huffman
+    table no DHT defined must raise ValueError (the decoder's uniform
+    refusal contract), not a bare KeyError."""
+    import numpy as np
+    import pytest as _pytest
+
+    ok = MM.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    i = ok.index(b"\xff\xc4")
+    ln = (ok[i + 2] << 8) | ok[i + 3]
+    no_dht = ok[:i] + ok[i + 2 + ln :]
+    with _pytest.raises(ValueError, match="missing quant/Huffman"):
+        MM.decode_jpeg_pixels(no_dht)
