@@ -129,14 +129,20 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
-    """Frame sampling over the opaque payload: decode (stub codec =
-    UTF-8), split the decoded media into its ``n_frames`` equal
-    strides, emit every ``every_n``-th frame as its own row — a
-    VARIABLE fan-out per input row, which is exactly what
+def sample_frames(df: DataFrame, every_n: int = 5, codec: str = "fake") -> DataFrame:
+    """Frame sampling over the opaque payload: decode, split the
+    media into frames, emit every ``every_n``-th frame as its own
+    row — a VARIABLE fan-out per input row, which is exactly what
     ``mapInPandas`` exists for (a pandas_udf is 1:1). Frames travel
     as md5 digests so the row stays narrow; a real pipeline would
     emit the frame tensor column here instead.
+
+    ``codec="gif"`` (r10) is a REAL frame path: animated GIFs decode
+    through :func:`decode_gif_frames` (LZW + GCE compositing) and
+    every ``every_n``-th COMPOSITED frame's RGB bytes are hashed —
+    same schema, same fan-out shape, genuine video-ish sampling with
+    no host media libraries. ``codec="fake"`` (default) keeps the
+    stub UTF-8 codec the q64 oracle checks.
 
     Deliberate divergence from q42's metadata (review r7, documented
     rather than unified): ``n_frames`` here derives from the DECODED
@@ -147,16 +153,26 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     decoder ultimately yields. Each is pinned by its own oracle.
 
     Scale shape: one Arrow crossing per batch, fan-out bounded by
-    n_frames ≤ 30, output partitioning inherited from the scan — no
-    shuffle."""
+    the frame count, output partitioning inherited from the scan —
+    no shuffle."""
     import hashlib
 
+    if codec not in ("fake", "gif"):
+        raise ValueError(f"sample_frames: unknown codec {codec!r}")
     ensure_serializable()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                if codec == "gif":
+                    frames = decode_gif_frames(bytes(p))
+                    for k in range(0, len(frames), every_n):
+                        fb = frames[k].tobytes()
+                        rows.append(
+                            (did, k, hashlib.md5(fb).hexdigest(), len(fb))
+                        )
+                    continue
                 s = bytes(p).decode("utf-8")
                 n = len(s)
                 nf = 1 + n % 30
@@ -831,15 +847,18 @@ def _gif_lzw_encode(indices, min_code: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif_pixels(payload: bytes):
-    """REAL pixel decode for GIF (r10): header + logical screen
-    descriptor, global/local color table, extension-block skip, LZW
-    decompress of the FIRST image, interlace de-weave, palette map.
-    Returns (h, w, 3) uint8 RGB — the shared decoder contract.
-    Multi-frame animations decode their first frame (the sampling
-    operator treats later frames as opaque, same as the meta parser);
-    a first frame smaller than the logical screen raises rather than
-    guessing a background composite."""
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """REAL multi-frame GIF decode (r10): header + logical screen
+    descriptor, global/local color tables, Graphic Control Extension
+    (transparency + disposal) handling, LZW decompress per image,
+    interlace de-weave, and frame COMPOSITING onto the logical-screen
+    canvas — frame k of an animation is the canvas state after
+    drawing sub-image k, exactly how a viewer renders it. Disposal
+    methods: 0/1 leave the canvas, 2 restores the sub-rectangle to
+    background (zeros — the transparent-background convention), 3
+    restores the pre-frame canvas. Returns (n_frames, sh, sw, 3)
+    uint8 RGB. ``max_frames`` stops the walk early (the single-frame
+    probe pays for one frame, not the whole animation)."""
     import struct
 
     import numpy as np
@@ -856,11 +875,22 @@ def decode_gif_pixels(payload: bytes):
             b, dtype=np.uint8, count=npal * 3, offset=pos
         ).reshape(npal, 3)
         pos += npal * 3
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list = []
+    transparent = None  # index from the pending GCE, if any
+    disposal = 0
     while pos < len(b):
         blk = b[pos]
         if blk == 0x3B:  # trailer
             break
         if blk == 0x21:  # extension: label + sub-blocks
+            label = b[pos + 1] if pos + 1 < len(b) else None
+            if label == 0xF9 and pos + 6 < len(b) and b[pos + 2] >= 4:
+                gflags, _delay, tidx = struct.unpack(
+                    "<BHB", b[pos + 3 : pos + 7]
+                )
+                disposal = (gflags >> 2) & 0x7
+                transparent = tidx if gflags & 0x1 else None
             pos += 2
             while pos < len(b) and b[pos] != 0:
                 pos += 1 + b[pos]
@@ -881,8 +911,8 @@ def decode_gif_pixels(payload: bytes):
             pos += npal * 3
         if pal is None:
             raise ValueError("GIF image with no color table")
-        if (left, top, w, h) != (0, 0, sw, sh):
-            raise ValueError("GIF first frame does not cover the screen")
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF sub-image exceeds the logical screen")
         min_code = b[pos]
         pos += 1
         data = bytearray()
@@ -890,6 +920,7 @@ def decode_gif_pixels(payload: bytes):
             ln = b[pos]
             data += b[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        pos += 1  # the 0x00 sub-block terminator
         idx = _gif_lzw_decode(bytes(data), min_code)
         if len(idx) < w * h:
             raise ValueError("truncated GIF pixel data")
@@ -898,15 +929,84 @@ def decode_gif_pixels(payload: bytes):
             woven = np.zeros_like(arr)
             src = 0
             for start, step in _GIF_INTERLACE_PASSES:
-                rows = range(start, h, step)
-                for r in rows:
+                for r in range(start, h, step):
                     woven[r] = arr[src]
                     src += 1
             arr = woven
         if (arr >= len(pal)).any():
             raise ValueError("GIF pixel index outside the color table")
-        return pal[arr]
-    raise ValueError("truncated GIF (no image descriptor)")
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            opaque = arr != transparent
+            region[opaque] = pal[arr[opaque]]
+        else:
+            region[:] = pal[arr]
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return np.stack(frames)
+        if disposal == 2:  # restore region to background
+            canvas[top : top + h, left : left + w] = 0
+        elif disposal == 3 and before is not None:  # restore previous
+            canvas = before
+        transparent, disposal = None, 0
+    if not frames:
+        raise ValueError("truncated GIF (no image descriptor)")
+    return np.stack(frames)
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL pixel decode for GIF (r10): the first composited frame of
+    :func:`decode_gif_frames` — (h, w, 3) uint8 RGB, the shared
+    decoder contract (the walk stops after one frame, so animations
+    cost one frame here)."""
+    return decode_gif_frames(payload, max_frames=1)[0]
+
+
+def encode_gif_animation(frames) -> bytes:
+    """(n, h, w, 3) uint8 RGB (≤256 distinct colors ACROSS frames) →
+    animated GIF89a: one global palette, each frame a full-screen
+    sub-image behind a Graphic Control Extension with disposal 1
+    (leave in place) and zero delay. Deterministic; the exact inverse
+    of :func:`decode_gif_frames` for full-frame/disposal-1 inputs
+    (compositing a full opaque frame IS replacement), which the
+    pytest pins."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[-1] != 3:
+        raise ValueError("encode_gif_animation: expected (n, h, w, 3) RGB")
+    n, h, w, _ = arr.shape
+    if n == 0:
+        raise ValueError("encode_gif_animation: no frames")
+    pal, idx = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif_animation: more than 256 distinct colors")
+    bits = max(1, int(len(pal) - 1).bit_length())
+    npal = 1 << bits
+    min_code = max(2, bits)
+    idx = idx.reshape(n, h * w)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x00" * ((npal - len(pal)) * 3)
+    )
+    for k in range(n):
+        # GCE: disposal 1 (leave), no transparency, zero delay
+        out += b"\x21\xf9\x04\x04\x00\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        lzw = _gif_lzw_encode(idx[k], min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(pixels) -> bytes:

@@ -569,3 +569,104 @@ def test_jpeg_missing_table_refuses_with_valueerror():
     no_dht = ok[:i] + ok[i + 2 + ln :]
     with _pytest.raises(ValueError, match="missing quant/Huffman"):
         MM.decode_jpeg_pixels(no_dht)
+
+
+def test_gif_animation_frames_and_compositing():
+    """r10 follow-on: multi-frame GIF decode with GCE compositing.
+    (1) encode_gif_animation -> decode_gif_frames identity (full
+    frames, disposal 1); (2) a HAND-BUILT animation where frame 2 is
+    a small transparent-holed patch composites exactly (drawn pixels
+    replace, transparent pixels show the prior canvas); (3) disposal
+    2 restores the patch region to background before the next frame;
+    (4) decode_gif_pixels on an animation pays for ONE frame and
+    equals composited frame 0."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    colors = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)
+    frames = colors[rng.randint(0, 32, size=(5, 11, 7))]
+    enc = MM.encode_gif_animation(frames)
+    assert np.array_equal(MM.decode_gif_frames(enc), frames)
+    assert np.array_equal(MM.decode_gif_pixels(enc), frames[0])
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+
+    def lzw_blocks(idx, mc):
+        z = MM._gif_lzw_encode(idx, mc)
+        out = bytearray()
+        for i in range(0, len(z), 255):
+            c = z[i : i + 255]
+            out.append(len(c))
+            out += c
+        out.append(0)
+        return bytes(out)
+
+    def animation(disposal2):
+        b = bytearray(
+            b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0) + pal.tobytes()
+        )
+        # frame 1: full-screen red, disposal 2 when testing restore
+        b += b"\x21\xf9\x04" + bytes([(2 << 2) | 0 if disposal2 else 0x04])
+        b += b"\x00\x00\x00\x00"
+        b += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + bytes([2])
+        b += lzw_blocks([0] * 16, 2)
+        # frame 2: 2x2 patch at (1,1), indices [green, T, T, blue], tidx 3
+        b += b"\x21\xf9\x04" + bytes([0x04 | 0x01]) + b"\x00\x00" + bytes([3]) + b"\x00"
+        b += b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0) + bytes([2])
+        b += lzw_blocks([1, 3, 3, 2], 2)
+        b += b"\x3b"
+        return bytes(b)
+
+    fr = MM.decode_gif_frames(animation(False))
+    assert fr.shape == (2, 4, 4, 3)
+    assert (fr[0] == [255, 0, 0]).all()
+    assert (fr[1][1, 1] == [0, 255, 0]).all()  # drawn green
+    assert (fr[1][1, 2] == [255, 0, 0]).all()  # transparent -> red persists
+    assert (fr[1][2, 2] == [0, 0, 255]).all()  # drawn blue
+
+    # disposal 2 on frame 1: the whole screen restores to background
+    # (zeros) before frame 2, so the transparent holes show BLACK
+    fr2 = MM.decode_gif_frames(animation(True))
+    assert (fr2[0] == [255, 0, 0]).all()  # frame 1 itself unaffected
+    assert (fr2[1][1, 2] == [0, 0, 0]).all()
+    assert (fr2[1][0, 0] == [0, 0, 0]).all()
+    assert (fr2[1][1, 1] == [0, 255, 0]).all()
+
+
+def test_sample_frames_gif_real_bytes(spark):
+    """codec="gif" frame sampling end-to-end: every_n-th COMPOSITED
+    frame's RGB bytes hash identically to a local decode; variable
+    per-row fan-out preserved. The q64 fake-codec oracle contract is
+    untouched (default codec unchanged)."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    colors = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    anims = {
+        1: colors[rng.randint(0, 8, size=(7, 5, 4))],
+        2: colors[rng.randint(0, 8, size=(3, 6, 6))],
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(anims),
+                "payload": [MM.encode_gif_animation(a) for a in anims.values()],
+            }
+        )
+    )
+    rows = sorted(
+        (r.doc_id, r.frame_idx, r.frame_md5, r.frame_len)
+        for r in MM.sample_frames(df, every_n=2, codec="gif").collect()
+    )
+    want = sorted(
+        (did, k, hashlib.md5(a[k].tobytes()).hexdigest(), a[k].nbytes)
+        for did, a in anims.items()
+        for k in range(0, len(a), 2)
+    )
+    assert rows == want
