@@ -899,6 +899,7 @@ def upsert_minhash_index(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 3,
+    _premarked: bool = False,
 ) -> str:
     """O(batch) UPDATE maintenance (r9, VERDICT r8 #1) via the shared
     superseded-ids sidecar: tombstone the stale ids' band rows and
@@ -917,12 +918,30 @@ def upsert_minhash_index(
     pinned too). Crash posture: marker-first around gen-bump +
     tombstone append + band append, so any crash leaves a
     refused-probe state whose recovery is the standard rebuild. One
-    row per id enforced (ADVICE r9)."""
+    row per id enforced (ADVICE r9).
+
+    ``_premarked`` (sink-internal, review r10): the streaming sink
+    takes ``_BUILT`` down BEFORE its table MERGE so the whole
+    merge+upsert update transaction shares ONE marker-down window (a
+    crash between the two would otherwise strand stale bands under a
+    valid marker — the replayed trigger's probe then drops the
+    redelivered doc as a near-dup of its own retired text). True
+    skips only the ``_BUILT`` half of the precondition; the ``_SIGV``
+    signature-family check still runs — probing/banding under the
+    wrong family is wrong no matter who holds the marker."""
     import os
 
     from etl_btc_spark.operators import tombstones as TS
 
-    if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
+    sigv_ok = False
+    if _premarked:
+        sigv = os.path.join(path, "_SIGV")
+        if os.path.exists(sigv):
+            with open(sigv) as f:
+                sigv_ok = f.read() == _minhash_sigv(n_hashes, n_bands, ngram)
+    if not sigv_ok and not minhash_index_is_current(
+        path, n_hashes, n_bands, ngram
+    ):
         raise ValueError(
             "upsert_minhash_index: no current MinHash index at %r for "
             "family %r — rebuild with build_minhash_index"

@@ -280,6 +280,7 @@ def upsert_text_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _premarked: bool = False,
 ) -> str:
     """O(batch) UPDATE maintenance (r9, VERDICT r8 #1) via the shared
     superseded-ids sidecar: ids in ``docs`` that are already indexed
@@ -304,10 +305,21 @@ def upsert_text_index(
     id would double-count in the exact-integer stats while
     ``_postings_of`` merges it into one document, and its two doclen
     rows at the same generation would make later latest-per-id dl
-    resolution nondeterministic."""
+    resolution nondeterministic.
+
+    ``_premarked`` (sink-internal, review r10): the streaming sink
+    takes the ``_BUILT`` marker down BEFORE its table MERGE so the
+    whole merge+upsert update transaction sits under ONE marker-down
+    window (a crash between the two would otherwise strand stale
+    postings under a valid marker, undetectable to the replayed
+    trigger whose pre-merge probe then sees no change). Passing True
+    skips the built-marker precondition — the caller verified it
+    before opening the window; everything else, including the
+    restoring ``_mark_built`` at the end, is unchanged."""
     from pyspark.sql import Window
 
-    _require_built(path, "text")
+    if not _premarked:
+        _require_built(path, "text")
     _recover_stats_debris(path)
     TS.require_unique_ids(docs, id_col, "upsert_text_index")
     doclen_path = os.path.join(path, "doclen")

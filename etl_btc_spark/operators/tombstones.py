@@ -124,10 +124,11 @@ def require_unique_ids(df: DataFrame, id_col: str, caller: str) -> None:
 
 
 def has_tombstones(path: str) -> bool:
-    tdir = os.path.join(path, TOMB_DIR)
-    return os.path.isdir(tdir) and any(
-        n.endswith(".parquet") for n in os.listdir(tdir)
-    )
+    """Defined via :func:`sidecar_files` so there is exactly ONE
+    "what counts as a sidecar file" rule — a drift between the
+    counter and this gate would make ``should_compact`` disagree
+    with ``live_rows`` (review r10)."""
+    return sidecar_files(path) > 0
 
 
 def sidecar_files(path: str) -> int:

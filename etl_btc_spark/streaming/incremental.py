@@ -49,26 +49,131 @@ DEFAULT_LOOKBACK = 299
 _VPARTS_FILE = "_VPARTS"
 
 
-def _check_vparts(table_path: str, n: int) -> None:
+def _check_vparts(
+    sess: SparkSession, table_path: str, n: int, key_col: str
+) -> None:
     """Refuse a sink start whose ``n_table_parts`` differs from the
     modulus the table was created with. Runs BEFORE the merge — after
-    a mismatch merged, the duplicate keys would be silent."""
+    a mismatch merged, the duplicate keys would be silent.
+
+    Missing-marker tables are VALIDATED, not waved through (review
+    r10): a vpart-partitioned table that predates the marker (a pre-
+    marker ``stream_hnsw_refresh`` store, or a first trigger that
+    crashed between the create write and the stamp) carries no record
+    of its modulus — silently accepting it and then stamping the NEW
+    ``n`` would legitimize exactly the corruption this guard exists to
+    prevent. Instead, a one-time two-column scan recomputes
+    ``pmod(xxhash64(key), n)`` for every existing row and compares it
+    to the row's partition value; a clean pass stamps the marker (so
+    the scan never repeats), any mismatch raises. O(table key+vpart
+    columns) once per unmarked table — a migration/repair cost, not a
+    steady-state one."""
     import os
 
     marker = os.path.join(table_path, _VPARTS_FILE)
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = int(f.read().strip())
+        if have != n:
+            raise ValueError(
+                "streaming sink: table at %r was created with n_table_parts=%d "
+                "but this stream was started with %d — vpart hashing is only "
+                "partition-stable for a fixed modulus, and merging under a "
+                "different one silently duplicates updated keys. Restart with "
+                "%d, or rewrite the table under the new modulus first."
+                % (table_path, have, n, have)
+            )
         return
-    with open(marker) as f:
-        have = int(f.read().strip())
-    if have != n:
+    if not os.path.isdir(table_path) or not any(
+        d.startswith("vpart=") for d in os.listdir(table_path)
+    ):
+        return  # no table yet (create path) — nothing to validate
+    want = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n)).cast("int")
+    mismatched = (
+        sess.read.parquet(table_path)
+        .select(key_col, "vpart")
+        .filter(F.col("vpart") != want)
+        .limit(1)
+        .count()
+    )
+    if mismatched:
         raise ValueError(
-            "streaming sink: table at %r was created with n_table_parts=%d "
-            "but this stream was started with %d — vpart hashing is only "
-            "partition-stable for a fixed modulus, and merging under a "
-            "different one silently duplicates updated keys. Restart with "
-            "%d, or rewrite the table under the new modulus first."
-            % (table_path, have, n, have)
+            "streaming sink: table at %r is vpart-partitioned but carries "
+            "no %s marker, and its rows do NOT hash to their partitions "
+            "under n_table_parts=%d — it was written with a different "
+            "modulus. Merging under this one would silently duplicate "
+            "updated keys; rewrite the table under n=%d first (or restart "
+            "with the original modulus)." % (table_path, _VPARTS_FILE, n, n)
         )
+    _stamp_vparts(table_path, n)
+
+
+def _require_no_vpart(schema: T.StructType) -> None:
+    """The vpart-partitioned sinks derive their partition column from
+    the key and would silently CLOBBER a user column of the same name
+    (withColumn replaces) — and readers following the documented
+    ``.drop('vpart')`` advice would then lose the original data. Fail
+    at stream definition instead (review r10)."""
+    if "vpart" in schema.fieldNames():
+        raise ValueError(
+            "landing schema already has a 'vpart' column — this sink "
+            "derives vpart = pmod(xxhash64(key), n) as its partition "
+            "column and would overwrite yours; rename the input column"
+        )
+
+
+def _changed_vs_table(
+    sess: SparkSession,
+    table_path: str,
+    batch_v: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Batch rows whose text differs from the PRE-merge table row for
+    the same id — the update-carrying set. The corpus scan prunes to
+    the batch's touched vpart partitions (the touched collect is
+    bounded by n_table_parts); shared by the text/near-dup sinks so
+    the prune predicate cannot drift between them (review r10).
+    Callers localCheckpoint the result BEFORE merging: the lineage
+    reads pre-merge corpus files, which the MERGE's partition swap
+    retires."""
+    touched = [r[0] for r in batch_v.select("vpart").distinct().collect()]
+    pre = (
+        sess.read.parquet(table_path)
+        .filter(F.col("vpart").isin(touched))
+        .select(F.col(id_col), F.col(text_col).alias("__old_text"))
+    )
+    return (
+        batch_v.drop("vpart")
+        .join(pre, id_col)
+        .filter(~F.col(text_col).eqNullSafe(F.col("__old_text")))
+        .drop("__old_text")
+    )
+
+
+def _checked_upsert(
+    sess: SparkSession,
+    batch_v: DataFrame,
+    table_path: str,
+    key: str,
+    order_col: str,
+    n: int,
+    ver_col: str | None = None,
+) -> None:
+    """The modulus-guarded partition-pruned MERGE every vpart sink
+    runs: check → upsert → stamp, in one place (review r10 — four
+    hand-maintained copies of the choreography would drift)."""
+    _check_vparts(sess, table_path, n, key)
+    upsert_by_key(
+        sess,
+        batch_v,
+        table_path,
+        key=key,
+        order_col=order_col,
+        partition_by="vpart",
+        ver_col=ver_col,
+    )
+    _stamp_vparts(table_path, n)
 
 
 def _stamp_vparts(table_path: str, n: int) -> None:
@@ -233,6 +338,7 @@ def stream_ingest_dedup(
     upgrade path for finer-than-partition pruning is a Delta/Iceberg
     MERGE (file-level rewrite), per the sinks module docstring.
     """
+    _require_no_vpart(schema)
     src = spark.readStream.schema(schema).parquet(landing_dir)
     deduped = src.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([key_col])
     part = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_table_parts)).cast("int")
@@ -240,16 +346,14 @@ def stream_ingest_dedup(
     def sink(micro_batch: DataFrame, epoch_id: int) -> None:
         if micro_batch.isEmpty():  # T4
             return
-        _check_vparts(table_path, n_table_parts)
-        upsert_by_key(
+        _checked_upsert(
             micro_batch.sparkSession,
             micro_batch.withColumn("vpart", part),
             table_path,
             key=key_col,
             order_col=ts_col,
-            partition_by="vpart",
+            n=n_table_parts,
         )
-        _stamp_vparts(table_path, n_table_parts)
 
     (
         deduped.writeStream.foreachBatch(sink)
@@ -371,6 +475,7 @@ def stream_hnsw_refresh(
         refresh_hnsw_index,
     )
 
+    _require_no_vpart(schema)
     src = spark.readStream.schema(schema).parquet(landing_dir)
     part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts)).cast("int")
     # the sink's own id/vec columns flow into the index calls — a
@@ -383,17 +488,15 @@ def stream_hnsw_refresh(
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
-        _check_vparts(table_path, n_table_parts)
-        upsert_by_key(
+        _checked_upsert(
             sess,
             micro_batch.withColumn("vpart", part),
             table_path,
             key=id_col,
             order_col=id_col,
-            partition_by="vpart",
+            n=n_table_parts,
             ver_col=ver_col,
         )
-        _stamp_vparts(table_path, n_table_parts)
         snapshot = sess.read.parquet(table_path).drop("vpart")
         if _is_built(index_path, "hnsw"):
             # shard geometry is part of the existing artifact; refresh
@@ -502,6 +605,7 @@ def stream_text_index_append(
         upsert_text_index,
     )
 
+    _require_no_vpart(schema)
     src = spark.readStream.schema(schema).parquet(landing_dir)
     part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts)).cast("int")
 
@@ -513,53 +617,55 @@ def stream_text_index_append(
         # keeps a partition-order-dependent row, so an at-least-once
         # replay could index a different text variant than the first
         # attempt and force a spurious supersede — MIN text wins,
-        # same policy as stream_neardup_ingest
+        # same policy as stream_neardup_ingest. Persisted once
+        # (review r10): the window-dedup lineage otherwise recomputes
+        # for the touched collect, the changed probe, the merge's
+        # internal passes AND the fresh anti-join.
         w = Window.partitionBy(id_col).orderBy(text_col)
         batch = (
             micro_batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
             .withColumn("vpart", part)
+            .persist()
         )
-        _check_vparts(table_path, n_table_parts)
+        _check_vparts(sess, table_path, n_table_parts, id_col)
         # changed-text probe BEFORE the merge (the pre-merge table
-        # still holds the old text); localCheckpoint for the same
-        # reason stream_neardup_ingest does — the lineage reads the
-        # pre-merge corpus files, which the MERGE's partition swap
-        # retires. The probe scan prunes to the batch's touched vpart
-        # dirs (r10 — the r9 full-table two-column scan per trigger);
-        # the touched collect (bounded by n_table_parts) is scoped to
-        # this branch, the only consumer (review r10 — the merge runs
-        # its own distinct internally).
+        # still holds the old text), pruned to the batch's touched
+        # vpart dirs and localCheckpointed before the partition swap
+        # retires the files its lineage reads (_changed_vs_table).
+        was_built = _idx_built(index_path, "text")
         changed = None
-        if _idx_built(index_path, "text"):
-            touched = [
-                r[0] for r in batch.select("vpart").distinct().collect()
-            ]
-            pre = (
-                sess.read.parquet(table_path)
-                .filter(F.col("vpart").isin(touched))
-                .select(F.col(id_col), F.col(text_col).alias("__old_text"))
-            )
-            changed = (
-                batch.drop("vpart")
-                .join(pre, id_col)
-                .filter(~F.col(text_col).eqNullSafe(F.col("__old_text")))
-                .drop("__old_text")
-                .localCheckpoint()
-            )
+        has_updates = False
+        if was_built:
+            changed = _changed_vs_table(
+                sess, table_path, batch, id_col, text_col
+            ).localCheckpoint()
+            has_updates = changed.limit(1).count() > 0
         try:
-            upsert_by_key(
-                sess,
-                batch,
-                table_path,
-                key=id_col,
-                order_col=id_col,
-                partition_by="vpart",
+            if has_updates:
+                # UPDATE TRANSACTION WINDOW (review r10): the index is
+                # stale the instant the new text merges below, but the
+                # upsert's own marker-first protocol only opens INSIDE
+                # upsert_text_index — a crash between the merge and
+                # that point would leave stale postings under a VALID
+                # marker, and the replayed trigger's pre-merge probe
+                # (new text == merged table text) would never re-detect
+                # the update: silently wrong scores forever. Take the
+                # marker down BEFORE the merge instead, so the whole
+                # merge+upsert transaction sits under one marker-down
+                # window and a crash anywhere inside it self-heals on
+                # the next trigger via the rebuild-from-table path.
+                try:
+                    _os.remove(_os.path.join(index_path, "_BUILT"))
+                except FileNotFoundError:
+                    pass
+            _checked_upsert(
+                sess, batch, table_path, key=id_col, order_col=id_col,
+                n=n_table_parts,
             )
-            _stamp_vparts(table_path, n_table_parts)
-            batch = batch.drop("vpart")
-            if not _idx_built(index_path, "text"):
+            batch_nv = batch.drop("vpart")
+            if not was_built:
                 # first batch or a crashed append/upsert (marker
                 # down) — rebuild from the merged table (source of
                 # truth; the build clears any sidecar debris)
@@ -574,17 +680,27 @@ def stream_text_index_append(
             existing = sess.read.parquet(
                 _os.path.join(index_path, "doclen")
             ).select(id_col)
-            fresh = batch.join(existing, id_col, "left_anti").persist()
+            fresh = batch_nv.join(existing, id_col, "left_anti").persist()
             try:
-                if changed is not None and changed.limit(1).count() > 0:
+                if has_updates:
                     # update-carrying trigger (r9): supersede stale
-                    # postings, append new+changed — O(batch)
+                    # postings, append new+changed — O(batch). A
+                    # changed id can ALSO be fresh (its table row
+                    # merged but a crash stopped the index append
+                    # before it registered — review r10): it has no
+                    # live postings to supersede, so the fresh side
+                    # wins and the union stays one-row-per-id.
                     upsert_text_index(
                         sess,
-                        fresh.unionByName(changed),
+                        fresh.unionByName(
+                            changed.join(
+                                fresh.select(id_col), id_col, "left_anti"
+                            )
+                        ),
                         index_path,
                         id_col=id_col,
                         text_col=text_col,
+                        _premarked=True,
                     )
                     # r10: bounded sidecar debt — fold in once the
                     # update count crosses the threshold
@@ -608,6 +724,7 @@ def stream_text_index_append(
             finally:
                 fresh.unpersist()
         finally:
+            batch.unpersist()
             if changed is not None:
                 _unpersist_local_checkpoint(changed)
 
@@ -714,6 +831,7 @@ def stream_neardup_ingest(
         upsert_minhash_index,
     )
 
+    _require_no_vpart(schema)
     src = spark.readStream.schema(schema).parquet(landing_dir)
     part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts)).cast("int")
 
@@ -746,7 +864,7 @@ def stream_neardup_ingest(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        _check_vparts(table_path, n_table_parts)
+        _check_vparts(sess, table_path, n_table_parts, id_col)
         have_index = minhash_index_is_current(index_path, **mh_kwargs)
         if not have_index and _os.path.isdir(table_path):
             # crashed append (marker down) or lost index with a live
@@ -785,36 +903,42 @@ def stream_neardup_ingest(
                 return
             # survivors' touched hash partitions: bounded by
             # n_table_parts — drives the pruned changed-id scan and
-            # the pruned MERGE (r10)
+            # the pruned MERGE (r10, via _changed_vs_table, which
+            # also localCheckpoints BEFORE the merge retires the
+            # corpus files its lineage reads)
             kept_v = kept.withColumn("vpart", part)
+            has_updates = False
             if have_index:
-                touched = [
-                    r[0] for r in kept_v.select("vpart").distinct().collect()
-                ]
-                pre = (
-                    sess.read.parquet(table_path)
-                    .filter(F.col("vpart").isin(touched))
-                    .select(F.col(id_col), F.col(text_col).alias("__old_text"))
-                )
-                # materialized BEFORE the merge for the same reason
-                # kept checkpoints: the lineage reads the pre-merge
-                # corpus files, which the MERGE's partition swap
-                # retires
                 changed = (
-                    kept.join(pre, id_col)
-                    .filter(~F.col(text_col).eqNullSafe(F.col("__old_text")))
+                    _changed_vs_table(
+                        sess, table_path, kept_v, id_col, text_col
+                    )
                     .select(id_col)
                     .localCheckpoint()
                 )
-            upsert_by_key(
-                sess,
-                kept_v,
-                table_path,
-                key=id_col,
-                order_col=id_col,
-                partition_by="vpart",
+                has_updates = changed.limit(1).count() > 0
+            if has_updates:
+                # UPDATE TRANSACTION WINDOW (review r10): once the new
+                # text merges below, the index's old band rows are
+                # stale — but upsert_minhash_index's own marker-first
+                # window only opens inside the call. A crash between
+                # the merge and that point would leave stale bands
+                # under a VALID marker; the replayed trigger's probe
+                # would then drop the redelivered doc as a near-dup of
+                # its own retired text (or append a second live band
+                # set next to the stale one) and the update would
+                # never reach the index. Marker down BEFORE the merge
+                # puts the whole merge+upsert transaction under one
+                # window; any crash inside self-heals on the next
+                # trigger via the rebuild-from-table path above.
+                try:
+                    _os.remove(_os.path.join(index_path, "_BUILT"))
+                except FileNotFoundError:
+                    pass
+            _checked_upsert(
+                sess, kept_v, table_path, key=id_col, order_col=id_col,
+                n=n_table_parts,
             )
-            _stamp_vparts(table_path, n_table_parts)
             if not have_index:
                 # first trigger (or post-crash self-heal handled
                 # above): build from the merged table, the source of
@@ -827,7 +951,7 @@ def stream_neardup_ingest(
                     text_col,
                     **mh_kwargs,
                 )
-            elif changed is not None and changed.limit(1).count() > 0:
+            elif has_updates:
                 # update-carrying trigger (r9): supersede the changed
                 # ids' stale band rows via the tombstone sidecar and
                 # append the survivors' new bands — O(batch + sidecar)
@@ -839,6 +963,7 @@ def stream_neardup_ingest(
                     stale_ids=changed,
                     id_col=id_col,
                     text_col=text_col,
+                    _premarked=True,
                     **mh_kwargs,
                 )
                 # r10: bounded sidecar debt — fold in once the

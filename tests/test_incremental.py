@@ -794,3 +794,253 @@ def test_stream_sink_refuses_changed_vpart_modulus(spark, tmp_path):
         spark, landing, docs.schema, table, index, str(tmp_path / "ck1")
     )
     assert spark.read.parquet(table).count() == 35
+
+
+def test_missing_vparts_marker_validated_not_waved_through(spark, tmp_path):
+    """Review r10: a vpart-partitioned table WITHOUT the _VPARTS
+    marker (pre-marker table, or a crash between the create write and
+    the stamp) must be VALIDATED against the requested modulus — a
+    silent pass followed by stamping the new n would legitimize the
+    exact duplicate-key corruption the guard exists to prevent. A
+    matching modulus re-validates and re-stamps; a different one
+    raises."""
+    import os
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "docs")
+    index = str(tmp_path / "tindex")
+    docs.filter(F.col("doc_id") < 30).write.mode("append").parquet(landing)
+    INC.stream_text_index_append(
+        spark, landing, docs.schema, table, index, str(tmp_path / "ck1")
+    )
+    # simulate the pre-marker table: drop the stamp
+    os.remove(os.path.join(table, "_VPARTS"))
+
+    docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35)).write.mode(
+        "append"
+    ).parquet(landing)
+    with pytest.raises(Exception, match="different modulus"):
+        INC.stream_text_index_append(
+            spark, landing, docs.schema, table, index, str(tmp_path / "ck1"),
+            n_table_parts=8,
+        )
+    assert not os.path.exists(os.path.join(table, "_VPARTS"))
+
+    # the ORIGINAL modulus validates clean, re-stamps, and proceeds
+    INC.stream_text_index_append(
+        spark, landing, docs.schema, table, index, str(tmp_path / "ck1")
+    )
+    with open(os.path.join(table, "_VPARTS")) as f:
+        assert int(f.read().strip()) == 64
+    assert spark.read.parquet(table).count() == 35
+
+
+def test_vpart_sinks_refuse_colliding_schema_column(spark, tmp_path):
+    """Review r10: the vpart sinks derive their partition column and
+    would silently clobber a user column of the same name — fail at
+    stream definition instead."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("vpart", T.IntegerType()),
+        ]
+    )
+    for fn in (
+        lambda: INC.stream_text_index_append(
+            spark, str(tmp_path / "l"), schema, str(tmp_path / "t"),
+            str(tmp_path / "i"), str(tmp_path / "c"),
+        ),
+        lambda: INC.stream_neardup_ingest(
+            spark, str(tmp_path / "l"), schema, str(tmp_path / "t2"),
+            str(tmp_path / "i2"), str(tmp_path / "c2"),
+        ),
+        lambda: INC.stream_ingest_dedup(
+            spark, str(tmp_path / "l"), schema, str(tmp_path / "t3"),
+            str(tmp_path / "c3"), key_col="doc_id", ts_col="text",
+        ),
+        lambda: INC.stream_hnsw_refresh(
+            spark, str(tmp_path / "l"), schema, str(tmp_path / "t4"),
+            str(tmp_path / "i4"), str(tmp_path / "c4"), id_col="doc_id",
+            vec_col="text",
+        ),
+    ):
+        with pytest.raises(ValueError, match="vpart"):
+            fn()
+
+
+def test_text_sink_update_crash_between_merge_and_upsert_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10 (the finding this round's marker-down window fixes):
+    a crash AFTER the table MERGE but BEFORE upsert_text_index starts
+    used to leave stale postings under a VALID marker — the replayed
+    trigger's pre-merge probe then saw new text == merged table text,
+    detected no change, and the index stayed silently wrong forever.
+    With the fix the sink takes the marker down BEFORE the merge, so
+    the crash leaves a refused-probe index and the replay self-heals
+    by rebuilding from the merged table."""
+    import os
+
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    schema = docs.schema
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "docs")
+    index = str(tmp_path / "tindex")
+    ckpt = str(tmp_path / "ckpt")
+    terms = ["join", "hash", "scan"]
+
+    def probe(idx):
+        return [tuple(r) for r in TI.bm25_probe(spark, idx, terms, n=30).collect()]
+
+    docs.filter(F.col("doc_id") < 40).write.mode("append").parquet(landing)
+    INC.stream_text_index_append(spark, landing, schema, table, index, ckpt)
+    assert os.path.exists(os.path.join(index, "_BUILT"))
+
+    # update-carrying trigger whose index step "crashes" before doing
+    # anything — exactly the window between the merge and the upsert
+    real_upsert = TI.upsert_text_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before index upsert")
+
+    monkeypatch.setattr(TI, "upsert_text_index", boom)
+    docs.filter(F.col("doc_id") < 5).withColumn(
+        "text", F.concat(F.lit("join join hash "), F.col("text"))
+    ).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="simulated crash"):
+        INC.stream_text_index_append(spark, landing, schema, table, index, ckpt)
+    # the table merged the new text, and the marker is DOWN (pre-fix
+    # it stayed up, stranding the stale postings as probe-valid)
+    snap = spark.read.parquet(table)
+    assert snap.filter(F.col("doc_id") == 0).first()["text"].startswith(
+        "join join hash "
+    )
+    assert not os.path.exists(os.path.join(index, "_BUILT"))
+
+    # replay converges: rebuild-from-table self-heal
+    monkeypatch.setattr(TI, "upsert_text_index", real_upsert)
+    INC.stream_text_index_append(spark, landing, schema, table, index, ckpt)
+    full = str(tmp_path / "full")
+    TI.build_text_index(spark, spark.read.parquet(table).drop("vpart"), full)
+    assert probe(index) == probe(full)
+
+
+def test_neardup_sink_update_crash_between_merge_and_upsert_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Same window as the text sink (review r10), MinHash family: a
+    crash between the corpus MERGE and upsert_minhash_index used to
+    leave stale bands probe-valid — the replayed doc was then dropped
+    as a near-dup of its own retired text and the update never reached
+    the index. The marker-down window makes the replay rebuild."""
+    import os
+
+    import pandas as pd
+
+    from etl_btc_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = {r["doc_id"]: r["text"] for r in docs.limit(10).collect()}
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [i for i, _ in rows], "text": [t for _, t in rows]}
+            )
+        )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "corpus")
+    index = str(tmp_path / "mindex")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [(i, base[i]) for i in range(10)]
+    mk(b1).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
+    assert os.path.exists(os.path.join(index, "_BUILT"))
+
+    real_upsert = DD.upsert_minhash_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before index upsert")
+
+    monkeypatch.setattr(DD, "upsert_minhash_index", boom)
+    # id 3 arrives with COMPLETELY different text (far from any kept
+    # doc, so it survives the probe and becomes an update)
+    b2 = [(3, "zebra quark flange " * 30)]
+    mk(b2).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="simulated crash"):
+        INC.stream_neardup_ingest(
+            spark, landing, mk(b1).schema, table, index, ckpt
+        )
+    snap = spark.read.parquet(table)
+    assert snap.filter(F.col("doc_id") == 3).first()["text"].startswith("zebra")
+    assert not os.path.exists(os.path.join(index, "_BUILT"))
+
+    # replay: marker down -> rebuild from table BEFORE probing, then
+    # the redelivered update near-dups its own (now rebuilt) copy and
+    # converges; final index ≡ rebuild over the final corpus
+    monkeypatch.setattr(DD, "upsert_minhash_index", real_upsert)
+    INC.stream_neardup_ingest(spark, landing, mk(b1).schema, table, index, ckpt)
+    full = str(tmp_path / "full")
+    DD.build_minhash_index(
+        spark, spark.read.parquet(table).drop("vpart"), full, "doc_id", "text"
+    )
+    for sub in ("bands",):
+        a = spark.read.parquet(os.path.join(index, sub)).drop("gen")
+        b = spark.read.parquet(os.path.join(full, sub)).drop("gen")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_text_sink_changed_id_missing_from_index_routes_as_fresh(
+    spark, tmp_path
+):
+    """Review r10: an id present in the TABLE but absent from the
+    index registry (its index append crashed after the merge on an
+    earlier trigger), arriving again with NEWER text, lands in BOTH
+    the changed set (table text differs) and the fresh set (not in
+    doclen). The union used to repeat the id and trip
+    require_unique_ids, failing the trigger; the fresh side must win
+    (no live postings to supersede) and the trigger succeed."""
+    import os
+
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    schema = docs.schema
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "docs")
+    index = str(tmp_path / "tindex")
+    terms = ["join", "hash", "scan"]
+
+    def probe(idx):
+        return [tuple(r) for r in TI.bm25_probe(spark, idx, terms, n=30).collect()]
+
+    # index over ids 1-39 only; table holds 0-39 (id 0's index append
+    # "crashed" after its merge) — build the state directly
+    TI.build_text_index(spark, docs.filter((F.col("doc_id") >= 1) & (F.col("doc_id") < 40)), index)
+    part = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64)).cast("int")
+    docs.filter(F.col("doc_id") < 40).withColumn("vpart", part).write.partitionBy(
+        "vpart"
+    ).parquet(table)
+
+    # id 0 arrives with NEWER text: changed (table text differs) AND
+    # fresh (absent from doclen)
+    docs.filter(F.col("doc_id") == 0).withColumn(
+        "text", F.concat(F.lit("join join hash scan "), F.col("text"))
+    ).write.mode("append").parquet(landing)
+    INC.stream_text_index_append(
+        spark, landing, schema, table, index, str(tmp_path / "ckpt")
+    )
+    full = str(tmp_path / "full")
+    TI.build_text_index(spark, spark.read.parquet(table).drop("vpart"), full)
+    assert probe(index) == probe(full)
+    sa = spark.read.parquet(index + "/stats").collect()[0]
+    sb = spark.read.parquet(full + "/stats").collect()[0]
+    assert (sa["n_docs"], sa["total_dl"]) == (sb["n_docs"], sb["total_dl"])
