@@ -529,3 +529,229 @@ def unigram_negloglik_oracle_sql() -> str:
         FROM tok JOIN freq USING (token), total
         GROUP BY tok.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition features (§2.11 extension, r10)
+# ---------------------------------------------------------------------------
+
+#: Gopher-style removal thresholds (Rae et al. 2021, table A1 family):
+#: docs whose repetition fractions exceed these are boilerplate/spam-
+#: shaped and get flagged for removal by pretraining pipelines.
+REP_TOP2GRAM_MAX = 0.20
+REP_DUP5GRAM_MAX = 0.15
+REP_DUP_LINE_MAX = 0.30
+REP_DUP_LINE_CHAR_MAX = 0.20
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams of a token array (space-joined), empty
+    when the doc has fewer than n tokens. Pure JVM expressions — the
+    transform(sequence) is codegen'd, no Python worker."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document intra-repetition profile — the Gopher repetition
+    filter slot in an LLM-data pipeline (duplicate-line /
+    top-n-gram / duplicate-n-gram fractions with the published
+    removal thresholds). Exact semantics (ours, stated so the oracle
+    can mirror them precisely):
+
+    - ``dup_line_frac``: over non-empty trimmed newline-split lines,
+      (line occurrences − distinct lines) / line occurrences — the
+      fraction of lines that repeat an earlier one. 0 with ≤1 line.
+    - ``dup_line_char_frac``: characters in ALL occurrences of
+      duplicated lines / characters in all lines (Gopher's
+      "fraction of characters in duplicated lines").
+    - ``top2gram_char_frac``: max over word-2-grams of
+      occurrences × gram length (incl. the joining space) / doc
+      length. 0 with <2 tokens.
+    - ``dup5gram_char_frac``: Σ over word-5-grams occurring more
+      than once of occurrences × gram length / doc length —
+      overlapping occurrences count per occurrence, which
+      upper-bounds Gopher's character-coverage definition but keeps
+      the statistic exact, deterministic and SQL-expressible; capped
+      at 1.0 (as is ``top2gram_char_frac``) so saturated repetition
+      still reads as a fraction. 0 with <5 tokens.
+    - ``repetitious``: true iff any fraction exceeds its threshold.
+
+    Plan shape at 100 TB: three explode→(doc, unit) aggregates
+    (lines, 2-grams, 5-grams), each a partial-aggregated shuffle on
+    (doc_id, unit), re-aggregated per doc and joined back to the
+    per-doc stats frame on doc_id — every join co-partitions on the
+    same key, no broadcast of anything corpus-sized, no Python
+    workers anywhere. Fractions are epsilon-rounded to 6 dp so
+    cross-engine double ulps cannot flip the hash compare."""
+    from .dedup import _scoped_persist
+
+    toks = ws_tokens(F.col(text_col))
+    # NOTE: the transform lambda must be unary — passing F.trim
+    # directly would let transform bind its (element, index) BINARY
+    # form, resolving to the two-parameter TRIM(str, trimStr) with
+    # the array index as the trim character set
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    # persisted (scoped, released by release_scoped_caches like every
+    # multi-branch tokenize in this module): the per-doc stats frame
+    # and all three explode branches hang off `base` — without the
+    # persist the corpus would tokenize four times
+    base = _scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("__n_chars"),
+            toks.alias("__toks"),
+            lines.alias("__lines"),
+        )
+    )
+    lc = (
+        base.select(id_col, F.explode("__lines").alias("l"))
+        .groupBy(id_col, "l")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("__nl"),
+            F.sum(F.length("l") * F.col("c")).alias("__cl"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "__dup_l"
+            ),
+            F.sum(
+                F.when(F.col("c") > 1, F.length("l") * F.col("c")).otherwise(0)
+            ).alias("__dup_cl"),
+            F.count(F.lit(1)).alias("__distinct_l"),
+        )
+    )
+    g2 = (
+        base.select(
+            id_col, F.explode(_word_ngrams(F.col("__toks"), 2)).alias("g")
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("c") * F.length("g")).alias("__top2_chars"))
+    )
+    g5 = (
+        base.select(
+            id_col, F.explode(_word_ngrams(F.col("__toks"), 5)).alias("g")
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0)
+            ).alias("__dup5_chars")
+        )
+    )
+    safe_chars = F.greatest(F.col("__n_chars"), F.lit(1)).cast("double")
+    dup_line_frac = (
+        (F.coalesce(F.col("__nl"), F.lit(0)) - F.coalesce(F.col("__distinct_l"), F.lit(0)))
+        / F.greatest(F.coalesce(F.col("__nl"), F.lit(0)), F.lit(1)).cast("double")
+    )
+    dup_line_char_frac = F.coalesce(F.col("__dup_cl"), F.lit(0)) / F.greatest(
+        F.coalesce(F.col("__cl"), F.lit(0)), F.lit(1)
+    ).cast("double")
+    # overlapping occurrences count per occurrence, so the raw char
+    # products can exceed the doc length on pathological repetition
+    # ("go go go…") — cap at 1.0 to keep both statistics honest
+    # fractions (a saturated doc is maximally repetitious either way;
+    # the thresholds sit far below 1)
+    top2 = F.least(
+        F.coalesce(F.col("__top2_chars"), F.lit(0)) / safe_chars, F.lit(1.0)
+    )
+    dup5 = F.least(
+        F.coalesce(F.col("__dup5_chars"), F.lit(0)) / safe_chars, F.lit(1.0)
+    )
+    eps = 1e-9
+    out = (
+        base.select(id_col, "__n_chars")
+        .join(lc, id_col, "left")
+        .join(g2, id_col, "left")
+        .join(g5, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(dup_line_frac + eps, 6).alias("dup_line_frac"),
+            F.round(dup_line_char_frac + eps, 6).alias("dup_line_char_frac"),
+            F.round(top2 + eps, 6).alias("top2gram_char_frac"),
+            F.round(dup5 + eps, 6).alias("dup5gram_char_frac"),
+            (
+                (F.round(dup_line_frac + eps, 6) > REP_DUP_LINE_MAX)
+                | (F.round(dup_line_char_frac + eps, 6) > REP_DUP_LINE_CHAR_MAX)
+                | (F.round(top2 + eps, 6) > REP_TOP2GRAM_MAX)
+                | (F.round(dup5 + eps, 6) > REP_DUP5GRAM_MAX)
+            ).alias("repetitious"),
+        )
+    )
+    return out
+
+
+def repetition_features_oracle_sql() -> str:
+    """DuckDB mirror of :func:`repetition_features` over the
+    ``documents`` view — identical tokenization (trim + \\s+ split),
+    identical n-gram joining, identical guards and rounding."""
+    return r"""
+        WITH base AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   regexp_split_to_array(trim(text), '\s+') AS toks,
+                   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+            FROM documents
+        ), lc AS (
+            SELECT doc_id,
+                   sum(c) AS nl, sum(length(l) * c) AS cl,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_l,
+                   sum(CASE WHEN c > 1 THEN length(l) * c ELSE 0 END) AS dup_cl,
+                   count(*) AS distinct_l
+            FROM (
+                SELECT doc_id, l, count(*) AS c
+                FROM (SELECT doc_id, unnest(lines) AS l FROM base)
+                GROUP BY doc_id, l
+            ) GROUP BY doc_id
+        ), g2 AS (
+            SELECT doc_id, max(c * length(g)) AS top2_chars
+            FROM (
+                SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+                    FROM base, unnest(range(1, len(toks))) AS t(i)
+                    WHERE len(toks) >= 2
+                ) GROUP BY doc_id, g
+            ) GROUP BY doc_id
+        ), g5 AS (
+            SELECT doc_id,
+                   sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup5_chars
+            FROM (
+                SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+                    FROM base, unnest(range(1, len(toks) - 3)) AS t(i)
+                    WHERE len(toks) >= 5
+                ) GROUP BY doc_id, g
+            ) GROUP BY doc_id
+        ), j AS (
+            SELECT base.doc_id,
+                   (coalesce(nl, 0) - coalesce(distinct_l, 0))::DOUBLE
+                       / greatest(coalesce(nl, 0), 1) AS dlf,
+                   coalesce(dup_cl, 0)::DOUBLE / greatest(coalesce(cl, 0), 1) AS dlcf,
+                   least(coalesce(top2_chars, 0)::DOUBLE / greatest(n_chars, 1), 1.0) AS t2f,
+                   least(coalesce(dup5_chars, 0)::DOUBLE / greatest(n_chars, 1), 1.0) AS d5f
+            FROM base
+            LEFT JOIN lc USING (doc_id)
+            LEFT JOIN g2 USING (doc_id)
+            LEFT JOIN g5 USING (doc_id)
+        )
+        SELECT doc_id,
+               round(dlf + 1e-9, 6) AS dup_line_frac,
+               round(dlcf + 1e-9, 6) AS dup_line_char_frac,
+               round(t2f + 1e-9, 6) AS top2gram_char_frac,
+               round(d5f + 1e-9, 6) AS dup5gram_char_frac,
+               (round(dlf + 1e-9, 6) > 0.30 OR round(dlcf + 1e-9, 6) > 0.20
+                OR round(t2f + 1e-9, 6) > 0.20 OR round(d5f + 1e-9, 6) > 0.15)
+                   AS repetitious
+        FROM j
+    """

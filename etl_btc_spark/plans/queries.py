@@ -4739,3 +4739,24 @@ def q99s(spark: SparkSession, sf: str) -> DataFrame:
             "(tombstone-filtered) probe — fold-in broke equivalence"
         )
     return post
+
+
+@register(
+    "q99t_repetition_filter",
+    oracle=TX.repetition_features_oracle_sql(),
+    doc=(
+        "§2.11 quality extension (r10): Gopher-style intra-document "
+        "repetition profile — duplicate-line fraction/char-fraction, "
+        "top word-2-gram char fraction, duplicated word-5-gram char "
+        "fraction, and the removal flag at the published thresholds. "
+        "Three explode→(doc, unit) partial-aggregated shuffles off ONE "
+        "persisted tokenize, re-joined per doc on the same key; pure "
+        "JVM expressions (the n-grams are transform(sequence) over the "
+        "token array), no Python workers"
+    ),
+)
+def q99t(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # scoped persist inside repetition_features is released by the
+    # harness's release_scoped_caches AFTER evaluation, like q99/q99j
+    return TX.repetition_features(docs)

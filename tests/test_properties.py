@@ -880,3 +880,59 @@ def test_winnow_hash_array_not_inlined(spark):
         DD.winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("__hs") >= 2, plan
+
+
+def test_repetition_features_edges_and_oracle_parity(spark):
+    """r10 Gopher-style repetition filter: engine ≡ DuckDB oracle on
+    hand-made edge docs the synthetic corpus can't exercise —
+    multi-line duplicates (the corpus has no newlines), blank-line
+    filtering, empty doc, single token, overlapping-gram saturation
+    (pins the 1.0 cap), and lines ending in digits (pins the unary
+    transform lambda: passing F.trim directly would bind transform's
+    binary (element, index) form and TRIM the INDEX's digits off the
+    line ends)."""
+    from etl_btc_spark.operators import textops as TX
+
+    rows = [
+        (0, "11 aa 11\n11 aa 11\nbb\n11 aa 11\n"),  # dup lines, digit ends
+        (1, "x y z\n\n   \nx y z"),  # blank lines dropped
+        (2, ""),  # empty doc
+        (3, "one"),  # single token -> no grams
+        (4, "a b c d e a b c d e a b c d e"),  # dup 5-grams
+        (5, "go go go go go go"),  # saturated 2-gram soup
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": [i for i, _ in rows], "text": [t for _, t in rows]}
+    )
+    got = [
+        tuple(r)
+        for r in TX.repetition_features(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("docs_pd", pdf)
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_pd")
+    want = [
+        tuple(r)
+        for r in con.execute(
+            TX.repetition_features_oracle_sql() + " ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # doc 0: 3 occurrences of one line + 1 unique -> 2/4 dup; trailing
+    # digits intact (the binary-trim bug would change every fraction)
+    assert by_id[0][1] == 0.5 and by_id[0][5] is True
+    # blank/whitespace lines are not lines
+    assert by_id[1][1] == 0.5
+    # degenerate docs: all-zero, unflagged
+    assert by_id[2] == (2, 0.0, 0.0, 0.0, 0.0, False)
+    assert by_id[3] == (3, 0.0, 0.0, 0.0, 0.0, False)
+    # saturation cap: overlapping-gram char products exceed doc length
+    # but the reported fractions stay <= 1
+    assert by_id[4][4] == 1.0 and by_id[5][3] == 1.0
+    assert by_id[4][5] is True and by_id[5][5] is True
+    from etl_btc_spark.operators.dedup import release_scoped_caches
+
+    release_scoped_caches()
