@@ -1722,3 +1722,110 @@ def winnow_oracle_ctes(k: int = 8, w: int = 4, max_postings: int = 1000) -> str:
             GROUP BY a.doc_id, b.doc_id
         )
     """
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    §2.11 extension, r10): cluster-scope the embedding near-dup
+    search instead of running it corpus-wide — assign every vector to
+    its nearest centroid by cosine (ties to the smaller centroid id),
+    compare pairs only WITHIN a cluster, and mark a vector dropped
+    iff a SMALLER-id cluster-mate sits at cosine ≥ ``threshold``
+    (keep-min-id, the same deterministic keep policy as the MinHash
+    pipeline; the paper keeps the vector farthest from the centroid —
+    id order is deterministic and oracle-expressible where distance
+    ranks are float-tie-fragile). Returns one row per input vector:
+    (id, centroid_id, keep).
+
+    ``centroids`` is a (centroid_id, vector) frame, SMALL by contract
+    (it broadcasts): warm-start corpus rows or k-means output. Plan
+    shape at 100 TB: assignment is a broadcast nested-loop over k
+    centroids + one row_number window keyed by id (no shuffle of the
+    corpus beyond the window), the pair search shuffles on
+    centroid_id so each cluster compares locally — O(Σ cluster²)
+    total work, the SemDeDup contract. Cluster count is the skew
+    knob: size k ∝ N (the paper uses 50k clusters for LAION-scale)
+    so clusters stay bounded; a hot cluster shows up in Spark's task
+    skew view and is fixed by raising k, not by salting (pairs must
+    stay within one cluster by definition)."""
+    from pyspark.sql import Window
+
+    from etl_btc_spark.operators.similarity import cosine
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__ccos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = _scoped_persist(
+        df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .crossJoin(
+            F.broadcast(
+                centroids.select(
+                    F.col("centroid_id"), F.col(vec_col).alias("__cv")
+                )
+            )
+        )
+        .withColumn("__ccos", cosine(F.col("__v"), F.col("__cv")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "centroid_id", "__v")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cosine(F.col("a.__v"), F.col("b.__v")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
+    """DuckDB mirror of :func:`semantic_dedup` with warm-start
+    centroids = embeddings rows 0..k-1 (centroid_id = vec_id + 1,
+    matching build_ivf_index's warm-start convention)."""
+    from etl_btc_spark.operators.similarity import cosine_sql
+
+    acos = cosine_sql("e.embedding", "c.cvec")
+    pcos = cosine_sql("a.v", "b.v")
+    return f"""
+        WITH c AS (
+            SELECT CAST(vec_id + 1 AS INTEGER) AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id BETWEEN 0 AND {k - 1}
+        ), a0 AS (
+            SELECT vec_id, centroid_id, v FROM (
+                SELECT e.vec_id, c.centroid_id, e.embedding AS v,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {acos} DESC, c.centroid_id ASC) AS rn
+                FROM embeddings e, c
+                WHERE e.embedding IS NOT NULL
+            ) WHERE rn = 1
+        ), dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM a0 a JOIN a0 b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE {pcos} >= {threshold}
+        )
+        SELECT a0.vec_id, a0.centroid_id,
+               (dropped.vec_id IS NULL) AS keep
+        FROM a0 LEFT JOIN dropped ON a0.vec_id = dropped.vec_id
+    """

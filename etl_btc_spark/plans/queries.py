@@ -4760,3 +4760,26 @@ def q99t(spark: SparkSession, sf: str) -> DataFrame:
     # scoped persist inside repetition_features is released by the
     # harness's release_scoped_caches AFTER evaluation, like q99/q99j
     return TX.repetition_features(docs)
+
+
+@register(
+    "q99u_semantic_dedup",
+    oracle=DD.semantic_dedup_oracle_sql(k=16, threshold=0.9),
+    doc=(
+        "§2.11 embedding extension (r10): SemDeDup-shaped semantic "
+        "dedup — nearest-centroid assignment over 16 warm-start "
+        "centroids (literal corpus rows, the q99g trick, so the whole "
+        "chain is SQL-expressible), then the cosine near-dup search "
+        "runs WITHIN clusters only (O(Σ cluster²), the SemDeDup "
+        "contract vs q36's corpus-wide O(n²)); keep-min-id per ≥0.9 "
+        "pair. Assignment is a broadcast nested-loop + one id-keyed "
+        "window; the pair search shuffles on centroid_id; cluster "
+        "count is the documented skew knob (k ∝ N)"
+    ),
+)
+def q99u(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1).cast("int").alias("centroid_id"), "embedding"
+    )
+    return DD.semantic_dedup(emb, cents, threshold=0.9)

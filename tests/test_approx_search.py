@@ -1297,3 +1297,55 @@ def test_pair_cosine_and_ivf_null_tolerance(spark):
     out = [r["vec_id"] for r in SIM.knn_ivf(emb, q, k=5, n_centroids=2, nprobe=2).collect()]
     assert 0 not in out  # the NULL row is never a neighbor
     assert out[0] == 1
+
+
+def test_semantic_dedup_cluster_scoping_laws(spark):
+    """r10 SemDeDup shape: (1) identical vectors land in one cluster
+    and only the min id survives; (2) near-dup vectors whose nearest
+    centroids DIFFER are both kept — pairs are compared within a
+    cluster only, the whole point of the O(Σ cluster²) contract;
+    (3) NULL embeddings are excluded; (4) every cluster's min id is
+    always kept (keep-min-id is chain-proof at the cluster floor)."""
+    import pandas as pd
+
+    # two well-separated centroids on orthogonal axes
+    c0 = [1.0] + [0.0] * 7
+    c1 = [0.0, 1.0] + [0.0] * 6
+
+    def near(base, eps, flip):
+        v = list(base)
+        v[flip] += eps
+        return v
+
+    rows = {
+        10: c0,                    # cluster 0 exemplar
+        11: list(c0),              # identical -> dropped (10 kept)
+        12: near(c0, 0.05, 2),     # cos ~0.999 to 10 -> dropped
+        20: c1,                    # cluster 1 exemplar
+        21: list(c1),              # identical -> dropped (20 kept)
+        # 30/31: cosine(30,31) >= 0.9 but nearest centroids differ
+        # (each sits closer to its own axis) -> BOTH kept
+        30: [0.8, 0.6] + [0.0] * 6,
+        31: [0.6, 0.8] + [0.0] * 6,
+        40: None,                  # NULL embedding -> excluded
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": list(rows), "embedding": [rows[k] for k in rows]}
+        )
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame({"centroid_id": [1, 2], "embedding": [c0, c1]})
+    )
+    out = DD.semantic_dedup(df, cents, threshold=0.9)
+    got = {r["vec_id"]: (r["centroid_id"], r["keep"]) for r in out.collect()}
+    DD.release_scoped_caches()
+    assert 40 not in got  # NULL excluded
+    assert got[10] == (1, True) and got[11] == (1, False) and got[12] == (1, False)
+    assert got[20] == (2, True) and got[21] == (2, False)
+    # cross-cluster near-dups both survive (cosine(30,31)=0.96 >= 0.9)
+    assert got[30] == (1, True) and got[31] == (2, True)
+    # min id of every cluster is kept
+    for cid in (1, 2):
+        ids = [i for i, (c, _) in got.items() if c == cid]
+        assert got[min(ids)][1] is True
