@@ -750,8 +750,13 @@ def repetition_features_oracle_sql() -> str:
                round(dlcf + 1e-9, 6) AS dup_line_char_frac,
                round(t2f + 1e-9, 6) AS top2gram_char_frac,
                round(d5f + 1e-9, 6) AS dup5gram_char_frac,
-               (round(dlf + 1e-9, 6) > 0.30 OR round(dlcf + 1e-9, 6) > 0.20
-                OR round(t2f + 1e-9, 6) > 0.20 OR round(d5f + 1e-9, 6) > 0.15)
+               (round(dlf + 1e-9, 6) > %r OR round(dlcf + 1e-9, 6) > %r
+                OR round(t2f + 1e-9, 6) > %r OR round(d5f + 1e-9, 6) > %r)
                    AS repetitious
         FROM j
-    """
+    """ % (
+        REP_DUP_LINE_MAX,
+        REP_DUP_LINE_CHAR_MAX,
+        REP_TOP2GRAM_MAX,
+        REP_DUP5GRAM_MAX,
+    )
