@@ -4783,3 +4783,79 @@ def q99u(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 1).cast("int").alias("centroid_id"), "embedding"
     )
     return DD.semantic_dedup(emb, cents, threshold=0.9)
+
+
+@register(
+    "q99v_knn_ivf_join_warm_oracle",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(vec_id + 1 AS INTEGER) AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id BETWEEN 0 AND 15
+        ), a AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {SIM.cosine_sql("e.embedding", "c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, c
+                WHERE e.embedding IS NOT NULL
+            ) WHERE rn <= 2
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
+        ), best AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.query_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {SIM.cosine_sql("c.cvec", "q.qv")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM c, q
+            ) WHERE rn <= 4
+        ), cand AS (
+            SELECT DISTINCT best.query_id, a.vec_id
+            FROM a JOIN best USING (centroid_id)
+        )
+        SELECT query_id, vec_id, round(1e-9 + s, 6) AS cosine_sim FROM (
+            SELECT cand.query_id, cand.vec_id,
+                   {SIM.cosine_sql("e.embedding", "q.qv")} AS s,
+                   row_number() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC,
+                                cand.vec_id ASC) AS rn
+            FROM cand
+            JOIN embeddings e ON cand.vec_id = e.vec_id
+            JOIN q ON cand.query_id = q.query_id
+        ) WHERE rn <= 10
+    """,
+    doc=(
+        "Batched IVF kNN JOIN under a FULL value oracle (r10) — the "
+        "q99g warm-start trick applied to the join path q85 can only "
+        "rows-check (its Lloyd centroids are data-dependent): "
+        "warm-start centroids are literal corpus rows, the int8 "
+        "shortlist is deliberately un-cut (shortlist >> candidates), "
+        "so per-query centroid ranking (nprobe=4), n_assign=2 "
+        "candidate fetch, dedup and the exact fp32 re-rank reproduce "
+        "in plain SQL for EVERY query in the batch — centroid probe "
+        "matmul per Arrow batch, one assignment-table scan joined to "
+        "the broadcast probe set, rank windows per query"
+    ),
+)
+def q99v(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = _SK.artifact_path(sf, "ivf_warm_index")
+    if not ANN._is_built(idx, "ivf"):
+        ANN.build_ivf_index(
+            spark, emb, idx, n_centroids=16, centroid_ids=_Q99G_CENTROID_IDS
+        )
+    out = ANN.knn_ivf_join(
+        spark, idx, emb, queries, k=10, nprobe=4, shortlist=1_000_000
+    )
+    return out.select(
+        "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
