@@ -4859,3 +4859,116 @@ def q99v(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+#: q99w modified-corpus view: ids 20-24 upserted to their REVERSED
+#: vectors (direction change — scaling would be cosine-invariant),
+#: ids 30-34 deleted, everything else intact. Centroids are the
+#: ORIGINAL rows 0-15 (untouched by the upsert), frozen at build.
+_Q99W_CORPUS = """
+        mod AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id BETWEEN 20 AND 24
+                        THEN list_reverse(embedding) ELSE embedding END
+                       AS embedding
+            FROM embeddings
+            WHERE vec_id NOT BETWEEN 30 AND 34
+        )
+"""
+
+
+@register(
+    "q99w_ivf_lifecycle",
+    oracle=f"""
+        WITH {_Q99W_CORPUS},
+        c AS (
+            SELECT CAST(vec_id + 1 AS INTEGER) AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id BETWEEN 0 AND 15
+        ), a AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {SIM.cosine_sql("e.embedding", "c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM mod e, c
+                WHERE e.embedding IS NOT NULL
+            ) WHERE rn <= 2
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), best AS (
+            SELECT centroid_id FROM c, q
+            ORDER BY {SIM.cosine_sql("c.cvec", "q.qv")} DESC, centroid_id
+            LIMIT 4
+        ), cand AS (
+            SELECT DISTINCT a.vec_id FROM a JOIN best USING (centroid_id)
+        )
+        SELECT e.vec_id,
+               round(1e-9 + {SIM.cosine_sql("e.embedding", "q.qv")}, 6) AS cosine_sim
+        FROM mod e JOIN cand USING (vec_id), q
+        ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC, e.vec_id
+        LIMIT 10
+    """,
+    doc=(
+        "ANN-family index LIFECYCLE under the value gate (r10, the "
+        "q99r/q99s pattern for vectors): warm-start build on a subset "
+        "→ insert-only append of the held-out ids (frozen centroids) "
+        "→ tombstone upsert of ids 20-24 to their reversed vectors → "
+        "tombstone delete of ids 30-34 → live-filtered probe → "
+        "sidecar fold-in compaction → probe again, raising on pre/"
+        "post divergence. The oracle is the q99g probe chain over the "
+        "MODIFIED corpus — proving build, append, upsert, delete and "
+        "compact compose to exactly the rebuild-with-warm-start "
+        "answer, end-to-end under the driver's eye"
+    ),
+)
+def q99w(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, sf, "embeddings")
+    idx = _SK.artifact_path(sf, "q99w_ivf_lifecycle")
+    shutil.rmtree(idx, ignore_errors=True)
+    # build on ids < 16 (the warm centroids must be build rows) plus
+    # vec_id % 4 != 3; append the held-out residue class
+    build_set = emb.filter((F.col("vec_id") < 16) | (F.col("vec_id") % 4 != 3))
+    ANN.build_ivf_index(
+        spark, build_set, idx, n_centroids=16, centroid_ids=_Q99G_CENTROID_IDS
+    )
+    ANN.append_ivf_index(
+        spark,
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 4 == 3)),
+        idx,
+    )
+    upd = emb.filter(F.col("vec_id").between(20, 24)).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    ANN.upsert_ivf_index(spark, upd, idx)
+    ANN.delete_ivf_ids(
+        spark, emb.filter(F.col("vec_id").between(30, 34)).select("vec_id"), idx
+    )
+    mod = emb.filter(~F.col("vec_id").between(30, 34)).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id").between(20, 24), F.reverse("embedding")
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    pre = [
+        tuple(r)
+        for r in ANN.knn_ivf_indexed(
+            spark, idx, mod, query, k=10, nprobe=4, shortlist=1_000_000
+        ).collect()
+    ]
+    ANN.compact_ivf_index(spark, idx)
+    post = ANN.knn_ivf_indexed(
+        spark, idx, mod, query, k=10, nprobe=4, shortlist=1_000_000
+    )
+    if [tuple(r) for r in post.collect()] != pre:
+        raise ValueError(
+            "q99w: post-compaction probe diverged from the pre-compaction "
+            "(tombstone-filtered) probe — fold-in broke equivalence"
+        )
+    return post.select(
+        "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
