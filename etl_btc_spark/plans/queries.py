@@ -4972,3 +4972,72 @@ def q99w(spark: SparkSession, sf: str) -> DataFrame:
     return post.select(
         "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q99x_lsh_lifecycle",
+    oracle=f"""
+        WITH {_Q99W_CORPUS},
+        {SIM.lsh_sigs_sql("mod")},
+        qs AS (SELECT band, sig FROM ls_sigs WHERE vec_id = 0),
+        cand AS (SELECT DISTINCT s.vec_id FROM ls_sigs s JOIN qs USING (band, sig)),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(1e-9 + {SIM.cosine_sql("e.embedding", "q.qv")}, 6) AS cosine_sim
+        FROM mod e JOIN cand USING (vec_id), q
+        ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC, e.vec_id
+        LIMIT 10
+    """,
+    doc=(
+        "LSH-family index LIFECYCLE under the value gate (r10, q99w's "
+        "sibling): build on a subset → insert-only append of the "
+        "held-out residue class (signatures from the persisted _GEOM, "
+        "zero drift by construction) → tombstone upsert of ids 20-24 "
+        "to reversed vectors → tombstone delete of ids 30-34 → "
+        "live-filtered (band, sig) probe → sidecar fold-in compaction "
+        "→ probe again, raising on pre/post divergence. Oracle = "
+        "q37's inlined-hyperplane band table rebuilt in SQL over the "
+        "MODIFIED corpus"
+    ),
+)
+def q99x(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark import sinks as _SK
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, sf, "embeddings")
+    idx = _SK.artifact_path(sf, "q99x_lsh_lifecycle")
+    shutil.rmtree(idx, ignore_errors=True)
+    ANN.build_lsh_index(
+        spark, emb.filter(F.col("vec_id") % 4 != 3), idx, **LSH_INDEX_PARAMS
+    )
+    ANN.append_lsh_index(spark, emb.filter(F.col("vec_id") % 4 == 3), idx)
+    upd = emb.filter(F.col("vec_id").between(20, 24)).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    ANN.upsert_lsh_index(spark, upd, idx)
+    ANN.delete_lsh_ids(
+        spark, emb.filter(F.col("vec_id").between(30, 34)).select("vec_id"), idx
+    )
+    mod = emb.filter(~F.col("vec_id").between(30, 34)).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id").between(20, 24), F.reverse("embedding")
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    pre = [
+        tuple(r)
+        for r in ANN.knn_lsh_indexed(
+            spark, idx, mod, query, k=10, **LSH_INDEX_PARAMS
+        ).collect()
+    ]
+    ANN.compact_lsh_index(spark, idx)
+    post = ANN.knn_lsh_indexed(spark, idx, mod, query, k=10, **LSH_INDEX_PARAMS)
+    if [tuple(r) for r in post.collect()] != pre:
+        raise ValueError(
+            "q99x: post-compaction probe diverged from the pre-compaction "
+            "(tombstone-filtered) probe — fold-in broke equivalence"
+        )
+    return post.select(
+        "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
