@@ -5041,3 +5041,114 @@ def q99x(spark: SparkSession, sf: str) -> DataFrame:
     return post.select(
         "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+#: q99y text revision — plain lowercase single-space words so the
+#: engine's tokenizer and the oracle's regexp split agree exactly
+_Q99Y_REV = " q99y lifecycle revision marker tokens"
+
+
+@register(
+    "q99y_minhash_lifecycle",
+    oracle=f"""
+        WITH hi AS (SELECT max(doc_id) AS hi FROM documents),
+        t30 AS (SELECT text AS t FROM documents WHERE doc_id = 30),
+        t20 AS (SELECT text || '{_Q99Y_REV}' AS t FROM documents WHERE doc_id = 20),
+        src AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id BETWEEN 20 AND 24
+                            THEN d.text || '{_Q99Y_REV}'
+                        WHEN d.doc_id = hi.hi THEN t30.t
+                        WHEN d.doc_id = hi.hi - 1 THEN t20.t
+                        ELSE d.text END AS text
+            FROM documents d, hi, t30, t20
+            WHERE NOT (d.doc_id BETWEEN 30 AND 34)
+        ),
+        w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM src
+        ), {DD.minhash_oracle_ctes()}
+        SELECT id_b AS batch_id, id_a AS corpus_id, round(1e-9 + j, 6) AS jaccard
+        FROM (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS j
+            FROM mh_cand c
+            JOIN mh_sh sa ON c.id_a = sa.doc_id
+            JOIN mh_sh sb ON c.id_b = sb.doc_id
+            CROSS JOIN hi
+            WHERE c.id_a <= hi.hi - 50 AND c.id_b > hi.hi - 50
+        )
+        WHERE j >= 0.8
+    """,
+    doc=(
+        "MinHash-family index LIFECYCLE under the value gate (r10 — "
+        "completes the q99r/q99s/q99w/q99x set; q99p covers this "
+        "family's STREAMED build/append/upsert, this covers batch "
+        "delete+compact): build on a subset → insert-only append of "
+        "the residue → tombstone upsert of ids 20-24 (revised text) → "
+        "tombstone delete of ids 30-34 → incremental probe of the "
+        "last-50 batch with two PLANTED probes — a duplicate of "
+        "DELETED doc 30 (must NOT match: its bands are dead, 'a "
+        "forgotten document stops hiding near-dups of itself') and a "
+        "duplicate of REVISED doc 20 (must match ONLY via the "
+        "upserted bands) — → sidecar fold-in compaction → probe "
+        "again, raising on pre/post divergence. Oracle = the q74 "
+        "band-collision + exact-Jaccard chain over the modified "
+        "corpus ∪ planted batch, with the deleted ids absent"
+    ),
+)
+def q99y(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    corpus = docs.filter(F.col("doc_id") <= hi - 50)
+    rev = F.concat(F.col("text"), F.lit(_Q99Y_REV))
+    idx = SK.artifact_path(sf, "q99y_minhash_lifecycle")
+    shutil.rmtree(idx, ignore_errors=True)
+    DD.build_minhash_index(
+        spark, corpus.filter(F.col("doc_id") % 4 != 3), idx
+    )
+    DD.append_minhash_index(
+        spark, corpus.filter(F.col("doc_id") % 4 == 3), idx
+    )
+    DD.upsert_minhash_index(
+        spark,
+        corpus.filter(F.col("doc_id").between(20, 24)).withColumn("text", rev),
+        idx,
+    )
+    DD.delete_minhash_ids(
+        spark, corpus.filter(F.col("doc_id").between(30, 34)).select("doc_id"), idx
+    )
+    # the probe corpus keeps the deleted ids' text (delete is an
+    # index-side FORGET; only the dead bands keep them out of the
+    # candidates) and carries the upserted revisions
+    mod_corpus = corpus.withColumn(
+        "text",
+        F.when(F.col("doc_id").between(20, 24), rev).otherwise(F.col("text")),
+    )
+    t30 = docs.filter(F.col("doc_id") == 30).first()["text"]
+    t20r = docs.filter(F.col("doc_id") == 20).first()["text"] + _Q99Y_REV
+    batch = docs.filter(F.col("doc_id") > hi - 50).withColumn(
+        "text",
+        F.when(F.col("doc_id") == hi, F.lit(t30))
+        .when(F.col("doc_id") == hi - 1, F.lit(t20r))
+        .otherwise(F.col("text")),
+    )
+    pre = [
+        tuple(r)
+        for r in DD.incremental_near_dupes(
+            spark, idx, mod_corpus, batch, threshold=0.8
+        ).collect()
+    ]
+    DD.release_scoped_caches()
+    DD.compact_minhash_index(spark, idx)
+    post = DD.incremental_near_dupes(spark, idx, mod_corpus, batch, threshold=0.8)
+    if sorted(tuple(r) for r in post.collect()) != sorted(pre):
+        raise ValueError(
+            "q99y: post-compaction probe diverged from the pre-compaction "
+            "(tombstone-filtered) probe — fold-in broke equivalence"
+        )
+    return post.select(
+        "batch_id", "corpus_id", sround(F.col("jaccard"), 6).alias("jaccard")
+    )
