@@ -4680,25 +4680,35 @@ _Q99S_REV = " zz hash join zz"
 @register(
     "q99s_trigram_lifecycle",
     oracle=f"""
-        SELECT doc_id FROM (
+        WITH m AS (
             SELECT doc_id,
                    CASE WHEN doc_id < 5 THEN text || '{_Q99S_REV}' ELSE text END AS text
             FROM documents
-            WHERE doc_id < 10 OR doc_id >= 15
+        ), hits AS (
+            SELECT doc_id FROM m
+            WHERE contains(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '{_Q99M_NEEDLE}')
+        ), del AS (
+            SELECT doc_id FROM hits WHERE doc_id >= 5 ORDER BY doc_id LIMIT 2
         )
-        WHERE contains(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '{_Q99M_NEEDLE}')
+        SELECT doc_id FROM hits
+        WHERE doc_id NOT IN (SELECT doc_id FROM del)
         ORDER BY doc_id
     """,
     doc=(
         "trigram-index lifecycle under the value gate (r10, VERDICT "
         "r9 #6): build, UPSERT ids 0-4 with text that newly contains "
-        "the needle, DELETE ids 10-14, probe through live-filtered "
-        "gram postings, COMPACT, probe again (raises on pre/post "
-        "divergence). Oracle = full-scan LIKE over the modified "
-        "corpus, so the upserted docs MUST appear (their new grams "
-        "are live), deleted docs MUST NOT (their grams are "
-        "tombstoned), and the pigeonhole prefilter stays lossless "
-        "through the whole update history"
+        "the needle, DELETE the first two needle-matching docs with "
+        "id >= 5 — ids that WOULD match, so a delete regression is "
+        "observable (review r10: a fixed deleted range that never "
+        "matched the needle, combined with a probe corpus that "
+        "pre-filtered it, made delete unverifiable) — probe through "
+        "live-filtered gram postings over a corpus that still "
+        "CONTAINS the deleted docs' text, COMPACT, probe again "
+        "(raises on pre/post divergence). Oracle = full-scan LIKE "
+        "over the revised corpus minus the deleted hits: upserted "
+        "docs MUST appear (new grams live), deleted docs MUST NOT "
+        "(dead grams alone keep them out), and the pigeonhole "
+        "prefilter stays lossless through the whole update history"
     ),
 )
 def q99s(spark: SparkSession, sf: str) -> DataFrame:
@@ -4712,16 +4722,26 @@ def q99s(spark: SparkSession, sf: str) -> DataFrame:
         "text", F.concat(F.col("text"), F.lit(_Q99S_REV))
     )
     TI.upsert_trigram_index(spark, upd, idx)
-    TI.delete_trigram_ids(
-        spark,
-        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
-            "doc_id"
-        ),
-        idx,
+    # delete the first two needle-MATCHING docs with id >= 5 (bounded
+    # 2-row collect — review r10: the old fixed 10-14 range never
+    # matched the needle, so a delete regression was invisible)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    del_ids = (
+        docs.filter(
+            (F.col("doc_id") >= 5) & norm.contains(F.lit(_Q99M_NEEDLE))
+        )
+        .orderBy("doc_id")
+        .limit(2)
+        .select("doc_id")
     )
-    mod_docs = docs.filter(
-        (F.col("doc_id") < 10) | (F.col("doc_id") >= 15)
-    ).withColumn(
+    TI.delete_trigram_ids(spark, del_ids, idx)
+    # the probe corpus deliberately KEEPS the deleted docs' text
+    # (review r10): substring_search verifies candidates against this
+    # frame, so pre-filtering them here would hide a delete_trigram_ids
+    # regression from the gate — their absence from the output must be
+    # enforced by the DEAD GRAMS alone (the oracle excludes them, so a
+    # leaked live candidate surfaces as an extra row vs the oracle)
+    mod_docs = docs.withColumn(
         "text",
         F.when(
             F.col("doc_id") < 5, F.concat(F.col("text"), F.lit(_Q99S_REV))
@@ -4839,7 +4859,13 @@ def q99u(spark: SparkSession, sf: str) -> DataFrame:
         "candidate fetch, dedup and the exact fp32 re-rank reproduce "
         "in plain SQL for EVERY query in the batch — centroid probe "
         "matmul per Arrow batch, one assignment-table scan joined to "
-        "the broadcast probe set, rank windows per query"
+        "the broadcast probe set, rank windows per query. Float "
+        "posture: membership at the rn-boundaries compares RAW "
+        "doubles from numpy (engine) vs DuckDB's fold — the same "
+        "accepted exposure as q99g (4 rounds green); random fixture "
+        "vectors make rank-boundary ulp-ties vanishingly unlikely, "
+        "and a regenerated adversarial fixture would surface as a "
+        "deterministic, investigable hash mismatch"
     ),
 )
 def q99v(spark: SparkSession, sf: str) -> DataFrame:
@@ -4865,14 +4891,22 @@ def q99v(spark: SparkSession, sf: str) -> DataFrame:
 #: vectors (direction change — scaling would be cosine-invariant),
 #: ids 30-34 deleted, everything else intact. Centroids are the
 #: ORIGINAL rows 0-15 (untouched by the upsert), frozen at build.
+#: q99w/q99x modified-corpus view (review r10 — observability by
+#: construction): ids 20-24 are upserted to the QUERY's exact vector
+#: (cosine 1.0 — they MUST top-rank iff the upserted rows are live;
+#: the earlier reversed-vector plant could sit outside the top-k and
+#: hide an upsert regression), the deleted ids are chosen per family
+#: as the query's own nearest/colliding neighbors (they MUST vanish
+#: iff their rows are dead; the earlier fixed 30-34 range was both
+#: pre-filtered from the re-rank base and not guaranteed near the
+#: query, making delete unverifiable).
 _Q99W_CORPUS = """
+        q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         mod AS (
-            SELECT vec_id,
-                   CASE WHEN vec_id BETWEEN 20 AND 24
-                        THEN list_reverse(embedding) ELSE embedding END
-                       AS embedding
-            FROM embeddings
-            WHERE vec_id NOT BETWEEN 30 AND 34
+            SELECT e.vec_id,
+                   CASE WHEN e.vec_id BETWEEN 20 AND 24 THEN q0.qv
+                        ELSE e.embedding END AS embedding
+            FROM embeddings e, q0
         )
 """
 
@@ -4894,6 +4928,11 @@ _Q99W_CORPUS = """
                 FROM mod e, c
                 WHERE e.embedding IS NOT NULL
             ) WHERE rn <= 2
+        ), del AS (
+            SELECT vec_id FROM mod, q0
+            WHERE vec_id >= 35 AND embedding IS NOT NULL
+            ORDER BY {SIM.cosine_sql("embedding", "q0.qv")} DESC, vec_id
+            LIMIT 2
         ), q AS (
             SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
         ), best AS (
@@ -4902,6 +4941,7 @@ _Q99W_CORPUS = """
             LIMIT 4
         ), cand AS (
             SELECT DISTINCT a.vec_id FROM a JOIN best USING (centroid_id)
+            WHERE a.vec_id NOT IN (SELECT vec_id FROM del)
         )
         SELECT e.vec_id,
                round(1e-9 + {SIM.cosine_sql("e.embedding", "q.qv")}, 6) AS cosine_sim
@@ -4913,13 +4953,17 @@ _Q99W_CORPUS = """
         "ANN-family index LIFECYCLE under the value gate (r10, the "
         "q99r/q99s pattern for vectors): warm-start build on a subset "
         "→ insert-only append of the held-out ids (frozen centroids) "
-        "→ tombstone upsert of ids 20-24 to their reversed vectors → "
-        "tombstone delete of ids 30-34 → live-filtered probe → "
-        "sidecar fold-in compaction → probe again, raising on pre/"
-        "post divergence. The oracle is the q99g probe chain over the "
-        "MODIFIED corpus — proving build, append, upsert, delete and "
-        "compact compose to exactly the rebuild-with-warm-start "
-        "answer, end-to-end under the driver's eye"
+        "→ tombstone upsert of ids 20-24 to the QUERY's exact vector "
+        "(cosine 1.0 — they must top-rank iff the upsert is live) → "
+        "tombstone delete of the query's two nearest neighbors among "
+        "ids ≥ 35 (top-10 members by construction — they must vanish "
+        "iff the delete is live; the re-rank base keeps their "
+        "vectors, so only the dead assignment rows exclude them) → "
+        "live-filtered probe → sidecar fold-in compaction → probe "
+        "again, raising on pre/post divergence. The oracle is the "
+        "q99g probe chain over the MODIFIED corpus minus the deleted "
+        "ids — proving build, append, upsert, delete and compact "
+        "compose to exactly the rebuild-with-warm-start answer"
     ),
 )
 def q99w(spark: SparkSession, sf: str) -> DataFrame:
@@ -4940,18 +4984,46 @@ def q99w(spark: SparkSession, sf: str) -> DataFrame:
         emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 4 == 3)),
         idx,
     )
-    upd = emb.filter(F.col("vec_id").between(20, 24)).select(
-        "vec_id", F.reverse("embedding").alias("embedding")
+    # plant the upsert at the QUERY's exact vector: cosine 1.0, so the
+    # upserted rows must occupy the top of the top-10 iff they are live
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    upd = (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select("vec_id", F.col("__qv").alias("embedding"))
     )
     ANN.upsert_ivf_index(spark, upd, idx)
-    ANN.delete_ivf_ids(
-        spark, emb.filter(F.col("vec_id").between(30, 34)).select("vec_id"), idx
+    # delete the query's two NEAREST neighbors among ids >= 35
+    # (bounded 2-row collect; expression-form cosine — bit-compatible
+    # with the oracle's list_dot_product fold): top-10 members by
+    # construction, so a delete regression surfaces as a divergent
+    # top-10. Selection over the ORIGINAL vectors (ids >= 35 are
+    # untouched by the upsert).
+    del_ids = (
+        emb.filter((F.col("vec_id") >= 35) & F.col("embedding").isNotNull())
+        .crossJoin(qvec)
+        .select(
+            "vec_id", SIM.cosine(F.col("embedding"), F.col("__qv")).alias("__c")
+        )
+        .orderBy(F.col("__c").desc(), "vec_id")
+        .limit(2)
+        .select("vec_id")
     )
-    mod = emb.filter(~F.col("vec_id").between(30, 34)).select(
+    ANN.delete_ivf_ids(spark, del_ids, idx)
+    # the re-rank base deliberately KEEPS the deleted ids (review
+    # r10): pre-filtering them here would hide a delete_ivf_ids
+    # regression from the gate — their absence from the top-k must be
+    # enforced by the DEAD ASSIGNMENT ROWS alone (the oracle excludes
+    # them, so a leaked live candidate surfaces as a divergent top-10)
+    mod = emb.crossJoin(qvec).select(
         "vec_id",
-        F.when(
-            F.col("vec_id").between(20, 24), F.reverse("embedding")
-        ).otherwise(F.col("embedding")).alias("embedding"),
+        F.when(F.col("vec_id").between(20, 24), F.col("__qv"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
     )
     query = emb.filter(F.col("vec_id") == 0)
     pre = [
@@ -4980,7 +5052,10 @@ def q99w(spark: SparkSession, sf: str) -> DataFrame:
         WITH {_Q99W_CORPUS},
         {SIM.lsh_sigs_sql("mod")},
         qs AS (SELECT band, sig FROM ls_sigs WHERE vec_id = 0),
-        cand AS (SELECT DISTINCT s.vec_id FROM ls_sigs s JOIN qs USING (band, sig)),
+        cand AS (
+            SELECT DISTINCT s.vec_id FROM ls_sigs s JOIN qs USING (band, sig)
+            WHERE s.vec_id NOT IN (23, 24)
+        ),
         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id,
                round(1e-9 + {SIM.cosine_sql("e.embedding", "q.qv")}, 6) AS cosine_sim
@@ -4993,11 +5068,19 @@ def q99w(spark: SparkSession, sf: str) -> DataFrame:
         "sibling): build on a subset → insert-only append of the "
         "held-out residue class (signatures from the persisted _GEOM, "
         "zero drift by construction) → tombstone upsert of ids 20-24 "
-        "to reversed vectors → tombstone delete of ids 30-34 → "
-        "live-filtered (band, sig) probe → sidecar fold-in compaction "
-        "→ probe again, raising on pre/post divergence. Oracle = "
-        "q37's inlined-hyperplane band table rebuilt in SQL over the "
-        "MODIFIED corpus"
+        "to the QUERY's exact vector (identical signatures — they "
+        "collide with the query in EVERY band, so they must appear "
+        "iff the upserted rows are live) → tombstone delete of PLANTS "
+        "23-24 (guaranteed cosine-1.0 top-10 members when live, so a "
+        "delete regression MUST surface as extra top rows — review "
+        "r10: a band-collider pick could rank below the top-10 and "
+        "hide it; this also pins the delete-after-upsert generation "
+        "interplay, the delete tombstone must kill rows the UPSERT "
+        "just appended) → live-filtered (band, sig) probe → sidecar "
+        "fold-in compaction → probe again, raising on pre/post "
+        "divergence. Oracle = q37's inlined-hyperplane band table "
+        "rebuilt in SQL over the MODIFIED corpus minus the deleted "
+        "plants"
     ),
 )
 def q99x(spark: SparkSession, sf: str) -> DataFrame:
@@ -5011,18 +5094,37 @@ def q99x(spark: SparkSession, sf: str) -> DataFrame:
         spark, emb.filter(F.col("vec_id") % 4 != 3), idx, **LSH_INDEX_PARAMS
     )
     ANN.append_lsh_index(spark, emb.filter(F.col("vec_id") % 4 == 3), idx)
-    upd = emb.filter(F.col("vec_id").between(20, 24)).select(
-        "vec_id", F.reverse("embedding").alias("embedding")
+    # plant the upsert at the QUERY's exact vector: identical band
+    # signatures, so the upserted rows collide with the query in
+    # every band and must appear iff they are live
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    upd = (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select("vec_id", F.col("__qv").alias("embedding"))
     )
     ANN.upsert_lsh_index(spark, upd, idx)
+    # delete PLANTS 23-24: guaranteed cosine-1.0 top-10 members when
+    # live, so a regression is observable by construction — and the
+    # delete tombstone (gen g+1) must kill rows the upsert (gen g)
+    # just appended, pinning the generation interplay
     ANN.delete_lsh_ids(
-        spark, emb.filter(F.col("vec_id").between(30, 34)).select("vec_id"), idx
+        spark,
+        emb.filter(F.col("vec_id").isin(23, 24)).select("vec_id"),
+        idx,
     )
-    mod = emb.filter(~F.col("vec_id").between(30, 34)).select(
+    # re-rank base KEEPS the deleted ids (review r10) — see q99w: a
+    # delete_lsh_ids regression must surface as a divergent top-10,
+    # not be masked by a pre-filtered base
+    mod = emb.crossJoin(qvec).select(
         "vec_id",
-        F.when(
-            F.col("vec_id").between(20, 24), F.reverse("embedding")
-        ).otherwise(F.col("embedding")).alias("embedding"),
+        F.when(F.col("vec_id").between(20, 24), F.col("__qv"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
     )
     query = emb.filter(F.col("vec_id") == 0)
     pre = [
@@ -5102,6 +5204,17 @@ _Q99Y_REV = " q99y lifecycle revision marker tokens"
 def q99y(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None or hi - 50 < 35:
+        # the planted ids 20-34 must land on the CORPUS side of the
+        # hi-50 split and docs 20/30 must exist (review r10: on a
+        # tiny fixture the engine's upsert/delete silently no-op
+        # while the oracle still rewrites those ids — fail loudly
+        # instead of diverging for a reason unrelated to the test)
+        raise ValueError(
+            "q99y needs a documents fixture with max(doc_id) >= 85 so ids "
+            "20-34 sit on the corpus side of the hi-50 split (got hi=%r)"
+            % hi
+        )
     corpus = docs.filter(F.col("doc_id") <= hi - 50)
     rev = F.concat(F.col("text"), F.lit(_Q99Y_REV))
     idx = SK.artifact_path(sf, "q99y_minhash_lifecycle")
