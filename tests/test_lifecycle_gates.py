@@ -1,0 +1,78 @@
+"""Meta-verification of the index-lifecycle value gates (r10): each
+gate must actually FAIL when the maintenance op it claims to verify is
+broken. A gate whose delete step can't fail on a no-op'd delete is
+theater — exactly the defect review r10 found in the first q99s/q99w/
+q99x shapes (probe bases pre-filtered the deleted ids, and/or the
+deleted ids could never have appeared in the output anyway). These
+tests no-op one maintenance op at a time and assert the engine
+DIVERGES from the DuckDB oracle."""
+
+import duckdb
+import pytest
+
+from etl_btc_spark.plans.queries import REGISTRY
+from etl_btc_spark.operators import ann_index as ANN
+from etl_btc_spark.operators import dedup as DD
+from etl_btc_spark.operators import text_index as TI
+
+from conftest import SF_SMOKE
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+def _run_vs_oracle(spark, ddb, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_SMOKE)
+    srows = _canon(sdf.columns, sdf.collect())
+    orc = ddb.execute(q.oracle).fetchall()
+    orows = _canon([d[0] for d in ddb.description], orc)
+    return srows, orows
+
+
+CASES = [
+    ("q99s_trigram_lifecycle", TI, "delete_trigram_ids"),
+    ("q99w_ivf_lifecycle", ANN, "delete_ivf_ids"),
+    ("q99x_lsh_lifecycle", ANN, "delete_lsh_ids"),
+    ("q99x_lsh_lifecycle", ANN, "upsert_lsh_index"),
+    ("q99y_minhash_lifecycle", DD, "delete_minhash_ids"),
+]
+
+
+@pytest.mark.parametrize("name,mod,attr", CASES, ids=[f"{n}--{a}" for n, _, a in CASES])
+def test_lifecycle_gate_fails_when_op_broken(spark, ddb, name, mod, attr, monkeypatch):
+    real = getattr(mod, attr)
+
+    def noop(spark, first, path=None, **k):
+        # delete_*(spark, ids, path) and upsert_*(spark, batch, path)
+        # both take the artifact path as the 3rd positional — return it
+        return path
+
+    monkeypatch.setattr(mod, attr, noop)
+    try:
+        srows, orows = _run_vs_oracle(spark, ddb, name)
+    except Exception:
+        return  # a loud failure is an acceptable way for the gate to bite
+    finally:
+        monkeypatch.setattr(mod, attr, real)
+        DD.release_scoped_caches()
+    assert srows != orows, (
+        "%s still matches its oracle with %s.%s no-op'd — the gate "
+        "cannot detect a regression in that op" % (name, mod.__name__, attr)
+    )
+
+
+def test_lifecycle_gates_green_when_intact(spark, ddb):
+    """The complement: with nothing broken, all four gates match their
+    oracles (the same comparison the driver's harness runs)."""
+    for name in (
+        "q99s_trigram_lifecycle",
+        "q99w_ivf_lifecycle",
+        "q99x_lsh_lifecycle",
+        "q99y_minhash_lifecycle",
+    ):
+        srows, orows = _run_vs_oracle(spark, ddb, name)
+        assert srows == orows, "%s diverged from its oracle" % name
+        DD.release_scoped_caches()
