@@ -5145,9 +5145,17 @@ def q99x(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-#: q99y text revision — plain lowercase single-space words so the
-#: engine's tokenizer and the oracle's regexp split agree exactly
-_Q99Y_REV = " q99y lifecycle revision marker tokens"
+#: q99y upsert REPLACEMENT text prefix (review r10 — observability):
+#: an APPENDED revision keeps ~70% shingle overlap with the original,
+#: so the planted probe still band-collides with the STALE rows and a
+#: no-op'd upsert was invisible to the gate. Wholesale replacement
+#: (prefix || doc_id) shares no shingles with the original — the
+#: planted duplicate of replaced doc 20 can only match through the
+#: UPSERTED bands. Plain lowercase single-space words so the engine's
+#: tokenizer and the oracle's regexp split agree exactly; the doc_id
+#: suffix keeps the five replaced docs below the 0.8 cross-match
+#: threshold of each other.
+_Q99Y_REV = "q99y wholesale replacement corpus document body number "
 
 
 @register(
@@ -5155,15 +5163,14 @@ _Q99Y_REV = " q99y lifecycle revision marker tokens"
     oracle=f"""
         WITH hi AS (SELECT max(doc_id) AS hi FROM documents),
         t30 AS (SELECT text AS t FROM documents WHERE doc_id = 30),
-        t20 AS (SELECT text || '{_Q99Y_REV}' AS t FROM documents WHERE doc_id = 20),
         src AS (
             SELECT d.doc_id,
                    CASE WHEN d.doc_id BETWEEN 20 AND 24
-                            THEN d.text || '{_Q99Y_REV}'
+                            THEN '{_Q99Y_REV}' || d.doc_id
                         WHEN d.doc_id = hi.hi THEN t30.t
-                        WHEN d.doc_id = hi.hi - 1 THEN t20.t
+                        WHEN d.doc_id = hi.hi - 1 THEN '{_Q99Y_REV}' || 20
                         ELSE d.text END AS text
-            FROM documents d, hi, t30, t20
+            FROM documents d, hi, t30
             WHERE NOT (d.doc_id BETWEEN 30 AND 34)
         ),
         w AS (
@@ -5189,13 +5196,16 @@ _Q99Y_REV = " q99y lifecycle revision marker tokens"
         "completes the q99r/q99s/q99w/q99x set; q99p covers this "
         "family's STREAMED build/append/upsert, this covers batch "
         "delete+compact): build on a subset → insert-only append of "
-        "the residue → tombstone upsert of ids 20-24 (revised text) → "
-        "tombstone delete of ids 30-34 → incremental probe of the "
-        "last-50 batch with two PLANTED probes — a duplicate of "
-        "DELETED doc 30 (must NOT match: its bands are dead, 'a "
-        "forgotten document stops hiding near-dups of itself') and a "
-        "duplicate of REVISED doc 20 (must match ONLY via the "
-        "upserted bands) — → sidecar fold-in compaction → probe "
+        "the residue → tombstone upsert of ids 20-24 to wholesale "
+        "REPLACEMENT text (no shingles shared with the originals — "
+        "an appended revision kept enough overlap that stale bands "
+        "still served the plant and a no-op'd upsert was invisible, "
+        "review r10) → tombstone delete of ids 30-34 → incremental "
+        "probe of the last-50 batch with two PLANTED probes — a "
+        "duplicate of DELETED doc 30 (must NOT match: its bands are "
+        "dead, 'a forgotten document stops hiding near-dups of "
+        "itself') and a duplicate of REPLACED doc 20 (can only match "
+        "through the upserted bands) — → sidecar fold-in compaction → probe "
         "again, raising on pre/post divergence. Oracle = the q74 "
         "band-collision + exact-Jaccard chain over the modified "
         "corpus ∪ planted batch, with the deleted ids absent"
@@ -5216,7 +5226,7 @@ def q99y(spark: SparkSession, sf: str) -> DataFrame:
             % hi
         )
     corpus = docs.filter(F.col("doc_id") <= hi - 50)
-    rev = F.concat(F.col("text"), F.lit(_Q99Y_REV))
+    rev = F.concat(F.lit(_Q99Y_REV), F.col("doc_id").cast("string"))
     idx = SK.artifact_path(sf, "q99y_minhash_lifecycle")
     shutil.rmtree(idx, ignore_errors=True)
     DD.build_minhash_index(
@@ -5241,7 +5251,7 @@ def q99y(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("doc_id").between(20, 24), rev).otherwise(F.col("text")),
     )
     t30 = docs.filter(F.col("doc_id") == 30).first()["text"]
-    t20r = docs.filter(F.col("doc_id") == 20).first()["text"] + _Q99Y_REV
+    t20r = _Q99Y_REV + "20"
     batch = docs.filter(F.col("doc_id") > hi - 50).withColumn(
         "text",
         F.when(F.col("doc_id") == hi, F.lit(t30))

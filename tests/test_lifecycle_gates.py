@@ -33,10 +33,15 @@ def _run_vs_oracle(spark, ddb, name):
 
 
 CASES = [
+    ("q99r_text_index_lifecycle", TI, "upsert_text_index"),
+    ("q99r_text_index_lifecycle", TI, "delete_text_ids"),
+    ("q99s_trigram_lifecycle", TI, "upsert_trigram_index"),
     ("q99s_trigram_lifecycle", TI, "delete_trigram_ids"),
+    ("q99w_ivf_lifecycle", ANN, "upsert_ivf_index"),
     ("q99w_ivf_lifecycle", ANN, "delete_ivf_ids"),
-    ("q99x_lsh_lifecycle", ANN, "delete_lsh_ids"),
     ("q99x_lsh_lifecycle", ANN, "upsert_lsh_index"),
+    ("q99x_lsh_lifecycle", ANN, "delete_lsh_ids"),
+    ("q99y_minhash_lifecycle", DD, "upsert_minhash_index"),
     ("q99y_minhash_lifecycle", DD, "delete_minhash_ids"),
 ]
 
