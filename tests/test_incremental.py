@@ -329,10 +329,13 @@ def test_stream_hnsw_refresh_converges_to_rebuild(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     kw = {"n_shards": 4}
 
-    # batch 1: first 100 ids -> full build
+    # batch 1: first 100 ids -> full build. n_table_parts=4 divides
+    # n_shards=4 — the r11 geometry constraint the partition-pruned
+    # refresh requires (64, the old default here, does not divide 4)
     emb.filter(F.col("vec_id") < 100).write.mode("append").parquet(landing)
     INC.stream_hnsw_refresh(
-        spark, landing, schema, table, index, ckpt, ver_col="ver", index_kw=kw
+        spark, landing, schema, table, index, ckpt, ver_col="ver",
+        n_table_parts=4, index_kw=kw,
     )
     assert spark.read.parquet(table).count() == 100
 
@@ -345,7 +348,8 @@ def test_stream_hnsw_refresh_converges_to_rebuild(spark, tmp_path):
     )
     upd.write.mode("append").parquet(landing)
     INC.stream_hnsw_refresh(
-        spark, landing, schema, table, index, ckpt, ver_col="ver", index_kw=kw
+        spark, landing, schema, table, index, ckpt, ver_col="ver",
+        n_table_parts=4, index_kw=kw,
     )
 
     snapshot = spark.read.parquet(table).drop("vpart")
@@ -368,10 +372,56 @@ def test_stream_hnsw_refresh_converges_to_rebuild(spark, tmp_path):
     index2 = str(tmp_path / "index2")
     INC.stream_hnsw_refresh(
         spark, landing, schema, table2, index2, str(tmp_path / "ckpt2"),
-        ver_col="ver", index_kw=kw
+        ver_col="ver", n_table_parts=4, index_kw=kw,
     )
     got2 = spark.read.parquet(index2 + "/nodes").orderBy("vec_id").collect()
     assert got2 == want
+
+
+def test_stream_hnsw_refresh_geometry_constraint(spark, tmp_path):
+    """r11 (VERDICT r10 #1): the sink's partition-pruned refresh needs
+    n_table_parts | n_shards. (1) an explicit incompatible index_kw is
+    refused at stream DEFINITION; (2) an existing incompatible
+    artifact is refused at stream definition; (3) a first-trigger
+    auto-derived shard count is rounded UP to the next multiple of
+    n_table_parts."""
+    import json
+    import os
+
+    from etl_btc_spark.operators import hnsw as HN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    schema = emb.schema
+    landing = str(tmp_path / "landing")
+    emb.limit(40).write.mode("append").parquet(landing)
+
+    with pytest.raises(ValueError, match="multiple"):
+        INC.stream_hnsw_refresh(
+            spark, landing, schema, str(tmp_path / "t1"),
+            str(tmp_path / "i1"), str(tmp_path / "c1"),
+            n_table_parts=4, index_kw={"n_shards": 6},
+        )
+
+    # existing artifact with incompatible geometry refuses the stream
+    bad = str(tmp_path / "i2")
+    HN.build_hnsw_index(spark, emb.limit(40), bad, n_shards=6)
+    with pytest.raises(ValueError, match="multiple"):
+        INC.stream_hnsw_refresh(
+            spark, landing, schema, str(tmp_path / "t2"), bad,
+            str(tmp_path / "c2"), n_table_parts=4,
+        )
+
+    # auto-derived count rounds up to a multiple of n_table_parts:
+    # 40 rows -> auto = min(32, ceil(40/1000)) ... = 1 -> rounds to 4
+    idx = str(tmp_path / "i3")
+    INC.stream_hnsw_refresh(
+        spark, landing, schema, str(tmp_path / "t3"), idx,
+        str(tmp_path / "c3"), n_table_parts=4,
+    )
+    with open(os.path.join(idx, "_SHARDS")) as f:
+        assert json.load(f)["n_shards"] % 4 == 0
 
 
 def test_stream_text_index_append_converges_and_self_heals(spark, tmp_path):
@@ -760,6 +810,24 @@ def test_stream_text_sink_auto_compacts_sidecar(spark, tmp_path):
     full2 = str(tmp_path / "full2")
     TI.build_text_index(spark, spark.read.parquet(table).drop("vpart"), full2)
     assert probe(index) == probe(full2)
+
+
+def test_stream_sink_refuses_flat_pre_vpart_table(spark, tmp_path):
+    """ADVICE r10: a FLAT table written by a pre-vpart version of the
+    sinks must be refused at the first trigger with the migration
+    recipe in the message — not by an opaque refusal deep inside
+    upsert_by_key."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "docs")
+    # the pre-vpart layout: a plain flat parquet table
+    docs.filter(F.col("doc_id") < 20).write.parquet(table)
+    docs.filter(F.col("doc_id") < 30).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="flat"):
+        INC.stream_neardup_ingest(
+            spark, landing, docs.schema, table, str(tmp_path / "idx"),
+            str(tmp_path / "ck"),
+        )
 
 
 def test_stream_sink_refuses_changed_vpart_modulus(spark, tmp_path):

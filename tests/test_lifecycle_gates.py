@@ -46,6 +46,38 @@ CASES = [
 ]
 
 
+def test_q99z_gate_fails_when_refresh_broken(spark, ddb, monkeypatch):
+    """r11: the HNSW gate's upsert AND delete both ride
+    refresh_hnsw_index — a no-op'd refresh (one that reports a
+    plausible incremental run but rebuilds nothing) must make the
+    gate bite. The generic no-op below would TypeError on the extra
+    positional before the gate even ran, proving nothing; this fake
+    satisfies the query's stats check so the probe really executes
+    against the STALE graph."""
+    from etl_btc_spark.operators import hnsw as HN
+
+    real = HN.refresh_hnsw_index
+
+    def fake(spark, vectors, path, changed_ids, stats_out=None, **k):
+        if stats_out is not None:
+            stats_out.update(
+                {"affected": 1, "n_shards": 16, "mode": "incremental"}
+            )
+        return path
+
+    monkeypatch.setattr(HN, "refresh_hnsw_index", fake)
+    try:
+        srows, orows = _run_vs_oracle(spark, ddb, "q99z_hnsw_lifecycle")
+    except Exception:
+        return  # the query's own refresh≡rebuild check biting loudly
+    finally:
+        monkeypatch.setattr(HN, "refresh_hnsw_index", real)
+        DD.release_scoped_caches()
+    assert srows != orows, (
+        "q99z still matches its oracle with refresh_hnsw_index no-op'd"
+    )
+
+
 @pytest.mark.parametrize("name,mod,attr", CASES, ids=[f"{n}--{a}" for n, _, a in CASES])
 def test_lifecycle_gate_fails_when_op_broken(spark, ddb, name, mod, attr, monkeypatch):
     real = getattr(mod, attr)
@@ -77,6 +109,7 @@ def test_lifecycle_gates_green_when_intact(spark, ddb):
         "q99w_ivf_lifecycle",
         "q99x_lsh_lifecycle",
         "q99y_minhash_lifecycle",
+        "q99z_hnsw_lifecycle",
     ):
         srows, orows = _run_vs_oracle(spark, ddb, name)
         assert srows == orows, "%s diverged from its oracle" % name

@@ -628,12 +628,15 @@ def test_gif_animation_frames_and_compositing():
     assert (fr[1][1, 2] == [255, 0, 0]).all()  # transparent -> red persists
     assert (fr[1][2, 2] == [0, 0, 255]).all()  # drawn blue
 
-    # disposal 2 on frame 1: the whole screen restores to background
-    # (zeros) before frame 2, so the transparent holes show BLACK
+    # disposal 2 on frame 1: the whole screen restores to the
+    # BACKGROUND COLOR — the header names palette index 0, which this
+    # fixture's palette makes RED (ADVICE r10: restoring to zeros
+    # deviated from spec-conformant viewers whenever the background
+    # entry wasn't black) — so the transparent holes show red again
     fr2 = MM.decode_gif_frames(animation(True))
     assert (fr2[0] == [255, 0, 0]).all()  # frame 1 itself unaffected
-    assert (fr2[1][1, 2] == [0, 0, 0]).all()
-    assert (fr2[1][0, 0] == [0, 0, 0]).all()
+    assert (fr2[1][1, 2] == [255, 0, 0]).all()
+    assert (fr2[1][0, 0] == [255, 0, 0]).all()
     assert (fr2[1][1, 1] == [0, 255, 0]).all()
 
 
