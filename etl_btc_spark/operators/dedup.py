@@ -815,6 +815,14 @@ def build_minhash_index(
     banded = _minhash_banded(
         df, id_col, text_col, n_hashes, n_bands, ngram
     ).withColumn("bpart", _bpart_of(F.col("bkey"), n_band_parts))
+    # an empty band set cannot land as a partitioned dir (zero
+    # partition dirs = no readable schema) — refuse loudly, the
+    # build_hnsw_index posture for an unindexable corpus (r11)
+    if banded.isEmpty():
+        raise ValueError(
+            "build_minhash_index: corpus produced no band rows "
+            "(empty, or every document NULL) — nothing to index"
+        )
     # marker-first invalidation (ADVICE r8): a rebuild over a LIVE
     # artifact (stream_neardup_ingest's update path) must refuse
     # probes from the first mutating write — a crash mid-overwrite

@@ -33,6 +33,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_btc_spark.operators.textops import fingerprint
 
@@ -408,6 +409,108 @@ def upsert_by_key(
             os.rename(dst_dir, retired)
         os.rename(src_dir, dst_dir)
         if retired is not None:
+            shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(shadow, ignore_errors=True)
+    return path
+
+
+def delete_by_key(
+    spark: SparkSession,
+    ids: DataFrame,
+    path: str,
+    key: str,
+    partition_by: str,
+) -> str:
+    """Partition-pruned DELETE (r11) — the table half of the
+    streaming sinks' delete-record path (the GDPR/takedown shape at
+    100 TB): remove the ids' rows by rewriting ONLY the partition
+    directories the ids hash into, the same O(batch + touched
+    partitions) contract as the pruned MERGE. ``ids`` must carry the
+    ``partition_by`` column (a pure function of the key — the same
+    partition-stable requirement upsert_by_key states), so the
+    touched set is one bounded distinct. Idempotent: deleting absent
+    or already-deleted ids rewrites their partitions to the same
+    bytes, so at-least-once replay converges.
+
+    A partition whose EVERY row dies produces no shadow directory —
+    its live directory is retired explicitly (the HNSW emptied-shard
+    lesson: dynamic/per-dir publish alone would leave it stale). The
+    partition column must be integral (the vpart layout): emptied-dir
+    names are reconstructed as ``{col}={int}``, which is exact for
+    ints where arbitrary types would need Hive escaping.
+
+    Publish protocol is upsert_by_key's: dot-prefixed shadow inside
+    the table dir, per-directory retire-and-rename, debris healed by
+    the shared ``_recover_swap_debris`` pass on the next entry.
+    """
+    if partition_by not in ids.columns:
+        raise ValueError(
+            "delete_by_key: ids frame must carry the %r partition column "
+            "(derive it from the key, the same way the batch side does)"
+            % partition_by
+        )
+    if not _table_exists(path):
+        return path  # nothing to delete from
+    if not isinstance(
+        ids.schema[partition_by].dataType, (T.IntegerType, T.LongType, T.ShortType)
+    ):
+        raise ValueError(
+            "delete_by_key: the partition column must be integral — "
+            "emptied-partition dirs are reconstructed as '%s=<int>'"
+            % partition_by
+        )
+    touched = sorted(
+        r[0]
+        for r in ids.select(partition_by).distinct().collect()
+        if r[0] is not None
+    )
+    if not touched:
+        return path
+    _recover_swap_debris(path)
+    if any(
+        f.endswith(".parquet")
+        for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+    ):
+        raise ValueError(
+            f"{path} was written without partition_by; a partition-pruned "
+            "delete needs the partitioned layout"
+        )
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_by).isin(touched)
+    )
+    remaining = existing.join(ids.select(key).distinct(), key, "left_anti")
+    tag = uuid.uuid4().hex[:8]
+    shadow = os.path.join(path, f".uswap_{tag}")
+    remaining.write.mode("overwrite").partitionBy(partition_by).parquet(shadow)
+    prefix = f"{partition_by}="
+    written = set()
+    for part_dir in sorted(os.listdir(shadow)):
+        if not part_dir.startswith(prefix) or not os.path.isdir(
+            os.path.join(shadow, part_dir)
+        ):
+            continue
+        written.add(part_dir)
+        src_dir = os.path.join(shadow, part_dir)
+        dst_dir = os.path.join(path, part_dir)
+        retired = None
+        if os.path.isdir(dst_dir):
+            retired = os.path.join(path, f".cold_{tag}__{part_dir}")
+            os.rename(dst_dir, retired)
+        os.rename(src_dir, dst_dir)
+        if retired is not None:
+            shutil.rmtree(retired, ignore_errors=True)
+    # fully-emptied touched partitions: no shadow dir was written, so
+    # retire the live dir explicitly (int partition values render
+    # exactly as str(v) in hive dir names — enforced above)
+    for v in touched:
+        part_dir = f"{prefix}{v}"
+        if part_dir in written:
+            continue
+        dst_dir = os.path.join(path, part_dir)
+        if os.path.isdir(dst_dir):
+            retired = os.path.join(path, f".cold_{tag}__{part_dir}")
+            os.rename(dst_dir, retired)
             shutil.rmtree(retired, ignore_errors=True)
     shutil.rmtree(shadow, ignore_errors=True)
     return path

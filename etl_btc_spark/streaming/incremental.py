@@ -202,6 +202,38 @@ def _checked_upsert(
     _stamp_vparts(table_path, n)
 
 
+def _split_ops(
+    batch: DataFrame, op_col: str | None, id_col: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split a CDC-shaped micro-batch into (upsert rows, delete ids)
+    on ``op_col`` (r11 — the streaming DELETE record path). Values:
+    ``'delete'`` routes the id to the table's partition-pruned DELETE
+    and the index family's tombstone delete; ``'upsert'``/NULL is the
+    normal ingest row; anything else fails loudly (a typo'd 'DELETE'
+    silently ingested as a document would be unfindable). DELETE WINS
+    within one batch: an id carrying both ops in the same trigger is
+    deleted, never ingested — the conservative takedown posture (the
+    replacement text re-arrives in a later batch if wanted)."""
+    if op_col is None:
+        return batch, None
+    bad = batch.filter(
+        F.col(op_col).isNotNull()
+        & ~F.col(op_col).isin("upsert", "delete")
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "streaming sink: unknown %s value %r — expected "
+            "'upsert', 'delete' or NULL" % (op_col, bad[0][op_col])
+        )
+    dels = batch.filter(F.col(op_col) == "delete").select(id_col).distinct()
+    ups = (
+        batch.filter(F.col(op_col).isNull() | (F.col(op_col) != "delete"))
+        .join(dels, id_col, "left_anti")
+        .drop(op_col)
+    )
+    return ups, dels
+
+
 def _stamp_vparts(table_path: str, n: int) -> None:
     """Record the modulus after the first successful merge (atomic
     tmp+replace; idempotent). Written AFTER the write because the
@@ -466,6 +498,7 @@ def stream_hnsw_refresh(
     ver_col: str | None = None,
     n_table_parts: int = 64,
     index_kw: dict | None = None,
+    op_col: str | None = None,
 ) -> None:
     """Continuous ANN index maintenance (K4 × §2.10): stream embedding
     upserts from a landing zone and keep BOTH the vector table and the
@@ -516,6 +549,17 @@ def stream_hnsw_refresh(
     multiple of ``n_table_parts`` (per-shard memory only shrinks). An
     artifact built with incompatible geometry must be rebuilt once
     (delete it, or build with a multiple) before this sink will start.
+
+    Delete records (r11): pass ``op_col`` and landing rows carry a
+    CDC-style op — ``'delete'`` removes the id's row from the vector
+    table (the partition-pruned :func:`sinks.delete_by_key`) and its
+    id joins the change set, so its graph shard rebuilds WITHOUT it
+    in the same trigger (HNSW deletes are refresh-shaped: the
+    snapshot is the truth). ``'upsert'``/NULL rows merge normally;
+    delete wins for an id carrying both ops in one batch. ``ver_col``
+    governs upsert-vs-upsert ordering only — a delete is unversioned
+    and immediate, so the unversioned-CDC caveat applies to late
+    pre-delete upserts.
     """
     from etl_btc_spark.operators.hnsw import (
         _auto_shard_count,
@@ -524,8 +568,14 @@ def stream_hnsw_refresh(
         build_hnsw_index,
         refresh_hnsw_index,
     )
+    from etl_btc_spark.sinks import delete_by_key
 
     _require_no_vpart(schema)
+    if op_col is not None and op_col not in schema.fieldNames():
+        raise ValueError(
+            "op_col %r is not in the landing schema %r"
+            % (op_col, schema.fieldNames())
+        )
 
     def _require_divisible(n_shards: int, where: str) -> None:
         if n_shards % n_table_parts != 0:
@@ -553,59 +603,97 @@ def stream_hnsw_refresh(
     kw = {"id_col": id_col, "vec_col": vec_col, **(index_kw or {})}
 
     def sink(micro_batch: DataFrame, epoch_id: int) -> None:
+        import os as _os
+
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
-        _checked_upsert(
-            sess,
-            micro_batch.withColumn("vpart", part),
-            table_path,
-            key=id_col,
-            order_col=id_col,
-            n=n_table_parts,
-            ver_col=ver_col,
-        )
-        # keep the vpart column: the refresh maps affected shards to
-        # vpart dirs and prunes this read to them (r11)
-        snapshot = sess.read.parquet(table_path)
-        if _is_built(index_path, "hnsw"):
-            # shard geometry is part of the existing artifact; refresh
-            # reads it back rather than accepting build-only knobs
-            _require_divisible(
-                _read_build_meta(index_path)["n_shards"], "existing artifact"
-            )
-            rkw = {
-                k: v
-                for k, v in kw.items()
-                if k not in ("n_shards", "shard_target_rows")
-            }
-            refresh_hnsw_index(
+        ups, dels = _split_ops(micro_batch, op_col, id_col)
+        if dels is not None:
+            dels = dels.persist()
+        has_dels = dels is not None and dels.limit(1).count() > 0
+        if has_dels:
+            # table row removal first (pruned): the post-delete
+            # snapshot below is then the truth the shard rebuild sees
+            delete_by_key(
                 sess,
-                snapshot,
-                index_path,
-                micro_batch.select(id_col),
-                vpart_col="vpart",
-                n_table_parts=n_table_parts,
-                **rkw,
+                dels.withColumn("vpart", part),
+                table_path,
+                key=id_col,
+                partition_by="vpart",
             )
-        else:
-            bkw = dict(kw)
-            if "n_shards" not in bkw:
-                # derive the count the build would, then round UP to
-                # the next multiple of the table modulus so every
-                # later refresh can partition-prune (rounding up only
-                # SHRINKS shards — the memory bound tightens)
-                n = snapshot.filter(F.col(vec_col).isNotNull()).count()
-                if n == 0:
-                    raise ValueError(
-                        "stream_hnsw_refresh: first batch merged no "
-                        "indexable rows"
-                    )
-                auto = _auto_shard_count(
-                    n, bkw.pop("shard_target_rows", 100_000)
+        try:
+            has_ups = ups.limit(1).count() > 0 if op_col is not None else True
+            if not has_ups and not _os.path.isdir(table_path):
+                return  # pure-delete batch against a never-created table
+            if has_ups:
+                _checked_upsert(
+                    sess,
+                    ups.withColumn("vpart", part),
+                    table_path,
+                    key=id_col,
+                    order_col=id_col,
+                    n=n_table_parts,
+                    ver_col=ver_col,
                 )
-                bkw["n_shards"] = -(-auto // n_table_parts) * n_table_parts
-            build_hnsw_index(sess, snapshot.drop("vpart"), index_path, **bkw)
+            # the CHANGE SET: merged ids ∪ deleted ids — a deleted
+            # id's shard must rebuild without it
+            changed_ids = ups.select(id_col)
+            if has_dels:
+                changed_ids = changed_ids.unionByName(dels).distinct()
+            # keep the vpart column: the refresh maps affected shards
+            # to vpart dirs and prunes this read to them (r11)
+            snapshot = sess.read.parquet(table_path)
+            if _is_built(index_path, "hnsw"):
+                # shard geometry is part of the existing artifact;
+                # refresh reads it back rather than accepting
+                # build-only knobs
+                _require_divisible(
+                    _read_build_meta(index_path)["n_shards"],
+                    "existing artifact",
+                )
+                rkw = {
+                    k: v
+                    for k, v in kw.items()
+                    if k not in ("n_shards", "shard_target_rows")
+                }
+                refresh_hnsw_index(
+                    sess,
+                    snapshot,
+                    index_path,
+                    changed_ids,
+                    vpart_col="vpart",
+                    n_table_parts=n_table_parts,
+                    **rkw,
+                )
+            else:
+                bkw = dict(kw)
+                if "n_shards" not in bkw:
+                    # derive the count the build would, then round UP
+                    # to the next multiple of the table modulus so
+                    # every later refresh can partition-prune
+                    # (rounding up only SHRINKS shards — the memory
+                    # bound tightens)
+                    n = snapshot.filter(F.col(vec_col).isNotNull()).count()
+                    if n == 0:
+                        if not has_ups:
+                            # deletes emptied the table — nothing to
+                            # index, nothing to heal
+                            return
+                        raise ValueError(
+                            "stream_hnsw_refresh: first batch merged "
+                            "no indexable rows"
+                        )
+                    auto = _auto_shard_count(
+                        n, bkw.pop("shard_target_rows", 100_000)
+                    )
+                    bkw["n_shards"] = -(-auto // n_table_parts) * n_table_parts
+                build_hnsw_index(
+                    sess, snapshot.drop("vpart"), index_path, **bkw
+                )
+        finally:
+            if dels is not None:
+                dels.unpersist(False)
 
     (
         src.writeStream.foreachBatch(sink)
@@ -627,6 +715,7 @@ def stream_text_index_append(
     text_col: str = "text",
     n_table_parts: int = 64,
     compact_sidecar_after: int = 16,
+    op_col: str | None = None,
 ) -> None:
     """Continuous TEXT index maintenance (r8) — the inverted-index
     twin of :func:`stream_hnsw_refresh`: stream document arrivals
@@ -687,6 +776,19 @@ def stream_text_index_append(
     per-trigger distinct-id count and so table/n is a few GB (64
     suits tests/small stores; a 100 TB corpus wants tens of
     thousands).
+
+    Delete records (r11): pass ``op_col`` and landing rows carry a
+    CDC-style op — ``'delete'`` removes the id's table row (the
+    partition-pruned :func:`sinks.delete_by_key`) and tombstones its
+    postings with exact-integer stats adjustment
+    (:func:`operators.text_index.delete_text_ids`), applied BEFORE
+    the batch's ingest path so a trigger can delete an id and
+    re-ingest it as a fresh document (the fresh anti-join is
+    live-filtered: dead registry rows no longer mask a re-entry).
+    ``'upsert'``/NULL rows ingest normally; delete wins for an id
+    carrying both ops in one batch. Idempotent halves converge under
+    at-least-once replay; the unversioned-CDC caveat applies (an
+    out-of-order late upsert of a deleted id re-ingests it).
     """
     import os as _os
 
@@ -698,10 +800,17 @@ def stream_text_index_append(
         append_text_index,
         build_text_index,
         compact_text_index,
+        delete_text_ids,
         upsert_text_index,
     )
+    from etl_btc_spark.sinks import delete_by_key
 
     _require_no_vpart(schema)
+    if op_col is not None and op_col not in schema.fieldNames():
+        raise ValueError(
+            "op_col %r is not in the landing schema %r"
+            % (op_col, schema.fieldNames())
+        )
     src = spark.readStream.schema(schema).parquet(landing_dir)
     part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts)).cast("int")
 
@@ -709,6 +818,9 @@ def stream_text_index_append(
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
+        ups, dels = _split_ops(micro_batch, op_col, id_col)
+        if dels is not None:
+            dels = dels.persist()
         # deterministic same-id resolution (ADVICE r8): dropDuplicates
         # keeps a partition-order-dependent row, so an at-least-once
         # replay could index a different text variant than the first
@@ -719,13 +831,34 @@ def stream_text_index_append(
         # internal passes AND the fresh anti-join.
         w = Window.partitionBy(id_col).orderBy(text_col)
         batch = (
-            micro_batch.withColumn("__rn", F.row_number().over(w))
+            ups.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
             .withColumn("vpart", part)
             .persist()
         )
+        # ONE layout check per trigger (the probe and the delete read
+        # the vpart layout before the merge; the merge below skips its
+        # redundant re-check — VERDICT r10 "What's wrong" #3)
         _check_vparts(sess, table_path, n_table_parts, id_col)
+        # deletes apply FIRST (r11) — table row via the pruned
+        # delete, then postings via the tombstone delete (exact-
+        # integer stats adjust inside) — so this trigger's own
+        # re-ingest of a deleted id lands as a FRESH document. Both
+        # halves are idempotent; a crash between them converges on
+        # replay.
+        has_dels = dels is not None and dels.limit(1).count() > 0
+        if has_dels:
+            if _os.path.isdir(table_path):
+                delete_by_key(
+                    sess,
+                    dels.withColumn("vpart", part),
+                    table_path,
+                    key=id_col,
+                    partition_by="vpart",
+                )
+            if _idx_built(index_path, "text"):
+                delete_text_ids(sess, dels, index_path, id_col=id_col)
         # changed-text probe BEFORE the merge (the pre-merge table
         # still holds the old text), pruned to the batch's touched
         # vpart dirs and localCheckpointed before the partition swap
@@ -739,6 +872,23 @@ def stream_text_index_append(
             ).localCheckpoint()
             has_updates = changed.limit(1).count() > 0
         try:
+            if batch.limit(1).count() == 0:
+                # pure-delete trigger (r11): the deletes already
+                # applied above; heal a down marker from the table so
+                # the index doesn't stay probe-refused until the next
+                # ingest trigger. An empty merge would otherwise
+                # CREATE an unreadable empty table on the first
+                # trigger — skip it entirely.
+                if not was_built and _os.path.isdir(table_path):
+                    build_text_index(
+                        sess,
+                        sess.read.parquet(table_path).drop("vpart"),
+                        index_path,
+                        id_col=id_col,
+                        text_col=text_col,
+                        n_id_parts=n_table_parts,
+                    )
+                return
             if has_updates:
                 # UPDATE TRANSACTION WINDOW (review r10): the index is
                 # stale the instant the new text merges below, but the
@@ -758,7 +908,7 @@ def stream_text_index_append(
                     pass
             _checked_upsert(
                 sess, batch, table_path, key=id_col, order_col=id_col,
-                n=n_table_parts,
+                n=n_table_parts, pre_checked=True,
             )
             batch_nv = batch.drop("vpart")
             if not was_built:
@@ -779,9 +929,17 @@ def stream_text_index_append(
                 return
             # registry read pruned to the batch ids' dpart dirs (r11,
             # VERDICT r10 "What's missing" #3) — O(batch + touched)
-            # instead of the full O(index-rows) id column per trigger
-            existing = _pruned_doclen(
-                sess, index_path, batch_nv.select(id_col), id_col
+            # instead of the full O(index-rows) id column per trigger.
+            # LIVE rows only (r11, with the delete path): a DELETED
+            # id's dead registry rows must not mask its re-ingest —
+            # the re-arrived doc is a fresh document and its appended
+            # postings land at the current generation, above the
+            # delete's tombstone horizon.
+            existing = TS2.live_rows(
+                sess,
+                _pruned_doclen(sess, index_path, batch_nv.select(id_col), id_col),
+                index_path,
+                id_col,
             ).select(id_col)
             fresh = batch_nv.join(existing, id_col, "left_anti").persist()
             try:
@@ -828,6 +986,8 @@ def stream_text_index_append(
                 fresh.unpersist()
         finally:
             batch.unpersist()
+            if dels is not None:
+                dels.unpersist(False)
             if changed is not None:
                 _unpersist_local_checkpoint(changed)
 
@@ -852,6 +1012,7 @@ def stream_neardup_ingest(
     text_col: str = "text",
     n_table_parts: int = 64,
     compact_sidecar_after: int = 16,
+    op_col: str | None = None,
     **mh_kwargs,
 ) -> None:
     """Continuous NEAR-dup-deduplicated corpus ingestion (r8) — the
@@ -917,6 +1078,22 @@ def stream_neardup_ingest(
     table/n — pick n well above the per-trigger distinct-id count
     and so table/n is a few GB (64 suits tests/small stores; a
     100 TB corpus wants tens of thousands).
+
+    Delete records (r11): pass ``op_col`` and landing rows carry a
+    CDC-style op — ``'delete'`` removes the id's table row (the
+    partition-pruned :func:`sinks.delete_by_key`) and tombstones its
+    band rows (:func:`operators.dedup.delete_minhash_ids`) BEFORE the
+    batch's ingest probe runs, so a forgotten document stops hiding
+    near-dups of itself within the same trigger — a batch may delete
+    doc X and ingest X's near-duplicate, and the newcomer is KEPT.
+    ``'upsert'``/NULL rows ingest normally; delete wins for an id
+    carrying both ops in one batch (:func:`_split_ops`). Replay-safe:
+    both halves are idempotent (absent ids delete as no-ops), and a
+    crash between them converges when the trigger replays. Caveat
+    shared with every unversioned CDC stream: an out-of-order LATE
+    file carrying a pre-delete upsert of the same id re-ingests it —
+    delete records must be final for their key, or the landing zone
+    must be ordered.
     """
     import os as _os
 
@@ -927,14 +1104,21 @@ def stream_neardup_ingest(
         build_minhash_index,
         compact_minhash_index,
         connected_components,
+        delete_minhash_ids,
         incremental_near_dupes,
         minhash_index_is_current,
         minhash_near_dupes,
         release_scoped_caches,
         upsert_minhash_index,
     )
+    from etl_btc_spark.sinks import delete_by_key
 
     _require_no_vpart(schema)
+    if op_col is not None and op_col not in schema.fieldNames():
+        raise ValueError(
+            "op_col %r is not in the landing schema %r"
+            % (op_col, schema.fieldNames())
+        )
     src = spark.readStream.schema(schema).parquet(landing_dir)
     part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts)).cast("int")
 
@@ -958,12 +1142,15 @@ def stream_neardup_ingest(
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
+        ups, dels = _split_ops(micro_batch, op_col, id_col)
+        if dels is not None:
+            dels = dels.persist()
         # deterministic same-id resolution: MIN text wins (review r8 —
         # dropDuplicates keeps a partition-order-dependent row, so a
         # replay could band a different text than it merged)
         w = Window.partitionBy(id_col).orderBy(text_col)
         batch = (
-            micro_batch.withColumn("__rn", F.row_number().over(w))
+            ups.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
@@ -974,7 +1161,23 @@ def stream_neardup_ingest(
         # with an opaque column error instead of the migration recipe;
         # the merge below skips its own check (pre_checked=True)
         _check_vparts(sess, table_path, n_table_parts, id_col)
+        # deletes apply FIRST — table row, then band tombstones — so
+        # this same batch's probe no longer sees the forgotten doc
+        # (delete X + ingest X's near-dup in one trigger keeps the
+        # newcomer). Idempotent halves: a crash between them
+        # converges on replay.
+        has_dels = dels is not None and dels.limit(1).count() > 0
+        if has_dels and _os.path.isdir(table_path):
+            delete_by_key(
+                sess,
+                dels.withColumn("vpart", part),
+                table_path,
+                key=id_col,
+                partition_by="vpart",
+            )
         have_index = minhash_index_is_current(index_path, **mh_kwargs)
+        if has_dels and have_index:
+            delete_minhash_ids(sess, dels, index_path, id_col=id_col, **mh_kwargs)
         if not have_index and _os.path.isdir(table_path):
             # crashed append (marker down) or lost index with a live
             # corpus: rebuild BEFORE probing — healing after the probe
@@ -1099,6 +1302,8 @@ def stream_neardup_ingest(
             _unpersist_local_checkpoint(kept)
             if changed is not None:
                 _unpersist_local_checkpoint(changed)
+            if dels is not None:
+                dels.unpersist(False)
             release_scoped_caches()
 
     (

@@ -812,6 +812,263 @@ def test_stream_text_sink_auto_compacts_sidecar(spark, tmp_path):
     assert probe(index) == probe(full2)
 
 
+def test_delete_by_key_pruned_and_idempotent(spark, tmp_path):
+    """r11: the partition-pruned table DELETE — rows die by rewriting
+    only their hash partitions; a fully-emptied partition's directory
+    is retired; absent ids delete as no-ops (idempotent replay); the
+    ids frame must carry an integral partition column."""
+    import os
+
+    from etl_btc_spark import sinks as SK
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    table = str(tmp_path / "t")
+    docs.withColumn("vpart", part).write.partitionBy("vpart").parquet(table)
+    n0 = spark.read.parquet(table).count()
+
+    # untouched partitions stay byte-identical
+    victims = docs.filter(F.col("doc_id").isin(3, 17)).select("doc_id")
+    touched = {
+        r[0]
+        for r in victims.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+        ).collect()
+    }
+    untouched_hash = {}
+    for v in set(range(8)) - touched:
+        d = os.path.join(table, "vpart=%d" % v)
+        untouched_hash[v] = sorted(os.listdir(d))
+    SK.delete_by_key(
+        spark, victims.withColumn("vpart", part), table,
+        key="doc_id", partition_by="vpart",
+    )
+    left = spark.read.parquet(table)
+    assert left.count() == n0 - 2
+    assert left.filter(F.col("doc_id").isin(3, 17)).count() == 0
+    for v, names in untouched_hash.items():
+        assert sorted(os.listdir(os.path.join(table, "vpart=%d" % v))) == names
+
+    # idempotent: deleting the same (now absent) ids changes nothing
+    SK.delete_by_key(
+        spark, victims.withColumn("vpart", part), table,
+        key="doc_id", partition_by="vpart",
+    )
+    assert spark.read.parquet(table).count() == n0 - 2
+
+    # emptied partition: delete EVERY id of one vpart -> dir retired
+    v0 = spark.read.parquet(table).filter(F.col("vpart") == 0)
+    SK.delete_by_key(
+        spark, v0.select("doc_id").withColumn("vpart", F.lit(0).cast("int")),
+        table, key="doc_id", partition_by="vpart",
+    )
+    assert not os.path.isdir(os.path.join(table, "vpart=0"))
+    assert spark.read.parquet(table).filter(F.col("vpart") == 0).count() == 0
+
+    # misuse fails loudly
+    with pytest.raises(ValueError, match="partition column"):
+        SK.delete_by_key(spark, victims, table, key="doc_id", partition_by="vpart")
+    with pytest.raises(ValueError, match="integral"):
+        SK.delete_by_key(
+            spark,
+            victims.withColumn("vpart", F.lit("x")),
+            table, key="doc_id", partition_by="vpart",
+        )
+
+
+def test_stream_neardup_delete_records_forget_and_replace(spark, tmp_path):
+    """r11 delete-record path, MinHash family: a delete record removes
+    the doc's table row AND tombstones its bands BEFORE the same
+    trigger's ingest probe — so deleting doc X and ingesting X's
+    duplicate in ONE batch keeps the newcomer ('a forgotten document
+    stops hiding near-dups of itself'). Bad op values fail loudly;
+    delete wins for an id carrying both ops."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField("op", T.StringType())]
+    )
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "corpus")
+    index = str(tmp_path / "mh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        INC.stream_neardup_ingest(
+            spark, landing, schema, table, index, ckpt, op_col="op"
+        )
+
+    base = docs.filter(F.col("doc_id") < 40).withColumn("op", F.lit("upsert"))
+    base.write.mode("append").parquet(landing)
+    run()
+    kept0 = {r[0] for r in spark.read.parquet(table).select("doc_id").collect()}
+    assert 3 in kept0
+
+    # batch 2: delete doc 3, ingest 1000003 = verbatim copy of doc 3
+    # (kept iff the delete really killed 3's bands), plus a duplicate
+    # of a LIVE doc 4 (must still be dropped by the probe)
+    t3 = docs.filter(F.col("doc_id") == 3).first()["text"]
+    t4 = docs.filter(F.col("doc_id") == 4).first()["text"]
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [3, 1000003, 1000004],
+                "text": [None, t3, t4],
+                "op": ["delete", "upsert", None],
+            }
+        ),
+        schema,
+    ).write.mode("append").parquet(landing)
+    run()
+    kept = {r[0] for r in spark.read.parquet(table).select("doc_id").collect()}
+    assert 3 not in kept, "deleted doc still in the table"
+    assert 1000003 in kept, "dead bands still hid the newcomer"
+    assert 1000004 not in kept, "live doc 4's duplicate slipped through"
+
+    # streamed index ≡ rebuild over the final table (probe-for-probe)
+    final = spark.read.parquet(table).drop("vpart")
+    rebuilt = str(tmp_path / "mh_rebuilt")
+    DD.build_minhash_index(spark, final, rebuilt)
+    probe = docs.filter(F.col("doc_id").between(40, 60))
+    a = {
+        (r.batch_id, r.corpus_id)
+        for r in DD.incremental_near_dupes(spark, index, final, probe, 0.8).collect()
+    }
+    b = {
+        (r.batch_id, r.corpus_id)
+        for r in DD.incremental_near_dupes(spark, rebuilt, final, probe, 0.8).collect()
+    }
+    assert a == b
+    DD.release_scoped_caches()
+
+    # unknown op value fails loudly
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": ["x"], "op": ["DELETE"]}), schema
+    ).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="unknown"):
+        run()
+
+
+def test_stream_text_index_delete_records(spark, tmp_path):
+    """r11 delete-record path, text family: deletes drop the table row
+    and tombstone the postings (exact-integer stats adjust), a
+    deleted id RE-INGESTS as a fresh document (the live-filtered
+    anti-join), and the final index ≡ a rebuild over the final
+    corpus. A pure-delete trigger works."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField("op", T.StringType())]
+    )
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "docs")
+    index = str(tmp_path / "ti")
+    ckpt = str(tmp_path / "ckpt")
+    terms = ["join", "hash", "scan"]
+
+    def run():
+        INC.stream_text_index_append(
+            spark, landing, schema, table, index, ckpt, op_col="op"
+        )
+
+    docs.filter(F.col("doc_id") < 40).withColumn(
+        "op", F.lit("upsert")
+    ).write.mode("append").parquet(landing)
+    run()
+
+    # pure-delete trigger: docs 5 and 7 go
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [5, 7], "text": [None, None], "op": ["delete", "delete"]}
+        ),
+        schema,
+    ).write.mode("append").parquet(landing)
+    run()
+    ids = {r[0] for r in spark.read.parquet(table).select("doc_id").collect()}
+    assert 5 not in ids and 7 not in ids
+
+    # re-ingest deleted id 5 with NEW text: must index as fresh
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [5], "text": ["join hash scan reborn"], "op": [None]}
+        ),
+        schema,
+    ).write.mode("append").parquet(landing)
+    run()
+    final = spark.read.parquet(table).drop("vpart")
+    assert final.filter(F.col("doc_id") == 5).first()["text"].endswith("reborn")
+
+    rebuilt = str(tmp_path / "reb")
+    TI.build_text_index(spark, final, rebuilt)
+    a = [tuple(r) for r in TI.bm25_probe(spark, index, terms, n=50).collect()]
+    b = [tuple(r) for r in TI.bm25_probe(spark, rebuilt, terms, n=50).collect()]
+    assert a == b
+    sa = spark.read.parquet(index + "/stats").collect()[0]
+    sb = spark.read.parquet(rebuilt + "/stats").collect()[0]
+    assert (sa["n_docs"], sa["total_dl"]) == (sb["n_docs"], sb["total_dl"])
+
+
+def test_stream_hnsw_delete_records(spark, tmp_path):
+    """r11 delete-record path, HNSW family: a delete removes the
+    vector-table row and its shard rebuilds WITHOUT it in the same
+    trigger — final table and index equal a from-scratch build over
+    the surviving rows at the same geometry."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import hnsw as HN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("op", T.StringType())]
+    )
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "hnsw")
+    ckpt = str(tmp_path / "ckpt")
+    kw = {"n_shards": 4}
+
+    def run():
+        INC.stream_hnsw_refresh(
+            spark, landing, schema, table, index, ckpt,
+            n_table_parts=4, index_kw=kw, op_col="op",
+        )
+
+    emb.filter(F.col("vec_id") < 100).withColumn(
+        "op", F.lit("upsert")
+    ).write.mode("append").parquet(landing)
+    run()
+
+    # batch 2: delete ids 3 and 7, insert 100-119
+    dels = pd.DataFrame(
+        {"vec_id": [3, 7], "embedding": [None, None], "op": ["delete", "delete"]}
+    )
+    spark.createDataFrame(dels, schema).unionByName(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).withColumn(
+            "op", F.lit(None).cast("string")
+        )
+    ).write.mode("append").parquet(landing)
+    run()
+
+    snapshot = spark.read.parquet(table).drop("vpart")
+    assert snapshot.count() == 118
+    assert snapshot.filter(F.col("vec_id").isin(3, 7)).count() == 0
+
+    full = str(tmp_path / "full")
+    HN.build_hnsw_index(spark, snapshot, full, n_shards=4)
+    got = spark.read.parquet(index + "/nodes").orderBy("vec_id").collect()
+    want = spark.read.parquet(full + "/nodes").orderBy("vec_id").collect()
+    assert got == want
+
+
 def test_stream_sink_refuses_flat_pre_vpart_table(spark, tmp_path):
     """ADVICE r10: a FLAT table written by a pre-vpart version of the
     sinks must be refused at the first trigger with the migration
