@@ -598,6 +598,7 @@ def upsert_ivf_index(
     id_col: str = "vec_id",
     n_assign: int = 2,
     stale_ids: DataFrame | None = None,
+    _premarked: bool = False,
 ) -> str:
     """O(batch) UPDATE maintenance (r9, VERDICT r8 #1) via the shared
     superseded-ids sidecar. The append path refuses updates because
@@ -617,8 +618,11 @@ def upsert_ivf_index(
     frozen-centroid geometry the probe answer is EXACTLY the rebuild-
     with-warm-start answer, pinned by pytest. Marker-first; recovery
     from any crash is the standard rebuild. One row per id enforced
-    (ADVICE r9)."""
-    if not _is_built(path, "ivf"):
+    (ADVICE r9). ``_premarked`` (sink-internal, r11): the streaming
+    sink takes ``_BUILT`` down BEFORE its table MERGE so the whole
+    merge+upsert transaction shares one marker-down window — True
+    skips only the built-marker precondition."""
+    if not _premarked and not _is_built(path, "ivf"):
         raise ValueError("upsert_ivf_index: no built index at %r" % path)
     TS.require_unique_ids(vectors_batch, id_col, "upsert_ivf_index")
     assigned_path = os.path.join(path, "assigned")
@@ -1006,6 +1010,7 @@ def upsert_lsh_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     stale_ids: DataFrame | None = None,
+    _premarked: bool = False,
 ) -> str:
     """O(batch) UPDATE maintenance (r9) via the shared superseded-ids
     sidecar: the stale ids' band rows (which sit under their OLD
@@ -1017,8 +1022,12 @@ def upsert_lsh_index(
     by pytest — hyperplanes are deterministic in the geometry).
     ``stale_ids=None`` computes the overlap from an id-only columnar
     scan. Marker-first; crash recovery is the standard rebuild. One
-    row per id enforced (ADVICE r9)."""
-    if not _is_built(path, "lsh"):
+    row per id enforced (ADVICE r9). ``_premarked`` (sink-internal,
+    r11): the streaming sink takes ``_BUILT`` down BEFORE its table
+    MERGE so the whole merge+upsert transaction shares one
+    marker-down window — True skips only the built-marker
+    precondition; the ``_GEOM`` family validation still applies."""
+    if not _premarked and not _is_built(path, "lsh"):
         raise ValueError("upsert_lsh_index: no built index at %r" % path)
     TS.require_unique_ids(new_vectors, id_col, "upsert_lsh_index")
     geom = _read_lsh_geom(path)

@@ -704,6 +704,299 @@ def stream_hnsw_refresh(
     )
 
 
+def stream_vector_index_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    family: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ver_col: str | None = None,
+    n_table_parts: int = 64,
+    compact_sidecar_after: int = 16,
+    op_col: str | None = None,
+    index_kw: dict | None = None,
+) -> None:
+    """Continuous LSH/IVF index maintenance (r11) — completes the
+    streaming matrix: with this sink every persisted index family
+    (MinHash :func:`stream_neardup_ingest`, text
+    :func:`stream_text_index_append`, HNSW :func:`stream_hnsw_refresh`,
+    and now hyperplane-LSH / IVF) has a continuous maintenance path
+    at O(batch + touched partitions) per trigger.
+
+    Each micro-batch:
+
+    1. **delete records** (``op_col='delete'``): the ids' table rows
+       die via the partition-pruned :func:`sinks.delete_by_key` and
+       their index rows via the family's tombstone delete — both
+       idempotent, so at-least-once replay converges;
+    2. **pruned pre-merge classification**: batch ids split into
+       FRESH (not in the table), CHANGED (in the table with a
+       different vector) and UNCHANGED (pure redelivery) against a
+       scan pruned to the batch's touched vpart directories — the
+       index is never scanned for freshness (the table is the source
+       of truth; a table/index gap means a crashed maintenance op,
+       whose marker is down, and the self-heal path below rebuilds);
+    3. **partition-pruned MERGE** into the vpart table (batch wins,
+       MIN-vector tie-break within a batch — deterministic under
+       replay);
+    4. **index maintenance**: first trigger (or marker-down
+       self-heal) rebuilds from the merged table; a changed-carrying
+       trigger routes fresh ∪ changed through the family's tombstone
+       ``upsert_*`` under ONE marker-down window opened BEFORE the
+       merge (the r10 transaction-window lesson — a crash between
+       merge and upsert must not strand stale rows under a valid
+       marker); an insert-only trigger appends (``verify_new=False``:
+       the classification already proved freshness, so the append's
+       full-index id scan is skipped); pure redelivery is a no-op.
+       The tombstone sidecar folds in via the family's ``compact_*``
+       once it reaches ``compact_sidecar_after`` files.
+
+    Family semantics: LSH signatures come from the artifact's
+    persisted ``_GEOM``, so the streamed index is byte-equivalent to
+    a rebuild over the final table (pinned by pytest). IVF keeps its
+    FROZEN centroids (the standard drift trade) — the streamed index
+    equals applying the batch ops sequentially, and a periodic
+    rebuild restores centroid fit, exactly as the batch API
+    documents. ``index_kw`` passes build-only geometry
+    (dim/n_bands/bits_per_band or n_centroids…); an IVF ``n_assign``
+    is also forwarded to append/upsert so maintenance can't drift
+    from the build's assignment width. Pass ``ver_col`` when one key
+    can recur across or within triggers (the
+    :func:`stream_hnsw_refresh` rationale verbatim — a
+    fresh-checkpoint replay drains the whole landing zone into ONE
+    batch, collapsing trigger order): in-batch resolution and the
+    MERGE become highest-version-wins, and the index classification
+    treats a batch row as an update only when it actually WINS the
+    merge — a late stale row can then neither regress the table nor
+    supersede newer index rows. Without it, batch-wins per trigger
+    with MIN-vector in-batch ties. Deletes are unversioned either way.
+    """
+    import os as _os
+
+    from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.operators import tombstones as TS2
+    from etl_btc_spark.operators.dedup import _unpersist_local_checkpoint
+    from etl_btc_spark.sinks import delete_by_key
+
+    fams = {
+        "lsh": (
+            ANN.build_lsh_index,
+            ANN.append_lsh_index,
+            ANN.upsert_lsh_index,
+            ANN.delete_lsh_ids,
+            ANN.compact_lsh_index,
+        ),
+        "ivf": (
+            ANN.build_ivf_index,
+            ANN.append_ivf_index,
+            ANN.upsert_ivf_index,
+            ANN.delete_ivf_ids,
+            ANN.compact_ivf_index,
+        ),
+    }
+    if family not in fams:
+        raise ValueError(
+            "stream_vector_index_maintain: family must be one of %s, got %r"
+            % (sorted(fams), family)
+        )
+    build_fn, append_fn, upsert_fn, delete_fn, compact_fn = fams[family]
+    _require_no_vpart(schema)
+    if op_col is not None and op_col not in schema.fieldNames():
+        raise ValueError(
+            "op_col %r is not in the landing schema %r"
+            % (op_col, schema.fieldNames())
+        )
+    bkw = {"vec_col": vec_col, "id_col": id_col, **(index_kw or {})}
+    # maintenance kwargs: geometry stays with the build (LSH reads it
+    # back from _GEOM; IVF centroids are part of the artifact), but
+    # IVF's n_assign governs every assignment pass and must match
+    mkw = {"vec_col": vec_col, "id_col": id_col}
+    if family == "ivf" and "n_assign" in bkw:
+        mkw["n_assign"] = bkw["n_assign"]
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+    part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts)).cast("int")
+
+    def sink(micro_batch: DataFrame, epoch_id: int) -> None:
+        if micro_batch.isEmpty():  # T4
+            return
+        sess = micro_batch.sparkSession
+        ups, dels = _split_ops(micro_batch, op_col, id_col)
+        if dels is not None:
+            dels = dels.persist()
+        # deterministic same-id resolution: highest version wins when
+        # ver_col is given (a fresh-checkpoint replay collapses every
+        # trigger into one batch — order must come from data, not
+        # file arrival), else MIN vector (arrays compare
+        # lexicographically) — the text sinks' MIN-text rule
+        order = (
+            [F.col(ver_col).desc_nulls_last()] if ver_col is not None else []
+        ) + [F.col(vec_col).asc_nulls_first()]
+        w = Window.partitionBy(id_col).orderBy(*order)
+        batch = (
+            ups.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("vpart", part)
+            .persist()
+        )
+        changed = fresh = None
+        try:
+            # ONE layout check per trigger, BEFORE the pruned
+            # classification reads the layout (VERDICT r10 #3 posture)
+            _check_vparts(sess, table_path, n_table_parts, id_col)
+            has_dels = dels is not None and dels.limit(1).count() > 0
+            if has_dels:
+                if _os.path.isdir(table_path):
+                    delete_by_key(
+                        sess,
+                        dels.withColumn("vpart", part),
+                        table_path,
+                        key=id_col,
+                        partition_by="vpart",
+                    )
+                if ANN._is_built(index_path, family):
+                    delete_fn(sess, dels, index_path, id_col=id_col)
+            was_built = ANN._is_built(index_path, family)
+            has_ups = batch.limit(1).count() > 0
+            if not has_ups:
+                # pure-delete trigger: heal a down marker from the
+                # table so probes don't stay refused until the next
+                # ingest (and never create an empty table)
+                if (
+                    not was_built
+                    and _os.path.isdir(table_path)
+                    and sess.read.parquet(table_path)
+                    .filter(F.col(vec_col).isNotNull())
+                    .limit(1)
+                    .count()
+                ):
+                    build_fn(
+                        sess,
+                        sess.read.parquet(table_path).drop("vpart"),
+                        index_path,
+                        **bkw,
+                    )
+                return
+            has_updates = False
+            if was_built and not _os.path.isdir(table_path):
+                # index without a table (externally removed): every
+                # batch row is fresh by definition — the merge below
+                # recreates the table and the append indexes them
+                fresh = batch.drop("vpart").localCheckpoint()
+            elif was_built:
+                # pruned pre-merge classification: fresh vs changed vs
+                # redelivered-unchanged, against ONLY the batch's
+                # touched vpart dirs. localCheckpointed BEFORE the
+                # merge retires the files this lineage reads.
+                touched = [
+                    r[0] for r in batch.select("vpart").distinct().collect()
+                ]
+                pre_cols = [F.col(id_col), F.col(vec_col).alias("__old")]
+                if ver_col is not None:
+                    pre_cols.append(F.col(ver_col).alias("__oldver"))
+                pre = (
+                    sess.read.parquet(table_path)
+                    .filter(F.col("vpart").isin(touched))
+                    .select(*pre_cols)
+                    # __row marks table-row existence: a NULL __old is
+                    # ambiguous (a stored NULL vector row also reads
+                    # NULL after the left join)
+                    .withColumn("__row", F.lit(True))
+                )
+                joined = batch.drop("vpart").join(pre, id_col, "left")
+                if ver_col is not None:
+                    # a batch row is an UPDATE only if it WINS the
+                    # highest-version-wins merge (batch wins ties —
+                    # the _merge_keyed order mirrored here); a stale
+                    # late row must not supersede newer index rows
+                    wins = (
+                        F.col(ver_col).isNotNull()
+                        & (
+                            F.col("__oldver").isNull()
+                            | (F.col(ver_col) >= F.col("__oldver"))
+                        )
+                    ) | (F.col(ver_col).isNull() & F.col("__oldver").isNull())
+                else:
+                    wins = F.lit(True)  # batch-wins semantics
+                drop_aux = ["__old", "__row"] + (
+                    ["__oldver"] if ver_col is not None else []
+                )
+                changed = (
+                    joined.filter(
+                        F.col("__row").isNotNull()
+                        & wins
+                        & ~F.col(vec_col).eqNullSafe(F.col("__old"))
+                    )
+                    .drop(*drop_aux)
+                    .localCheckpoint()
+                )
+                fresh = (
+                    joined.filter(F.col("__row").isNull())
+                    .drop(*drop_aux)
+                    .localCheckpoint()
+                )
+                has_updates = changed.limit(1).count() > 0
+            if has_updates:
+                # merge+upsert under ONE marker-down window (the r10
+                # transaction-window posture shared by the text and
+                # near-dup sinks)
+                try:
+                    _os.remove(_os.path.join(index_path, "_BUILT"))
+                except FileNotFoundError:
+                    pass
+            _checked_upsert(
+                sess, batch, table_path, key=id_col, order_col=id_col,
+                n=n_table_parts, pre_checked=True, ver_col=ver_col,
+            )
+            if not was_built:
+                build_fn(
+                    sess,
+                    sess.read.parquet(table_path).drop("vpart"),
+                    index_path,
+                    **bkw,
+                )
+                return
+            if has_updates:
+                upsert_fn(
+                    sess,
+                    fresh.unionByName(changed),
+                    index_path,
+                    stale_ids=changed.select(id_col),
+                    _premarked=True,
+                    **mkw,
+                )
+                if compact_sidecar_after and TS2.should_compact(
+                    index_path, compact_sidecar_after
+                ):
+                    compact_fn(sess, index_path, id_col=id_col)
+            elif fresh is not None and fresh.limit(1).count() > 0:
+                # insert-only trigger: the classification proved
+                # freshness — skip the append's full-index id scan
+                append_fn(
+                    sess, fresh, index_path, verify_new=False, **mkw
+                )
+            # else: pure redelivery — everything already indexed
+        finally:
+            batch.unpersist()
+            if dels is not None:
+                dels.unpersist(False)
+            for df in (changed, fresh):
+                if df is not None:
+                    _unpersist_local_checkpoint(df)
+
+    (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_text_index_append(
     spark: SparkSession,
     landing_dir: str,

@@ -1069,6 +1069,179 @@ def test_stream_hnsw_delete_records(spark, tmp_path):
     assert got == want
 
 
+def test_stream_vector_index_maintain_lsh(spark, tmp_path):
+    """r11: the generic vector-index streaming sink, LSH family —
+    insert/update/redeliver/delete records across triggers must leave
+    (table, index) with probes IDENTICAL to a from-scratch rebuild
+    over the final table (LSH signatures come from the persisted
+    _GEOM, so streamed maintenance ≡ rebuild exactly), and a full
+    replay from a fresh checkpoint must converge to the same probes."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    schema = T.StructType(
+        list(emb.schema.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("ver", T.IntegerType())]
+    )
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "lsh")
+    kw = {"dim": 64, "n_bands": 8, "bits_per_band": 4}
+
+    def run(tbl, idx, ck):
+        INC.stream_vector_index_maintain(
+            spark, landing, schema, tbl, idx, str(tmp_path / ck),
+            family="lsh", op_col="op", ver_col="ver", index_kw=kw,
+        )
+
+    # trigger 1: build on ids < 100 (ver 0)
+    emb.filter(F.col("vec_id") < 100).withColumn(
+        "op", F.lit("upsert")
+    ).withColumn("ver", F.lit(0).cast("int")).write.mode("append").parquet(landing)
+    run(table, index, "ck1")
+
+    # trigger 2 (ver 1): insert 100-149, UPDATE 0-9 (negated vectors),
+    # redeliver 50-59 unchanged (must be a no-op)
+    upd = (
+        emb.filter(F.col("vec_id") < 10)
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+        .unionByName(
+            emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+        )
+        .unionByName(
+            emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+        )
+        .withColumn("op", F.lit(None).cast("string"))
+        .withColumn("ver", F.lit(1).cast("int"))
+    )
+    upd.write.mode("append").parquet(landing)
+    run(table, index, "ck1")
+
+    # trigger 3: delete ids 3 and 7 (deletes are unversioned)
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [3, 7],
+                "embedding": [None, None],
+                "op": ["delete", "delete"],
+                "ver": [None, None],
+            }
+        ),
+        schema,
+    ).write.mode("append").parquet(landing)
+    run(table, index, "ck1")
+
+    final = spark.read.parquet(table).drop("vpart")
+    assert final.count() == 148
+    row0 = final.filter(F.col("vec_id") == 0).first()
+    assert row0["embedding"][0] == -emb.filter(F.col("vec_id") == 0).first()["embedding"][0]
+
+    rebuilt = str(tmp_path / "lsh_rebuilt")
+    ANN.build_lsh_index(spark, final, rebuilt, **kw)
+
+    def probes(idx):
+        out = []
+        for qid in (0, 50, 100):
+            q = final.filter(F.col("vec_id") == qid)
+            out.append(
+                [tuple(r) for r in ANN.knn_lsh_indexed(
+                    spark, idx, final, q, k=10, **kw
+                ).collect()]
+            )
+        return out
+
+    assert probes(index) == probes(rebuilt)
+
+    # full replay from a fresh checkpoint (at-least-once: the whole
+    # landing zone redelivers) converges to the same probes
+    table2, index2 = str(tmp_path / "v2"), str(tmp_path / "lsh2")
+    run(table2, index2, "ck2")
+    final2 = spark.read.parquet(table2).drop("vpart")
+    assert final2.count() == 148
+    assert probes(index2) == probes(rebuilt)
+
+    # bad family fails at stream definition
+    with pytest.raises(ValueError, match="family"):
+        INC.stream_vector_index_maintain(
+            spark, landing, schema, table, index, str(tmp_path / "ckx"),
+            family="hnsw",
+        )
+
+
+def test_stream_vector_index_maintain_ivf(spark, tmp_path):
+    """r11, IVF family: frozen centroids make streamed maintenance ≡
+    the batch-sequential ops (build → upsert → delete), probe for
+    probe — the same drift-by-design contract the batch API pins."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("op", T.StringType())]
+    )
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "ivf")
+    kw = {"n_centroids": 8}
+
+    def run():
+        INC.stream_vector_index_maintain(
+            spark, landing, schema, table, index, str(tmp_path / "ck"),
+            family="ivf", op_col="op", index_kw=kw,
+        )
+
+    b1 = emb.filter(F.col("vec_id") < 100)
+    b1.withColumn("op", F.lit("upsert")).write.mode("append").parquet(landing)
+    run()
+
+    upd = emb.filter(F.col("vec_id") < 10).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    ins = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+    upd.unionByName(ins).withColumn(
+        "op", F.lit(None).cast("string")
+    ).write.mode("append").parquet(landing)
+    run()
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": [5], "embedding": [None], "op": ["delete"]}),
+        schema,
+    ).write.mode("append").parquet(landing)
+    run()
+
+    # batch-sequential twin over a copy of the SAME first-build
+    # artifact (Lloyd centroids are data-dependent but deterministic
+    # for identical input — build twice from b1 gives identical
+    # centroids; pinned by the determinism tests)
+    twin = str(tmp_path / "ivf_twin")
+    ANN.build_ivf_index(spark, b1, twin, **kw)
+    ANN.upsert_ivf_index(spark, upd, twin, stale_ids=upd.select("vec_id"))
+    ANN.append_ivf_index(spark, ins, twin)
+    ANN.delete_ivf_ids(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"vec_id": [5]})),
+        twin,
+    )
+
+    final = spark.read.parquet(table).drop("vpart")
+    assert final.count() == 129
+    for qid in (0, 50, 100):
+        q = final.filter(F.col("vec_id") == qid)
+        a = [
+            tuple(r)
+            for r in ANN.knn_ivf_indexed(spark, index, final, q, k=10, nprobe=4).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in ANN.knn_ivf_indexed(spark, twin, final, q, k=10, nprobe=4).collect()
+        ]
+        assert a == b, qid
+
+
 def test_stream_sink_refuses_flat_pre_vpart_table(spark, tmp_path):
     """ADVICE r10: a FLAT table written by a pre-vpart version of the
     sinks must be refused at the first trigger with the migration
