@@ -491,3 +491,136 @@ def weighted_sample_key_sql(
 def weighted_sample_wmax_sql(weight_sql: str, table: str = "documents") -> str:
     """The 1-row max-weight subquery the key expression joins."""
     return f"(SELECT max(greatest({weight_sql}, 1e-6)) AS w_max FROM {table}) wmax"
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — §2.11 extension,
+    r11): score every document by how much more likely its hashed
+    n-gram bag is under the TARGET distribution (the rows where
+    ``is_target`` holds — a wiki-like/high-quality slice) than under
+    the SOURCE (the whole corpus). The standard pretraining move for
+    tilting a raw crawl toward a target domain: keep/resample docs by
+    ``exp(log_weight)``; composes with :func:`weighted_sample` (use
+    the weight as the ES key's weight) or a plain top-k.
+
+    Model: bag of word unigrams + bigrams, hashed into ``n_buckets``
+    via the shared salted-md5 draw (oracle-expressible, stable across
+    engines), with add-1 smoothing per bucket — exactly the paper's
+    hashed n-gram generative model. ``log_weight = Σ_feat [ln p̂_t(b)
+    − ln p̂_s(b)]`` over the doc's feature occurrences.
+
+    Plan shape at 100 TB: ONE tokenize→gram explode (persisted — the
+    model aggregate and the scoring join both hang off it), one
+    bucket-keyed partial-aggregated shuffle builds BOTH models in a
+    single pass (conditional sum for the target counts — the target
+    is a subset of the source, never a second corpus scan), the
+    bucket model is n_buckets rows (broadcast to the scorer), and one
+    per-doc aggregate emits the weights. Two corpus-wide shuffles,
+    the q99/q99j budget. Docs with zero features (empty/NULL text)
+    drop out, like the perplexity proxy. Deterministic: pure
+    function of the corpus, zero RNG.
+    """
+    from etl_btc_spark.operators.dedup import _scoped_persist
+    from etl_btc_spark.operators.textops import (
+        _word_ngrams,
+        normalize_text,
+        ws_tokens,
+    )
+
+    toks = ws_tokens(normalize_text(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), is_target.alias("__t"), toks.alias("__toks")
+    )
+    grams = base.select(
+        F.col(id_col),
+        "__t",
+        F.explode(
+            F.concat(
+                F.filter(F.col("__toks"), lambda x: x != F.lit("")),
+                _word_ngrams(F.col("__toks"), 2),
+            )
+        ).alias("gram"),
+    )
+    feats = _scoped_persist(
+        grams.select(
+            F.col(id_col),
+            "__t",
+            (_md5_prefix32(F.col("gram"), salt) % n_buckets).alias("b"),
+        )
+    )
+    model = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cs"),
+    )
+    totals = model.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    scored = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.lit(float(n_buckets))))
+            - F.log((F.col("cs") + F.lit(1.0)) / (F.col("ns") + F.lit(float(n_buckets))))
+        ).alias("__lw"),
+    )
+    return (
+        feats.join(F.broadcast(scored), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("__lw") + F.lit(1e-9), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_oracle_sql(
+    target_pred_sql: str,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`dsir_log_weights` — same tokenization
+    as every text oracle, same salted-md5 bucket draw, same add-1
+    smoothing arithmetic."""
+    bucket = (
+        f"(('0x' || substring(md5('{salt}' || gram), 1, 8))::BIGINT % {n_buckets})"
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id, {target_pred_sql} AS is_t,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM {table}
+        ), grams AS (
+            SELECT doc_id, is_t, gram FROM (
+                SELECT doc_id, is_t, unnest(t) AS gram FROM w
+            ) WHERE gram <> ''
+            UNION ALL
+            SELECT doc_id, is_t,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+            FROM w
+        ), feats AS (
+            SELECT doc_id, is_t, {bucket} AS b FROM grams
+        ), model AS (
+            SELECT b,
+                   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                   count(*) AS cs
+            FROM feats GROUP BY b
+        ), totals AS (
+            SELECT sum(ct) AS nt, sum(cs) AS ns FROM model
+        ), scored AS (
+            SELECT b,
+                   ln((ct + 1.0) / (nt + {float(n_buckets)}))
+                   - ln((cs + 1.0) / (ns + {float(n_buckets)})) AS lw
+            FROM model, totals
+        )
+        SELECT feats.doc_id,
+               count(*) AS n_feats,
+               round(1e-9 + sum(scored.lw), 6) AS log_weight
+        FROM feats JOIN scored USING (b)
+        GROUP BY feats.doc_id
+    """

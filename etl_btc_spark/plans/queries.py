@@ -5431,3 +5431,26 @@ def q99z(spark: SparkSession, sf: str) -> DataFrame:
     return post.select(
         "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q99aa_dsir_weights",
+    oracle=SP.dsir_oracle_sql("lang = 'en'"),
+    doc=(
+        "§2.11 extension (r11): DSIR importance weights (Xie et al. "
+        "2023) — per-document log importance ratio of a hashed "
+        "unigram+bigram bag model fit on the TARGET slice (lang='en') "
+        "vs the whole corpus, add-1 smoothed; the standard "
+        "importance-resampling score for tilting a raw crawl toward a "
+        "target domain (resample by exp(log_weight), or feed it to "
+        "the q99i weighted sampler). One tokenize→gram explode feeds "
+        "BOTH models in a single bucket-keyed aggregate (conditional "
+        "sum — the target is a subset of the source, never a second "
+        "corpus pass); the n_buckets-row model broadcasts to the "
+        "scorer. Oracle mirrors the tokenization, the salted-md5 "
+        "bucket draw and the smoothing arithmetic verbatim"
+    ),
+)
+def q99aa(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    return SP.dsir_log_weights(docs, F.col("lang") == "en")

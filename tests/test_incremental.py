@@ -1242,6 +1242,68 @@ def test_stream_vector_index_maintain_ivf(spark, tmp_path):
         assert a == b, qid
 
 
+def test_vector_sink_update_crash_between_merge_and_upsert_heals(
+    spark, tmp_path, monkeypatch
+):
+    """r11, the r10 transaction-window posture for the vector sink: a
+    crash AFTER the table MERGE but BEFORE upsert_lsh_index starts
+    must leave the marker DOWN (the sink pre-marks before merging),
+    and the next trigger must self-heal by rebuilding from the merged
+    table — probes then equal a rebuild over the final corpus."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    schema = emb.schema
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "lsh")
+    ckpt = str(tmp_path / "ck")
+    kw = {"dim": 64, "n_bands": 8, "bits_per_band": 4}
+
+    def run():
+        INC.stream_vector_index_maintain(
+            spark, landing, schema, table, index, ckpt,
+            family="lsh", index_kw=kw,
+        )
+
+    emb.filter(F.col("vec_id") < 80).write.mode("append").parquet(landing)
+    run()
+    assert os.path.exists(os.path.join(index, "_BUILT"))
+
+    real_upsert = ANN.upsert_lsh_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before index upsert")
+
+    monkeypatch.setattr(ANN, "upsert_lsh_index", boom)
+    emb.filter(F.col("vec_id") < 5).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    ).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="simulated crash"):
+        run()
+    # the table merged the new vectors, the marker is DOWN
+    assert not os.path.exists(os.path.join(index, "_BUILT"))
+    merged0 = spark.read.parquet(table).drop("vpart").filter(F.col("vec_id") == 0).first()
+    assert merged0["embedding"][0] == -emb.filter(F.col("vec_id") == 0).first()["embedding"][0]
+
+    # next trigger (replay of the same files from the uncommitted
+    # checkpoint) self-heals: rebuild from the merged table
+    monkeypatch.setattr(ANN, "upsert_lsh_index", real_upsert)
+    run()
+    assert os.path.exists(os.path.join(index, "_BUILT"))
+    final = spark.read.parquet(table).drop("vpart")
+    rebuilt = str(tmp_path / "reb")
+    ANN.build_lsh_index(spark, final, rebuilt, **kw)
+    q = final.filter(F.col("vec_id") == 0)
+    a = [tuple(r) for r in ANN.knn_lsh_indexed(spark, index, final, q, k=10, **kw).collect()]
+    b = [tuple(r) for r in ANN.knn_lsh_indexed(spark, rebuilt, final, q, k=10, **kw).collect()]
+    assert a == b
+
+
 def test_stream_sink_refuses_flat_pre_vpart_table(spark, tmp_path):
     """ADVICE r10: a FLAT table written by a pre-vpart version of the
     sinks must be refused at the first trigger with the migration

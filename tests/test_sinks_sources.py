@@ -549,6 +549,76 @@ def test_upsert_pruned_publish_survives_any_crash_point(spark, tmp_path, monkeyp
     assert crash_at >= 2  # the sweep actually exercised crash points
 
 
+def test_delete_by_key_survives_any_crash_point(spark, tmp_path, monkeypatch):
+    """r11 delete sweep (the upsert sweep's idiom): kill the pruned
+    DELETE's publish at EVERY os.rename in turn — including the
+    emptied-partition retire — then recover + replay the same delete;
+    the table must equal the no-crash result (victims gone, survivors
+    intact, no key lost, no debris)."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    # vpart modulus 2: ids 1..8 → mixed partitions; delete everything
+    # in ONE partition (exercises the emptied-dir retire) plus one id
+    # from the other
+    part = F.pmod(F.xxhash64("content_id"), F.lit(2)).cast("int")
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"content_id": list(ids), "doc_id": [i * 10 for i in ids]})
+    ).withColumn("vpart", part)
+    base_ids = list(range(1, 9))
+    p_of = {
+        r["content_id"]: r["vpart"]
+        for r in mk(base_ids).select("content_id", "vpart").collect()
+    }
+    side0 = [i for i in base_ids if p_of[i] == 0]
+    side1 = [i for i in base_ids if p_of[i] == 1]
+    assert side0 and side1
+    victims = side0 + side1[:1]  # empties vpart=0, prunes into vpart=1
+    want = {i * 10 for i in base_ids if i not in victims}
+
+    crash_at = 0
+    while True:
+        path = str(tmp_path / f"dsweep_{crash_at}")
+        mk(base_ids).write.partitionBy("vpart").parquet(path)
+
+        real_rename = _os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst):
+            if src.startswith(path) and dst.startswith(path):
+                calls["n"] += 1
+                if calls["n"] == crash_at + 1:
+                    raise OSError("injected crash at rename #%d" % calls["n"])
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(_os, "rename", flaky_rename)
+        crashed = False
+        try:
+            SK.delete_by_key(
+                spark, mk(victims), path, key="content_id", partition_by="vpart"
+            )
+        except OSError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+
+        # recovery + at-least-once replay of the same delete
+        SK.delete_by_key(
+            spark, mk(victims), path, key="content_id", partition_by="vpart"
+        )
+        got = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+        assert got == want, (crash_at, got)
+        assert not _os.path.isdir(_os.path.join(path, "vpart=0")), crash_at
+        assert not any(
+            d.startswith((".cold_", ".uswap_")) for d in _os.listdir(path)
+        ), crash_at
+        if not crashed:
+            break
+        crash_at += 1
+    assert crash_at >= 2
+
+
 def test_upsert_flat_publish_survives_any_crash_point(spark, tmp_path, monkeypatch):
     """Flat-path twin of the pruned sweep: kill the manifest publish
     at every os.replace / os.remove in turn; recovery + replay must
