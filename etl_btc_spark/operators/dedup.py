@@ -2023,3 +2023,150 @@ def semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
                (dropped.vec_id IS NULL) AS keep
         FROM a0 LEFT JOIN dropped ON a0.vec_id = dropped.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span removal (§2.11 extension, r11)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus-wide EXACT duplicated-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"; the
+    C4 three-sentence-span rule, word-n-gram granularity): every
+    ``n``-token span whose normalized text occurs MORE THAN ONCE in
+    the corpus keeps only its canonical occurrence — the one at
+    (min doc id, then min start position) — and every token covered
+    by a non-canonical occurrence is dropped from the document. The
+    exact-substring sibling of the MinHash near-dup path: near-dup
+    finds whole-document rewrites, this strips verbatim boilerplate
+    (headers, license blocks, templated spans) embedded inside
+    otherwise-unique documents.
+
+    Output: one row per input document — ``(id, n_kept, n_removed,
+    clean_text)`` where ``clean_text`` is the surviving NORMALIZED
+    tokens in original order ('' when everything was covered or the
+    doc was empty). Fully deterministic, integer/string arithmetic
+    only — the DuckDB oracle (:func:`duplicate_span_oracle_sql`)
+    mirrors it verbatim.
+
+    Plan shape at 100 TB: one tokenize pass persisted (the span pass
+    and the reassembly both hang off it); spans shuffle ONCE on the
+    span text (the corpus-wide duplicate detection — rank + count in
+    one window), removed token positions explode from non-canonical
+    occurrences only (O(duplicated volume), not O(corpus)); the
+    anti-join and per-doc reassembly shuffle on the doc id. No
+    driver-side state, no floats.
+    """
+    from pyspark.sql import Window
+
+    from etl_btc_spark.operators.textops import (
+        _word_ngrams,
+        normalize_text,
+        ws_tokens,
+    )
+
+    toks = ws_tokens(normalize_text(F.col(text_col)))
+    base = _scoped_persist(df.select(F.col(id_col), toks.alias("__toks")))
+    spans = base.select(
+        F.col(id_col),
+        F.posexplode(_word_ngrams(F.col("__toks"), n)).alias("pos", "s"),
+    )
+    w_rank = Window.partitionBy("s").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    w_all = Window.partitionBy("s")
+    marked = spans.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(w_all)
+    )
+    removed = (
+        marked.filter((F.col("__cnt") > 1) & (F.col("__rn") > 1))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    tok_pos = base.select(
+        F.col(id_col), F.posexplode(F.col("__toks")).alias("tp", "tok")
+    ).filter(F.col("tok") != "")
+    kept = tok_pos.join(removed, [id_col, "tp"], "left_anti")
+    totals = tok_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_tok"))
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(totals, id_col, "left")
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce(F.col("__n_tok"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def duplicate_span_oracle_sql(n: int = 5, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`duplicate_span_dedup` — same
+    normalization, 0-based positions, (min doc, min pos) canonical
+    rule, coverage explode and ordered reassembly."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM {table}
+        ), tok AS (
+            SELECT doc_id, i - 1 AS tp, t[i] AS tok
+            FROM w, unnest(range(1, len(t) + 1)) AS r(i)
+            WHERE t[i] <> ''
+        ), spans AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i + {n - 1}], ' ') AS s
+            FROM w, unnest(range(1, len(t) - {n - 2})) AS r(i)
+            WHERE len(t) >= {n}
+        ), marked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY s) AS cnt
+            FROM spans
+        ), removed AS (
+            SELECT DISTINCT doc_id, pos + j AS tp
+            FROM marked, unnest(range(0, {n})) AS u(j)
+            WHERE cnt > 1 AND rn > 1
+        ), kept AS (
+            SELECT tok.doc_id, tok.tp, tok.tok
+            FROM tok LEFT JOIN removed
+              ON tok.doc_id = removed.doc_id AND tok.tp = removed.tp
+            WHERE removed.doc_id IS NULL
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY tp) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(agg.n_kept, 0) AS n_kept,
+               coalesce(totals.n_tok, 0) - coalesce(agg.n_kept, 0) AS n_removed,
+               coalesce(agg.clean_text, '') AS clean_text
+        FROM (SELECT DISTINCT doc_id FROM {table}) d
+        LEFT JOIN totals USING (doc_id)
+        LEFT JOIN agg USING (doc_id)
+    """

@@ -5454,3 +5454,26 @@ def q99z(spark: SparkSession, sf: str) -> DataFrame:
 def q99aa(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
     return SP.dsir_log_weights(docs, F.col("lang") == "en")
+
+
+@register(
+    "q99ab_duplicate_span_dedup",
+    oracle=DD.duplicate_span_oracle_sql(n=5),
+    doc=(
+        "§2.11 extension (r11): corpus-wide EXACT duplicated-span "
+        "removal (Lee et al. 2021; the C4 three-sentence-span rule at "
+        "word-5-gram granularity) — every 5-token span occurring more "
+        "than once keeps only its (min doc, min pos) canonical "
+        "occurrence; tokens covered by non-canonical occurrences drop "
+        "out of the document. The exact-substring sibling of the "
+        "MinHash near-dup path: strips verbatim boilerplate embedded "
+        "inside otherwise-unique documents. One span-text window "
+        "shuffle detects duplicates corpus-wide; removals explode "
+        "from duplicated volume only; reassembly is an ordered "
+        "integer/string aggregate — zero floats, the oracle mirrors "
+        "every step verbatim"
+    ),
+)
+def q99ab(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return DD.duplicate_span_dedup(docs, n=5)

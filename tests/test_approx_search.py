@@ -436,6 +436,39 @@ def test_incremental_near_dupes_prunes_text_fetch_to_candidate_vparts(
         )
 
 
+def test_duplicate_span_dedup_semantics(spark):
+    """r11 exact duplicated-span removal: the canonical (min doc, min
+    pos) occurrence survives, every token covered by a non-canonical
+    occurrence drops, intra-doc repeats collapse, sub-n docs and
+    unique docs pass through untouched, empty docs emit ('' , 0, 0)."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "intro words alpha beta gamma delta epsilon tail",
+                "unique text with no duplicated spans here",
+                "one two three",
+                "x y z w v x y z w v",
+                "",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["clean_text"])
+        for r in DD.duplicate_span_dedup(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1] == (6, 0, "alpha beta gamma delta epsilon zeta")
+    assert out[2] == (3, 5, "intro words tail")
+    assert out[3] == (7, 0, "unique text with no duplicated spans here")
+    assert out[4] == (3, 0, "one two three")
+    assert out[5] == (5, 5, "x y z w v")
+    assert out[6] == (0, 0, "")
+    DD.release_scoped_caches()
+
+
 def test_connected_components_clusters(spark, docs):
     """CC sanity on the fixture: every pair's endpoints share a
     cluster, cluster_id is the component min (canonical policy), and
