@@ -5477,3 +5477,111 @@ def q99aa(spark: SparkSession, sf: str) -> DataFrame:
 def q99ab(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return DD.duplicate_span_dedup(docs, n=5)
+
+
+@register(
+    "q99ac_lsh_stream_lifecycle",
+    oracle=f"""
+        WITH {_Q99W_CORPUS},
+        {SIM.lsh_sigs_sql("mod")},
+        qs AS (SELECT band, sig FROM ls_sigs WHERE vec_id = 0),
+        cand AS (
+            SELECT DISTINCT s.vec_id FROM ls_sigs s JOIN qs USING (band, sig)
+            WHERE s.vec_id NOT IN (23, 24)
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(1e-9 + {SIM.cosine_sql("e.embedding", "q.qv")}, 6) AS cosine_sim
+        FROM mod e JOIN cand USING (vec_id), q
+        ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC, e.vec_id
+        LIMIT 10
+    """,
+    doc=(
+        "STREAMED LSH lifecycle under the value gate (r11 — the q99p "
+        "posture for the vector families): three availableNow triggers "
+        "drive stream_vector_index_maintain end to end — full-corpus "
+        "build (ver 0) → upsert records planting ids 20-24 at the "
+        "QUERY's exact vector (ver 1: the pruned fresh/changed "
+        "classification must route them through the tombstone upsert; "
+        "identical signatures collide with the query in every band, "
+        "so they appear iff the streamed upsert is live) → DELETE "
+        "records for plants 23-24 (op_col: table row death via the "
+        "pruned delete + band tombstones; they vanish iff the "
+        "streamed delete is live) — then the q99x probe. Oracle = "
+        "q99x's VERBATIM SQL over the same final corpus: streamed "
+        "maintenance must land exactly where the batch lifecycle "
+        "does, because LSH signatures come from the persisted _GEOM "
+        "and upsert ≡ rebuild"
+    ),
+)
+def q99ac(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as _T3
+
+    from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.streaming import incremental as INC3
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    landing = SK.artifact_path(sf, "q99ac_landing")
+    table = SK.artifact_path(sf, "q99ac_vectors")
+    index = SK.artifact_path(sf, "q99ac_lsh")
+    ckpt = SK.artifact_path(sf, "q99ac_ckpt")
+    for p in (landing, table, index, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = _T3.StructType(
+        list(emb.schema.fields)
+        + [
+            _T3.StructField("op", _T3.StringType()),
+            _T3.StructField("ver", _T3.IntegerType()),
+        ]
+    )
+
+    def run():
+        INC3.stream_vector_index_maintain(
+            spark, f"{landing}/*", schema, table, index, ckpt,
+            family="lsh", op_col="op", ver_col="ver",
+            index_kw=LSH_INDEX_PARAMS,
+        )
+
+    # trigger 1: the full corpus at ver 0 — first build
+    emb.withColumn("op", F.lit("upsert")).withColumn(
+        "ver", F.lit(0).cast("int")
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+    run()
+    # trigger 2 (ver 1): plant ids 20-24 at the query's exact vector
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            F.col("__qv").alias("embedding"),
+            F.lit("upsert").alias("op"),
+            F.lit(1).cast("int").alias("ver"),
+        )
+        .coalesce(1)
+        .write.parquet(f"{landing}/b2")
+    )
+    run()
+    # trigger 3: DELETE records for plants 23-24
+    spark.createDataFrame(
+        [(23, None, "delete", None), (24, None, "delete", None)], schema
+    ).coalesce(1).write.parquet(f"{landing}/b3")
+    run()
+
+    # the probe base KEEPS the deleted ids' vectors — only their dead
+    # band rows may exclude them (the q99w/q99x observability posture)
+    mod = emb.crossJoin(qvec).select(
+        "vec_id",
+        F.when(F.col("vec_id").between(20, 24), F.col("__qv"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    out = ANN.knn_lsh_indexed(spark, index, mod, query, k=10, **LSH_INDEX_PARAMS)
+    return out.select(
+        "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

@@ -43,6 +43,10 @@ CASES = [
     ("q99x_lsh_lifecycle", ANN, "delete_lsh_ids"),
     ("q99y_minhash_lifecycle", DD, "upsert_minhash_index"),
     ("q99y_minhash_lifecycle", DD, "delete_minhash_ids"),
+    # r11 streamed-LSH gate: the sink's delete trigger routes through
+    # delete_lsh_ids — no-op'd, the deleted plants stay live and the
+    # top-10 diverges from the oracle (which excludes them)
+    ("q99ac_lsh_stream_lifecycle", ANN, "delete_lsh_ids"),
 ]
 
 
@@ -75,6 +79,48 @@ def test_q99z_gate_fails_when_refresh_broken(spark, ddb, monkeypatch):
         DD.release_scoped_caches()
     assert srows != orows, (
         "q99z still matches its oracle with refresh_hnsw_index no-op'd"
+    )
+
+
+def test_q99ac_gate_fails_when_streamed_upsert_broken(spark, ddb, monkeypatch):
+    """r11: the streamed-LSH gate must bite on a SILENTLY-WRONG upsert.
+    Two fakes a value gate must catch are distinguishable here: a
+    plain no-op leaves the marker down and the sink's next-trigger
+    self-heal legitimately rebuilds from the merged table (recovery
+    working, not the gate failing), and a marker-only fake can be
+    masked when the planted ids' ORIGINAL signatures happen to
+    band-collide with the query anyway (candidates dedupe by id, so
+    stale-band candidacy is answer-identical on lucky fixtures). The
+    fake that is deterministically observable is the HALF-APPLIED
+    upsert — tombstones written, new bands never appended, marker
+    re-landed (a crash-shaped partial application under a lying
+    marker): the plants' bands are all dead, they can only reach the
+    top-10 through bands, and the oracle has them at cosine 1.0."""
+    from etl_btc_spark.operators import tombstones as TS
+
+    real = ANN.upsert_lsh_index
+
+    def fake(spark, batch, path, stale_ids=None, id_col="vec_id", **k):
+        g = TS.bump_gen(path)
+        if stale_ids is not None:
+            TS.append_tombstones(spark, stale_ids, path, id_col, dead_below=g)
+        # forge a VALID family marker (a hand-written 'ok' is not one —
+        # the sink's next trigger would detect it and legitimately
+        # self-heal by rebuilding, which is recovery working)
+        ANN._mark_built(path, "lsh")
+        return path
+
+    monkeypatch.setattr(ANN, "upsert_lsh_index", fake)
+    try:
+        srows, orows = _run_vs_oracle(spark, ddb, "q99ac_lsh_stream_lifecycle")
+    except Exception:
+        return  # loud failure also counts as the gate biting
+    finally:
+        monkeypatch.setattr(ANN, "upsert_lsh_index", real)
+        DD.release_scoped_caches()
+    assert srows != orows, (
+        "q99ac still matches its oracle with upsert_lsh_index replaced "
+        "by a marker-only fake"
     )
 
 
