@@ -213,6 +213,30 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     TI.compact_text_index(spark, tmp)
     builds["text_compact"] = round(time.time() - t0, 3)
 
+    # r11: PQ maintenance — build (k-means arm), insert-only append,
+    # tombstone upsert, fold-in compaction (clones, like the others)
+    from etl_btc_spark.operators import pq as PQ
+
+    pqp = SK.artifact_path(sf_dir, "bench_pq_index")
+    shutil.rmtree(pqp, ignore_errors=True)
+    t0 = time.time()
+    PQ.build_pq_index(spark, emb, pqp, m=8, n_codes=16)
+    builds["pq_index"] = round(time.time() - t0, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(pqp, tmp)
+    t0 = time.time()
+    PQ.append_pq_index(spark, batch, tmp)
+    builds["pq_append"] = round(time.time() - t0, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(pqp, tmp)
+    t0 = time.time()
+    PQ.upsert_pq_index(spark, up_vecs, tmp, stale_ids=up_vecs.select("vec_id"))
+    builds["pq_upsert"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    PQ.compact_pq_index(spark, tmp)
+    builds["pq_compact"] = round(time.time() - t0, 3)
+    shutil.rmtree(pqp, ignore_errors=True)
+
     mh = SK.artifact_path(sf_dir, "bench_minhash_index")
     t0 = time.time()
     DD.build_minhash_index(spark, docs, mh)

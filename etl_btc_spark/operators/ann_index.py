@@ -60,6 +60,9 @@ _FORMATS = {
     # the other silently returns false negatives — the marker is
     # exactly the mechanism that must refuse that. v2 (r9): gen column
     "trigram": "trigram-v2",
+    # pq-v1 (r11): product-quantization codes — m uint8 codes packed
+    # as binary per row, cpart-partitioned, gen column from day one
+    "pq": "pq-v1",
 }
 
 #: broadcast variables whose lifetime outlives the function that made

@@ -5585,3 +5585,121 @@ def q99ac(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+#: q99ad PQ geometry: dim 64 split into m=8 subspaces of 8, 16
+#: codewords per subspace WARM-STARTED from corpus rows 0-15 (their
+#: subvectors ARE the codebooks — deterministic and SQL-expressible,
+#: the q99g trick applied to product quantization)
+_Q99AD_M, _Q99AD_SUBD, _Q99AD_K = 8, 8, 16
+
+
+def _q99ad_oracle() -> str:
+    m, sd, k = _Q99AD_M, _Q99AD_SUBD, _Q99AD_K
+    return f"""
+        WITH {_Q99W_CORPUS},
+        cb AS (
+            SELECT r.j, e.vec_id AS c,
+                   e.embedding[r.j * {sd} + 1 : r.j * {sd} + {sd}] AS subvec
+            FROM embeddings e, unnest(range(0, {m})) AS r(j)
+            WHERE e.vec_id BETWEEN 0 AND {k - 1}
+        ),
+        docsub AS (
+            SELECT e.vec_id, r.j,
+                   e.embedding[r.j * {sd} + 1 : r.j * {sd} + {sd}] AS sub
+            FROM mod e, unnest(range(0, {m})) AS r(j)
+            WHERE e.embedding IS NOT NULL
+              AND e.vec_id NOT IN (23, 24)
+        ),
+        enc AS (
+            SELECT vec_id, j, c FROM (
+                SELECT d.vec_id, d.j, cb.c,
+                       row_number() OVER (
+                           PARTITION BY d.vec_id, d.j
+                           ORDER BY list_dot_product(d.sub, d.sub)
+                                    - 2 * list_dot_product(d.sub, cb.subvec)
+                                    + list_dot_product(cb.subvec, cb.subvec) ASC,
+                                    cb.c ASC
+                       ) AS rn
+                FROM docsub d JOIN cb ON d.j = cb.j
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qsub AS (
+            SELECT r.j, q.qv[r.j * {sd} + 1 : r.j * {sd} + {sd}] AS sub
+            FROM q, unnest(range(0, {m})) AS r(j)
+        )
+        SELECT enc.vec_id,
+               round(1e-9 + sum(list_dot_product(qsub.sub, cb.subvec)), 6) AS adc_dot
+        FROM enc
+        JOIN cb ON enc.j = cb.j AND enc.c = cb.c
+        JOIN qsub ON qsub.j = enc.j
+        GROUP BY enc.vec_id
+        ORDER BY sum(list_dot_product(qsub.sub, cb.subvec)) DESC, enc.vec_id
+        LIMIT 10
+    """
+
+
+@register(
+    "q99ad_pq_lifecycle",
+    oracle=_q99ad_oracle(),
+    doc=(
+        "Product-quantization index LIFECYCLE under the value gate "
+        "(r11 — the SEVENTH index family, Jégou et al. 2011 / faiss "
+        "IndexPQ with inner-product ADC): warm-start build (codebooks "
+        "= literal corpus rows 0-15's subvectors, so per-subspace "
+        "L2 encoding AND the m-lookup ADC scores reproduce in SQL) → "
+        "insert-only append of the held-out residue (frozen "
+        "codebooks) → tombstone upsert of ids 20-24 to the QUERY's "
+        "exact vector (they encode exactly like the query — near-top "
+        "ADC iff live) → tombstone delete of plants 23-24 (vanish iff "
+        "dead) → codes-only ADC probe (m bytes/vector scanned — the "
+        "1/32-of-fp32 scan that is PQ's point at 100 TB) → sidecar "
+        "fold-in compaction → probe again, raising on pre/post "
+        "divergence. Oracle = the full codes+ADC chain over the "
+        "modified corpus minus the deleted plants"
+    ),
+)
+def q99ad(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    idx = SK.artifact_path(sf, "q99ad_pq_lifecycle")
+    shutil.rmtree(idx, ignore_errors=True)
+    PQ.build_pq_index(
+        spark,
+        emb.filter((F.col("vec_id") < 16) | (F.col("vec_id") % 4 != 3)),
+        idx,
+        m=_Q99AD_M,
+        n_codes=_Q99AD_K,
+        codebook_ids=list(range(_Q99AD_K)),
+    )
+    PQ.append_pq_index(
+        spark, emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 4 == 3)), idx
+    )
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    upd = (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select("vec_id", F.col("__qv").alias("embedding"))
+    )
+    PQ.upsert_pq_index(spark, upd, idx)
+    PQ.delete_pq_ids(
+        spark, emb.filter(F.col("vec_id").isin(23, 24)).select("vec_id"), idx
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    pre = [tuple(r) for r in PQ.pq_adc_topk(spark, idx, query, k=10).collect()]
+    PQ.compact_pq_index(spark, idx)
+    post = PQ.pq_adc_topk(spark, idx, query, k=10)
+    if [tuple(r) for r in post.collect()] != pre:
+        raise ValueError(
+            "q99ad: post-compaction ADC probe diverged from the "
+            "pre-compaction (tombstone-filtered) probe"
+        )
+    return post.select(
+        "vec_id", sround(F.col("adc_dot"), 6).alias("adc_dot")
+    )

@@ -436,6 +436,101 @@ def test_incremental_near_dupes_prunes_text_fetch_to_candidate_vparts(
         )
 
 
+def test_pq_kmeans_build_recall_and_determinism(spark, emb, tmp_path):
+    """r11 PQ, the TRAINED arm (the warm-start arm carries the q99ad
+    value oracle): the per-subspace k-means build is deterministic
+    (same input → byte-identical codebooks + codes twice), and the
+    ADC shortlist + exact re-rank recovers the exact top-10 at a
+    reasonable oversample on this corpus."""
+    from etl_btc_spark.operators import pq as PQ
+
+    a, b = str(tmp_path / "pq_a"), str(tmp_path / "pq_b")
+    PQ.build_pq_index(spark, emb, a, m=8, n_codes=16)
+    PQ.build_pq_index(spark, emb, b, m=8, n_codes=16)
+    for sub in ("codebooks", "codes"):
+        da = spark.read.parquet(f"{a}/{sub}").orderBy(
+            *spark.read.parquet(f"{a}/{sub}").columns[:2]
+        ).collect()
+        db = spark.read.parquet(f"{b}/{sub}").orderBy(
+            *spark.read.parquet(f"{b}/{sub}").columns[:2]
+        ).collect()
+        assert da == db, sub
+
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {
+        r.vec_id for r in SIM.knn_exact(emb, q, k=10).collect()
+    }
+    got = {
+        r.vec_id
+        for r in PQ.knn_pq_indexed(spark, a, emb, q, k=10, shortlist=100).collect()
+    }
+    assert len(got & exact) / 10 >= 0.6, got
+
+    # misuse fails loudly
+    with pytest.raises(ValueError, match="divisible"):
+        PQ.build_pq_index(spark, emb, str(tmp_path / "bad"), m=7)
+    with pytest.raises(ValueError, match="insert-only"):
+        PQ.append_pq_index(spark, emb.limit(5), a)
+
+
+def test_pq_upsert_delete_equal_rebuild(spark, emb, tmp_path):
+    """PQ maintenance ≡ rebuild at the same (warm, frozen) codebooks:
+    upsert + delete through the tombstone sidecar must probe exactly
+    like a from-scratch build over the updated corpus, before AND
+    after compaction; pre-existing code files stay byte-identical
+    across the upsert (O(batch), no rewrite)."""
+    import hashlib
+    import os
+
+    from etl_btc_spark.operators import pq as PQ
+
+    ids = list(range(16))
+    idx = str(tmp_path / "pq")
+    PQ.build_pq_index(spark, emb, idx, m=8, n_codes=16, codebook_ids=ids)
+
+    def file_hashes(d):
+        out = {}
+        for root, _, names in os.walk(d):
+            for nm in names:
+                if nm.endswith(".parquet"):
+                    p = os.path.join(root, nm)
+                    out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    pre_files = file_hashes(os.path.join(idx, "codes"))
+    upd = emb.filter(F.col("vec_id").between(20, 24)).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    PQ.upsert_pq_index(spark, upd, idx)
+    post_files = file_hashes(os.path.join(idx, "codes"))
+    for p, h in pre_files.items():
+        assert post_files.get(p) == h, "pre-existing code file rewritten"
+    PQ.delete_pq_ids(
+        spark, emb.filter(F.col("vec_id").isin(30, 31)).select("vec_id"), idx
+    )
+
+    snapshot = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id").between(20, 24),
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    ).filter(~F.col("vec_id").isin(30, 31))
+    rebuilt = str(tmp_path / "pq_rebuilt")
+    PQ.build_pq_index(spark, snapshot, rebuilt, m=8, n_codes=16, codebook_ids=ids)
+
+    q = emb.filter(F.col("vec_id") == 5)
+    want = [tuple(r) for r in PQ.pq_adc_topk(spark, rebuilt, q, k=15).collect()]
+    got = [tuple(r) for r in PQ.pq_adc_topk(spark, idx, q, k=15).collect()]
+    assert got == want
+    PQ.compact_pq_index(spark, idx)
+    import etl_btc_spark.operators.tombstones as TS
+
+    assert not TS.has_tombstones(idx)
+    got2 = [tuple(r) for r in PQ.pq_adc_topk(spark, idx, q, k=15).collect()]
+    assert got2 == want
+
+
 def test_duplicate_span_dedup_semantics(spark):
     """r11 exact duplicated-span removal: the canonical (min doc, min
     pos) occurrence survives, every token covered by a non-canonical

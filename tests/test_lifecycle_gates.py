@@ -13,6 +13,7 @@ import pytest
 from etl_btc_spark.plans.queries import REGISTRY
 from etl_btc_spark.operators import ann_index as ANN
 from etl_btc_spark.operators import dedup as DD
+from etl_btc_spark.operators import pq as PQ
 from etl_btc_spark.operators import text_index as TI
 
 from conftest import SF_SMOKE
@@ -47,6 +48,10 @@ CASES = [
     # delete_lsh_ids — no-op'd, the deleted plants stay live and the
     # top-10 diverges from the oracle (which excludes them)
     ("q99ac_lsh_stream_lifecycle", ANN, "delete_lsh_ids"),
+    # r11 PQ gate: plants encode exactly like the query (near-top ADC)
+    # — a dead upsert loses them, a dead delete keeps 23-24
+    ("q99ad_pq_lifecycle", PQ, "upsert_pq_index"),
+    ("q99ad_pq_lifecycle", PQ, "delete_pq_ids"),
 ]
 
 
@@ -156,6 +161,7 @@ def test_lifecycle_gates_green_when_intact(spark, ddb):
         "q99x_lsh_lifecycle",
         "q99y_minhash_lifecycle",
         "q99z_hnsw_lifecycle",
+        "q99ad_pq_lifecycle",
     ):
         srows, orows = _run_vs_oracle(spark, ddb, name)
         assert srows == orows, "%s diverged from its oracle" % name
