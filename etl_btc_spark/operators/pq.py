@@ -545,3 +545,141 @@ def knn_pq_indexed(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_pq_join(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    broadcast_max_queries: int = 200_000,
+) -> DataFrame:
+    """Batched kNN JOIN against the PQ artifact — the family's
+    ``knn_lsh_join``/``knn_ivf_join``/``knn_hnsw_join`` twin: N query
+    vectors at once, the true 100 TB retrieval shape.
+
+    1. the query batch collects once (bounded by
+       ``broadcast_max_queries`` — a larger batch must be chunked by
+       the caller) and its ADC lookup tables travel as ONE broadcast
+       tensor (Q × m × n_codes doubles — codebook-sized per query,
+       never corpus-sized);
+    2. ONE pruned-column scan of the codes table scores every (row,
+       query) pair — a single numpy gather+add per Arrow batch per
+       subspace, emitted as an array and exploded to (query, id, adc);
+    3. per-query rank window keeps the ``shortlist`` ADC candidates,
+       and the exact fp32 cosine re-rank joins the base table by id
+       and the broadcast query vectors by query id — the family's
+       oversample-then-rescore tail.
+
+    The fp32 corpus is never shuffled; the only corpus-shaped work is
+    the m-bytes-per-row codes scan, amortized across the whole query
+    batch."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_btc_spark._pickle import ensure_serializable
+    from etl_btc_spark.operators.similarity import pair_cosine_udf
+
+    _require_built(path, "pq")
+    meta, cb = _collect_codebooks(spark, path)
+    m, sub_d = meta["m"], meta["dim"] // meta["m"]
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .limit(broadcast_max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > broadcast_max_queries:
+        raise ValueError(
+            "knn_pq_join: query batch exceeds broadcast_max_queries=%d; "
+            "chunk the batch" % broadcast_max_queries
+        )
+    out_fields = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[id_col].dataType),
+            T.StructField(id_col, vectors.schema[id_col].dataType),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_fields)
+    qids = [r[id_col] for r in qrows]
+    qmat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    # (Q, m, n_codes): tables[q, j, c] = dot(query_q_sub_j, cb[j][c])
+    tables = np.stack(
+        [
+            np.stack(
+                [cb[j] @ qv[j * sub_d : (j + 1) * sub_d] for j in range(m)]
+            )
+            for qv in qmat
+        ]
+    )
+    ensure_serializable()
+    t_bc = spark.sparkContext.broadcast(tables)
+
+    @pandas_udf("array<double>")
+    def adc_all(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        t = t_bc.value  # (Q, m, k)
+        arr = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in codes]
+        ).astype(np.int64)
+        out = np.zeros((len(arr), t.shape[0]), dtype=np.float64)
+        for j in range(t.shape[1]):
+            # (Q, rows): every query's subspace-j lookup in one gather
+            out += t[:, j, :][:, arr[:, j]].T
+        return pd.Series([row for row in out])
+
+    codes = TS.live_rows(
+        spark, spark.read.parquet(os.path.join(path, "codes")), path, id_col
+    )
+    scored = codes.select(
+        F.col(id_col), F.posexplode(adc_all(F.col("codes"))).alias("__qi", "__adc")
+    )
+    w = Window.partitionBy("__qi").orderBy(F.col("__adc").desc(), F.col(id_col))
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max(shortlist, k))
+        .select("__qi", id_col)
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__qi": list(range(len(qids))),
+                query_id_col: qids,
+                "__qvec": [list(v) for v in qmat],
+            }
+        ),
+        T.StructType(
+            [
+                T.StructField("__qi", T.IntegerType()),
+                T.StructField(query_id_col, queries.schema[id_col].dataType),
+                T.StructField("__qvec", queries.schema[vec_col].dataType),
+            ]
+        ),
+    )
+    cos = pair_cosine_udf()
+    reranked = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "__qi")
+        .select(
+            query_id_col,
+            F.col(id_col),
+            cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -473,6 +473,47 @@ def test_pq_kmeans_build_recall_and_determinism(spark, emb, tmp_path):
         PQ.append_pq_index(spark, emb.limit(5), a)
 
 
+def test_pq_batched_join_equals_single_probes(spark, emb, tmp_path):
+    """knn_pq_join (the family's batched retrieval shape) must return,
+    per query, exactly the single-query knn_pq_indexed answer — same
+    ADC shortlist rule, same exact re-rank, same tie-breaks; empty
+    and NULL-vector query batches take the typed-empty path."""
+    from etl_btc_spark.operators import pq as PQ
+
+    idx = str(tmp_path / "pq")
+    PQ.build_pq_index(
+        spark, emb, idx, m=8, n_codes=16, codebook_ids=list(range(16))
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    # the batched join re-ranks with the einsum pandas UDF while the
+    # single probe uses the codegen expression fold — identical BLAS
+    # math up to the last ulp, so compare at 9 dp (the same tolerance
+    # separating the other families' batch/single twins)
+    got = {}
+    for r in PQ.knn_pq_join(
+        spark, idx, emb, queries, k=10, shortlist=50
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["cosine_sim"], 9))
+        )
+    for q in queries.collect():
+        single = [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in PQ.knn_pq_indexed(
+                spark,
+                idx,
+                emb,
+                emb.filter(F.col("vec_id") == q["vec_id"]),
+                k=10,
+                shortlist=50,
+            ).collect()
+        ]
+        assert got[q["vec_id"]] == single, q["vec_id"]
+
+    empty = PQ.knn_pq_join(spark, idx, emb, emb.filter(F.lit(False)), k=5)
+    assert empty.count() == 0 and "cosine_sim" in empty.columns
+
+
 def test_pq_upsert_delete_equal_rebuild(spark, emb, tmp_path):
     """PQ maintenance ≡ rebuild at the same (warm, frozen) codebooks:
     upsert + delete through the tombstone sidecar must probe exactly
