@@ -4911,9 +4911,11 @@ _Q99W_CORPUS = """
 """
 
 
-@register(
-    "q99w_ivf_lifecycle",
-    oracle=f"""
+#: the warm-start IVF probe chain over the modified corpus minus the
+#: query's two nearest deleted ids — shared VERBATIM by the batch
+#: lifecycle gate (q99w) and its streamed twin (q99ae, r11): both
+#: must land on exactly this answer
+_IVF_LIFECYCLE_ORACLE = f"""
         WITH {_Q99W_CORPUS},
         c AS (
             SELECT CAST(vec_id + 1 AS INTEGER) AS centroid_id, embedding AS cvec
@@ -4948,7 +4950,12 @@ _Q99W_CORPUS = """
         FROM mod e JOIN cand USING (vec_id), q
         ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC, e.vec_id
         LIMIT 10
-    """,
+    """
+
+
+@register(
+    "q99w_ivf_lifecycle",
+    oracle=_IVF_LIFECYCLE_ORACLE,
     doc=(
         "ANN-family index LIFECYCLE under the value gate (r10, the "
         "q99r/q99s pattern for vectors): warm-start build on a subset "
@@ -5702,4 +5709,110 @@ def q99ad(spark: SparkSession, sf: str) -> DataFrame:
         )
     return post.select(
         "vec_id", sround(F.col("adc_dot"), 6).alias("adc_dot")
+    )
+
+
+@register(
+    "q99ae_ivf_stream_lifecycle",
+    oracle=_IVF_LIFECYCLE_ORACLE,
+    doc=(
+        "STREAMED IVF lifecycle under the value gate (r11, q99ac's "
+        "sibling — the second vector family through "
+        "stream_vector_index_maintain): full-corpus warm-start build "
+        "(centroids = literal corpus rows 0-15, ver 0) → upsert "
+        "records planting ids 20-24 at the QUERY's exact vector "
+        "(ver 1: the pruned classification routes them through "
+        "upsert_ivf_index — cosine 1.0, they must top-rank iff the "
+        "streamed upsert is live) → DELETE records for the query's "
+        "two nearest ids ≥ 35 (op_col: pruned table delete + "
+        "assignment tombstones — they vanish iff the streamed delete "
+        "is live) → the q99w probe (frozen centroids, shortlist "
+        "un-cut). Oracle = q99w's VERBATIM probe chain over the same "
+        "final corpus: streamed maintenance must land exactly where "
+        "the batch lifecycle does"
+    ),
+)
+def q99ae(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as _T4
+
+    from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.streaming import incremental as INC4
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    landing = SK.artifact_path(sf, "q99ae_landing")
+    table = SK.artifact_path(sf, "q99ae_vectors")
+    index = SK.artifact_path(sf, "q99ae_ivf")
+    ckpt = SK.artifact_path(sf, "q99ae_ckpt")
+    for p in (landing, table, index, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = _T4.StructType(
+        list(emb.schema.fields)
+        + [
+            _T4.StructField("op", _T4.StringType()),
+            _T4.StructField("ver", _T4.IntegerType()),
+        ]
+    )
+
+    def run():
+        INC4.stream_vector_index_maintain(
+            spark, f"{landing}/*", schema, table, index, ckpt,
+            family="ivf", op_col="op", ver_col="ver",
+            index_kw={"n_centroids": 16, "centroid_ids": _Q99G_CENTROID_IDS},
+        )
+
+    emb.withColumn("op", F.lit("upsert")).withColumn(
+        "ver", F.lit(0).cast("int")
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+    run()
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            F.col("__qv").alias("embedding"),
+            F.lit("upsert").alias("op"),
+            F.lit(1).cast("int").alias("ver"),
+        )
+        .coalesce(1)
+        .write.parquet(f"{landing}/b2")
+    )
+    run()
+    # delete the query's two NEAREST neighbors among ids >= 35 — the
+    # q99w construction, delivered as streaming DELETE records
+    del_ids = [
+        r["vec_id"]
+        for r in emb.filter(
+            (F.col("vec_id") >= 35) & F.col("embedding").isNotNull()
+        )
+        .crossJoin(qvec)
+        .select(
+            "vec_id", SIM.cosine(F.col("embedding"), F.col("__qv")).alias("__c")
+        )
+        .orderBy(F.col("__c").desc(), "vec_id")
+        .limit(2)
+        .collect()
+    ]
+    spark.createDataFrame(
+        [(i, None, "delete", None) for i in del_ids], schema
+    ).coalesce(1).write.parquet(f"{landing}/b3")
+    run()
+
+    # re-rank base KEEPS the deleted ids' vectors (the q99w posture)
+    mod = emb.crossJoin(qvec).select(
+        "vec_id",
+        F.when(F.col("vec_id").between(20, 24), F.col("__qv"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    out = ANN.knn_ivf_indexed(
+        spark, index, mod, query, k=10, nprobe=4, shortlist=1_000_000
+    )
+    return out.select(
+        "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )

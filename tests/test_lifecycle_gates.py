@@ -52,6 +52,9 @@ CASES = [
     # — a dead upsert loses them, a dead delete keeps 23-24
     ("q99ad_pq_lifecycle", PQ, "upsert_pq_index"),
     ("q99ad_pq_lifecycle", PQ, "delete_pq_ids"),
+    # r11 streamed-IVF gate: the sink's delete trigger routes through
+    # delete_ivf_ids — no-op'd, the deleted top-10 members stay live
+    ("q99ae_ivf_stream_lifecycle", ANN, "delete_ivf_ids"),
 ]
 
 
