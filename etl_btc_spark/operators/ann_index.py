@@ -523,6 +523,7 @@ def append_ivf_index(
     id_col: str = "vec_id",
     n_assign: int = 2,
     verify_new: bool = True,
+    _premarked: bool = False,
 ) -> str:
     """Insert-only incremental IVF maintenance — the corpus-append
     case (fresh ids every ingest): assign the new vectors against the
@@ -540,9 +541,13 @@ def append_ivf_index(
     tombstone sidecar) or the hash-sharded HNSW refresh. ``verify_new``
     anti-joins the batch ids against the index (id column only; drop
     it if the caller guarantees freshness) and fails loudly on
-    overlap instead of silently double-indexing.
+    overlap instead of silently double-indexing. ``_premarked``
+    (sink-internal, r12 — ADVICE r11): the streaming sink takes
+    ``_BUILT`` down BEFORE its table MERGE so merge+append share one
+    marker-down window — True skips only the built-marker
+    precondition.
     """
-    if not _is_built(path, "ivf"):
+    if not _premarked and not _is_built(path, "ivf"):
         raise ValueError("append_ivf_index: no built index at %r" % path)
     assigned_path = os.path.join(path, "assigned")
     if verify_new:
@@ -945,6 +950,7 @@ def append_lsh_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     verify_new: bool = True,
+    _premarked: bool = False,
 ) -> str:
     """Insert-only incremental LSH maintenance — the hyperplanes are a
     FIXED function of the artifact's persisted geometry (``_GEOM``,
@@ -961,8 +967,12 @@ def append_lsh_index(
     sidecar); band-file sort order is not maintained across appends —
     run ``sinks.compact_table(bands, sort_within=["sig"])``
     periodically to restore row-group-skipping tightness.
+    ``_premarked`` (sink-internal, r12 — ADVICE r11): the streaming
+    sink takes ``_BUILT`` down BEFORE its table MERGE so the whole
+    merge+append transaction shares one marker-down window — True
+    skips only the built-marker precondition.
     """
-    if not _is_built(path, "lsh"):
+    if not _premarked and not _is_built(path, "lsh"):
         raise ValueError("append_lsh_index: no built index at %r" % path)
     geom = _read_lsh_geom(path)
     if geom is None:

@@ -216,6 +216,15 @@ def build_pq_index(
         raise ValueError(
             "build_pq_index: dim %d is not divisible by m=%d" % (dim, m)
         )
+    if not 1 <= n_codes <= 256:
+        # codes persist as uint8 (ADVICE r11): with n_codes > 256 the
+        # per-subspace argmin can exceed 255 and astype(uint8) would
+        # silently WRAP, corrupting every encoded vector and every
+        # ADC score with no error anywhere downstream
+        raise ValueError(
+            "build_pq_index: n_codes=%d out of range — codes are stored "
+            "as one uint8 per subspace, so 1 <= n_codes <= 256" % n_codes
+        )
     sub_d = dim // m
     if codebook_ids is not None:
         if len(codebook_ids) != n_codes:
@@ -320,16 +329,26 @@ def append_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     verify_new: bool = True,
+    _premarked: bool = False,
 ) -> str:
     """Insert-only maintenance: encode ONLY the batch against the
     frozen codebooks and append its code rows — O(batch), the IVF
     append posture (codebook drift is the rebuild-per-corpus-version
     trade). ``verify_new`` duplicate check reads only the batch's
-    cpart directories. Updates/deletes go through the upsert/delete."""
-    _require_built(path, "pq")
+    cpart directories, LIVE rows only (ADVICE r11): a tombstone-
+    deleted id is a legitimate re-entry — its dead code rows must not
+    refuse the append (the delete contract documents re-entry as a
+    new doc, the text path's posture). ``_premarked`` (sink-internal,
+    r12): the streaming sink takes ``_BUILT`` down before its table
+    MERGE — True skips only the built-marker precondition."""
+    if not _premarked:
+        _require_built(path, "pq")
     if verify_new:
-        existing = _pruned_codes(
-            spark, path, new_vectors.select(id_col), id_col
+        existing = TS.live_rows(
+            spark,
+            _pruned_codes(spark, path, new_vectors.select(id_col), id_col),
+            path,
+            id_col,
         ).select(id_col)
         if new_vectors.select(id_col).join(existing, id_col).limit(1).count():
             raise ValueError(
@@ -421,6 +440,17 @@ def compact_pq_index(spark: SparkSession, path: str, id_col: str = "vec_id") -> 
     live = TS.live_rows(
         spark, spark.read.parquet(os.path.join(path, "codes")), path, id_col
     ).drop(TS.GEN_COL)
+    if live.limit(1).count() == 0:
+        # every code row tombstoned (ADVICE r11): the shadow write
+        # would emit a ZERO-partition codes dir and subsequent reads
+        # would die on parquet schema inference instead of a clean
+        # refusal — name the state and the way out
+        raise ValueError(
+            "compact_pq_index: every indexed id is tombstoned — the "
+            "index is empty. Rebuild over the current corpus "
+            "(build_pq_index) or remove the artifact dir; compaction "
+            "has nothing to fold."
+        )
     try:
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:

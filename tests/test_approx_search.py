@@ -572,6 +572,49 @@ def test_pq_upsert_delete_equal_rebuild(spark, emb, tmp_path):
     assert got2 == want
 
 
+def test_pq_advice_guards(spark, emb, tmp_path):
+    """ADVICE r11 lows: (1) n_codes > 256 refused at build — codes
+    persist as uint8, so a larger codebook would silently WRAP the
+    argmin and corrupt every ADC score; (2) a tombstone-deleted id
+    may RE-ENTER via append (the verify_new duplicate check
+    live-filters — re-entry is the delete contract), while a LIVE id
+    still refuses; (3) compacting a fully-tombstoned index refuses
+    with a clear message instead of writing an unreadable
+    zero-partition codes dir."""
+    import etl_btc_spark.operators.tombstones as TS
+
+    from etl_btc_spark.operators import pq as PQ
+
+    with pytest.raises(ValueError, match="n_codes"):
+        PQ.build_pq_index(
+            spark, emb, str(tmp_path / "bad"), m=8, n_codes=300
+        )
+
+    small = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    idx = str(tmp_path / "pq")
+    PQ.build_pq_index(
+        spark, small, idx, m=8, n_codes=16, codebook_ids=list(range(16))
+    )
+    PQ.delete_pq_ids(
+        spark, small.filter(F.col("vec_id") == 20).select("vec_id"), idx
+    )
+    PQ.append_pq_index(spark, small.filter(F.col("vec_id") == 20), idx)
+    live = TS.live_rows(
+        spark, spark.read.parquet(idx + "/codes"), idx, "vec_id"
+    )
+    assert live.filter(F.col("vec_id") == 20).count() == 1
+    with pytest.raises(ValueError, match="insert-only"):
+        PQ.append_pq_index(spark, small.filter(F.col("vec_id") == 21), idx)
+
+    idx2 = str(tmp_path / "pq2")
+    PQ.build_pq_index(
+        spark, small, idx2, m=8, n_codes=16, codebook_ids=list(range(16))
+    )
+    PQ.delete_pq_ids(spark, small.select("vec_id"), idx2)
+    with pytest.raises(ValueError, match="empty"):
+        PQ.compact_pq_index(spark, idx2)
+
+
 def test_duplicate_span_dedup_semantics(spark):
     """r11 exact duplicated-span removal: the canonical (min doc, min
     pos) occurrence survives, every token covered by a non-canonical

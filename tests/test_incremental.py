@@ -1604,3 +1604,112 @@ def test_text_sink_changed_id_missing_from_index_routes_as_fresh(
     sa = spark.read.parquet(index + "/stats").collect()[0]
     sb = spark.read.parquet(full + "/stats").collect()[0]
     assert (sa["n_docs"], sa["total_dl"]) == (sb["n_docs"], sb["total_dl"])
+
+
+def test_vector_sink_insert_crash_between_merge_and_append_heals(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (high): on an INSERT-ONLY trigger — the steady-state
+    ingest shape — the marker must come down BEFORE the table merge,
+    exactly like the update path. A crash after the merge commits but
+    before the append opens its own marker window would otherwise
+    leave table rows the index lacks under a VALID marker; the
+    replay's pre-merge classification (batch vectors == merged table
+    vectors) would then route them as pure redelivery and no-op —
+    permanent silent false negatives on every probe."""
+    import os
+
+    from etl_btc_spark.operators import ann_index as ANN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    schema = emb.schema
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "lsh")
+    ckpt = str(tmp_path / "ck")
+    kw = {"dim": 64, "n_bands": 8, "bits_per_band": 4}
+
+    def run():
+        INC.stream_vector_index_maintain(
+            spark, landing, schema, table, index, ckpt,
+            family="lsh", index_kw=kw,
+        )
+
+    emb.filter(F.col("vec_id") < 80).write.mode("append").parquet(landing)
+    run()
+    assert os.path.exists(os.path.join(index, "_BUILT"))
+
+    real_append = ANN.append_lsh_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before index append")
+
+    monkeypatch.setattr(ANN, "append_lsh_index", boom)
+    emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 90)).write.mode(
+        "append"
+    ).parquet(landing)
+    with pytest.raises(Exception, match="simulated crash"):
+        run()
+    # the fresh rows merged, and the marker is DOWN — the replayed
+    # trigger must take the rebuild path, not the redelivery no-op
+    assert not os.path.exists(os.path.join(index, "_BUILT"))
+    assert (
+        spark.read.parquet(table).filter(F.col("vec_id") >= 80).count() == 10
+    )
+
+    monkeypatch.setattr(ANN, "append_lsh_index", real_append)
+    run()  # self-heal: rebuild from the merged table
+    assert os.path.exists(os.path.join(index, "_BUILT"))
+    final = spark.read.parquet(table).drop("vpart")
+    rebuilt = str(tmp_path / "reb")
+    ANN.build_lsh_index(spark, final, rebuilt, **kw)
+    q = final.filter(F.col("vec_id") == 85)
+    a = [
+        tuple(r)
+        for r in ANN.knn_lsh_indexed(spark, index, final, q, k=10, **kw).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in ANN.knn_lsh_indexed(spark, rebuilt, final, q, k=10, **kw).collect()
+    ]
+    assert a == b
+
+
+def test_hnsw_sink_checks_vparts_before_delete(spark, tmp_path):
+    """ADVICE r11 (medium): a PURE-DELETE trigger against a table
+    stamped with a different n_table_parts must refuse at the top of
+    the sink. Before the fix no layout check ran on that path: the
+    vpart-pruned delete silently no-opped against the wrong
+    directories and the pruned refresh then mapped affected shards to
+    wrong vpart dirs — the exact misconfiguration _check_vparts
+    exists to refuse."""
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("op", T.StringType())]
+    )
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "hnsw")
+
+    emb.filter(F.col("vec_id") < 60).withColumn(
+        "op", F.lit("upsert")
+    ).write.mode("append").parquet(landing)
+    INC.stream_hnsw_refresh(
+        spark, landing, schema, table, index, str(tmp_path / "ck1"),
+        n_table_parts=4, index_kw={"n_shards": 4}, op_col="op",
+    )
+    dels = pd.DataFrame({"vec_id": [3], "embedding": [None], "op": ["delete"]})
+    spark.createDataFrame(dels, schema).write.mode("append").parquet(landing)
+    # same checkpoint -> the next trigger carries ONLY the delete;
+    # n_shards=4 divides n_table_parts=2 so the definition-time
+    # geometry check passes and the refusal must come from the
+    # sink-level _check_vparts
+    with pytest.raises(Exception, match="n_table_parts"):
+        INC.stream_hnsw_refresh(
+            spark, landing, schema, table, index, str(tmp_path / "ck1"),
+            n_table_parts=2, index_kw={"n_shards": 4}, op_col="op",
+        )
+    # nothing was deleted under the mismatched modulus
+    assert spark.read.parquet(table).filter(F.col("vec_id") == 3).count() == 1
