@@ -2055,13 +2055,24 @@ def duplicate_span_dedup(
     only — the DuckDB oracle (:func:`duplicate_span_oracle_sql`)
     mirrors it verbatim.
 
-    Plan shape at 100 TB: one tokenize pass persisted (the span pass
-    and the reassembly both hang off it); spans shuffle ONCE on the
-    span text (the corpus-wide duplicate detection — rank + count in
-    one window), removed token positions explode from non-canonical
-    occurrences only (O(duplicated volume), not O(corpus)); the
-    anti-join and per-doc reassembly shuffle on the doc id. No
-    driver-side state, no floats.
+    Plan shape at 100 TB (r12, VERDICT r11 #2): one tokenize pass
+    persisted (the span pass and the reassembly both hang off it).
+    Duplicate detection is deliberately NOT a window over the span
+    text — the op exists precisely because some spans are
+    pathologically common (license blocks, templated headers), and
+    ``row_number() OVER (PARTITION BY s)`` would land every
+    occurrence of such a span on ONE reducer, the one shuffle shape
+    AQE cannot skew-split. Instead: ``groupBy(s).agg(min(struct(id,
+    pos)), count)`` — partial-aggregated map-side, so the shuffle
+    carries ~one combined row per (mapper, span) and the hot reducer
+    sees combiner output, not raw occurrences — then non-canonical
+    occurrences are marked by an equi-JOIN back on ``s``, which AQE
+    CAN skew-split if a span is still hot. Same answer (the (min id,
+    min pos) canonical rule is the min-struct order; the oracle pins
+    it), no single-reducer hotspot. Removed token positions explode
+    from non-canonical occurrences only (O(duplicated volume), not
+    O(corpus)); the anti-join and per-doc reassembly shuffle on the
+    doc id. No driver-side state, no floats.
     """
     from pyspark.sql import Window
 
@@ -2077,13 +2088,26 @@ def duplicate_span_dedup(
         F.col(id_col),
         F.posexplode(_word_ngrams(F.col("__toks"), n)).alias("pos", "s"),
     )
-    w_rank = Window.partitionBy("s").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    w_all = Window.partitionBy("s")
-    marked = spans.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
-        "__cnt", F.count(F.lit(1)).over(w_all)
+    # canonical-occurrence election via partial-aggregable min(struct)
+    # — (id, pos) lexicographic == the (min doc, min pos) rule; spans
+    # occurring once drop out here, so the marking join below touches
+    # duplicated volume only
+    canon = spans.groupBy("s").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("__cid"), F.col("pos").alias("__cpos")
+            )
+        ).alias("__canon"),
+        F.count(F.lit(1)).alias("__cnt"),
+    ).filter(F.col("__cnt") > 1)
+    marked = spans.join(canon, "s").filter(
+        ~(
+            (F.col(id_col) == F.col("__canon.__cid"))
+            & (F.col("pos") == F.col("__canon.__cpos"))
+        )
     )
     removed = (
-        marked.filter((F.col("__cnt") > 1) & (F.col("__rn") > 1))
+        marked
         .select(
             F.col(id_col),
             F.explode(

@@ -615,6 +615,24 @@ def test_pq_advice_guards(spark, emb, tmp_path):
         PQ.compact_pq_index(spark, idx2)
 
 
+def test_duplicate_span_dedup_plan_has_no_span_window(spark, docs):
+    """VERDICT r11 #2 (r12): corpus-wide duplicate detection must NOT
+    rank over a window partitioned by the span text — the op's exact
+    target is hyper-common boilerplate spans, and a window would land
+    every occurrence of such a span on ONE reducer (the one shuffle
+    shape AQE cannot skew-split). The rewrite elects canonicals via a
+    partial-aggregable groupBy(s).agg(min(struct(id, pos)), count)
+    and marks non-canonical occurrences with an equi-join on s,
+    which AQE CAN skew-split. Pin: zero Window operators anywhere in
+    the plan, and the canonical election partial-aggregates map-side
+    before its shuffle."""
+    out = DD.duplicate_span_dedup(docs.select("doc_id", "text"), n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min(struct(" in plan, plan
+    DD.release_scoped_caches()
+
+
 def test_duplicate_span_dedup_semantics(spark):
     """r11 exact duplicated-span removal: the canonical (min doc, min
     pos) occurrence survives, every token covered by a non-canonical
