@@ -235,6 +235,49 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     t0 = time.time()
     PQ.compact_pq_index(spark, tmp)
     builds["pq_compact"] = round(time.time() - t0, 3)
+
+    # r12 (VERDICT r11 #1): PRUNED exact-re-rank probes — each
+    # family's indexed probe against a vpart-partitioned base table
+    # (the streaming sinks' layout, 100TB-shaped modulus), the fetch
+    # pruned to the candidates' directories, timed next to its
+    # un-pruned twin on the same artifacts. At sf0.1 the win is
+    # file-skipping; at 100 TB the un-pruned twin IS a corpus scan.
+    n_rr = 64
+    rtab = SK.artifact_path(sf_dir, "bench_rerank_vectors")
+    shutil.rmtree(rtab, ignore_errors=True)
+    emb.withColumn(
+        "vpart", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_rr)).cast("int")
+    ).write.partitionBy("vpart").parquet(rtab)
+    vecs_v = spark.read.parquet(rtab)
+    flat = vecs_v.drop("vpart")
+    q1 = emb.orderBy("vec_id").limit(1)
+    pruned_kw = {"vpart_col": "vpart", "n_table_parts": n_rr}
+    probes = {
+        "knn_lsh_probe": lambda base, kw: ANN.knn_lsh_indexed(
+            spark, SK.artifact_path(sf_dir, "lsh_index"), base, q1, k=10,
+            **LSH_INDEX_PARAMS, **kw,
+        ),
+        "knn_ivf_probe": lambda base, kw: ANN.knn_ivf_indexed(
+            spark, SK.artifact_path(sf_dir, "ivf_index"), base, q1, k=10, **kw
+        ),
+        "knn_pq_probe": lambda base, kw: PQ.knn_pq_indexed(
+            spark, pqp, base, q1, k=10, **kw
+        ),
+        "knn_hnsw_probe": lambda base, kw: HN.knn_hnsw_join(
+            spark, SK.artifact_path(sf_dir, "hnsw_index"), base, q1, k=10, **kw
+        ),
+    }
+    for name, fn in probes.items():
+        t0 = time.time()
+        fn(flat, {}).write.mode("overwrite").format("noop").save()
+        builds[name] = round(time.time() - t0, 3)
+        release_scoped_broadcasts()
+        t0 = time.time()
+        fn(vecs_v, pruned_kw).write.mode("overwrite").format("noop").save()
+        builds[name + "_pruned"] = round(time.time() - t0, 3)
+        release_scoped_caches()
+        release_scoped_broadcasts()
+    shutil.rmtree(rtab, ignore_errors=True)
     shutil.rmtree(pqp, ignore_errors=True)
 
     mh = SK.artifact_path(sf_dir, "bench_minhash_index")

@@ -98,6 +98,87 @@ def release_scoped_broadcasts() -> None:
         _SCOPED_BCS.pop().unpersist(False)
 
 
+def _check_rerank_vparts(
+    vectors: DataFrame, vpart_col: str | None, n_table_parts: int | None
+) -> None:
+    """Geometry validation for the pruned re-rank fetch, run BEFORE
+    any query-side work so misuse fails loudly even on the
+    empty-query path (the incremental_near_dupes contract)."""
+    if vpart_col is None:
+        return
+    if n_table_parts is None:
+        raise ValueError(
+            "pruned re-rank: vpart_col requires n_table_parts — the "
+            "candidates' partitions are pmod(xxhash64(id), n_table_parts), "
+            "and a wrong modulus would silently fetch from the wrong "
+            "directories"
+        )
+    if vpart_col not in vectors.columns:
+        raise ValueError(
+            "pruned re-rank: vpart_col %r is not in the base table's "
+            "columns %r" % (vpart_col, vectors.columns)
+        )
+
+
+def _pruned_rerank_base(
+    vectors: DataFrame,
+    cand_ids: DataFrame,
+    id_col: str,
+    vpart_col: str | None,
+    n_table_parts: int | None,
+    stats_out: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The exact-re-rank fetch, PRUNED (r12, VERDICT r11 #1): every
+    indexed probe ends by joining its bounded candidate id set back
+    to the fp32 base table — without pruning, that join scans the
+    WHOLE table (id + embedding ≈ the table's entire bytes) to fetch
+    ≤shortlist rows, so at 100 TB the "index probe" degenerates to a
+    corpus scan that nullifies the index it just probed. When the
+    base table is hash-partitioned on ``vpart_col =
+    pmod(xxhash64(id), n_table_parts)`` — the layout every streaming
+    sink here writes — the candidates' partitions are a pure function
+    of their ids: collect that BOUNDED list (≤ n_table_parts ints,
+    never the candidate ids themselves) off the persisted candidate
+    frame and filter the fetch to those directories. O(candidate
+    partitions) I/O — the ``incremental_near_dupes`` text-fetch trick
+    (dedup.py) applied to the vector families. Returns
+    ``(pruned_vectors, persisted_cand_ids)``; identity when
+    ``vpart_col`` is None. The candidate frame is scope-persisted
+    (it is evaluated twice: the vpart collect and the re-rank join);
+    lifecycle owners release via ``dedup.release_scoped_caches``."""
+    if vpart_col is None:
+        return vectors, cand_ids
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
+    from etl_btc_spark.operators.dedup import _scoped_persist
+
+    cand_ids = _scoped_persist(cand_ids)
+    touched = sorted(
+        r[0]
+        for r in cand_ids.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_table_parts))
+            .cast("int")
+            .alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    pruned = vectors.filter(
+        F.col(vpart_col).isin(touched) if touched else F.lit(False)
+    ).drop(vpart_col)
+    if stats_out is not None:
+        stats_out["pruned_vparts"] = touched
+        # test hook (never the production path): the files the pruned
+        # fetch actually touches — pinned ⊆ the candidates' vpart
+        # dirs by pytest, the dedup.py posture
+        stats_out["rerank_scanned_files"] = sorted(
+            r[0]
+            for r in pruned.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+    return pruned, cand_ids
+
+
 def _query_batch_is_small(queries: DataFrame, n_queries, bound: int) -> bool:
     """Shared broadcast-guard predicate for the batched kNN joins: a
     caller-supplied ``n_queries`` skips the eager LIMIT-bounded count
@@ -729,6 +810,9 @@ def knn_ivf_indexed(
     shortlist: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Probe a persisted INT8-quantized IVF index — the reference's
     Qdrant rescoring shape (init_qdrant.py:51-57: int8 posting lists
@@ -740,9 +824,13 @@ def knn_ivf_indexed(
        pruning on centroid_id) and PRE-RANK on the int8 codes —
        approximate cosine from 1-byte/dim data, no fp32 IO;
     3. keep a ``shortlist``×k candidate shortlist, join fp32 vectors
-       back from the BASE table by id, exact cosine re-rank, top k.
+       back from the BASE table by id, exact cosine re-rank, top k —
+       pruned to the candidates' vpart directories when the base
+       table carries ``vpart_col``/``n_table_parts``
+       (:func:`_pruned_rerank_base` — r12, VERDICT r11 #1).
     """
     _require_built(path, "ivf")
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     # ONE driver action on the query side (ADVICE r4): fetch the row,
     # branch on it — a second first() would cost a job and could
@@ -783,9 +871,12 @@ def knn_ivf_indexed(
         .limit(max(shortlist * k, k))
         .select(id_col)
     )
+    base, cand_ids = _pruned_rerank_base(
+        vectors, cand_ids, id_col, vpart_col, n_table_parts, stats_out
+    )
     sim = cosine(F.col(vec_col), qcol)
     return (
-        vectors.join(cand_ids, id_col)  # exact fp32 re-rank from the base table
+        base.join(cand_ids, id_col)  # exact fp32 re-rank from the base table
         .select(id_col, sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -1141,6 +1232,9 @@ def knn_lsh_indexed(
     bits_per_band: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Probe a persisted LSH band table with STATIC predicates: the
     query's band signatures are computed locally (one vector, one
@@ -1151,11 +1245,16 @@ def knn_lsh_indexed(
     reads only the matching buckets of the artifact — the HNSW-like
     "index scan" shape the reference gets from Qdrant
     (init_qdrant.py:38-58) — then exact-re-ranks candidates joined
-    back from the base table by id."""
+    back from the base table by id. Pass ``vpart_col``/
+    ``n_table_parts`` when the base table is hash-partitioned on
+    ``pmod(xxhash64(id), n)`` (the streaming sinks' layout) and the
+    re-rank fetch prunes to the candidates' directories
+    (:func:`_pruned_rerank_base` — r12, VERDICT r11 #1)."""
     from etl_btc_spark.operators.similarity import band_signatures_np
 
     _require_built(path, "lsh")
     _check_lsh_geom(path, dim, n_bands, bits_per_band)
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
     qrow = query.select(F.col(vec_col).alias("__qvec")).first()
     # empty query OR a NULL vector -> empty result, not a crash
     if qrow is None or qrow["__qvec"] is None:
@@ -1182,10 +1281,13 @@ def knn_lsh_indexed(
         spark, spark.read.parquet(os.path.join(path, "bands")), path, id_col
     )
     cand_ids = bands.filter(bucket_pred & exact_pred).select(id_col).distinct()
+    base, cand_ids = _pruned_rerank_base(
+        vectors, cand_ids, id_col, vpart_col, n_table_parts, stats_out
+    )
     qcol = F.array(*[F.lit(float(v)) for v in qvec])
     sim = cosine(F.col(vec_col), qcol)
     return (
-        vectors.join(cand_ids, id_col)
+        base.join(cand_ids, id_col)
         .select(id_col, sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -1206,6 +1308,9 @@ def knn_lsh_join(
     query_id_col: str = "query_id",
     broadcast_max_queries: int = 200_000,
     n_queries: int | None = None,
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Batched kNN JOIN against the persisted LSH band table — N query
     vectors at once, the true 100 TB retrieval shape (the single-query
@@ -1234,6 +1339,7 @@ def knn_lsh_join(
 
     _require_built(path, "lsh")
     _check_lsh_geom(path, dim, n_bands, bits_per_band)
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
     # NULL query vectors can't be signed (review r7: the batched sig
     # UDF would die on an inhomogeneous numpy stack, aborting the
     # whole job) — drop them, same contract as the single-query probes
@@ -1253,12 +1359,15 @@ def knn_lsh_join(
         .select(query_id_col, id_col)
         .distinct()
     )
+    base, cands = _pruned_rerank_base(
+        vectors, cands, id_col, vpart_col, n_table_parts, stats_out
+    )
     qvecs = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
     cos = pair_cosine_udf()
     scored = (
-        cands.join(vectors.select(id_col, vec_col), id_col)
+        cands.join(base.select(id_col, vec_col), id_col)
         .join(hint(qvecs), query_id_col)
         .select(query_id_col, id_col, cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"))
     )
@@ -1314,6 +1423,9 @@ def knn_ivf_join(
     query_id_col: str = "query_id",
     broadcast_max_queries: int = 200_000,
     n_queries: int | None = None,
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Batched kNN JOIN against the persisted INT8 IVF index — the
     IVF twin of :func:`knn_lsh_join` (including its round-5 query-side
@@ -1338,6 +1450,7 @@ def knn_ivf_join(
 
     ensure_serializable()
     _require_built(path, "ivf")
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
     # NULL query vectors can't rank centroids (review r7: np.asarray
     # over a None-bearing batch breaks the probe mapInPandas) — drop
     # them, same contract as the single-query probes
@@ -1398,9 +1511,12 @@ def knn_ivf_join(
         .filter(F.col("__rn") <= max(shortlist * k, k))
         .select(query_id_col, id_col)
     )
+    base, short = _pruned_rerank_base(
+        vectors, short, id_col, vpart_col, n_table_parts, stats_out
+    )
     cos = pair_cosine_udf()
     scored = (
-        short.join(vectors.select(id_col, vec_col), id_col)
+        short.join(base.select(id_col, vec_col), id_col)
         .join(hint(qvecs), query_id_col)
         .select(query_id_col, id_col, cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"))
     )

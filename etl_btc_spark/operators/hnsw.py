@@ -55,8 +55,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_btc_spark.operators.ann_index import (
+    _check_rerank_vparts,
     _is_built,
     _mark_built,
+    _pruned_rerank_base,
     _quantize_codes,
     _require_built,
     _scoped_broadcast,
@@ -654,6 +656,9 @@ def knn_hnsw_join(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     broadcast_max_queries: int = 200_000,
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Batched kNN JOIN against the sharded HNSW artifact — the graph
     twin of :func:`ann_index.knn_ivf_join`.
@@ -687,6 +692,7 @@ def knn_hnsw_join(
 
     ensure_serializable()
     _require_built(path, "hnsw")
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
     # ONE evaluation of the query lineage: the collected rows feed the
     # beam search AND (below) the re-rank side — re-scanning `queries`
     # for the re-rank would diverge on a nondeterministic lineage.
@@ -770,6 +776,13 @@ def knn_hnsw_join(
 
     nodes = spark.read.parquet(os.path.join(path, "nodes"))
     cands = nodes.groupBy("shard").applyInPandas(search, cand_schema)
+    # exact-re-rank fetch pruned to the candidates' vpart dirs when
+    # the base table carries the streaming sinks' hash layout (r12,
+    # VERDICT r11 #1 — the beam's shortlist is bounded, its fetch
+    # must be too)
+    vectors, cands = _pruned_rerank_base(
+        vectors, cands, id_col, vpart_col, n_table_parts, stats_out
+    )
     # re-rank side built FROM the collected rows (Arrow local
     # relation), not a re-scan of `queries` — one evaluation total
     qvecs_df = spark.createDataFrame(

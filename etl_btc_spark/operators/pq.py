@@ -54,8 +54,10 @@ from pyspark.sql import types as T
 
 from etl_btc_spark.operators import tombstones as TS
 from etl_btc_spark.operators.ann_index import (
+    _check_rerank_vparts,
     _is_built,
     _mark_built,
+    _pruned_rerank_base,
     _require_built,
 )
 from etl_btc_spark.operators.dedup import spread
@@ -546,14 +548,21 @@ def knn_pq_indexed(
     shortlist: int = 100,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """PQ probe with the family's exact tail: ADC shortlist of
     ``shortlist`` candidates (codes-only scan), then exact fp32
     cosine re-rank joined back from the base table by id — the
-    oversample-then-rescore shape the int8 IVF and HNSW probes use.
+    oversample-then-rescore shape the int8 IVF and HNSW probes use,
+    pruned to the candidates' vpart directories when the base table
+    carries ``vpart_col``/``n_table_parts``
+    (:func:`ann_index._pruned_rerank_base` — r12, VERDICT r11 #1).
     Output: (id, cosine_sim) top-k."""
     from etl_btc_spark.operators.similarity import cosine
 
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
     cand = pq_adc_topk(
         spark, path, query, k=max(shortlist, k), vec_col=vec_col, id_col=id_col
     ).select(id_col)
@@ -568,9 +577,12 @@ def knn_pq_indexed(
                 ]
             ),
         )
+    base, cand = _pruned_rerank_base(
+        vectors, cand, id_col, vpart_col, n_table_parts, stats_out
+    )
     qcol = F.array(*[F.lit(float(v)) for v in qrow["__qv"]])
     return (
-        vectors.join(cand, id_col)
+        base.join(cand, id_col)
         .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -588,6 +600,9 @@ def knn_pq_join(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     broadcast_max_queries: int = 200_000,
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Batched kNN JOIN against the PQ artifact — the family's
     ``knn_lsh_join``/``knn_ivf_join``/``knn_hnsw_join`` twin: N query
@@ -617,6 +632,7 @@ def knn_pq_join(
     from etl_btc_spark.operators.similarity import pair_cosine_udf
 
     _require_built(path, "pq")
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
     meta, cb = _collect_codebooks(spark, path)
     m, sub_d = meta["m"], meta["dim"] // meta["m"]
     qrows = (
@@ -678,6 +694,9 @@ def knn_pq_join(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max(shortlist, k))
         .select("__qi", id_col)
+    )
+    vectors, cand = _pruned_rerank_base(
+        vectors, cand, id_col, vpart_col, n_table_parts, stats_out
     )
     qdf = spark.createDataFrame(
         pd.DataFrame(

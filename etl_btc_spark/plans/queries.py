@@ -5415,8 +5415,16 @@ def q99z(spark: SparkSession, sf: str) -> DataFrame:
     # by-construction posture); ef ≫ shard size drains every
     # reachable node so the fp32 re-rank is the exact top-10
     query = emb.filter(F.col("vec_id") == 0)
+    # r12: the probe base is the upsert-step vpart snapshot (== mod,
+    # keeps the deleted ids' vectors), so the exact re-rank fetch
+    # prunes to the candidates' vpart dirs (VERDICT r11 #1) — with
+    # ef ≫ shard size every live id is a candidate, so the prune is
+    # a no-op here by construction, but the gate drives the same
+    # pruned code path the bounded-ef production probes use
+    probe_base = spark.read.parquet(SK.artifact_path(sf, "q99z_snap_upsert"))
     probe = lambda p: HN.knn_hnsw_join(  # noqa: E731
-        spark, p, mod, query, k=10, ef_search=1_000_000
+        spark, p, probe_base, query, k=10, ef_search=1_000_000,
+        vpart_col="vpart", n_table_parts=n_parts,
     )
     pre = [tuple(r) for r in probe(idx).collect()]
     full = SK.artifact_path(sf, "q99z_full_rebuild")
@@ -5580,15 +5588,30 @@ def q99ac(spark: SparkSession, sf: str) -> DataFrame:
     run()
 
     # the probe base KEEPS the deleted ids' vectors — only their dead
-    # band rows may exclude them (the q99w/q99x observability posture)
+    # band rows may exclude them (the q99w/q99x observability posture).
+    # r12 (VERDICT r11 #1): the base is written out as the
+    # vpart-partitioned layout the sinks use, and the probe's exact
+    # re-rank fetch PRUNES to the candidates' vpart directories —
+    # answer-identical (the unchanged oracle pins it), O(candidate
+    # partitions) I/O instead of a full-corpus fetch.
     mod = emb.crossJoin(qvec).select(
         "vec_id",
         F.when(F.col("vec_id").between(20, 24), F.col("__qv"))
         .otherwise(F.col("embedding"))
         .alias("embedding"),
     )
+    n_probe_parts = 8
+    snap = SK.artifact_path(sf, "q99ac_probe_base")
+    shutil.rmtree(snap, ignore_errors=True)
+    mod.withColumn(
+        "vpart",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_probe_parts)).cast("int"),
+    ).write.partitionBy("vpart").parquet(snap)
     query = emb.filter(F.col("vec_id") == 0)
-    out = ANN.knn_lsh_indexed(spark, index, mod, query, k=10, **LSH_INDEX_PARAMS)
+    out = ANN.knn_lsh_indexed(
+        spark, index, spark.read.parquet(snap), query, k=10,
+        vpart_col="vpart", n_table_parts=n_probe_parts, **LSH_INDEX_PARAMS,
+    )
     return out.select(
         "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
@@ -5802,16 +5825,26 @@ def q99ae(spark: SparkSession, sf: str) -> DataFrame:
     ).coalesce(1).write.parquet(f"{landing}/b3")
     run()
 
-    # re-rank base KEEPS the deleted ids' vectors (the q99w posture)
+    # re-rank base KEEPS the deleted ids' vectors (the q99w posture);
+    # r12: vpart snapshot + pruned re-rank fetch (the q99ac posture)
     mod = emb.crossJoin(qvec).select(
         "vec_id",
         F.when(F.col("vec_id").between(20, 24), F.col("__qv"))
         .otherwise(F.col("embedding"))
         .alias("embedding"),
     )
+    n_probe_parts = 8
+    snap = SK.artifact_path(sf, "q99ae_probe_base")
+    shutil.rmtree(snap, ignore_errors=True)
+    mod.withColumn(
+        "vpart",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_probe_parts)).cast("int"),
+    ).write.partitionBy("vpart").parquet(snap)
     query = emb.filter(F.col("vec_id") == 0)
     out = ANN.knn_ivf_indexed(
-        spark, index, mod, query, k=10, nprobe=4, shortlist=1_000_000
+        spark, index, spark.read.parquet(snap), query, k=10,
+        nprobe=4, shortlist=1_000_000,
+        vpart_col="vpart", n_table_parts=n_probe_parts,
     )
     return out.select(
         "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")

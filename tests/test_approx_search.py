@@ -436,6 +436,109 @@ def test_incremental_near_dupes_prunes_text_fetch_to_candidate_vparts(
         )
 
 
+def test_knn_probes_prune_rerank_fetch_to_candidate_vparts(
+    spark, emb, tmp_path
+):
+    """r12 (VERDICT r11 #1): every indexed kNN probe ends with an
+    exact fp32 re-rank that joins its bounded candidate set back to
+    the base table — when that table is the vpart-partitioned layout
+    the streaming sinks write, the fetch must read ONLY the
+    candidates' vpart directories (inputFiles pin, the
+    incremental_near_dupes posture) and return the identical answer
+    the unpruned probe does. All four families: LSH, IVF, PQ, HNSW.
+    n_parts exceeds every family's candidate count on this fixture
+    (LSH: 210), so touched < n_parts deterministically — the pin
+    proves files were genuinely skipped."""
+    from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.operators import hnsw as HN
+    from etl_btc_spark.operators import pq as PQ
+
+    n_parts = 256
+    vecs = emb.select("vec_id", "embedding")
+    table = str(tmp_path / "vectors_v")
+    part = F.pmod(F.xxhash64("vec_id"), F.lit(n_parts)).cast("int")
+    vecs.withColumn("vpart", part).write.partitionBy("vpart").parquet(table)
+    vecs_v = spark.read.parquet(table)
+    q = vecs.filter(F.col("vec_id") == 0)
+
+    lshkw = {"dim": 64, "n_bands": 8, "bits_per_band": 4}
+    lsh = str(tmp_path / "lsh")
+    ANN.build_lsh_index(spark, vecs, lsh, **lshkw)
+    ivf = str(tmp_path / "ivf")
+    ANN.build_ivf_index(spark, vecs, ivf, n_centroids=16)
+    pqx = str(tmp_path / "pq")
+    PQ.build_pq_index(
+        spark, vecs, pqx, m=8, n_codes=16, codebook_ids=list(range(16))
+    )
+    hns = str(tmp_path / "hnsw")
+    HN.build_hnsw_index(spark, vecs, hns, n_shards=4)
+
+    def check(name, fn):
+        stats: dict = {}
+        pruned = [
+            tuple(r)
+            for r in fn(
+                vecs_v,
+                dict(vpart_col="vpart", n_table_parts=n_parts, stats_out=stats),
+            ).collect()
+        ]
+        flat = [tuple(r) for r in fn(vecs, {}).collect()]
+        assert pruned == flat and pruned, name
+        assert stats["rerank_scanned_files"], name
+        assert 0 < len(stats["pruned_vparts"]) < n_parts, (
+            name,
+            len(stats["pruned_vparts"]),
+        )
+        allowed = {"vpart=%d" % v for v in stats["pruned_vparts"]}
+        forbidden = {"vpart=%d" % v for v in range(n_parts)} - allowed
+        for f in stats["rerank_scanned_files"]:
+            assert any(("/%s/" % a) in f for a in allowed), (name, f)
+            assert not any(("/%s/" % b) in f for b in forbidden), (name, f)
+        DD.release_scoped_caches()
+        ANN.release_scoped_broadcasts()
+
+    check(
+        "lsh",
+        lambda v, kw: ANN.knn_lsh_indexed(spark, lsh, v, q, k=10, **lshkw, **kw),
+    )
+    check(
+        "ivf",
+        lambda v, kw: ANN.knn_ivf_indexed(
+            spark, ivf, v, q, k=10, nprobe=4, shortlist=1, **kw
+        ),
+    )
+    check(
+        "pq",
+        lambda v, kw: PQ.knn_pq_indexed(
+            spark, pqx, v, q, k=10, shortlist=30, **kw
+        ),
+    )
+    check(
+        "hnsw",
+        lambda v, kw: HN.knn_hnsw_join(
+            spark, hns, v, q, k=10, ef_search=10, **kw
+        ),
+    )
+
+    # geometry misuse fails loudly — before any query-side work
+    with pytest.raises(ValueError, match="n_table_parts"):
+        ANN.knn_lsh_indexed(
+            spark, lsh, vecs_v, q, k=10, vpart_col="vpart", **lshkw
+        )
+    with pytest.raises(ValueError, match="columns"):
+        ANN.knn_ivf_indexed(
+            spark, ivf, vecs, q, k=10, vpart_col="vpart",
+            n_table_parts=n_parts,
+        )
+    with pytest.raises(ValueError, match="columns"):
+        PQ.knn_pq_join(
+            spark, pqx, vecs, q, k=10, vpart_col="vpart",
+            n_table_parts=n_parts,
+        )
+    with pytest.raises(ValueError, match="n_table_parts"):
+        HN.knn_hnsw_join(spark, hns, vecs_v, q, k=10, vpart_col="vpart")
+
+
 def test_pq_kmeans_build_recall_and_determinism(spark, emb, tmp_path):
     """r11 PQ, the TRAINED arm (the warm-start arm carries the q99ad
     value oracle): the per-subspace k-means build is deterministic
