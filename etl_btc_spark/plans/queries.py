@@ -5284,25 +5284,32 @@ def q99y(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: the HNSW lifecycle oracle — exact cosine top-10 over the modified
+#: corpus (ids 20-24 planted at the query vector) minus the two
+#: deleted nearest ids >= 35. ONE SQL shared by the batch-refresh gate
+#: (q99z) and its streamed twin (q99ah, r12) — the q99w/q99ae pattern
+_HNSW_LIFECYCLE_ORACLE = f"""
+    WITH {_Q99W_CORPUS},
+    del AS (
+        SELECT vec_id FROM mod, q0
+        WHERE vec_id >= 35 AND embedding IS NOT NULL
+        ORDER BY {SIM.cosine_sql("embedding", "q0.qv")} DESC, vec_id
+        LIMIT 2
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(1e-9 + {SIM.cosine_sql("e.embedding", "q.qv")}, 6) AS cosine_sim
+    FROM mod e, q
+    WHERE e.embedding IS NOT NULL
+      AND e.vec_id NOT IN (SELECT vec_id FROM del)
+    ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC, e.vec_id
+    LIMIT 10
+"""
+
+
 @register(
     "q99z_hnsw_lifecycle",
-    oracle=f"""
-        WITH {_Q99W_CORPUS},
-        del AS (
-            SELECT vec_id FROM mod, q0
-            WHERE vec_id >= 35 AND embedding IS NOT NULL
-            ORDER BY {SIM.cosine_sql("embedding", "q0.qv")} DESC, vec_id
-            LIMIT 2
-        ),
-        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        SELECT e.vec_id,
-               round(1e-9 + {SIM.cosine_sql("e.embedding", "q.qv")}, 6) AS cosine_sim
-        FROM mod e, q
-        WHERE e.embedding IS NOT NULL
-          AND e.vec_id NOT IN (SELECT vec_id FROM del)
-        ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC, e.vec_id
-        LIMIT 10
-    """,
+    oracle=_HNSW_LIFECYCLE_ORACLE,
     doc=(
         "HNSW-family index LIFECYCLE under the value gate (r11 — "
         "completes the q99r/q99s/q99w/q99x/q99y set with the LAST "
@@ -5845,6 +5852,292 @@ def q99ae(spark: SparkSession, sf: str) -> DataFrame:
         spark, index, spark.read.parquet(snap), query, k=10,
         nprobe=4, shortlist=1_000_000,
         vpart_col="vpart", n_table_parts=n_probe_parts,
+    )
+    return out.select(
+        "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
+
+
+@register(
+    "q99af_pq_stream_lifecycle",
+    oracle=_q99ad_oracle(),
+    doc=(
+        "STREAMED PQ lifecycle under the value gate (r12 — VERDICT "
+        "r11 'What's missing' #3 closes the vector-family streaming "
+        "matrix: PQ joins LSH/IVF in stream_vector_index_maintain): "
+        "four availableNow triggers drive the sink end to end — "
+        "warm-start build over the q99ad build subset (codebooks = "
+        "corpus rows 0-15, ver 0) → insert-only residue (fresh "
+        "classification routes it through the marker-windowed "
+        "append, frozen codebooks) → upsert records planting ids "
+        "20-24 at the QUERY's exact vector (ver 1: the pruned "
+        "classification routes them through the tombstone upsert) → "
+        "DELETE records for plants 23-24 (op_col: pruned table "
+        "delete + code tombstones) — then the codes-only ADC probe. "
+        "Oracle = q99ad's VERBATIM codes+ADC chain over the same "
+        "final corpus: streamed maintenance must land exactly where "
+        "the batch lifecycle does, because the codebooks are frozen "
+        "in the artifact and encode ≡ rebuild"
+    ),
+)
+def q99af(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as _T5
+
+    from etl_btc_spark.operators import pq as PQ
+    from etl_btc_spark.streaming import incremental as INC5
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    landing = SK.artifact_path(sf, "q99af_landing")
+    table = SK.artifact_path(sf, "q99af_vectors")
+    index = SK.artifact_path(sf, "q99af_pq")
+    ckpt = SK.artifact_path(sf, "q99af_ckpt")
+    for p in (landing, table, index, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = _T5.StructType(
+        list(emb.schema.fields)
+        + [
+            _T5.StructField("op", _T5.StringType()),
+            _T5.StructField("ver", _T5.IntegerType()),
+        ]
+    )
+
+    def run():
+        INC5.stream_vector_index_maintain(
+            spark, f"{landing}/*", schema, table, index, ckpt,
+            family="pq", op_col="op", ver_col="ver",
+            index_kw={
+                "m": _Q99AD_M,
+                "n_codes": _Q99AD_K,
+                "codebook_ids": list(range(_Q99AD_K)),
+            },
+        )
+
+    # trigger 1: the q99ad build subset at ver 0 — warm-start build
+    emb.filter(
+        (F.col("vec_id") < 16) | (F.col("vec_id") % 4 != 3)
+    ).withColumn("op", F.lit("upsert")).withColumn(
+        "ver", F.lit(0).cast("int")
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+    run()
+    # trigger 2: the held-out residue (all FRESH -> the append path,
+    # under the r12 marker-down-before-merge window)
+    emb.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") % 4 == 3)
+    ).withColumn("op", F.lit("upsert")).withColumn(
+        "ver", F.lit(0).cast("int")
+    ).coalesce(1).write.parquet(f"{landing}/b2")
+    run()
+    # trigger 3 (ver 1): plant ids 20-24 at the query's exact vector
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            F.col("__qv").alias("embedding"),
+            F.lit("upsert").alias("op"),
+            F.lit(1).cast("int").alias("ver"),
+        )
+        .coalesce(1)
+        .write.parquet(f"{landing}/b3")
+    )
+    run()
+    # trigger 4: DELETE records for plants 23-24
+    spark.createDataFrame(
+        [(23, None, "delete", None), (24, None, "delete", None)], schema
+    ).coalesce(1).write.parquet(f"{landing}/b4")
+    run()
+
+    query = emb.filter(F.col("vec_id") == 0)
+    out = PQ.pq_adc_topk(spark, index, query, k=10)
+    return out.select(
+        "vec_id", sround(F.col("adc_dot"), 6).alias("adc_dot")
+    )
+
+
+@register(
+    "q99ag_text_stream_lifecycle",
+    oracle=TX.bm25_oracle_sql(_Q99H_TERMS, n=20, corpus_sql=_Q99R_CORPUS_SQL),
+    doc=(
+        "STREAMED text-index lifecycle under the value gate (r12 — "
+        "VERDICT r11 'What's missing' #4, the q99ac posture applied "
+        "to text): three availableNow triggers drive "
+        "stream_text_index_append end to end — full-corpus build → "
+        "upsert records planting q99r's exact revision text on ids "
+        "0-4 (the changed-text probe routes them through the "
+        "tombstone upsert with exact-integer stats adjust) → DELETE "
+        "records for ids 10-14 (op_col: pruned table delete + "
+        "postings tombstones with stats subtract) — then the "
+        "live-filtered BM25 probe. Oracle = q99r's VERBATIM DuckDB "
+        "BM25 over the same modified corpus (revisions applied, "
+        "deletions removed: n_docs, avgdl, df, tf, dl all shift): "
+        "streamed maintenance must land exactly where the batch "
+        "lifecycle does"
+    ),
+)
+def q99ag(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as _T6
+
+    from etl_btc_spark.operators import text_index as TI
+    from etl_btc_spark.streaming import incremental as INC6
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    landing = SK.artifact_path(sf, "q99ag_landing")
+    table = SK.artifact_path(sf, "q99ag_docs")
+    index = SK.artifact_path(sf, "q99ag_text")
+    ckpt = SK.artifact_path(sf, "q99ag_ckpt")
+    for p in (landing, table, index, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = _T6.StructType(
+        list(docs.schema.fields) + [_T6.StructField("op", _T6.StringType())]
+    )
+
+    def run():
+        INC6.stream_text_index_append(
+            spark, f"{landing}/*", schema, table, index, ckpt, op_col="op"
+        )
+
+    # trigger 1: the full corpus — first build
+    docs.withColumn("op", F.lit("upsert")).coalesce(1).write.parquet(
+        f"{landing}/b1"
+    )
+    run()
+    # trigger 2: q99r's revision on ids 0-4 (changed text -> the
+    # marker-windowed tombstone upsert)
+    (
+        docs.filter(F.col("doc_id") < 5)
+        .withColumn("text", F.concat(F.col("text"), F.lit(_Q99R_REV)))
+        .withColumn("op", F.lit("upsert"))
+        .coalesce(1)
+        .write.parquet(f"{landing}/b2")
+    )
+    run()
+    # trigger 3: DELETE records for ids 10-14
+    spark.createDataFrame(
+        [(int(i), None, "delete") for i in range(10, 15)], schema
+    ).coalesce(1).write.parquet(f"{landing}/b3")
+    run()
+
+    return TI.bm25_probe(spark, index, _Q99H_TERMS, n=20)
+
+
+@register(
+    "q99ah_hnsw_stream_lifecycle",
+    oracle=_HNSW_LIFECYCLE_ORACLE,
+    doc=(
+        "STREAMED HNSW lifecycle under the value gate (r12 — VERDICT "
+        "r11 'What's missing' #5, completing the set: every streaming "
+        "index sink now has an oracled streamed gate): three "
+        "availableNow triggers drive stream_hnsw_refresh end to end — "
+        "full-corpus build at n_shards=16 over an 8-part vpart table "
+        "(ver 0) → upsert records planting ids 20-24 at the QUERY's "
+        "exact vector (ver 1: the PARTITION-PRUNED refresh rebuilds "
+        "only the affected shards from their vpart dirs, inside the "
+        "sink's merge+marker transaction) → DELETE records for the "
+        "query's two nearest ids >= 35 (op_col: pruned table delete, "
+        "then their shards rebuild without them) — then the "
+        "exact-shortlist probe over a vpart snapshot that KEEPS the "
+        "deleted ids' vectors (only absent graph rows may exclude "
+        "them), re-rank fetch pruned to the candidates' vpart dirs. "
+        "Oracle = q99z's VERBATIM SQL: streamed refresh must land "
+        "exactly where the batch refresh and the from-scratch rebuild "
+        "do (bit-deterministic refresh ≡ rebuild)"
+    ),
+)
+def q99ah(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as _T7
+
+    from etl_btc_spark.operators import hnsw as HN
+    from etl_btc_spark.streaming import incremental as INC7
+
+    n_shards, n_parts = 16, 8
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    landing = SK.artifact_path(sf, "q99ah_landing")
+    table = SK.artifact_path(sf, "q99ah_vectors")
+    index = SK.artifact_path(sf, "q99ah_hnsw")
+    ckpt = SK.artifact_path(sf, "q99ah_ckpt")
+    for p in (landing, table, index, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = _T7.StructType(
+        list(emb.schema.fields)
+        + [
+            _T7.StructField("op", _T7.StringType()),
+            _T7.StructField("ver", _T7.IntegerType()),
+        ]
+    )
+
+    def run():
+        INC7.stream_hnsw_refresh(
+            spark, f"{landing}/*", schema, table, index, ckpt,
+            n_table_parts=n_parts, op_col="op", ver_col="ver",
+            index_kw={"n_shards": n_shards, **HNSW_INDEX_PARAMS},
+        )
+
+    emb.withColumn("op", F.lit("upsert")).withColumn(
+        "ver", F.lit(0).cast("int")
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+    run()
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            F.col("__qv").alias("embedding"),
+            F.lit("upsert").alias("op"),
+            F.lit(1).cast("int").alias("ver"),
+        )
+        .coalesce(1)
+        .write.parquet(f"{landing}/b2")
+    )
+    run()
+    # DELETE records for the query's two NEAREST ids >= 35 — the q99z
+    # construction, delivered as streaming CDC deletes
+    del_ids = [
+        r["vec_id"]
+        for r in emb.filter(
+            (F.col("vec_id") >= 35) & F.col("embedding").isNotNull()
+        )
+        .crossJoin(qvec)
+        .select(
+            "vec_id", SIM.cosine(F.col("embedding"), F.col("__qv")).alias("__c")
+        )
+        .orderBy(F.col("__c").desc(), "vec_id")
+        .limit(2)
+        .collect()
+    ]
+    spark.createDataFrame(
+        [(i, None, "delete", None) for i in del_ids], schema
+    ).coalesce(1).write.parquet(f"{landing}/b3")
+    run()
+
+    # probe base: vpart snapshot of the OBSERVABILITY corpus (keeps
+    # the deleted ids' vectors — the q99z posture), re-rank fetch
+    # pruned to the candidates' vpart dirs (r12)
+    mod = emb.crossJoin(qvec).select(
+        "vec_id",
+        F.when(F.col("vec_id").between(20, 24), F.col("__qv"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    snap = SK.artifact_path(sf, "q99ah_probe_base")
+    shutil.rmtree(snap, ignore_errors=True)
+    mod.withColumn(
+        "vpart",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_parts)).cast("int"),
+    ).write.partitionBy("vpart").parquet(snap)
+    query = emb.filter(F.col("vec_id") == 0)
+    out = HN.knn_hnsw_join(
+        spark, index, spark.read.parquet(snap), query, k=10,
+        ef_search=1_000_000, vpart_col="vpart", n_table_parts=n_parts,
     )
     return out.select(
         "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")

@@ -1713,3 +1713,150 @@ def test_hnsw_sink_checks_vparts_before_delete(spark, tmp_path):
         )
     # nothing was deleted under the mismatched modulus
     assert spark.read.parquet(table).filter(F.col("vec_id") == 3).count() == 1
+
+
+def test_stream_vector_index_maintain_pq(spark, tmp_path):
+    """r12, PQ family through the generic vector sink (VERDICT r11
+    'What's missing' #3): warm-start codebooks are frozen across
+    triggers (the IVF frozen-centroid posture), so streamed
+    insert/update/redeliver/delete maintenance must probe IDENTICALLY
+    to a from-scratch rebuild over the final table at the same
+    codebooks — and a full replay from a fresh checkpoint (ver_col
+    highest-version-wins) must converge to the same probes."""
+    from pyspark.sql import types as T
+
+    from etl_btc_spark.operators import pq as PQ
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    schema = T.StructType(
+        list(emb.schema.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("ver", T.IntegerType())]
+    )
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "pq")
+    kw = {"m": 8, "n_codes": 16, "codebook_ids": list(range(16))}
+
+    def run(tbl, idx, ck):
+        INC.stream_vector_index_maintain(
+            spark, landing, schema, tbl, idx, str(tmp_path / ck),
+            family="pq", op_col="op", ver_col="ver", index_kw=kw,
+        )
+
+    # trigger 1: build on ids < 100 (ver 0) — codebooks from rows 0-15
+    emb.filter(F.col("vec_id") < 100).withColumn(
+        "op", F.lit("upsert")
+    ).withColumn("ver", F.lit(0).cast("int")).write.mode("append").parquet(landing)
+    run(table, index, "ck1")
+
+    # trigger 2 (ver 1): insert 100-129, UPDATE 20-24 (negated — the
+    # codebook rows 0-15 stay pristine), redeliver 50-59 unchanged
+    upd = (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+        .unionByName(
+            emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+        )
+        .unionByName(
+            emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+        )
+        .withColumn("op", F.lit(None).cast("string"))
+        .withColumn("ver", F.lit(1).cast("int"))
+    )
+    upd.write.mode("append").parquet(landing)
+    run(table, index, "ck1")
+
+    # trigger 3: delete ids 33 and 37 (unversioned; NOT codebook
+    # rows 0-15 — the rebuild twin warm-starts from the final table)
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [33, 37],
+                "embedding": [None, None],
+                "op": ["delete", "delete"],
+                "ver": [None, None],
+            }
+        ),
+        schema,
+    ).write.mode("append").parquet(landing)
+    run(table, index, "ck1")
+
+    final = spark.read.parquet(table).drop("vpart")
+    assert final.count() == 128
+    row20 = final.filter(F.col("vec_id") == 20).first()
+    assert row20["embedding"][0] == -emb.filter(F.col("vec_id") == 20).first()["embedding"][0]
+
+    rebuilt = str(tmp_path / "pq_rebuilt")
+    PQ.build_pq_index(spark, final, rebuilt, **kw)
+
+    def probes(idx):
+        out = []
+        for qid in (0, 20, 100):
+            q = final.filter(F.col("vec_id") == qid)
+            out.append(
+                [tuple(r) for r in PQ.pq_adc_topk(spark, idx, q, k=10).collect()]
+            )
+        return out
+
+    assert probes(index) == probes(rebuilt)
+
+    # fresh-checkpoint full replay converges to the same probes
+    table2, index2 = str(tmp_path / "v2"), str(tmp_path / "pq2")
+    run(table2, index2, "ck2")
+    assert spark.read.parquet(table2).count() == 128
+    assert probes(index2) == probes(rebuilt)
+
+
+def test_pq_sink_update_crash_between_merge_and_upsert_heals(
+    spark, tmp_path, monkeypatch
+):
+    """The vector sink's transaction-window crash posture, PQ family:
+    a crash after the merge but before upsert_pq_index leaves the
+    marker DOWN, and the replayed trigger self-heals by rebuilding
+    from the merged table — probes then equal a rebuild at the same
+    warm codebooks."""
+    import os
+
+    from etl_btc_spark.operators import pq as PQ
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    schema = emb.schema
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "vectors")
+    index = str(tmp_path / "pq")
+    ckpt = str(tmp_path / "ck")
+    kw = {"m": 8, "n_codes": 16, "codebook_ids": list(range(16))}
+
+    def run():
+        INC.stream_vector_index_maintain(
+            spark, landing, schema, table, index, ckpt,
+            family="pq", index_kw=kw,
+        )
+
+    emb.filter(F.col("vec_id") < 80).write.mode("append").parquet(landing)
+    run()
+    assert os.path.exists(os.path.join(index, "_BUILT"))
+
+    real_upsert = PQ.upsert_pq_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before index upsert")
+
+    monkeypatch.setattr(PQ, "upsert_pq_index", boom)
+    emb.filter(F.col("vec_id").between(20, 24)).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    ).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="simulated crash"):
+        run()
+    assert not os.path.exists(os.path.join(index, "_BUILT"))
+
+    monkeypatch.setattr(PQ, "upsert_pq_index", real_upsert)
+    run()  # self-heal: rebuild from the merged table
+    assert os.path.exists(os.path.join(index, "_BUILT"))
+    final = spark.read.parquet(table).drop("vpart")
+    rebuilt = str(tmp_path / "reb")
+    PQ.build_pq_index(spark, final, rebuilt, **kw)
+    q = final.filter(F.col("vec_id") == 20)
+    a = [tuple(r) for r in PQ.pq_adc_topk(spark, index, q, k=10).collect()]
+    b = [tuple(r) for r in PQ.pq_adc_topk(spark, rebuilt, q, k=10).collect()]
+    assert a == b

@@ -55,6 +55,12 @@ CASES = [
     # r11 streamed-IVF gate: the sink's delete trigger routes through
     # delete_ivf_ids — no-op'd, the deleted top-10 members stay live
     ("q99ae_ivf_stream_lifecycle", ANN, "delete_ivf_ids"),
+    # r12 streamed-PQ gate: the plants 23-24 encode exactly like the
+    # query — a dead streamed delete keeps them near the ADC top
+    ("q99af_pq_stream_lifecycle", PQ, "delete_pq_ids"),
+    # r12 streamed-text gate: dead deletes keep docs 10-14's postings
+    # live AND leave n_docs/avgdl/df unadjusted — scores diverge
+    ("q99ag_text_stream_lifecycle", TI, "delete_text_ids"),
 ]
 
 
@@ -132,6 +138,37 @@ def test_q99ac_gate_fails_when_streamed_upsert_broken(spark, ddb, monkeypatch):
     )
 
 
+def test_q99ah_gate_fails_when_streamed_refresh_broken(spark, ddb, monkeypatch):
+    """r12: the streamed-HNSW gate must bite on a FORGED-MARKER
+    refresh — nothing rebuilt, valid marker re-landed (the
+    crash-shaped partial application a lying marker hides). The stale
+    graph then still carries the deleted ids' nodes (the probe's
+    ef ≫ shard size drains every reachable node, and the re-rank
+    base deliberately keeps their vectors), so the top-10 retains
+    them while the oracle excludes them."""
+    from etl_btc_spark.operators import hnsw as HN
+    from etl_btc_spark.operators.ann_index import _mark_built
+
+    real = HN.refresh_hnsw_index
+
+    def fake(spark, vectors, path, changed_ids, stats_out=None, **k):
+        _mark_built(path, "hnsw")
+        return path
+
+    monkeypatch.setattr(HN, "refresh_hnsw_index", fake)
+    try:
+        srows, orows = _run_vs_oracle(spark, ddb, "q99ah_hnsw_stream_lifecycle")
+    except Exception:
+        return  # loud failure also counts as the gate biting
+    finally:
+        monkeypatch.setattr(HN, "refresh_hnsw_index", real)
+        DD.release_scoped_caches()
+    assert srows != orows, (
+        "q99ah still matches its oracle with stream refresh replaced "
+        "by a forged-marker no-op"
+    )
+
+
 @pytest.mark.parametrize("name,mod,attr", CASES, ids=[f"{n}--{a}" for n, _, a in CASES])
 def test_lifecycle_gate_fails_when_op_broken(spark, ddb, name, mod, attr, monkeypatch):
     real = getattr(mod, attr)
@@ -165,6 +202,9 @@ def test_lifecycle_gates_green_when_intact(spark, ddb):
         "q99y_minhash_lifecycle",
         "q99z_hnsw_lifecycle",
         "q99ad_pq_lifecycle",
+        "q99af_pq_stream_lifecycle",
+        "q99ag_text_stream_lifecycle",
+        "q99ah_hnsw_stream_lifecycle",
     ):
         srows, orows = _run_vs_oracle(spark, ddb, name)
         assert srows == orows, "%s diverged from its oracle" % name
