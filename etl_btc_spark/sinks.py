@@ -479,6 +479,9 @@ def delete_by_key(
     existing = spark.read.parquet(path).filter(
         F.col(partition_by).isin(touched)
     )
+    # captured BEFORE the swap retires the files this lineage reads —
+    # needed if the delete empties the whole table (below)
+    data_schema = existing.drop(partition_by).schema
     remaining = existing.join(ids.select(key).distinct(), key, "left_anti")
     tag = uuid.uuid4().hex[:8]
     shadow = os.path.join(path, f".uswap_{tag}")
@@ -513,6 +516,22 @@ def delete_by_key(
             os.rename(dst_dir, retired)
             shutil.rmtree(retired, ignore_errors=True)
     shutil.rmtree(shadow, ignore_errors=True)
+    if not any(
+        d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
+        for d in os.listdir(path)
+    ):
+        # the delete emptied the WHOLE table (ADVICE r11, the
+        # compact_pq_index sibling): a table dir with zero partition
+        # dirs fails parquet schema inference on the next read — the
+        # streaming sinks' heal paths and snapshot reads would then
+        # crash instead of seeing an empty table. Keep it readable: a
+        # zero-row file with the data schema in one partition dir
+        # (layout preserved, so the pruned MERGE/DELETE and the
+        # _VPARTS check keep working; a later ingest merges into it
+        # normally).
+        spark.createDataFrame([], data_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, f"{prefix}0"))
     return path
 
 

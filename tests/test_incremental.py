@@ -1860,3 +1860,33 @@ def test_pq_sink_update_crash_between_merge_and_upsert_heals(
     a = [tuple(r) for r in PQ.pq_adc_topk(spark, index, q, k=10).collect()]
     b = [tuple(r) for r in PQ.pq_adc_topk(spark, rebuilt, q, k=10).collect()]
     assert a == b
+
+
+def test_delete_by_key_emptied_table_stays_readable(spark, tmp_path):
+    """ADVICE r11 (the compact_pq_index sibling): deleting EVERY key
+    must leave a READABLE empty table — a layout with zero partition
+    dirs fails parquet schema inference, crashing the streaming
+    sinks' heal paths and snapshot reads instead of showing an empty
+    table — and a later merge must re-populate it normally."""
+    from etl_btc_spark.sinks import delete_by_key, upsert_by_key
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+    table = str(tmp_path / "docs")
+    small = docs.filter(F.col("doc_id") < 20)
+    small.withColumn("vpart", part).write.partitionBy("vpart").parquet(table)
+
+    delete_by_key(
+        spark, small.select("doc_id").withColumn("vpart", part), table,
+        key="doc_id", partition_by="vpart",
+    )
+    after = spark.read.parquet(table)
+    assert after.count() == 0
+    assert set(after.columns) == {"doc_id", "text", "vpart"}
+
+    upsert_by_key(
+        spark,
+        docs.filter(F.col("doc_id") < 5).withColumn("vpart", part),
+        table, key="doc_id", order_col="doc_id", partition_by="vpart",
+    )
+    assert spark.read.parquet(table).count() == 5
