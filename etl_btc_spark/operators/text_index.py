@@ -964,6 +964,7 @@ def append_trigram_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify_new: bool = True,
+    _premarked: bool = False,
 ) -> str:
     """Insert-only incremental maintenance for the trigram index (r9,
     VERDICT r8 #3 — without this a streaming corpus forced rebuilds):
@@ -974,8 +975,13 @@ def append_trigram_index(
     columnar scan of the postings (the trigram family has no doclen
     registry) and refuses overlap — a re-ingested id's stale grams
     would double-count in the pigeonhole filter; updates go through
-    :func:`upsert_trigram_index`. Marker-first around the write."""
-    _require_built(path, "trigram")
+    :func:`upsert_trigram_index`. Marker-first around the write.
+    ``_premarked`` (sink-internal, r12): the streaming sink takes
+    ``_BUILT`` down BEFORE its table MERGE so the whole merge+append
+    transaction shares one marker-down window — True skips only the
+    built-marker precondition."""
+    if not _premarked:
+        _require_built(path, "trigram")
     postings_path = os.path.join(path, "postings")
     if verify_new:
         existing = spark.read.parquet(postings_path).select(id_col)
@@ -1009,26 +1015,36 @@ def upsert_trigram_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stale_ids: DataFrame | None = None,
+    _premarked: bool = False,
 ) -> str:
     """O(batch) UPDATE maintenance via the shared tombstone sidecar
     (r9): already-indexed ids' gram rows die by supersede, the whole
     batch's grams append at a bumped generation, probes live-filter.
     One row per id enforced (ADVICE r9 — repeated rows would all land
     live and inflate the pigeonhole count). Marker-first; crash
-    recovery is the standard rebuild."""
-    _require_built(path, "trigram")
+    recovery is the standard rebuild. ``stale_ids=None`` computes the
+    overlap from an id-only columnar scan of the postings (the family
+    has no per-doc registry); the streaming sink passes its own
+    table-classified changed set instead, skipping that O(index-rows)
+    scan. ``_premarked`` (sink-internal, r12): the sink takes
+    ``_BUILT`` down BEFORE its table MERGE so merge+upsert share one
+    marker-down window — True skips only the marker precondition."""
+    if not _premarked:
+        _require_built(path, "trigram")
     TS.require_unique_ids(docs, id_col, "upsert_trigram_index")
     postings_path = os.path.join(path, "postings")
-    stale = docs.select(id_col).join(
-        spark.read.parquet(postings_path).select(id_col), id_col, "semi"
-    )
+    if stale_ids is None:
+        stale_ids = docs.select(id_col).join(
+            spark.read.parquet(postings_path).select(id_col), id_col, "semi"
+        )
     grams = _trigram_rows(docs, id_col, text_col)
     try:
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
     g = TS.bump_gen(path)
-    TS.append_tombstones(spark, stale, path, id_col, dead_below=g)
+    TS.append_tombstones(spark, stale_ids, path, id_col, dead_below=g)
     (
         TS.with_gen(grams, g)
         .repartition(1, F.col("token"))

@@ -4676,10 +4676,10 @@ def q99r(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q99S_REV = " zz hash join zz"
 
-
-@register(
-    "q99s_trigram_lifecycle",
-    oracle=f"""
+# shared by q99s (batch lifecycle) and q99ai (streamed lifecycle, r12)
+# — ONE constant, so the twins cannot drift: the streamed sink must
+# land exactly where the batch upsert/delete chain does
+_TRIGRAM_LIFECYCLE_ORACLE = f"""
         WITH m AS (
             SELECT doc_id,
                    CASE WHEN doc_id < 5 THEN text || '{_Q99S_REV}' ELSE text END AS text
@@ -4693,7 +4693,12 @@ _Q99S_REV = " zz hash join zz"
         SELECT doc_id FROM hits
         WHERE doc_id NOT IN (SELECT doc_id FROM del)
         ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "q99s_trigram_lifecycle",
+    oracle=_TRIGRAM_LIFECYCLE_ORACLE,
     doc=(
         "trigram-index lifecycle under the value gate (r10, VERDICT "
         "r9 #6): build, UPSERT ids 0-4 with text that newly contains "
@@ -6142,3 +6147,94 @@ def q99ah(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q99ai_trigram_stream_lifecycle",
+    oracle=_TRIGRAM_LIFECYCLE_ORACLE,
+    doc=(
+        "STREAMED trigram-index lifecycle under the value gate (r12 "
+        "— completes the streaming matrix: with this gate ALL SEVEN "
+        "persisted index families have both a continuous maintenance "
+        "path and an oracled streamed lifecycle): three availableNow "
+        "triggers drive stream_trigram_index_maintain end to end — "
+        "full-corpus build → upsert records planting q99s's exact "
+        "revision text on ids 0-4 (the pruned table classification "
+        "routes them through the tombstone upsert, inside the sink's "
+        "merge+marker transaction) → DELETE records for the first two "
+        "needle-matching ids >= 5 (op_col: pruned table delete + gram "
+        "tombstones; ids that WOULD match, so a delete regression is "
+        "observable) — then substring_search over a corpus that still "
+        "CONTAINS the deleted docs' text (their absence must come "
+        "from the dead grams alone). Oracle = q99s's VERBATIM SQL "
+        "(one shared constant — the twins cannot drift): streamed "
+        "maintenance must land exactly where the batch lifecycle does"
+    ),
+)
+def q99ai(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as _T8
+
+    from etl_btc_spark.operators import text_index as TI
+    from etl_btc_spark.streaming import incremental as INC8
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    landing = SK.artifact_path(sf, "q99ai_landing")
+    table = SK.artifact_path(sf, "q99ai_docs")
+    index = SK.artifact_path(sf, "q99ai_trigram")
+    ckpt = SK.artifact_path(sf, "q99ai_ckpt")
+    for p in (landing, table, index, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = _T8.StructType(
+        list(docs.schema.fields) + [_T8.StructField("op", _T8.StringType())]
+    )
+
+    def run():
+        INC8.stream_trigram_index_maintain(
+            spark, f"{landing}/*", schema, table, index, ckpt, op_col="op"
+        )
+
+    # trigger 1: the full corpus — first build
+    docs.withColumn("op", F.lit("upsert")).coalesce(1).write.parquet(
+        f"{landing}/b1"
+    )
+    run()
+    # trigger 2: q99s's revision on ids 0-4 (changed text -> the
+    # marker-windowed tombstone upsert; the revision newly contains
+    # the needle, so the upserted grams must serve it)
+    (
+        docs.filter(F.col("doc_id") < 5)
+        .withColumn("text", F.concat(F.col("text"), F.lit(_Q99S_REV)))
+        .withColumn("op", F.lit("upsert"))
+        .coalesce(1)
+        .write.parquet(f"{landing}/b2")
+    )
+    run()
+    # trigger 3: DELETE records for the first two needle-MATCHING ids
+    # >= 5 (the q99s construction delivered as streaming CDC deletes —
+    # bounded 2-row collect)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    del_ids = [
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") >= 5) & norm.contains(F.lit(_Q99M_NEEDLE))
+        )
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    ]
+    spark.createDataFrame(
+        [(int(i), None, "delete") for i in del_ids], schema
+    ).coalesce(1).write.parquet(f"{landing}/b3")
+    run()
+
+    # the probe corpus deliberately KEEPS the deleted docs' text (the
+    # q99s posture): substring_search verifies candidates against this
+    # frame, so their absence from the output is enforced by the DEAD
+    # GRAMS alone — a leaked live candidate surfaces vs the oracle
+    mod_docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 5, F.concat(F.col("text"), F.lit(_Q99S_REV))
+        ).otherwise(F.col("text")),
+    )
+    return TI.substring_search(spark, index, mod_docs, _Q99M_NEEDLE)

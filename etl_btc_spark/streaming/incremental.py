@@ -729,13 +729,16 @@ def stream_vector_index_maintain(
     op_col: str | None = None,
     index_kw: dict | None = None,
 ) -> None:
-    """Continuous LSH/IVF/PQ index maintenance (r11; PQ r12) — the
-    streaming matrix: with this sink every tombstone-sidecar vector
-    family (hyperplane-LSH, IVF, product-quantization) has a
-    continuous maintenance path at O(batch + touched partitions) per
-    trigger, next to MinHash (:func:`stream_neardup_ingest`), text
+    """Continuous LSH/IVF/PQ/trigram index maintenance (r11; PQ +
+    trigram r12) — the streaming matrix: with this sink every
+    tombstone-sidecar keyed family (hyperplane-LSH, IVF,
+    product-quantization, and the trigram postings family via
+    :func:`stream_trigram_index_maintain`) has a continuous
+    maintenance path at O(batch + touched partitions) per trigger,
+    next to MinHash (:func:`stream_neardup_ingest`), text
     (:func:`stream_text_index_append`) and HNSW
-    (:func:`stream_hnsw_refresh`).
+    (:func:`stream_hnsw_refresh`) — ALL SEVEN persisted index
+    families stream.
 
     Each micro-batch:
 
@@ -782,7 +785,11 @@ def stream_vector_index_maintain(
     documents. PQ (r12, VERDICT r11 "What's missing" #3) keeps its
     FROZEN codebooks — the IVF posture verbatim; with warm-start
     ``codebook_ids`` the streamed index probes exactly like a rebuild
-    over the final table (the q99af value gate). ``index_kw`` passes
+    over the final table (the q99af value gate). Trigram (r12):
+    ``vec_col`` is the TEXT column (mapped onto the family API's
+    ``text_col``); grams are a pure function of the text, so
+    streamed ≡ rebuild holds with no geometry file at all (the q99ai
+    value gate). ``index_kw`` passes
     build-only geometry (dim/n_bands/bits_per_band, n_centroids…, or
     m/n_codes/codebook_ids); an IVF ``n_assign`` is also forwarded to
     append/upsert so maintenance can't drift from the build's
@@ -801,6 +808,7 @@ def stream_vector_index_maintain(
 
     from etl_btc_spark.operators import ann_index as ANN
     from etl_btc_spark.operators import pq as PQ
+    from etl_btc_spark.operators import text_index as TI
     from etl_btc_spark.operators import tombstones as TS2
     from etl_btc_spark.operators.dedup import _unpersist_local_checkpoint
     from etl_btc_spark.sinks import delete_by_key
@@ -830,6 +838,20 @@ def stream_vector_index_maintain(
             PQ.delete_pq_ids,
             PQ.compact_pq_index,
         ),
+        # r12: the trigram postings family — the last one without a
+        # streaming path — shares the contract too (its payload is the
+        # TEXT column; use stream_trigram_index_maintain for the
+        # naturally-named signature). Grams are a pure function of the
+        # text, so the streamed index is byte-equivalent to a rebuild
+        # over the final table (the LSH persisted-_GEOM posture,
+        # without even the geometry file).
+        "trigram": (
+            TI.build_trigram_index,
+            TI.append_trigram_index,
+            TI.upsert_trigram_index,
+            TI.delete_trigram_ids,
+            TI.compact_trigram_index,
+        ),
     }
     if family not in fams:
         raise ValueError(
@@ -843,11 +865,16 @@ def stream_vector_index_maintain(
             "op_col %r is not in the landing schema %r"
             % (op_col, schema.fieldNames())
         )
-    bkw = {"vec_col": vec_col, "id_col": id_col, **(index_kw or {})}
+    # the trigram family's payload is a text column; every other
+    # family's is a vector — the classification/merge logic below is
+    # payload-agnostic (eqNullSafe + MIN-payload in-batch ties work
+    # for strings and arrays alike)
+    payload_kw = "text_col" if family == "trigram" else "vec_col"
+    bkw = {payload_kw: vec_col, "id_col": id_col, **(index_kw or {})}
     # maintenance kwargs: geometry stays with the build (LSH reads it
     # back from _GEOM; IVF centroids are part of the artifact), but
     # IVF's n_assign governs every assignment pass and must match
-    mkw = {"vec_col": vec_col, "id_col": id_col}
+    mkw = {payload_kw: vec_col, "id_col": id_col}
     if family == "ivf" and "n_assign" in bkw:
         mkw["n_assign"] = bkw["n_assign"]
     src = spark.readStream.schema(schema).parquet(landing_dir)
@@ -1037,6 +1064,50 @@ def stream_vector_index_maintain(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def stream_trigram_index_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ver_col: str | None = None,
+    n_table_parts: int = 64,
+    compact_sidecar_after: int = 16,
+    op_col: str | None = None,
+) -> None:
+    """Continuous TRIGRAM index maintenance (r12) — the
+    naturally-named entry point for the last family without a
+    streaming path: delegates to :func:`stream_vector_index_maintain`
+    (the keyed-maintenance core is payload-agnostic — fresh/changed/
+    unchanged classification, pruned MERGE, marker-window append/
+    upsert/delete all compare the payload column with ``eqNullSafe``,
+    which works for text exactly as for vectors). Grams are a pure
+    function of the text, so the streamed index is byte-equivalent to
+    a rebuild over the final table; probes
+    (:func:`operators.text_index.substring_search`) live-filter
+    through the shared tombstone sidecar. With this sink ALL SEVEN
+    persisted index families (LSH, IVF, PQ, HNSW, MinHash, text,
+    trigram) have a continuous maintenance path."""
+    stream_vector_index_maintain(
+        spark,
+        landing_dir,
+        schema,
+        table_path,
+        index_path,
+        checkpoint_dir,
+        family="trigram",
+        id_col=id_col,
+        vec_col=text_col,
+        ver_col=ver_col,
+        n_table_parts=n_table_parts,
+        compact_sidecar_after=compact_sidecar_after,
+        op_col=op_col,
     )
 
 

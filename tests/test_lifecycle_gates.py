@@ -61,6 +61,10 @@ CASES = [
     # r12 streamed-text gate: dead deletes keep docs 10-14's postings
     # live AND leave n_docs/avgdl/df unadjusted — scores diverge
     ("q99ag_text_stream_lifecycle", TI, "delete_text_ids"),
+    # r12 streamed-trigram gate: the deleted ids MATCH the needle and
+    # the probe corpus keeps their text — dead gram tombstones alone
+    # exclude them, so a no-op'd delete leaks them vs the oracle
+    ("q99ai_trigram_stream_lifecycle", TI, "delete_trigram_ids"),
 ]
 
 
@@ -205,6 +209,7 @@ def test_lifecycle_gates_green_when_intact(spark, ddb):
         "q99af_pq_stream_lifecycle",
         "q99ag_text_stream_lifecycle",
         "q99ah_hnsw_stream_lifecycle",
+        "q99ai_trigram_stream_lifecycle",
     ):
         srows, orows = _run_vs_oracle(spark, ddb, name)
         assert srows == orows, "%s diverged from its oracle" % name
