@@ -1093,6 +1093,9 @@ def substring_search(
     needle: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """EXACT substring search served by the trigram index: the
     needle's trigrams push as a static ``token IN (...)`` to the
@@ -1106,11 +1109,33 @@ def substring_search(
     plan-visible. Matching is over normalize_text (lower,
     whitespace-collapsed) on both sides — the needle goes through the
     shared :func:`normalize_needle` (r9: one helper, every probe
-    literal — the ASCII-``\\s`` parity subtlety lives in ONE place)."""
+    literal — the ASCII-``\\s`` parity subtlety lives in ONE place).
+
+    Pruned verify fetch (r12 — the kNN exact-re-rank lesson applied
+    to text): without pruning, the candidate-verify semi-join scans
+    the WHOLE ``docs`` frame (id + text ≈ the table's entire bytes)
+    to check ≤candidates rows, so at 100 TB the "index probe"
+    degenerates to a corpus scan. When ``docs`` is the streaming
+    sinks' hash-partitioned layout, pass ``vpart_col``/
+    ``n_table_parts`` and the verify reads ONLY the candidates'
+    vpart directories (:func:`ann_index._pruned_rerank_base` — the
+    candidates' partitions are collected as a bounded driver list,
+    ≤ n_table_parts ints). The short-needle fallback cannot prune
+    (no candidate evidence) and stays a direct scan by design.
+    Scope-persists the candidate frame when pruning; callers release
+    via ``dedup.release_scoped_caches``."""
+    from etl_btc_spark.operators.ann_index import (
+        _check_rerank_vparts,
+        _pruned_rerank_base,
+    )
+
+    _check_rerank_vparts(docs, vpart_col, n_table_parts)
     norm_needle = normalize_needle(needle)
     norm = normalize_text(F.col(text_col))
     if len(norm_needle) < 3:
         # no trigram evidence — direct scan (still column-pruned)
+        if vpart_col is not None:
+            docs = docs.drop(vpart_col)
         return (
             docs.filter(F.contains(norm, F.lit(norm_needle)))
             .select(id_col)
@@ -1133,6 +1158,9 @@ def substring_search(
         .agg(F.count(F.lit(1)).alias("__hits"))
         .filter(F.col("__hits") == len(grams))
         .select(id_col)
+    )
+    docs, cand = _pruned_rerank_base(
+        docs, cand, id_col, vpart_col, n_table_parts, stats_out
     )
     return (
         docs.join(cand, id_col, "left_semi")

@@ -6230,11 +6230,24 @@ def q99ai(spark: SparkSession, sf: str) -> DataFrame:
     # the probe corpus deliberately KEEPS the deleted docs' text (the
     # q99s posture): substring_search verifies candidates against this
     # frame, so their absence from the output is enforced by the DEAD
-    # GRAMS alone — a leaked live candidate surfaces vs the oracle
+    # GRAMS alone — a leaked live candidate surfaces vs the oracle.
+    # Written as a vpart snapshot and probed with the PRUNED verify
+    # fetch (r12, the q99ah posture) so the candidates'-vparts path
+    # sits under the driver's value gate too
+    n_parts = 8
     mod_docs = docs.withColumn(
         "text",
         F.when(
             F.col("doc_id") < 5, F.concat(F.col("text"), F.lit(_Q99S_REV))
         ).otherwise(F.col("text")),
     )
-    return TI.substring_search(spark, index, mod_docs, _Q99M_NEEDLE)
+    snap = SK.artifact_path(sf, "q99ai_probe_base")
+    shutil.rmtree(snap, ignore_errors=True)
+    mod_docs.withColumn(
+        "vpart",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_parts)).cast("int"),
+    ).write.partitionBy("vpart").parquet(snap)
+    return TI.substring_search(
+        spark, index, spark.read.parquet(snap), _Q99M_NEEDLE,
+        vpart_col="vpart", n_table_parts=n_parts,
+    )

@@ -570,3 +570,64 @@ def test_trigram_append_equals_rebuild_and_upsert(spark, tmp_path):
     TI.compact_trigram_index(spark, appended)
     assert not TS.has_tombstones(appended)
     assert search(appended, "golf hot", updated) == [100]
+
+
+def test_substring_search_prunes_verify_to_candidate_vparts(spark, tmp_path):
+    """r12 (the kNN exact-re-rank lesson applied to the trigram
+    probe): when the docs frame is the streaming sinks'
+    vpart-partitioned layout, the candidate-verify semi-join must
+    read ONLY the candidates' vpart directories (inputFiles pin) and
+    return the identical answer the unpruned probe does. n_parts
+    exceeds the candidate count, so touched < n_parts
+    deterministically — the pin proves files were genuinely
+    skipped."""
+    from etl_btc_spark.operators import dedup as DD
+
+    n_parts = 64
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [
+                "hash join plan %d" % i if i % 40 == 0 else "merge sort %d" % i
+                for i in range(200)
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    table = str(tmp_path / "docs_v")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
+    docs.withColumn("vpart", part).write.partitionBy("vpart").parquet(table)
+    docs_v = spark.read.parquet(table)
+    path = str(tmp_path / "idx")
+    TI.build_trigram_index(spark, docs, path)
+
+    stats: dict = {}
+    pruned = [
+        r["doc_id"]
+        for r in TI.substring_search(
+            spark, path, docs_v, "hash join",
+            vpart_col="vpart", n_table_parts=n_parts, stats_out=stats,
+        ).collect()
+    ]
+    flat = [
+        r["doc_id"]
+        for r in TI.substring_search(spark, path, docs, "hash join").collect()
+    ]
+    assert pruned == flat == [0, 40, 80, 120, 160]
+    assert 0 < len(stats["pruned_vparts"]) < n_parts
+    allowed = {"vpart=%d" % v for v in stats["pruned_vparts"]}
+    forbidden = {"vpart=%d" % v for v in range(n_parts)} - allowed
+    assert stats["rerank_scanned_files"]
+    for f in stats["rerank_scanned_files"]:
+        assert any(("/%s/" % a) in f for a in allowed), f
+        assert not any(("/%s/" % b) in f for b in forbidden), f
+    DD.release_scoped_caches()
+
+    # misuse refuses before any query-side work
+    with pytest.raises(ValueError, match="n_table_parts"):
+        TI.substring_search(spark, path, docs_v, "hash join", vpart_col="vpart")
+    with pytest.raises(ValueError, match="columns"):
+        TI.substring_search(
+            spark, path, docs, "hash join",
+            vpart_col="vpart", n_table_parts=n_parts,
+        )
