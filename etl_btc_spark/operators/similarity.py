@@ -441,3 +441,99 @@ def embedding_diagnostics_oracle_sql() -> str:
         FROM e JOIN c USING (label)
         GROUP BY e.label
     """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval): combine BOUNDED ranked
+# lists from heterogeneous retrievers (BM25 postings probe, vector
+# kNN, trigram search...) into one ranking — the standard
+# Cormack/Clarke/Buettcher RRF used by every hybrid-search stack
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    frames: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Fuse bounded ranked lists with reciprocal-rank fusion:
+    ``score(d) = Σ_i 1 / (k_rrf + rank_i(d))`` over the lists that
+    contain ``d`` (absence contributes nothing). ``frames`` is a list
+    of ``(df, score_col)``; each df must be a BOUNDED candidate list
+    (a probe's top-n — ≤ hundreds of rows), because ranks are
+    assigned with an unpartitioned row_number window: that is a
+    single-task sort over an already-bounded frame, NOT a corpus
+    shuffle — the expensive work happened inside the retrievers,
+    which scan their own pruned artifacts (postings / band dirs /
+    codes). Rank ties break by id on every list, so fusion is
+    deterministic and oracle-expressible end to end. Scores are
+    rounded to 9 dp (sums of 1/(k+r) at distinct ranks differ far
+    above that; the round kills float-association noise only).
+    """
+    parts = []
+    for df, score_col in frames:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col),
+                (
+                    F.lit(1.0)
+                    / (F.lit(k_rrf) + F.row_number().over(w))
+                ).alias("__s"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("__s") + F.lit(1e-9), 9).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse_batched(
+    frames: list[tuple[DataFrame, str]],
+    query_col: str,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query RRF over batched retrieval joins: each input frame
+    carries (query_col, id_col, score_col) rows — a retriever's
+    per-query top-n — and ranks are assigned WITHIN each query
+    (window partitioned by ``query_col``, so every partition is a
+    bounded top-n list: no skew surface — a hot query still holds ≤ n
+    rows per retriever). Output: per query, the fused top-k with the
+    same deterministic tie-breaks as :func:`rrf_fuse`."""
+    parts = []
+    for df, score_col in frames:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        parts.append(
+            df.select(
+                F.col(query_col),
+                F.col(id_col),
+                (
+                    F.lit(1.0)
+                    / (F.lit(k_rrf) + F.row_number().over(w))
+                ).alias("__s"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.round(F.sum("__s") + F.lit(1e-9), 9).alias("rrf_score")
+    )
+    w2 = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -6251,3 +6251,66 @@ def q99ai(spark: SparkSession, sf: str) -> DataFrame:
         spark, index, spark.read.parquet(snap), _Q99M_NEEDLE,
         vpart_col="vpart", n_table_parts=n_parts,
     )
+
+
+@register(
+    "q99aj_hybrid_rrf",
+    oracle=f"""
+        WITH b AS (
+            SELECT * FROM ({TX.bm25_oracle_sql(_Q99H_TERMS, n=20)})
+        ), br AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM b
+        ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        v AS (
+            SELECT e.vec_id AS doc_id, round(1e-9 + {_COS_Q}, 6) AS cos
+            FROM embeddings e, q
+            ORDER BY {_COS_Q} DESC, e.vec_id
+            LIMIT 20
+        ), vr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+            FROM v
+        ), u AS (
+            SELECT doc_id, 1.0 / (60 + r) AS s FROM br
+            UNION ALL
+            SELECT doc_id, 1.0 / (60 + r) AS s FROM vr
+        )
+        SELECT doc_id, round(1e-9 + sum(s), 9) AS rrf_score
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10
+    """,
+    doc=(
+        "§2.11 retrieval extension (r12): HYBRID search — the "
+        "standard reciprocal-rank fusion of two heterogeneous "
+        "retrievers (Cormack/Clarke/Buettcher RRF, k=60): BM25 top-20 "
+        "served from the PERSISTED inverted index (q99k's pruned "
+        "postings probe — zero corpus pass) fused with exact cosine "
+        "top-20 over the embeddings (q34's broadcast-query "
+        "TakeOrdered). Ranks are assigned over the ROUNDED scores "
+        "with id tie-breaks on both sides, so the whole chain is "
+        "deterministic and SQL-expressible; fusion itself runs on two "
+        "bounded top-20 lists (single-task windows over ≤20 rows — "
+        "the heavy lifting stays inside the pruned index probes). "
+        "The doc_id/vec_id spaces are aligned by the fixture's "
+        "construction (documents row i ↔ embeddings row i)"
+    ),
+)
+def q99aj(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "text_index")
+    TI.ensure_text_index(spark, docs, idx)
+    bm = TI.bm25_probe(spark, idx, _Q99H_TERMS, n=20)
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    vec = SIM.knn_exact(emb, query, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        sround(F.col("cosine_sim"), 6).alias("cos"),
+    )
+    return SIM.rrf_fuse(
+        [(bm, "bm25"), (vec, "cos")], id_col="doc_id", k_rrf=60, k=10
+    )

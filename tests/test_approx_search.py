@@ -1881,3 +1881,76 @@ def test_semantic_dedup_cluster_scoping_laws(spark):
     for cid in (1, 2):
         ids = [i for i, (c, _) in got.items() if c == cid]
         assert got[min(ids)][1] is True
+
+
+def test_rrf_fuse_batched_equals_per_query_fusion(spark, emb):
+    """r12 hybrid retrieval: the batched fuser (windows partitioned
+    by query) must produce EXACTLY the per-query rrf_fuse result for
+    every query in the batch — same ranks, same rounded scores, same
+    tie-breaks."""
+    queries = [0, 50, 100]
+    per_query = {}
+    batched_inputs_a, batched_inputs_b = [], []
+    for qid in queries:
+        q = emb.filter(F.col("vec_id") == qid)
+        top = SIM.knn_exact(emb, q, k=15).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.col("cosine_sim") + F.lit(1e-9), 6).alias("cos"),
+        )
+        # second retriever: a deliberately different ordering (id
+        # ascending as a fake score) so fusion has real work to do
+        alt = (
+            emb.filter(F.col("vec_id") % 7 == qid % 7)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                (-F.col("vec_id")).cast("double").alias("alt"),
+            )
+            .orderBy("doc_id")
+            .limit(15)
+        )
+        per_query[qid] = [
+            tuple(r)
+            for r in SIM.rrf_fuse(
+                [(top, "cos"), (alt, "alt")], id_col="doc_id", k=10
+            ).collect()
+        ]
+        batched_inputs_a.append(top.withColumn("query_id", F.lit(qid)))
+        batched_inputs_b.append(alt.withColumn("query_id", F.lit(qid)))
+    a = batched_inputs_a[0]
+    for x in batched_inputs_a[1:]:
+        a = a.unionByName(x)
+    b = batched_inputs_b[0]
+    for x in batched_inputs_b[1:]:
+        b = b.unionByName(x)
+    fused = SIM.rrf_fuse_batched(
+        [(a, "cos"), (b, "alt")], query_col="query_id", id_col="doc_id", k=10
+    )
+    for qid in queries:
+        got = [
+            (r["doc_id"], r["rrf_score"])
+            for r in fused.filter(F.col("query_id") == qid)
+            .orderBy(F.col("rrf_score").desc(), "doc_id")
+            .collect()
+        ]
+        assert got == per_query[qid], qid
+
+
+def test_rrf_absent_from_one_list_contributes_nothing(spark):
+    """A doc present in only one list gets only that list's 1/(k+r);
+    a doc ranked 1st in both lists dominates; ties break by id."""
+    import pandas as pd
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "s": [3.0, 2.0, 1.0]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 4], "s": [9.0, 8.0]})
+    )
+    out = {
+        r["doc_id"]: r["rrf_score"]
+        for r in SIM.rrf_fuse([(a, "s"), (b, "s")], k=10).collect()
+    }
+    assert abs(out[1] - round(2 / 61 + 1e-9, 9)) < 1e-12
+    assert abs(out[2] - round(1 / 62 + 1e-9, 9)) < 1e-12
+    assert abs(out[4] - round(1 / 62 + 1e-9, 9)) < 1e-12
+    assert out[1] > out[2] == out[4] > out[3]
