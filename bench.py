@@ -14,11 +14,25 @@ driver's tail capture, so the round record lost the headline number;
 the contract line must stay small and LAST, the detail goes to the
 sidecar file).
 
-``calibration`` is a fixed-size CPU-bound reference job + CPU model:
-divide two rounds' query timings by their calibration timings before
-calling anything a regression — bench files are recorded on whatever
+``calibration`` is a WORKLOAD-SHAPED mini-suite + CPU model (VERDICT
+r12 #1b): three fixed-size jobs — shuffle agg, window query,
+python-worker roundtrip — timed exactly like headline queries (noop
+sink, best-of-N), their sum the divisor for ``value_normalized``.
+The previous pure-JVM ``range.sum`` calibration scaled LINEARLY while
+the workload does not (r11→r12 it swung the normalized headline ±50%
+on machine drift alone); the mini-suite exercises the same three cost
+centers the headline queries do, so its sum tracks the workload. The
+old scalar is still recorded under ``calibration.range_sum_100m_sec``
+for cross-round continuity — bench files are recorded on whatever
 machine the round landed on (VERDICT r6 found a 1.38x apparent
 slowdown that was pure machine drift).
+
+Phase order (VERDICT r12 #1a): builds → calibration → an UNTIMED
+settle sweep over every headline query → the timed loop. r12's
+driver file showed q15/q17 'regressions' (+39%/+64%) that a same-box
+A/B disproved — the first timed queries ran under fresh build-phase
+JVM/GC state. The settle sweep absorbs codegen/GC/page-cache
+transients for the whole suite, not just the two warm-up queries.
 
 Each query is fully executed via the noop sink (forces every operator
 to run, skips driver-side row serialization, like a real write job).
@@ -40,6 +54,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from etl_btc_spark.operators.dedup import release_scoped_caches  # noqa: E402
 from etl_btc_spark.operators.ann_index import release_scoped_broadcasts  # noqa: E402
@@ -267,6 +283,13 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
             spark, SK.artifact_path(sf_dir, "hnsw_index"), base, q1, k=10, **kw
         ),
     }
+    # total base files once — the denominator for the scanned-files
+    # context lines below
+    n_base_files = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(rtab)
+    )
+    ctx_probes: dict[str, str] = {}
     for name, fn in probes.items():
         t0 = time.time()
         fn(flat, {}).write.mode("overwrite").format("noop").save()
@@ -275,6 +298,22 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
         t0 = time.time()
         fn(vecs_v, pruned_kw).write.mode("overwrite").format("noop").save()
         builds[name + "_pruned"] = round(time.time() - t0, 3)
+        release_scoped_caches()
+        release_scoped_broadcasts()
+        # UNTIMED stats pass (VERDICT r12 #6): at sf0.1 the pruned
+        # probe can read slower than its un-pruned twin (the vpart
+        # filter costs a collect and the base is small) — record how
+        # many base files the pruned fetch actually touched so those
+        # readings can't be misread as regressions; at 100 TB the
+        # un-pruned twin IS a corpus scan.
+        pstats: dict = {}
+        fn(vecs_v, {**pruned_kw, "stats_out": pstats}).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        ctx_probes[name + "_pruned"] = "scanned %d of %d base files" % (
+            len(pstats.get("rerank_scanned_files", [])),
+            n_base_files,
+        )
         release_scoped_caches()
         release_scoped_broadcasts()
     shutil.rmtree(rtab, ignore_errors=True)
@@ -300,17 +339,96 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     # `builds` (review r7: that dict's contract is {name: seconds})
     ctx = {
         "hnsw_refresh": "affected=%s/%s mode=%s"
-        % (stats.get("affected"), stats.get("n_shards"), stats.get("mode"))
+        % (stats.get("affected"), stats.get("n_shards"), stats.get("mode")),
+        **ctx_probes,
     }
     return builds, ctx
 
 
-def calibrate(spark) -> dict:
-    """Machine fingerprint (VERDICT r6 #3/#4): BENCH_r{N}.json files
-    are recorded on whatever box the driver landed on, and round 6
-    burned a full judge A/B proving a 1.38x 'regression' was machine
-    drift. A fixed-size CPU-bound reference job plus the CPU model
-    lets any two bench files be normalized without re-running code."""
+def _cal_shuffle_agg(spark):
+    """Mini-suite job 1: hash-shuffle aggregation (the q07/q08/q20
+    cost center) — fixed 20M rows, 1000 groups, partial aggs."""
+    return (
+        spark.range(20_000_000)
+        .groupBy(F.pmod(F.col("id"), F.lit(1000)).alias("g"))
+        .agg(
+            F.sum("id").alias("s"),
+            F.avg(F.col("id") * 3 + 1).alias("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _cal_window(spark):
+    """Mini-suite job 2: ordered window functions (the q15/q17/q23
+    cost center) — fixed 2M rows, 8 series partitions, lag + rolling
+    mean/stddev over a 30-row frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series").orderBy("id").rowsBetween(-29, 0)
+    wl = Window.partitionBy("series").orderBy("id")
+    return (
+        spark.range(2_000_000)
+        .withColumn("series", F.pmod(F.col("id"), F.lit(8)))
+        .withColumn("v", (F.col("id") * 2654435761) % 1000003)
+        .select(
+            "id",
+            "series",
+            F.avg("v").over(w).alias("ma"),
+            F.stddev_samp("v").over(w).alias("sd"),
+            (F.col("v") - F.lag("v", 1).over(wl)).alias("d"),
+        )
+    )
+
+
+def _cal_python_roundtrip(spark):
+    """Mini-suite job 3: Arrow + python-worker roundtrip (the
+    q29/q32/q43 cost center) — fixed 500k rows through a pandas UDF."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def _score(v):
+        import numpy as np
+
+        x = v.to_numpy(dtype="float64")
+        return __import__("pandas").Series(np.tanh(x / 1000.0) + np.sqrt(x + 1.0))
+
+    return (
+        spark.range(500_000)
+        .withColumn("sc", _score(F.col("id")))
+        .groupBy()
+        .agg(F.sum("sc").alias("s"))
+    )
+
+
+def calibrate(spark, repeats: int = 3) -> dict:
+    """Machine fingerprint (VERDICT r6 #3/#4, reshaped per VERDICT r12
+    #1b): BENCH_r{N}.json files are recorded on whatever box the
+    driver landed on, and round 6 burned a full judge A/B proving a
+    1.38x 'regression' was machine drift; round 12 proved the pure-JVM
+    ``range.sum`` scalar over-corrects (the workload doesn't scale
+    linearly with it — 13.88 vs 21.06 normalized on code the A/B
+    showed at parity). The divisor is now a 3-query mini-suite shaped
+    like the workload's cost centers — shuffle agg, window query,
+    python-worker roundtrip — each timed exactly like a headline query
+    (noop sink, best-of-N). ``value_normalized = value /
+    suite_sec``: a dimensionless 'headline = N× the calibration
+    suite on this box' that two rounds compare directly."""
+    suite = {
+        "shuffle_agg": _cal_shuffle_agg,
+        "window": _cal_window,
+        "python_roundtrip": _cal_python_roundtrip,
+    }
+    suite_times: dict[str, float] = {}
+    for name, job in suite.items():
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            job(spark).write.mode("overwrite").format("noop").save()
+            samples.append(time.time() - t0)
+        suite_times[name] = round(min(samples), 3)
+    # legacy pure-JVM scalar: kept for continuity with BENCH_r06–r12
     times = []
     for _ in range(3):
         t0 = time.time()
@@ -326,6 +444,8 @@ def calibrate(spark) -> dict:
     except OSError:
         pass
     return {
+        "suite": suite_times,
+        "suite_sec": round(sum(suite_times.values()), 3),
         "range_sum_100m_sec": round(min(times), 3),
         "cpu": cpu,
         "cpus_conf": os.environ.get("SPARK_GRAFT_CPUS", "32"),
@@ -343,8 +463,19 @@ def main() -> None:
     run_query(spark, REGISTRY["q07_star_join_revenue"], sf_dir)
     run_query(spark, REGISTRY["q32_sentiment_scores"], sf_dir)
     builds, builds_ctx = time_builds(spark, sf_dir)
-    calibration = calibrate(spark)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    calibration = calibrate(spark, repeats=repeats)
+    # settle sweep (VERDICT r12 #1a): one UNTIMED pass over every
+    # headline query between the build/calibration phase and the timed
+    # loop. r12's driver file showed +39%/+64% on q15/q17 that a
+    # same-box A/B disproved — the first timed queries ran under fresh
+    # build-phase JVM state (codegen caches cold, GC pressure from 30+
+    # build jobs). The sweep pays that transient once, off the clock.
+    for q in headline:
+        run_query(spark, q, sf_dir)
+        release_scoped_caches()
+        release_scoped_broadcasts()
+    spark.sparkContext._jvm.System.gc()
     # the heaviest headline queries get extra repeats (VERDICT r6 #6):
     # their best-of must sit below this box's run-to-run spread or
     # every round re-litigates noise-vs-regression on exactly the
@@ -395,16 +526,18 @@ def main() -> None:
         release_scoped_caches()
         release_scoped_broadcasts()
     value = round(sum(timings.values()), 3)
-    cal_sec = calibration.get("range_sum_100m_sec") or 0.0
+    suite_sec = calibration.get("suite_sec") or 0.0
     compact = {
         "metric": "headline query wall-clock (noop sink), local[%s]"
         % os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "value": value,
-        # machine-drift-normalized headline (VERDICT r10 #7): value
-        # scaled by this box's pure-JVM calibration job against a
-        # 0.10 s nominal — two rounds' value_normalized compare
-        # directly without a human dividing by the calibration block
-        "value_normalized": round(value * (0.10 / cal_sec), 3) if cal_sec else None,
+        # machine-drift-normalized headline (VERDICT r10 #7, reshaped
+        # per VERDICT r12 #1b): value divided by the workload-shaped
+        # calibration mini-suite's wall-clock on THIS box — a
+        # dimensionless 'headline = N× the calibration suite'. Two
+        # rounds' value_normalized compare directly; the old linear
+        # range.sum scaling swung ±50% on machine drift alone.
+        "value_normalized": round(value / suite_sec, 3) if suite_sec else None,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
