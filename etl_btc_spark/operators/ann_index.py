@@ -63,11 +63,6 @@ _FORMATS = {
     # pq-v1 (r11): product-quantization codes — m uint8 codes packed
     # as binary per row, cpart-partitioned, gen column from day one
     "pq": "pq-v1",
-    # ivfpq-v1 (r12): the faiss IVFADC composite — PQ codes stored
-    # INSIDE centroid-partitioned inverted lists, so a probe reads
-    # only the nprobe lists' code bytes (PQ's m-bytes-per-vector scan
-    # × IVF's partition pruning). gen column from day one
-    "ivfpq": "ivfpq-v1",
 }
 
 #: broadcast variables whose lifetime outlives the function that made

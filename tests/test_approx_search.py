@@ -1954,3 +1954,45 @@ def test_rrf_absent_from_one_list_contributes_nothing(spark):
     assert abs(out[2] - round(1 / 62 + 1e-9, 9)) < 1e-12
     assert abs(out[4] - round(1 / 62 + 1e-9, 9)) < 1e-12
     assert out[1] > out[2] == out[4] > out[3]
+
+
+def test_rrf_contract_enforced(spark):
+    """r13 (VERDICT r12 #5 + ADVICE): the fusers ENFORCE their
+    bounded-unique-list contract instead of trusting it — empty
+    frames list raises immediately; a duplicated id inside one list
+    (which would silently sum two reciprocal-rank terms) and a list
+    above max_candidates both fail loudly inside the plan."""
+    import pandas as pd
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "s": [3.0, 2.0, 1.0]})
+    )
+    with pytest.raises(ValueError, match="at least one ranked list"):
+        SIM.rrf_fuse([])
+    with pytest.raises(ValueError, match="at least one ranked list"):
+        SIM.rrf_fuse_batched([], query_col="query_id")
+    # duplicate id within one list -> in-plan refusal
+    dup = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 1, 2], "s": [9.0, 8.0, 7.0]})
+    )
+    with pytest.raises(Exception, match="rrf_fuse"):
+        SIM.rrf_fuse([(a, "s"), (dup, "s")]).collect()
+    # oversized list -> in-plan refusal (tiny bound to keep it cheap)
+    with pytest.raises(Exception, match="rrf_fuse"):
+        SIM.rrf_fuse([(a, "s")], max_candidates=2).collect()
+    # batched: duplicate (query, id) pair refused; the SAME id under
+    # two DIFFERENT queries is legal (per-query lists are independent)
+    qdup = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [0, 0, 1], "doc_id": [5, 5, 5], "s": [3.0, 2.0, 1.0]}
+        )
+    )
+    with pytest.raises(Exception, match="rrf_fuse"):
+        SIM.rrf_fuse_batched([(qdup, "s")], query_col="query_id").collect()
+    ok = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [0, 1], "doc_id": [5, 5], "s": [3.0, 1.0]}
+        )
+    )
+    got = SIM.rrf_fuse_batched([(ok, "s")], query_col="query_id").collect()
+    assert {(r["query_id"], r["doc_id"]) for r in got} == {(0, 5), (1, 5)}
