@@ -6371,3 +6371,197 @@ def q99aj(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.rrf_fuse(
         [(bm, "bm25"), (vec, "cos")], id_col="doc_id", k_rrf=60, k=10
     )
+
+
+#: fixed hybrid query batch for q99ak — each query pairs a TEXT side
+#: (q99l's fixture-vocabulary term sets) with a VECTOR side (the
+#:  embedding row whose vec_id IS the query_id), shared verbatim by
+#: the Spark build and the oracle's VALUES list
+_Q99AK_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["join", "hash"]),
+    (50, ["window", "broadcast"]),
+    (100, ["scan", "merge", "sort"]),
+]
+
+
+def _q99ak_oracle() -> str:
+    """Composed oracle for the BATCHED hybrid retrieval gate: q99l's
+    VALUES-driven batched-BM25 CTE chain (n=20 per query) ⊕ q99v's
+    warm-start IVF kNN-join chain (k=20 per query, the fully
+    SQL-expressible probe: literal-row centroids, un-cut shortlist)
+    → the q99aj RRF fusion SQL applied PER QUERY. Selection ranks
+    follow each retriever's own contract (BM25 over the rounded
+    score, the kNN re-rank over raw doubles — the same accepted
+    ulp-exposure as q99v, 3 rounds green); FUSION ranks on both sides
+    run over the rounded scores with id tie-breaks, exactly what
+    rrf_fuse_batched sees."""
+    values = ", ".join(
+        "(%d, '%s')" % (qid, t.replace("'", "''"))
+        for qid, terms in _Q99AK_QUERIES
+        for t in terms
+    )
+    all_terms = TX.sql_str_list(
+        TX.normalize_query_terms(
+            [t for _, terms in _Q99AK_QUERIES for t in terms]
+        )
+    )
+    qids = ", ".join(str(qid) for qid, _ in _Q99AK_QUERIES)
+    dl = TX.WS_TOKEN_COUNT_SQL.format(col="text")
+    k1, b = 1.2, 0.75
+    cos_ec = SIM.cosine_sql("e.embedding", "c.cvec")
+    cos_cq = SIM.cosine_sql("c.cvec", "qv.qv")
+    cos_eq = SIM.cosine_sql("e.embedding", "qv.qv")
+    return f"""
+        WITH q(query_id, token) AS (VALUES {values}),
+        w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id, unnest(t) AS token FROM w
+            ) WHERE token IN ({all_terms})
+            GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg({dl}) AS avgdl FROM documents
+        ), dl AS (
+            SELECT doc_id, {dl} AS dl FROM documents
+        ), scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   round(1e-9 + sum({TX.bm25_contrib_sql(k1, b)}), 6) AS bm25
+            FROM tf
+            JOIN q USING (token)
+            JOIN dfreq USING (token)
+            JOIN dl ON dl.doc_id = tf.doc_id, stats
+            GROUP BY q.query_id, tf.doc_id
+        ), br AS (
+            SELECT query_id, doc_id, r FROM (
+                SELECT query_id, doc_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS r
+                FROM scored
+            ) WHERE r <= 20
+        ), c AS (
+            SELECT CAST(vec_id + 1 AS INTEGER) AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id BETWEEN 0 AND 15
+        ), a AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos_ec} DESC, c.centroid_id ASC) AS rn
+                FROM embeddings e, c
+                WHERE e.embedding IS NOT NULL
+            ) WHERE rn <= 2
+        ), qv AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings
+            WHERE vec_id IN ({qids}) AND embedding IS NOT NULL
+        ), best AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT qv.query_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY qv.query_id
+                           ORDER BY {cos_cq} DESC, c.centroid_id ASC) AS rn
+                FROM c, qv
+            ) WHERE rn <= 4
+        ), cand AS (
+            SELECT DISTINCT best.query_id, a.vec_id
+            FROM a JOIN best USING (centroid_id)
+        ), vtop AS (
+            SELECT query_id, doc_id, round(1e-9 + s, 6) AS cos FROM (
+                SELECT cand.query_id, cand.vec_id AS doc_id,
+                       {cos_eq} AS s,
+                       row_number() OVER (
+                           PARTITION BY cand.query_id
+                           ORDER BY {cos_eq} DESC, cand.vec_id ASC) AS rn
+                FROM cand
+                JOIN embeddings e ON cand.vec_id = e.vec_id
+                JOIN qv ON cand.query_id = qv.query_id
+            ) WHERE rn <= 20
+        ), vr AS (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS r
+            FROM vtop
+        ), u AS (
+            SELECT query_id, doc_id, 1.0 / (60 + r) AS s FROM br
+            UNION ALL
+            SELECT query_id, doc_id, 1.0 / (60 + r) AS s FROM vr
+        ), fused AS (
+            SELECT query_id, doc_id, round(1e-9 + sum(s), 9) AS rrf_score
+            FROM u GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, rrf_score FROM (
+            SELECT query_id, doc_id, rrf_score, row_number() OVER (
+                PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rn
+            FROM fused
+        ) WHERE rn <= 10
+    """
+
+
+@register(
+    "q99ak_hybrid_rrf_batched",
+    oracle=_q99ak_oracle(),
+    doc=(
+        "§2.11 retrieval extension (r13, VERDICT r12 #2): BATCHED "
+        "hybrid retrieval under a FULL value oracle — for EVERY query "
+        "in a batch, BM25 top-20 served from the persisted inverted "
+        "index (bm25_join: static token-IN pushdown to the pruned "
+        "postings scan, q99l's oracle) fused per query with IVF-"
+        "indexed kNN top-20 (knn_ivf_join over the warm-start index: "
+        "literal-row centroids + un-cut shortlist make the probe "
+        "SQL-expressible, q99v's oracle) through rrf_fuse_batched "
+        "(windows partitioned by query — every partition a bounded "
+        "top-20 list, no skew surface; in-plan unique/bounded "
+        "contract guard). This is the multi-query RAG / eval-"
+        "decontamination shape real pipelines run; both retrievers "
+        "stay index-served (zero corpus pass on the text side, "
+        "centroid-pruned candidate fetch + vpart-pruned re-rank on "
+        "the vector side). doc_id/vec_id spaces aligned by the "
+        "fixture's construction (documents row i ↔ embeddings row i)"
+    ),
+)
+def q99ak(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.operators import text_index as TI
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tidx = SK.artifact_path(sf, "text_index")
+    TI.ensure_text_index(spark, docs, tidx)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [qid for qid, _ in _Q99AK_QUERIES],
+                "terms": [terms for _, terms in _Q99AK_QUERIES],
+            }
+        )
+    )
+    bm = TI.bm25_join(spark, tidx, qdf, n=20)
+    emb = load_table(spark, sf, "embeddings")
+    qids = [qid for qid, _ in _Q99AK_QUERIES]
+    queries = emb.filter(
+        F.col("vec_id").isin(qids) & F.col("embedding").isNotNull()
+    )
+    vidx = SK.artifact_path(sf, "ivf_warm_index")
+    if not ANN._is_built(vidx, "ivf"):
+        ANN.build_ivf_index(
+            spark, emb, vidx, n_centroids=16, centroid_ids=_Q99G_CENTROID_IDS
+        )
+    vec = ANN.knn_ivf_join(
+        spark, vidx, emb, queries, k=20, nprobe=4, shortlist=1_000_000,
+        n_queries=len(qids),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        sround(F.col("cosine_sim"), 6).alias("cos"),
+    )
+    return SIM.rrf_fuse_batched(
+        [(bm, "bm25"), (vec, "cos")],
+        query_col="query_id",
+        id_col="doc_id",
+        k_rrf=60,
+        k=10,
+    )

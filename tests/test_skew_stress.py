@@ -1,0 +1,44 @@
+"""Skew stress pins (VERDICT r12 #3): the 100×-scale claims for the
+dedup surface get their first EMPIRICAL leg — a seed-pinned hot-key
+corpus (one 5-gram span occurring 10^4 times, one LSH bucket holding
+~18% of all docs) must flow through ``duplicate_span_dedup`` and the
+MinHash band self-join WITHOUT a dominant straggler task.
+
+Runs scripts/skewcheck.py as a subprocess: the harness needs its own
+JVM because the pytest session runs with spark.ui.enabled=false and
+the task-duration quantiles come from the status REST API. See the
+script docstring for why lowered AQE thresholds don't weaken the pin
+(plan-shape splittability is what's under test, not the thresholds).
+"""
+
+import json
+import subprocess
+import sys
+
+
+def test_hot_key_corpus_has_no_dominant_task():
+    proc = subprocess.run(
+        [sys.executable, "scripts/skewcheck.py"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    rep = json.loads(line)
+    assert rep["ok"] is True
+    ops = {r["op"]: r for r in rep["ops"]}
+    # both stressed ops present, both under the 10x straggler bound
+    span = ops["duplicate_span_dedup"]
+    mh = ops["minhash_lsh_candidates"]
+    assert span["ok"] and mh["ok"]
+    # the fixture actually exercised the hot paths: every boilerplate
+    # occurrence outside the canonical doc lost its covered tokens,
+    # and the hot bucket produced its C(2400,2) pair volume
+    assert span["rows"] == rep["fixture_docs"]
+    assert span["tokens_removed"] > 100_000
+    assert mh["candidate_pairs"] >= 2_878_800  # C(2400, 2)
+    # the heavy stages were heavy enough for the ratio to mean
+    # something (guards against the fixture silently shrinking)
+    assert mh["heaviest_stage_max_ms"] >= 1_000
