@@ -6565,3 +6565,342 @@ def q99ak(spark: SparkSession, sf: str) -> DataFrame:
         k_rrf=60,
         k=10,
     )
+
+
+#: q99al planted near-duplicates — two IDENTICAL docs per query made of
+#: that query's own terms (maximal BM25, tf-heavy and short), so each
+#: query's fused top-10 PROVABLY contains a near-dup pair and the
+#: result-diversity filter is exercised by construction at every SF.
+#: Shared verbatim by the Spark build and the oracle's VALUES list.
+_Q99AL_PLANTS: list[tuple[int, str]] = [
+    (10_000_000 + qid * 10 + r, " ".join(terms * (12 // len(terms))))
+    for qid, terms in _Q99AK_QUERIES
+    for r in (0, 1)
+]
+
+_Q99AL_CHUNK = 64     # chunk window (tokens)
+_Q99AL_BUDGET = 256   # context-assembly packing budget (tokens)
+_Q99AL_TAU = 0.5      # retrieved-result near-dup threshold (3-gram Jaccard)
+
+
+def _q99al_oracle() -> str:
+    """Composed oracle for the retrieval capstone: normalized 64-token
+    chunking (q87's slice arithmetic) → closed-form stub embeddings
+    (q43's formula) → batched chunk-level BM25 (q99l's CTE shape with
+    chunk token counts as dl) ⊕ exact-cosine top-20 per query → q99aj
+    RRF fusion per query → rank-dominance near-dup drop (q39's
+    list_intersect/list_distinct Jaccard, truncating slice-built
+    3-gram shingles so short last-chunks mirror concat_ws exactly) →
+    q81's exclusive-prefix-sum packing over the survivors."""
+    plant_values = ", ".join(
+        "(%d, '%s')" % (pid, txt.replace("'", "''"))
+        for pid, txt in _Q99AL_PLANTS
+    )
+    q_values = ", ".join(
+        "(%d, '%s')" % (qid, t.replace("'", "''"))
+        for qid, terms in _Q99AK_QUERIES
+        for t in terms
+    )
+    qq_values = ", ".join(
+        "(%d, '%s')" % (qid, " ".join(terms).replace("'", "''"))
+        for qid, terms in _Q99AK_QUERIES
+    )
+    all_terms = TX.sql_str_list(
+        sorted({t for _, terms in _Q99AK_QUERIES for t in terms})
+    )
+    size, budget, tau = _Q99AL_CHUNK, _Q99AL_BUDGET, _Q99AL_TAU
+    norm = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+    comps_c = ", ".join(
+        f"CAST(((length(chunk_text) * {j + 1} + unicode(substring(chunk_text, 1, 1))) % 97) / 97.0 AS FLOAT)"
+        for j in range(7)
+    )
+    comps_q = ", ".join(
+        f"CAST(((length(qtext) * {j + 1} + unicode(substring(qtext, 1, 1))) % 97) / 97.0 AS FLOAT)"
+        for j in range(7)
+    )
+    cos_eq = SIM.cosine_sql("e.embedding", "qv.qv")
+    jac = (
+        "round(1e-9 + len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)"
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES {plant_values}) AS p(doc_id, text)
+        ), nt AS (
+            SELECT doc_id, regexp_split_to_array({norm}, '\\s+') AS t
+            FROM corpus WHERE {norm} <> ''
+        ), chunks AS (
+            SELECT doc_id,
+                   doc_id * 1000 + (i - 1) AS ck,
+                   t[(i-1)*{size}+1 : i*{size}] AS ctoks,
+                   array_to_string(t[(i-1)*{size}+1 : i*{size}], ' ') AS chunk_text,
+                   CAST(len(t[(i-1)*{size}+1 : i*{size}]) AS BIGINT) AS n_tokens
+            FROM nt, unnest(generate_series(1, CAST(ceil(len(t) / {size}.0) AS BIGINT))) AS r(i)
+        ),
+        q(query_id, token) AS (VALUES {q_values}),
+        qq(query_id, qtext) AS (VALUES {qq_values}),
+        tf AS (
+            SELECT ck, token, count(*) AS tf FROM (
+                SELECT ck, unnest(ctoks) AS token FROM chunks
+            ) WHERE token IN ({all_terms})
+            GROUP BY ck, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(n_tokens) AS avgdl FROM chunks
+        ), dl AS (
+            SELECT ck, n_tokens AS dl FROM chunks
+        ), scored AS (
+            SELECT q.query_id, tf.ck,
+                   round(1e-9 + sum({TX.bm25_contrib_sql(1.2, 0.75)}), 6) AS bm25
+            FROM tf
+            JOIN q USING (token)
+            JOIN dfreq USING (token)
+            JOIN dl ON dl.ck = tf.ck, stats
+            GROUP BY q.query_id, tf.ck
+        ), br AS (
+            SELECT query_id, ck, r FROM (
+                SELECT query_id, ck, row_number() OVER (
+                    PARTITION BY query_id ORDER BY bm25 DESC, ck ASC) AS r
+                FROM scored
+            ) WHERE r <= 20
+        ), e AS (
+            SELECT ck, [{comps_c}, CAST(1.0 AS FLOAT)] AS embedding FROM chunks
+        ), qv AS (
+            SELECT query_id, [{comps_q}, CAST(1.0 AS FLOAT)] AS qv FROM qq
+        ), vsel AS (
+            SELECT query_id, ck, round(1e-9 + s, 6) AS cos FROM (
+                SELECT qv.query_id, e.ck, {cos_eq} AS s,
+                       row_number() OVER (
+                           PARTITION BY qv.query_id
+                           ORDER BY {cos_eq} DESC, e.ck ASC) AS rn
+                FROM e, qv
+            ) WHERE rn <= 20
+        ), vr AS (
+            SELECT query_id, ck, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, ck ASC) AS r
+            FROM vsel
+        ), u AS (
+            SELECT query_id, ck, 1.0 / (60 + r) AS s FROM br
+            UNION ALL
+            SELECT query_id, ck, 1.0 / (60 + r) AS s FROM vr
+        ), fused AS (
+            SELECT query_id, ck, round(1e-9 + sum(s), 9) AS rrf_score
+            FROM u GROUP BY query_id, ck
+        ), ranked AS (
+            SELECT query_id, ck, rrf_score, rank FROM (
+                SELECT query_id, ck, rrf_score, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rrf_score DESC, ck ASC) AS rank
+                FROM fused
+            ) WHERE rank <= 10
+        ), sh AS (
+            SELECT ck, list_distinct(list_transform(
+                generate_series(1, greatest(len(ctoks) - 2, 1)),
+                i -> array_to_string(ctoks[i : i+2], ' '))) AS sh
+            FROM chunks
+        ), rsh AS (
+            SELECT r.query_id, r.ck, r.rank, s.sh
+            FROM ranked r JOIN sh s USING (ck)
+        ), kept AS (
+            SELECT * FROM ranked k WHERE NOT EXISTS (
+                SELECT 1 FROM rsh a JOIN rsh b
+                ON a.query_id = b.query_id AND a.rank < b.rank
+                WHERE b.query_id = k.query_id AND b.ck = k.ck
+                  AND {jac} >= {tau}
+            )
+        )
+        SELECT query_id, chunk_key, rank, rrf_score, n_tokens,
+               CAST(floor(cum / {budget}.0) AS BIGINT) AS pack_id,
+               CAST(cum % {budget} AS BIGINT) AS pack_offset
+        FROM (
+            SELECT k.query_id, k.ck AS chunk_key, CAST(k.rank AS BIGINT) AS rank,
+                   k.rrf_score, c.n_tokens,
+                   coalesce(sum(c.n_tokens) OVER (
+                       PARTITION BY k.query_id ORDER BY k.rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM kept k JOIN chunks c ON c.ck = k.ck
+        )
+    """
+
+
+@register(
+    "q99al_retrieval_capstone",
+    oracle=_q99al_oracle(),
+    doc=(
+        "§2.11 RETRIEVAL CAPSTONE (r13, VERDICT r12 stretch — the "
+        "retrieval sibling of q86/q93): the full RAG/eval-retrieval "
+        "pipeline in ONE lazy plan, fully oracle-checked end to end. "
+        "Normalized 64-token chunking (q87's codegen "
+        "transform(slice)->posexplode, fan-out map-side) -> "
+        "deterministic stub embeddings per chunk (U2's Arrow-batched "
+        "pandas_udf, q43's closed-form oracle) -> per-query hybrid "
+        "retrieval for a 3-query batch: chunk-level BM25 (batch terms "
+        "pushed as ONE static token filter before the tf shuffle, "
+        "chunk n_tokens reused as dl — zero extra tokenize passes; "
+        "WindowGroupLimit top-20 per query) fused with exact-cosine "
+        "top-20 (broadcast 3-query matrix, WindowGroupLimit) through "
+        "rrf_fuse_batched -> result-diversity near-dup drop (3-gram "
+        "Jaccard rank-dominance on the bounded fused top-10s: a "
+        "result is dropped iff a higher-ranked result is >= 0.5 "
+        "similar — planted duplicate docs guarantee the filter bites "
+        "at every SF) -> q81's exclusive-prefix-sum packing assembles "
+        "the surviving chunks into 256-token context windows per "
+        "query. The chunk table is scoped-persisted once and feeds "
+        "tf, embeddings, stats, shingles and the packing join"
+    ),
+)
+def q99al(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    size, budget, tau = _Q99AL_CHUNK, _Q99AL_BUDGET, _Q99AL_TAU
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    plants = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [pid for pid, _ in _Q99AL_PLANTS],
+                "text": [txt for _, txt in _Q99AL_PLANTS],
+            }
+        )
+    )
+    corpus = docs.unionByName(plants)
+    staged = (
+        corpus.select("doc_id", TX.normalize_text(F.col("text")).alias("nt"))
+        .filter(F.col("nt") != "")
+        .select("doc_id", TX.ws_tokens(F.col("nt")).alias("t"))
+    )
+    chunk_arr = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.ceil(F.size(F.col("t")) / F.lit(float(size))).cast("int"),
+        ),
+        lambda i: F.slice(F.col("t"), (i - 1) * size + 1, size),
+    )
+    chunks = DD._scoped_persist(
+        staged.select(
+            "doc_id", F.posexplode(chunk_arr).alias("pos", "ctoks")
+        ).select(
+            (F.col("doc_id") * 1000 + F.col("pos")).alias("ck"),
+            F.col("ctoks"),
+            F.concat_ws(" ", F.col("ctoks")).alias("chunk_text"),
+            F.size(F.col("ctoks")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    # --- text retriever: batched chunk-level BM25 (q99l shape) ---
+    all_terms = sorted({t for _, terms in _Q99AK_QUERIES for t in terms})
+    qt = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [qid for qid, terms in _Q99AK_QUERIES for _ in terms],
+                "token": [t for _, terms in _Q99AK_QUERIES for t in terms],
+            }
+        )
+    )
+    tf = (
+        chunks.select(
+            "ck",
+            F.col("n_tokens").alias("dl"),
+            F.explode(F.col("ctoks")).alias("token"),
+        )
+        .filter(F.col("token").isin(all_terms))
+        .groupBy("ck", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = chunks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("n_tokens").alias("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "ck")
+        .agg(
+            F.round(F.sum(TX.bm25_contrib(1.2, 0.75)) + F.lit(1e-9), 6).alias(
+                "bm25"
+            )
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("ck"))
+    bm = (
+        scored.withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") <= 20)
+        .select("query_id", "ck", "bm25")
+    )
+    # --- vector retriever: exact cosine top-20 per query ---
+    from etl_btc_spark.operators import scoring as SC_
+
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [qid for qid, _ in _Q99AK_QUERIES],
+                "qtext": [" ".join(terms) for _, terms in _Q99AK_QUERIES],
+            }
+        )
+    ).select("query_id", SC_.embedding_udf(8)(F.col("qtext")).alias("qv"))
+    emb = chunks.select(
+        "ck", SC_.embedding_udf(8)(F.col("chunk_text")).alias("embedding")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("ck"))
+    vec = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id", "ck", SIM.cosine(F.col("embedding"), F.col("qv")).alias("s")
+        )
+        .withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") <= 20)
+        .select("query_id", "ck", sround(F.col("s"), 6).alias("cos"))
+    )
+    # --- fusion + rank ---
+    fused = SIM.rrf_fuse_batched(
+        [(bm, "bm25"), (vec, "cos")], query_col="query_id", id_col="ck",
+        k_rrf=60, k=10,
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("ck")
+    )
+    ranked = fused.withColumn("rank", F.row_number().over(wr))
+    # --- result-diversity near-dup drop (rank dominance) ---
+    sh = chunks.select("ck", DD.word_shingles(F.col("chunk_text"), 3).alias("sh"))
+    rsh = ranked.join(sh, "ck").select("query_id", "ck", "rank", "sh")
+    a, b = rsh.alias("a"), rsh.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.rank") < F.col("b.rank")),
+        )
+        .filter(
+            F.round(DD.jaccard(F.col("a.sh"), F.col("b.sh")) + F.lit(EPS), 6)
+            >= tau
+        )
+        .select(
+            F.col("b.query_id").alias("query_id"), F.col("b.ck").alias("ck")
+        )
+        .distinct()
+    )
+    kept = ranked.join(drops, ["query_id", "ck"], "left_anti")
+    # --- context assembly: q81's exclusive-prefix-sum packing ---
+    wp = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = kept.join(chunks.select("ck", "n_tokens"), "ck").select(
+        "query_id",
+        F.col("ck").alias("chunk_key"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "rrf_score",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(wp), F.lit(0)).alias("__cum"),
+    )
+    return packed.select(
+        "query_id",
+        "chunk_key",
+        "rank",
+        "rrf_score",
+        "n_tokens",
+        F.floor(F.col("__cum") / budget).cast("bigint").alias("pack_id"),
+        (F.col("__cum") % budget).cast("bigint").alias("pack_offset"),
+    )
