@@ -252,6 +252,22 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     PQ.compact_pq_index(spark, tmp)
     builds["pq_compact"] = round(time.time() - t0, 3)
 
+    # r13: the IVFADC composite — build (trained arm: sample-Lloyd
+    # centroids + k-means residual codebooks) and tombstone upsert;
+    # the probe twins join the pruned-probe matrix below
+    from etl_btc_spark.operators import ivfpq as IVQ
+
+    ivq = SK.artifact_path(sf_dir, "bench_ivfpq_index")
+    shutil.rmtree(ivq, ignore_errors=True)
+    t0 = time.time()
+    IVQ.build_ivfpq_index(spark, emb, ivq, n_centroids=16, m=8, n_codes=16)
+    builds["ivfpq_index"] = round(time.time() - t0, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(ivq, tmp)
+    t0 = time.time()
+    IVQ.upsert_ivfpq_index(spark, up_vecs, tmp, stale_ids=up_vecs.select("vec_id"))
+    builds["ivfpq_upsert"] = round(time.time() - t0, 3)
+
     # r12 (VERDICT r11 #1): PRUNED exact-re-rank probes — each
     # family's indexed probe against a vpart-partitioned base table
     # (the streaming sinks' layout, 100TB-shaped modulus), the fetch
@@ -278,6 +294,9 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
         ),
         "knn_pq_probe": lambda base, kw: PQ.knn_pq_indexed(
             spark, pqp, base, q1, k=10, **kw
+        ),
+        "knn_ivfpq_probe": lambda base, kw: IVQ.knn_ivfpq_indexed(
+            spark, ivq, base, q1, k=10, nprobe=4, **kw
         ),
         "knn_hnsw_probe": lambda base, kw: HN.knn_hnsw_join(
             spark, SK.artifact_path(sf_dir, "hnsw_index"), base, q1, k=10, **kw
@@ -318,6 +337,7 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
         release_scoped_broadcasts()
     shutil.rmtree(rtab, ignore_errors=True)
     shutil.rmtree(pqp, ignore_errors=True)
+    shutil.rmtree(ivq, ignore_errors=True)
 
     mh = SK.artifact_path(sf_dir, "bench_minhash_index")
     t0 = time.time()

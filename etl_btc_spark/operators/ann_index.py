@@ -63,6 +63,10 @@ _FORMATS = {
     # pq-v1 (r11): product-quantization codes — m uint8 codes packed
     # as binary per row, cpart-partitioned, gen column from day one
     "pq": "pq-v1",
+    # ivfpq-v1 (r13): the IVFADC composite (operators/ivfpq.py) —
+    # residual PQ codes partitioned by coarse centroid_id, gen column
+    # from day one
+    "ivfpq": "ivfpq-v1",
 }
 
 #: broadcast variables whose lifetime outlives the function that made
@@ -352,6 +356,102 @@ def _broadcast_centroids(spark: SparkSession, centroids: DataFrame):
     return spark.sparkContext.broadcast((cids, cmat / norms))
 
 
+def _warm_centroid_matrix(
+    vectors: DataFrame, centroid_ids: list, vec_col: str, id_col: str, op: str
+):
+    """WARM-START centroid matrix (r7, factored out r13 for the IVFPQ
+    composite): the given corpus ids' vectors verbatim, centroid_id =
+    1-based rank in the SORTED id list (deterministic). Duplicate ids
+    in the list or in the corpus, and missing ids, fail loudly — a
+    silent shift would desync every q99g-style oracle."""
+    import numpy as np
+
+    want = sorted(centroid_ids)
+    if len(set(want)) != len(want):
+        raise ValueError(
+            "%s: duplicate centroid_ids — each id maps to one 1-based "
+            "centroid rank, duplicates would shift the ranks" % op
+        )
+    fetched = (
+        vectors.filter(F.col(id_col).isin(want))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(fetched) > len(want):
+        raise ValueError(
+            "%s: corpus has duplicate %s values among the centroid "
+            "ids — dedup the corpus before indexing" % (op, id_col)
+        )
+    rows = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in fetched}
+    missing = [i for i in want if i not in rows]
+    if missing:
+        raise ValueError("%s: centroid_ids not in corpus: %r" % (op, missing))
+    return np.array([rows[i] for i in want])
+
+
+def _sampled_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    sample_factor: int,
+    max_iters: int,
+    vec_col: str,
+    id_col: str,
+    op: str,
+):
+    """Deterministic sample-then-reduce centroid training (factored
+    out of :func:`build_ivf_index` r13, shared with the IVFPQ coarse
+    quantizer): hash-sample TakeOrdered → greedy D² seed reduce →
+    driver-side Lloyd to assignment convergence on the bounded
+    sample. Returns the final (k, dim) matrix; the full corpus is
+    never touched."""
+    import numpy as np
+
+    sample = (
+        vectors.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h", id_col)
+        .limit(max(n_centroids * sample_factor, n_centroids))  # TakeOrdered
+        .collect()
+    )
+    if len(sample) == 0:
+        # a 0-row corpus has nothing to index; an empty artifact would
+        # just move the failure into every probe — fail loudly here
+        raise ValueError("%s: vectors input has no rows" % op)
+    svecs = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(svecs, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    sn = svecs / norms
+    k = min(n_centroids, len(sn))
+    # greedy D² (k-means++ farthest-point) reduce on the bounded sample
+    chosen = [0]
+    d2 = 1.0 - sn @ sn[0]
+    for _ in range(k - 1):
+        j = int(np.argmax(d2))
+        chosen.append(j)
+        d2 = np.minimum(d2, 1.0 - sn @ sn[j])
+    # Lloyd rounds on the bounded sample, entirely on the driver:
+    # assignment = cosine argmax on the normalized rows (same
+    # semantics as _top_m_centroids m=1 — first max wins ties),
+    # update = RAW-space column mean; an emptied cluster keeps its
+    # centroid so k never shrinks. Each round is ONE driver matmul on
+    # the bounded sample — run to assignment convergence; ``max_iters``
+    # only bounds pathological cycling.
+    cmat = svecs[sorted(chosen)].copy()
+    prev = None
+    for _ in range(max_iters):
+        cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+        cn[cn == 0.0] = 1.0
+        a = (sn @ (cmat / cn).T).argmax(axis=1)
+        if prev is not None and (a == prev).all():
+            break
+        prev = a
+        for j in range(k):
+            members = svecs[a == j]
+            if len(members):
+                cmat[j] = members.mean(axis=0)
+    return cmat
+
+
 def build_ivf_index(
     spark: SparkSession,
     vectors: DataFrame,
@@ -393,8 +493,6 @@ def build_ivf_index(
       depending on a single Voronoi boundary at the cost of
       ×n_assign index rows; the probe dedupes by id.
     """
-    import numpy as np
-
     # NULL vectors can't be assigned/quantized — drop them up front
     # (same policy as the HNSW build and append_ivf_index; without
     # this the rebuild path crashes on corpora the append tolerates)
@@ -408,90 +506,19 @@ def build_ivf_index(
         # probe step (centroid ranking, pruned candidate fetch, exact
         # re-rank) becomes plain SQL, so the probe machinery gets a
         # value-level DuckDB oracle that the Lloyd path cannot.
-        # centroid_id = 1-based rank in the SORTED id list
-        # (deterministic); a missing id fails loudly.
-        want = sorted(centroid_ids)
-        # ADVICE r8: a duplicate in centroid_ids would keep BOTH
-        # copies in the sorted list, shifting every later 1-based
-        # centroid_id rank and desyncing the q99g-style oracle — and a
-        # duplicate id_col in the corpus would let the dict silently
-        # keep an arbitrary collected row. Fail loudly on both
-        # (mirrors the HNSW build's duplicate-id refusal).
-        if len(set(want)) != len(want):
-            raise ValueError(
-                "build_ivf_index: duplicate centroid_ids — each id maps to "
-                "one 1-based centroid rank, duplicates would shift the ranks"
-            )
-        fetched = (
-            vectors.filter(F.col(id_col).isin(want))
-            .select(id_col, vec_col)
-            .collect()
+        cmat = _warm_centroid_matrix(
+            vectors, centroid_ids, vec_col, id_col, "build_ivf_index"
         )
-        if len(fetched) > len(want):
-            raise ValueError(
-                "build_ivf_index: corpus has duplicate %s values among the "
-                "centroid ids — dedup the corpus before indexing" % id_col
-            )
-        rows = {
-            r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in fetched
-        }
-        missing = [i for i in want if i not in rows]
-        if missing:
-            raise ValueError(
-                "build_ivf_index: centroid_ids not in corpus: %r" % missing
-            )
-        cmat = np.array([rows[i] for i in want])
-        k = len(want)
         return _write_ivf_artifact(
-            spark, vectors, path, cmat, k, vec_col, id_col, n_assign
+            spark, vectors, path, cmat, len(cmat), vec_col, id_col, n_assign
         )
-    sample = (
-        vectors.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col)))
-        .orderBy("__h", id_col)
-        .limit(max(n_centroids * sample_factor, n_centroids))  # TakeOrdered
-        .collect()
+    cmat = _sampled_centroids(
+        vectors, n_centroids, sample_factor, max_iters, vec_col, id_col,
+        "build_ivf_index",
     )
-    if len(sample) == 0:
-        # a 0-row corpus has nothing to index; an empty artifact would
-        # just move the failure into every probe — fail loudly here
-        raise ValueError("build_ivf_index: vectors input has no rows")
-    svecs = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    norms = np.linalg.norm(svecs, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    sn = svecs / norms
-    k = min(n_centroids, len(sn))
-    # greedy D² (k-means++ farthest-point) reduce on the bounded sample
-    chosen = [0]
-    d2 = 1.0 - sn @ sn[0]
-    for _ in range(k - 1):
-        j = int(np.argmax(d2))
-        chosen.append(j)
-        d2 = np.minimum(d2, 1.0 - sn @ sn[j])
-    # Lloyd rounds on the bounded sample, entirely on the driver:
-    # assignment = cosine argmax on the normalized rows (same
-    # semantics as _top_m_centroids m=1 — first max wins ties),
-    # update = RAW-space column mean (what the old distributed
-    # _group_mean computed); an emptied cluster keeps its centroid so
-    # k never shrinks
-    # each round is ONE driver matmul on the bounded sample, so unlike
-    # the old distributed rounds there is no reason to stop early: run
-    # to assignment convergence; ``max_iters`` only bounds
-    # pathological cycling
-    cmat = svecs[sorted(chosen)].copy()
-    prev = None
-    for _ in range(max_iters):
-        cn = np.linalg.norm(cmat, axis=1, keepdims=True)
-        cn[cn == 0.0] = 1.0
-        a = (sn @ (cmat / cn).T).argmax(axis=1)
-        if prev is not None and (a == prev).all():
-            break
-        prev = a
-        for j in range(k):
-            members = svecs[a == j]
-            if len(members):
-                cmat[j] = members.mean(axis=0)
-    return _write_ivf_artifact(spark, vectors, path, cmat, k, vec_col, id_col, n_assign)
+    return _write_ivf_artifact(
+        spark, vectors, path, cmat, len(cmat), vec_col, id_col, n_assign
+    )
 
 
 def _write_ivf_artifact(

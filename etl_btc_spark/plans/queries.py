@@ -6904,3 +6904,294 @@ def q99al(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.col("__cum") / budget).cast("bigint").alias("pack_id"),
         (F.col("__cum") % budget).cast("bigint").alias("pack_offset"),
     )
+
+
+#: q99am IVFPQ geometry: 16 coarse centroids warm-started from corpus
+#: rows 0-15 (the q99w convention), residual codebooks warm-started
+#: from these 16 NON-centroid build rows (their residuals against
+#: their own assigned centroids become the codewords — a centroid row
+#: would contribute a useless ~zero codeword, refused by the build).
+#: All 16 sit inside the build subset and outside the upsert range
+#: 20-24, so the frozen codebooks are a pure function of ORIGINAL
+#: corpus rows the lifecycle never touches.
+_Q99AM_CB_IDS = [16, 17, 18, 19, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 36, 37]
+_Q99AM_M, _Q99AM_SUBD, _Q99AM_NPROBE = 8, 8, 4
+
+
+def _q99am_oracle() -> str:
+    """The full IVFADC chain in SQL (shared verbatim by the batch gate
+    q99am and its streamed twin q99an — twins cannot drift): coarse
+    assignment (cosine desc / centroid_id asc — _top_m_centroids'
+    first-max tie rule), residual via list_transform (float32 inputs
+    widen to float64, so the subtraction is EXACT and bit-matches the
+    numpy kernel), per-subspace L2 encoding with ties to the smaller
+    code, nprobe centroid pruning, and the inner-product ADC score
+    dot(q, c_list) + Σ_j dot(q_j, codeword_j) — over the modified
+    corpus minus the deleted plants."""
+    m, sd, npr = _Q99AM_M, _Q99AM_SUBD, _Q99AM_NPROBE
+    cb_ids = ", ".join(str(i) for i in _Q99AM_CB_IDS)
+    return f"""
+        WITH {_Q99W_CORPUS},
+        c AS (
+            SELECT CAST(vec_id + 1 AS INTEGER) AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id BETWEEN 0 AND 15
+        ),
+        cba AS (
+            SELECT vec_id, embedding, cvec FROM (
+                SELECT e.vec_id, e.embedding, c.cvec,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {SIM.cosine_sql("e.embedding", "c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, c
+                WHERE e.vec_id IN ({cb_ids})
+            ) WHERE rn = 1
+        ),
+        cb AS (
+            SELECT r.j, s.vec_id AS c,
+                   list_transform(generate_series(1, {sd}), i ->
+                       CAST(s.embedding[r.j * {sd} + i] AS DOUBLE)
+                     - CAST(s.cvec[r.j * {sd} + i] AS DOUBLE)) AS w
+            FROM cba s, unnest(range(0, {m})) AS r(j)
+        ),
+        live AS (
+            SELECT vec_id, embedding FROM mod
+            WHERE embedding IS NOT NULL AND vec_id NOT IN (23, 24)
+        ),
+        la AS (
+            SELECT vec_id, embedding, centroid_id, cvec FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id, c.cvec,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {SIM.cosine_sql("e.embedding", "c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM live e, c
+            ) WHERE rn = 1
+        ),
+        rsub AS (
+            SELECT a.vec_id, a.centroid_id, r.j,
+                   list_transform(generate_series(1, {sd}), i ->
+                       CAST(a.embedding[r.j * {sd} + i] AS DOUBLE)
+                     - CAST(a.cvec[r.j * {sd} + i] AS DOUBLE)) AS rv
+            FROM la a, unnest(range(0, {m})) AS r(j)
+        ),
+        enc AS (
+            SELECT vec_id, centroid_id, j, c FROM (
+                SELECT d.vec_id, d.centroid_id, d.j, cb.c,
+                       row_number() OVER (PARTITION BY d.vec_id, d.j
+                           ORDER BY list_dot_product(d.rv, d.rv)
+                                    - 2 * list_dot_product(d.rv, cb.w)
+                                    + list_dot_product(cb.w, cb.w) ASC,
+                                    cb.c ASC) AS rn
+                FROM rsub d JOIN cb ON d.j = cb.j
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        best AS (
+            SELECT centroid_id,
+                   list_dot_product(CAST(c.cvec AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS qc
+            FROM c, q
+            ORDER BY {SIM.cosine_sql("c.cvec", "q.qv")} DESC, centroid_id
+            LIMIT {npr}
+        ),
+        qsub AS (
+            SELECT r.j, q.qv[r.j * {sd} + 1 : r.j * {sd} + {sd}] AS sub
+            FROM q, unnest(range(0, {m})) AS r(j)
+        )
+        SELECT enc.vec_id,
+               round(1e-9 + b.qc
+                     + sum(list_dot_product(CAST(qsub.sub AS DOUBLE[]), cb.w)),
+                     6) AS adc_dot
+        FROM enc
+        JOIN best b USING (centroid_id)
+        JOIN cb ON cb.j = enc.j AND cb.c = enc.c
+        JOIN qsub ON qsub.j = enc.j
+        GROUP BY enc.vec_id, b.qc
+        ORDER BY b.qc
+                 + sum(list_dot_product(CAST(qsub.sub AS DOUBLE[]), cb.w)) DESC,
+                 enc.vec_id
+        LIMIT 10
+    """
+
+
+_Q99AM_ORACLE = _q99am_oracle()
+
+
+@register(
+    "q99am_ivfpq_lifecycle",
+    oracle=_Q99AM_ORACLE,
+    doc=(
+        "IVFPQ / IVFADC composite index LIFECYCLE under the value "
+        "gate (r13 — the EIGHTH index family, Jégou et al. 2011 "
+        "§IVFADC / faiss IndexIVFPQ with the inner-product metric; "
+        "the structure billion-scale ANN actually deploys): coarse "
+        "IVF centroids warm-started from corpus rows 0-15 + residual "
+        "PQ codebooks warm-started from 16 non-centroid build rows, "
+        "so coarse assignment, residual encoding AND the "
+        "dot(q,c_list) + Σ_j table-lookup ADC all reproduce in SQL → "
+        "insert-only append of the held-out residue (frozen "
+        "geometry) → tombstone upsert of ids 20-24 to the QUERY's "
+        "exact vector (re-assigned + re-encoded — near-top ADC iff "
+        "live) → tombstone delete of plants 23-24 (vanish iff dead) "
+        "→ nprobe-pruned ADC probe (m bytes/vector over ONLY the "
+        "probed lists' partitions — at 100 TB the scan touches "
+        "nprobe/n_centroids of m/(4·dim) of the corpus bytes, the "
+        "two pruning axes of the IVF and PQ families composed) → "
+        "sidecar fold-in compaction → probe again, raising on "
+        "pre/post divergence. Oracle = the full assignment + "
+        "residual + encoding + pruning + ADC chain over the modified "
+        "corpus minus the deleted plants"
+    ),
+)
+def q99am(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import ivfpq as IVQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    idx = SK.artifact_path(sf, "q99am_ivfpq_lifecycle")
+    shutil.rmtree(idx, ignore_errors=True)
+    # build on ids < 32 (centroid AND codebook warm rows must be build
+    # rows) plus vec_id % 4 != 3; append the held-out residue class
+    IVQ.build_ivfpq_index(
+        spark,
+        emb.filter((F.col("vec_id") < 32) | (F.col("vec_id") % 4 != 3)),
+        idx,
+        n_centroids=16,
+        m=_Q99AM_M,
+        n_codes=16,
+        centroid_ids=list(range(16)),
+        codebook_ids=_Q99AM_CB_IDS,
+    )
+    IVQ.append_ivfpq_index(
+        spark, emb.filter((F.col("vec_id") >= 32) & (F.col("vec_id") % 4 == 3)), idx
+    )
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    upd = (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select("vec_id", F.col("__qv").alias("embedding"))
+    )
+    IVQ.upsert_ivfpq_index(spark, upd, idx)
+    IVQ.delete_ivfpq_ids(
+        spark, emb.filter(F.col("vec_id").isin(23, 24)).select("vec_id"), idx
+    )
+    query = emb.filter(F.col("vec_id") == 0)
+    pre = [
+        tuple(r)
+        for r in IVQ.ivfpq_adc_topk(
+            spark, idx, query, k=10, nprobe=_Q99AM_NPROBE
+        ).collect()
+    ]
+    IVQ.compact_ivfpq_index(spark, idx)
+    post = IVQ.ivfpq_adc_topk(spark, idx, query, k=10, nprobe=_Q99AM_NPROBE)
+    if [tuple(r) for r in post.collect()] != pre:
+        raise ValueError(
+            "q99am: post-compaction ADC probe diverged from the "
+            "pre-compaction (tombstone-filtered) probe"
+        )
+    return post.select(
+        "vec_id", sround(F.col("adc_dot"), 6).alias("adc_dot")
+    )
+
+
+@register(
+    "q99an_ivfpq_stream_lifecycle",
+    oracle=_Q99AM_ORACLE,
+    doc=(
+        "STREAMED IVFPQ lifecycle under the value gate (r13 — the "
+        "eighth family joins the streaming matrix on arrival: every "
+        "persisted index family has BOTH a batch and a streamed "
+        "lifecycle gate): four availableNow triggers drive "
+        "stream_vector_index_maintain(family='ivfpq') end to end — "
+        "warm-start build over the q99am build subset (ver 0) → "
+        "insert-only residue (fresh classification → the "
+        "marker-windowed append, frozen geometry) → upsert records "
+        "planting ids 20-24 at the QUERY's exact vector (ver 1) → "
+        "DELETE records for plants 23-24 (op_col: pruned table "
+        "delete + code tombstones) — then the nprobe-pruned ADC "
+        "probe. Oracle = q99am's VERBATIM chain (shared constant — "
+        "twins cannot drift): streamed maintenance must land exactly "
+        "where the batch lifecycle does, because centroids AND "
+        "codebooks are frozen in the artifact and encode ≡ rebuild"
+    ),
+)
+def q99an(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as _T6
+
+    from etl_btc_spark.operators import ivfpq as IVQ
+    from etl_btc_spark.streaming import incremental as INC6
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    landing = SK.artifact_path(sf, "q99an_landing")
+    table = SK.artifact_path(sf, "q99an_vectors")
+    index = SK.artifact_path(sf, "q99an_ivfpq")
+    ckpt = SK.artifact_path(sf, "q99an_ckpt")
+    for p in (landing, table, index, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = _T6.StructType(
+        list(emb.schema.fields)
+        + [
+            _T6.StructField("op", _T6.StringType()),
+            _T6.StructField("ver", _T6.IntegerType()),
+        ]
+    )
+
+    def run():
+        INC6.stream_vector_index_maintain(
+            spark, f"{landing}/*", schema, table, index, ckpt,
+            family="ivfpq", op_col="op", ver_col="ver",
+            index_kw={
+                "n_centroids": 16,
+                "m": _Q99AM_M,
+                "n_codes": 16,
+                "centroid_ids": list(range(16)),
+                "codebook_ids": _Q99AM_CB_IDS,
+            },
+        )
+
+    # trigger 1: the q99am build subset at ver 0 — warm-start build
+    emb.filter(
+        (F.col("vec_id") < 32) | (F.col("vec_id") % 4 != 3)
+    ).withColumn("op", F.lit("upsert")).withColumn(
+        "ver", F.lit(0).cast("int")
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+    run()
+    # trigger 2: the held-out residue (all FRESH -> the append path)
+    emb.filter(
+        (F.col("vec_id") >= 32) & (F.col("vec_id") % 4 == 3)
+    ).withColumn("op", F.lit("upsert")).withColumn(
+        "ver", F.lit(0).cast("int")
+    ).coalesce(1).write.parquet(f"{landing}/b2")
+    run()
+    # trigger 3 (ver 1): plant ids 20-24 at the query's exact vector
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    (
+        emb.filter(F.col("vec_id").between(20, 24))
+        .crossJoin(qvec)
+        .select(
+            "vec_id",
+            F.col("__qv").alias("embedding"),
+            F.lit("upsert").alias("op"),
+            F.lit(1).cast("int").alias("ver"),
+        )
+        .coalesce(1)
+        .write.parquet(f"{landing}/b3")
+    )
+    run()
+    # trigger 4: DELETE records for plants 23-24
+    spark.createDataFrame(
+        [(23, None, "delete", None), (24, None, "delete", None)], schema
+    ).coalesce(1).write.parquet(f"{landing}/b4")
+    run()
+
+    query = emb.filter(F.col("vec_id") == 0)
+    out = IVQ.ivfpq_adc_topk(spark, index, query, k=10, nprobe=_Q99AM_NPROBE)
+    return out.select(
+        "vec_id", sround(F.col("adc_dot"), 6).alias("adc_dot")
+    )

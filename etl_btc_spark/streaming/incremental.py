@@ -729,15 +729,15 @@ def stream_vector_index_maintain(
     op_col: str | None = None,
     index_kw: dict | None = None,
 ) -> None:
-    """Continuous LSH/IVF/PQ/trigram index maintenance (r11; PQ +
-    trigram r12) — the streaming matrix: with this sink every
-    tombstone-sidecar keyed family (hyperplane-LSH, IVF,
-    product-quantization, and the trigram postings family via
-    :func:`stream_trigram_index_maintain`) has a continuous
-    maintenance path at O(batch + touched partitions) per trigger,
-    next to MinHash (:func:`stream_neardup_ingest`), text
+    """Continuous LSH/IVF/PQ/IVFPQ/trigram index maintenance (r11;
+    PQ + trigram r12; IVFPQ r13) — the streaming matrix: with this
+    sink every tombstone-sidecar keyed family (hyperplane-LSH, IVF,
+    product-quantization, the IVFADC composite, and the trigram
+    postings family via :func:`stream_trigram_index_maintain`) has a
+    continuous maintenance path at O(batch + touched partitions) per
+    trigger, next to MinHash (:func:`stream_neardup_ingest`), text
     (:func:`stream_text_index_append`) and HNSW
-    (:func:`stream_hnsw_refresh`) — ALL SEVEN persisted index
+    (:func:`stream_hnsw_refresh`) — ALL EIGHT persisted index
     families stream.
 
     Each micro-batch:
@@ -807,6 +807,7 @@ def stream_vector_index_maintain(
     import os as _os
 
     from etl_btc_spark.operators import ann_index as ANN
+    from etl_btc_spark.operators import ivfpq as IVQ
     from etl_btc_spark.operators import pq as PQ
     from etl_btc_spark.operators import text_index as TI
     from etl_btc_spark.operators import tombstones as TS2
@@ -837,6 +838,16 @@ def stream_vector_index_maintain(
             PQ.upsert_pq_index,
             PQ.delete_pq_ids,
             PQ.compact_pq_index,
+        ),
+        # r13: the IVFADC composite (operators/ivfpq.py) — frozen
+        # centroids AND codebooks (the IVF + PQ postures composed), so
+        # with warm-start geometry streamed ≡ batch ≡ rebuild exactly
+        "ivfpq": (
+            IVQ.build_ivfpq_index,
+            IVQ.append_ivfpq_index,
+            IVQ.upsert_ivfpq_index,
+            IVQ.delete_ivfpq_ids,
+            IVQ.compact_ivfpq_index,
         ),
         # r12: the trigram postings family — the last one without a
         # streaming path — shares the contract too (its payload is the
