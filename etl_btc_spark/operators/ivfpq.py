@@ -695,3 +695,187 @@ def knn_ivfpq_indexed(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_ivfpq_join(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    broadcast_max_queries: int = 200_000,
+    vpart_col: str | None = None,
+    n_table_parts: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Batched kNN JOIN against the IVFPQ artifact — the family's
+    ``knn_lsh_join``/``knn_ivf_join``/``knn_pq_join``/``knn_hnsw_join``
+    twin: N query vectors at once, the true 100 TB retrieval shape.
+
+    1. the query batch collects once (bounded by
+       ``broadcast_max_queries``) and ships as TWO bounded
+       broadcasts: the residual ADC tables (Q × m × n_codes doubles)
+       and a (query, probed list, dot(q, c)) addend frame — Q × nprobe
+       rows, the coarse ranking done on the driver against the
+       bounded centroid matrix;
+    2. ONE codes scan pruned to the UNION of every query's probed
+       lists (directory pruning on centroid_id); the broadcast-hash
+       join against the addend frame fans each code row out to
+       exactly the queries probing its list, and an Arrow-batched
+       gather scores every (row, query) pair from that query's table;
+    3. per-query rank window keeps the ``shortlist`` ADC candidates,
+       and the exact fp32 cosine re-rank joins the base table by id —
+       pruned to the candidates' vpart dirs — and the broadcast query
+       vectors by query id.
+
+    The fp32 corpus is never shuffled; the only corpus-shaped work is
+    the m-bytes-per-row scan of the probed partitions, amortized
+    across the whole query batch."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_btc_spark._pickle import ensure_serializable
+    from etl_btc_spark.operators.similarity import pair_cosine_udf
+
+    _require_built(path, "ivfpq")
+    _check_rerank_vparts(vectors, vpart_col, n_table_parts)
+    meta, cb = _collect_codebooks(spark, path)
+    cids, cmat = _collect_centroids(spark, path)
+    m, sub_d = meta["m"], meta["dim"] // meta["m"]
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .limit(broadcast_max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > broadcast_max_queries:
+        raise ValueError(
+            "knn_ivfpq_join: query batch exceeds broadcast_max_queries=%d; "
+            "chunk the batch" % broadcast_max_queries
+        )
+    out_fields = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[id_col].dataType),
+            T.StructField(id_col, vectors.schema[id_col].dataType),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_fields)
+    qids = [r[id_col] for r in qrows]
+    qmat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    # coarse ranking for the whole batch: one (Q, k) matmul on the
+    # driver (bounded by the centroid table) — per query, the nprobe
+    # best lists + their dot(q, c) addends
+    cn = _normalized(cmat)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+    sims = (qmat / qnorm[:, None]) @ cn.T
+    npr = max(min(nprobe, len(cids)), 1)
+    addend_rows = []
+    for qi in range(len(qids)):
+        order = sorted(range(len(cids)), key=lambda i: (-sims[qi, i], cids[i]))
+        for i in order[:npr]:
+            addend_rows.append(
+                (qi, int(cids[i]), float(cmat[i] @ qmat[qi]))
+            )
+    adf = spark.createDataFrame(
+        pd.DataFrame(
+            addend_rows, columns=["__qi", "centroid_id", "__qc"]
+        ),
+        "__qi int, centroid_id int, __qc double",
+    )
+    probe_union = sorted({r[1] for r in addend_rows})
+    # (Q, m, n_codes): tables[q, j, c] = dot(query_q_sub_j, cb[j][c])
+    tables = np.stack(
+        [
+            np.stack(
+                [cb[j] @ qv[j * sub_d : (j + 1) * sub_d] for j in range(m)]
+            )
+            for qv in qmat
+        ]
+    )
+    ensure_serializable()
+    t_bc = spark.sparkContext.broadcast(tables)
+
+    @pandas_udf("double")
+    def adc_at(codes: pd.Series, qi: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        t = t_bc.value  # (Q, m, k)
+        arr = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in codes]
+        ).astype(np.int64)
+        q = qi.to_numpy().astype(np.int64)
+        out = np.zeros(len(arr), dtype=np.float64)
+        for j in range(t.shape[1]):
+            out += t[q, j, arr[:, j]]
+        return pd.Series(out)
+
+    codes = TS.live_rows(
+        spark,
+        spark.read.parquet(os.path.join(path, "codes")).filter(
+            F.col("centroid_id").isin(probe_union)  # partition pruning
+        ),
+        path,
+        id_col,
+    )
+    scored = codes.join(F.broadcast(adf), "centroid_id").select(
+        "__qi",
+        F.col(id_col),
+        (F.col("__qc") + adc_at(F.col("codes"), F.col("__qi"))).alias("__adc"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qi").orderBy(F.col("__adc").desc(), F.col(id_col))
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max(shortlist, k))
+        .select("__qi", id_col)
+    )
+    vectors, cand = _pruned_rerank_base(
+        vectors, cand, id_col, vpart_col, n_table_parts, stats_out
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__qi": list(range(len(qids))),
+                query_id_col: qids,
+                # plain floats, not numpy scalars: without Arrow (a plain
+                # foreign SparkSession) the strict type-verifier rejects
+                # numpy.float64 inside an array<float> column
+                "__qvec": [[float(x) for x in v] for v in qmat],
+            }
+        ),
+        T.StructType(
+            [
+                T.StructField("__qi", T.IntegerType()),
+                T.StructField(query_id_col, queries.schema[id_col].dataType),
+                T.StructField("__qvec", queries.schema[vec_col].dataType),
+            ]
+        ),
+    )
+    cos = pair_cosine_udf()
+    reranked = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "__qi")
+        .select(
+            query_id_col,
+            F.col(id_col),
+            cos(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

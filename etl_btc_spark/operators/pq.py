@@ -703,7 +703,10 @@ def knn_pq_join(
             {
                 "__qi": list(range(len(qids))),
                 query_id_col: qids,
-                "__qvec": [list(v) for v in qmat],
+                # plain floats, not numpy scalars: without Arrow (a plain
+                # foreign SparkSession) the strict type-verifier rejects
+                # numpy.float64 inside an array<float> column
+                "__qvec": [[float(x) for x in v] for v in qmat],
             }
         ),
         T.StructType(

@@ -7195,3 +7195,138 @@ def q99an(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "vec_id", sround(F.col("adc_dot"), 6).alias("adc_dot")
     )
+
+
+@register(
+    "q99ao_knn_ivfpq_join_warm_oracle",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(vec_id + 1 AS INTEGER) AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id BETWEEN 0 AND 15
+        ),
+        cba AS (
+            SELECT vec_id, embedding, cvec FROM (
+                SELECT e.vec_id, e.embedding, c.cvec,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {SIM.cosine_sql("e.embedding", "c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, c
+                WHERE e.vec_id IN ({", ".join(str(i) for i in _Q99AM_CB_IDS)})
+            ) WHERE rn = 1
+        ),
+        cb AS (
+            SELECT r.j, s.vec_id AS cw,
+                   list_transform(generate_series(1, {_Q99AM_SUBD}), i ->
+                       CAST(s.embedding[r.j * {_Q99AM_SUBD} + i] AS DOUBLE)
+                     - CAST(s.cvec[r.j * {_Q99AM_SUBD} + i] AS DOUBLE)) AS w
+            FROM cba s, unnest(range(0, {_Q99AM_M})) AS r(j)
+        ),
+        la AS (
+            SELECT vec_id, embedding, centroid_id, cvec FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id, c.cvec,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {SIM.cosine_sql("e.embedding", "c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, c
+                WHERE e.embedding IS NOT NULL
+            ) WHERE rn = 1
+        ),
+        rsub AS (
+            SELECT a.vec_id, a.centroid_id, r.j,
+                   list_transform(generate_series(1, {_Q99AM_SUBD}), i ->
+                       CAST(a.embedding[r.j * {_Q99AM_SUBD} + i] AS DOUBLE)
+                     - CAST(a.cvec[r.j * {_Q99AM_SUBD} + i] AS DOUBLE)) AS rv
+            FROM la a, unnest(range(0, {_Q99AM_M})) AS r(j)
+        ),
+        enc AS (
+            SELECT vec_id, centroid_id, j, cw FROM (
+                SELECT d.vec_id, d.centroid_id, d.j, cb.cw,
+                       row_number() OVER (PARTITION BY d.vec_id, d.j
+                           ORDER BY list_dot_product(d.rv, d.rv)
+                                    - 2 * list_dot_product(d.rv, cb.w)
+                                    + list_dot_product(cb.w, cb.w) ASC,
+                                    cb.cw ASC) AS rn
+                FROM rsub d JOIN cb ON d.j = cb.j
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
+        ),
+        best AS (
+            SELECT query_id, centroid_id, qc FROM (
+                SELECT q.query_id, c.centroid_id,
+                       list_dot_product(CAST(c.cvec AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])) AS qc,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {SIM.cosine_sql("c.cvec", "q.qv")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM c, q
+            ) WHERE rn <= {_Q99AM_NPROBE}
+        ),
+        qsub AS (
+            SELECT q.query_id, r.j,
+                   q.qv[r.j * {_Q99AM_SUBD} + 1 : r.j * {_Q99AM_SUBD} + {_Q99AM_SUBD}] AS sub
+            FROM q, unnest(range(0, {_Q99AM_M})) AS r(j)
+        ),
+        adc AS (
+            SELECT b.query_id, enc.vec_id,
+                   b.qc + sum(list_dot_product(CAST(qs.sub AS DOUBLE[]), cb.w)) AS adc_dot
+            FROM enc
+            JOIN best b USING (centroid_id)
+            JOIN cb ON cb.j = enc.j AND cb.cw = enc.cw
+            JOIN qsub qs ON qs.j = enc.j AND qs.query_id = b.query_id
+            GROUP BY b.query_id, enc.vec_id, b.qc
+        ),
+        short AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY adc_dot DESC, vec_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= 10
+        )
+        SELECT query_id, vec_id, round(1e-9 + s, 6) AS cosine_sim FROM (
+            SELECT short.query_id, short.vec_id,
+                   {SIM.cosine_sql("e.embedding", "q.qv")} AS s,
+                   row_number() OVER (
+                       PARTITION BY short.query_id
+                       ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC,
+                                short.vec_id ASC) AS rn
+            FROM short
+            JOIN embeddings e ON short.vec_id = e.vec_id
+            JOIN q ON short.query_id = q.query_id
+        ) WHERE rn <= 10
+    """,
+    doc=(
+        "Batched IVFPQ kNN JOIN under a FULL value oracle (r13 — the "
+        "q99v warm-start posture applied to the IVFADC composite): "
+        "warm centroids AND warm residual codebooks are literal "
+        "corpus rows, and the shortlist is CUT at k (shortlist=10), "
+        "so the batched ADC math — per-query coarse ranking off one "
+        "driver matmul, per-(query, list) dot(q,c) addends "
+        "broadcast-joined onto the union-of-probed-lists codes scan, "
+        "the (Q × m × n_codes) lookup-table gather — decides "
+        "MEMBERSHIP of the exact re-rank, reproducing in plain SQL "
+        "for every query in the batch. Float posture: rank-boundary "
+        "membership compares raw numpy vs DuckDB doubles — the "
+        "accepted q99v exposure (5 rounds green on this fixture)"
+    ),
+)
+def q99ao(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import ivfpq as IVQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = SK.artifact_path(sf, "ivfpq_warm_index")
+    if not IVQ._is_built(idx, "ivfpq"):
+        IVQ.build_ivfpq_index(
+            spark, emb, idx,
+            n_centroids=16, m=_Q99AM_M, n_codes=16,
+            centroid_ids=list(range(16)), codebook_ids=_Q99AM_CB_IDS,
+        )
+    out = IVQ.knn_ivfpq_join(
+        spark, idx, emb, queries, k=10, nprobe=_Q99AM_NPROBE, shortlist=10
+    )
+    return out.select(
+        "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

@@ -264,3 +264,42 @@ def test_ivfpq_probe_prunes_lists_and_rerank(spark, emb, tmp_path):
         spark, idx, vecs.filter(F.lit(False)), k=5
     )
     assert empty2.count() == 0 and "adc_dot" in empty2.columns
+
+
+def test_ivfpq_batched_join_equals_single_probes(spark, emb, tmp_path):
+    """knn_ivfpq_join (the family's batched retrieval shape) must
+    return, per query, exactly the single-query knn_ivfpq_indexed
+    answer — same coarse ranking, same per-list addends, same ADC
+    shortlist rule, same exact re-rank tie-breaks; empty query
+    batches take the typed-empty path and the broadcast guard bites."""
+    idx = str(tmp_path / "ivfpq")
+    IVQ.build_ivfpq_index(spark, emb, idx, **WARM)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = {}
+    for r in IVQ.knn_ivfpq_join(
+        spark, idx, emb, queries, k=10, nprobe=6, shortlist=50
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["cosine_sim"], 9))
+        )
+    for q in queries.collect():
+        single = [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in IVQ.knn_ivfpq_indexed(
+                spark,
+                idx,
+                emb,
+                emb.filter(F.col("vec_id") == q["vec_id"]),
+                k=10,
+                nprobe=6,
+                shortlist=50,
+            ).collect()
+        ]
+        assert got[q["vec_id"]] == single, q["vec_id"]
+
+    empty = IVQ.knn_ivfpq_join(spark, idx, emb, emb.filter(F.lit(False)), k=5)
+    assert empty.count() == 0 and "cosine_sim" in empty.columns
+    with pytest.raises(ValueError, match="broadcast_max_queries"):
+        IVQ.knn_ivfpq_join(
+            spark, idx, emb, queries, k=5, broadcast_max_queries=2
+        )

@@ -13,6 +13,7 @@ import pytest
 from etl_btc_spark.plans.queries import REGISTRY
 from etl_btc_spark.operators import ann_index as ANN
 from etl_btc_spark.operators import dedup as DD
+from etl_btc_spark.operators import ivfpq as IVQ
 from etl_btc_spark.operators import pq as PQ
 from etl_btc_spark.operators import text_index as TI
 
@@ -65,6 +66,12 @@ CASES = [
     # the probe corpus keeps their text — dead gram tombstones alone
     # exclude them, so a no-op'd delete leaks them vs the oracle
     ("q99ai_trigram_stream_lifecycle", TI, "delete_trigram_ids"),
+    # r13 IVFPQ gates: the plants 20-24 re-encode to the query's exact
+    # residual codes (near-top ADC iff the upsert is live); a dead
+    # delete keeps 23-24 in the top-10 vs the oracle that excludes them
+    ("q99am_ivfpq_lifecycle", IVQ, "upsert_ivfpq_index"),
+    ("q99am_ivfpq_lifecycle", IVQ, "delete_ivfpq_ids"),
+    ("q99an_ivfpq_stream_lifecycle", IVQ, "delete_ivfpq_ids"),
 ]
 
 
@@ -210,6 +217,8 @@ def test_lifecycle_gates_green_when_intact(spark, ddb):
         "q99ag_text_stream_lifecycle",
         "q99ah_hnsw_stream_lifecycle",
         "q99ai_trigram_stream_lifecycle",
+        "q99am_ivfpq_lifecycle",
+        "q99an_ivfpq_stream_lifecycle",
     ):
         srows, orows = _run_vs_oracle(spark, ddb, name)
         assert srows == orows, "%s diverged from its oracle" % name
