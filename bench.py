@@ -484,11 +484,10 @@ def main() -> None:
     run_query(spark, REGISTRY["q32_sentiment_scores"], sf_dir)
     builds, builds_ctx = time_builds(spark, sf_dir)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    calibration = calibrate(spark, repeats=repeats)
     # settle sweep (VERDICT r12 #1a): one UNTIMED pass over every
-    # headline query between the build/calibration phase and the timed
-    # loop. r12's driver file showed +39%/+64% on q15/q17 that a
-    # same-box A/B disproved — the first timed queries ran under fresh
+    # headline query between the build phase and the timed loop.
+    # r12's driver file showed +39%/+64% on q15/q17 that a same-box
+    # A/B disproved — the first timed queries ran under fresh
     # build-phase JVM state (codegen caches cold, GC pressure from 30+
     # build jobs). The sweep pays that transient once, off the clock.
     for q in headline:
@@ -496,6 +495,16 @@ def main() -> None:
         release_scoped_caches()
         release_scoped_broadcasts()
     spark.sparkContext._jvm.System.gc()
+    # calibration AFTER the settle sweep (r13): the divisor must be
+    # measured under the same warmed JVM/cache state the timed loop
+    # runs in — measured pre-settle it inherits build-phase GC/codegen
+    # transients the queries no longer pay, skewing value_normalized.
+    # A second pass runs after the timed loop (see below): the suite
+    # is three sub-second jobs, so a single pass samples one ~10 s
+    # window and a transient there swings the divisor ±40%; the
+    # per-job min across the two passes BRACKETING the loop filters
+    # one-sided transients while a genuinely slower box moves both.
+    calibration = calibrate(spark, repeats=repeats)
     # the heaviest headline queries get extra repeats (VERDICT r6 #6):
     # their best-of must sit below this box's run-to-run spread or
     # every round re-litigates noise-vs-regression on exactly the
@@ -546,6 +555,16 @@ def main() -> None:
         release_scoped_caches()
         release_scoped_broadcasts()
     value = round(sum(timings.values()), 3)
+    # second calibration pass (r13): fold per-job mins across the two
+    # passes bracketing the timed loop — see the pre-loop comment
+    cal2 = calibrate(spark, repeats=repeats)
+    folded = {
+        j: min(calibration["suite"][j], cal2["suite"][j])
+        for j in calibration["suite"]
+    }
+    calibration["suite_post"] = cal2["suite"]
+    calibration["suite"] = folded
+    calibration["suite_sec"] = round(sum(folded.values()), 3)
     suite_sec = calibration.get("suite_sec") or 0.0
     compact = {
         "metric": "headline query wall-clock (noop sink), local[%s]"

@@ -1102,9 +1102,10 @@ def stream_trigram_index_maintain(
     function of the text, so the streamed index is byte-equivalent to
     a rebuild over the final table; probes
     (:func:`operators.text_index.substring_search`) live-filter
-    through the shared tombstone sidecar. With this sink ALL SEVEN
-    persisted index families (LSH, IVF, PQ, HNSW, MinHash, text,
-    trigram) have a continuous maintenance path."""
+    through the shared tombstone sidecar. With this sink (r12) and
+    the r13 IVFPQ entry, ALL EIGHT persisted index families (LSH,
+    IVF, PQ, IVFPQ, HNSW, MinHash, text, trigram) have a continuous
+    maintenance path."""
     stream_vector_index_maintain(
         spark,
         landing_dir,
