@@ -422,7 +422,7 @@ def _cal_python_roundtrip(spark):
     )
 
 
-def calibrate(spark, repeats: int = 3) -> dict:
+def calibrate(spark, repeats: int = 3, legacy: bool = True) -> dict:
     """Machine fingerprint (VERDICT r6 #3/#4, reshaped per VERDICT r12
     #1b): BENCH_r{N}.json files are recorded on whatever box the
     driver landed on, and round 6 burned a full judge A/B proving a
@@ -448,12 +448,15 @@ def calibrate(spark, repeats: int = 3) -> dict:
             job(spark).write.mode("overwrite").format("noop").save()
             samples.append(time.time() - t0)
         suite_times[name] = round(min(samples), 3)
-    # legacy pure-JVM scalar: kept for continuity with BENCH_r06–r12
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(100_000_000).selectExpr("sum(id * 3 + 1) AS s").collect()
-        times.append(time.time() - t0)
+    # legacy pure-JVM scalar: kept for continuity with BENCH_r06–r12;
+    # skipped on the post-loop pass, which only folds the mini-suite
+    times = [0.0]
+    if legacy:
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(100_000_000).selectExpr("sum(id * 3 + 1) AS s").collect()
+            times.append(time.time() - t0)
     cpu = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -557,7 +560,7 @@ def main() -> None:
     value = round(sum(timings.values()), 3)
     # second calibration pass (r13): fold per-job mins across the two
     # passes bracketing the timed loop — see the pre-loop comment
-    cal2 = calibrate(spark, repeats=repeats)
+    cal2 = calibrate(spark, repeats=repeats, legacy=False)
     folded = {
         j: min(calibration["suite"][j], cal2["suite"][j])
         for j in calibration["suite"]

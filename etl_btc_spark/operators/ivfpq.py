@@ -301,11 +301,15 @@ def build_ivfpq_index(
             )
         src = np.stack([rows[i] for i in want])
         _, resid = _assign_residuals(src, cids, cmat)
-        if float(np.abs(resid).max()) < 1e-12:
+        flat = np.abs(resid).max(axis=1)
+        if float(flat.min()) < 1e-12:
+            # per-ROW check: one centroid row among the codebook ids
+            # would silently ship a useless all-zero codeword
+            bad = [want[i] for i in range(len(want)) if flat[i] < 1e-12]
             raise ValueError(
-                "build_ivfpq_index: every codebook_ids row has a ~zero "
-                "residual (the rows ARE centroids) — residual codewords "
-                "would all be zero; pick non-centroid corpus rows"
+                "build_ivfpq_index: codebook_ids %r have ~zero residuals "
+                "(the rows ARE centroids) — their residual codewords "
+                "would be zero; pick non-centroid corpus rows" % bad
             )
         cb = np.stack(
             [resid[:, j * sub_d : (j + 1) * sub_d] for j in range(m)]

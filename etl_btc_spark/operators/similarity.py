@@ -459,7 +459,13 @@ def embedding_diagnostics_oracle_sql() -> str:
 RRF_MAX_CANDIDATES = 100_000
 
 
-def _rrf_guard(df: DataFrame, part_cols: list, id_col: str, max_candidates: int):
+def _rrf_guard(
+    df: DataFrame,
+    part_cols: list,
+    id_col: str,
+    max_candidates: int,
+    op: str = "rrf_fuse",
+):
     """Plan-side contract checks for one fused input frame: (a) ids
     are unique within a ranked list (a duplicate would earn two ranks
     and silently sum both 1/(k+rank) terms, inflating that doc —
@@ -476,10 +482,10 @@ def _rrf_guard(df: DataFrame, part_cols: list, id_col: str, max_candidates: int)
         (F.count(F.lit(1)).over(w_id) == 1)
         & (F.count(F.lit(1)).over(w_all) <= max_candidates),
         F.lit(
-            "rrf_fuse: each input must be a bounded ranked list with "
+            "%s: each input must be a bounded ranked list with "
             "unique %s per list (duplicate ids would sum multiple "
             "reciprocal-rank terms; lists above %d rows exceed the "
-            "bounded-top-n contract)" % (id_col, max_candidates)
+            "bounded-top-n contract)" % (op, id_col, max_candidates)
         ),
     )
     # filter on the assert's NULL result so Catalyst can't prune the
@@ -564,7 +570,9 @@ def rrf_fuse_batched(
         raise ValueError("rrf_fuse_batched: at least one ranked list required")
     parts = []
     for df, score_col in frames:
-        df = _rrf_guard(df, [query_col], id_col, max_candidates)
+        df = _rrf_guard(
+            df, [query_col], id_col, max_candidates, op="rrf_fuse_batched"
+        )
         w = Window.partitionBy(query_col).orderBy(
             F.col(score_col).desc(), F.col(id_col)
         )

@@ -6633,7 +6633,7 @@ def _q99al_oracle() -> str:
             FROM corpus WHERE {norm} <> ''
         ), chunks AS (
             SELECT doc_id,
-                   doc_id * 1000 + (i - 1) AS ck,
+                   doc_id * 1000000 + (i - 1) AS ck,
                    t[(i-1)*{size}+1 : i*{size}] AS ctoks,
                    array_to_string(t[(i-1)*{size}+1 : i*{size}], ' ') AS chunk_text,
                    CAST(len(t[(i-1)*{size}+1 : i*{size}]) AS BIGINT) AS n_tokens
@@ -6781,7 +6781,10 @@ def q99al(spark: SparkSession, sf: str) -> DataFrame:
         staged.select(
             "doc_id", F.posexplode(chunk_arr).alias("pos", "ctoks")
         ).select(
-            (F.col("doc_id") * 1000 + F.col("pos")).alias("ck"),
+            # stride 10^6, not 10^3: a 64k-token doc has 1000 chunks,
+            # and doc_id*1000+1000 would collide with the next doc's
+            # chunk 0 — silently merging two chunks in every join
+            (F.col("doc_id") * 1000000 + F.col("pos")).alias("ck"),
             F.col("ctoks"),
             F.concat_ws(" ", F.col("ctoks")).alias("chunk_text"),
             F.size(F.col("ctoks")).cast("bigint").alias("n_tokens"),

@@ -103,6 +103,14 @@ def test_ivfpq_build_misuse_guards(spark, emb, tmp_path):
             spark, emb, bad,
             centroid_ids=list(range(16)), codebook_ids=list(range(16)),
         )
+    with pytest.raises(ValueError, match=r"\[0\]"):
+        # the per-ROW variant: ONE centroid row hiding among 15 good
+        # codebook rows must refuse too (a global-max check would
+        # pass and silently ship a useless all-zero codeword)
+        IVQ.build_ivfpq_index(
+            spark, emb, bad,
+            centroid_ids=list(range(16)), codebook_ids=[0] + CB_IDS[:15],
+        )
     # the shared warm-centroid guards hold for this family too
     with pytest.raises(ValueError, match="duplicate centroid_ids"):
         IVQ.build_ivfpq_index(spark, emb, bad, centroid_ids=[1] * 16)

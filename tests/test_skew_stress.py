@@ -12,14 +12,17 @@ script docstring for why lowered AQE thresholds don't weaken the pin
 """
 
 import json
+import os
 import subprocess
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_hot_key_corpus_has_no_dominant_task():
     proc = subprocess.run(
         [sys.executable, "scripts/skewcheck.py"],
-        cwd="/root/repo",
+        cwd=REPO,
         capture_output=True,
         text=True,
         timeout=560,
