@@ -1217,3 +1217,322 @@ def extract_media_meta(
             yield out
 
     return df.mapInPandas(gen, MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# AUDIO (r13): a REAL dependency-free WAV/PCM16 codec + the three
+# audio pipeline shapes a pretraining corpus needs — metadata extract,
+# windowed feature-extract (the audio analogue of frame sampling) and
+# resampling. Same execution contract as the image paths: one
+# mapInPandas Arrow crossing per batch, fan-out bounded by the window
+# count, no shuffle, partition sizing via maxPartitionBytes.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, rate: int, channels: int = 1) -> bytes:
+    """REAL RIFF/WAVE PCM16 encoder — struct + numpy only. ``samples``
+    is a float array in [-1, 1], shape (n,) or (n, channels);
+    values clip to the int16 range. Little-endian interleaved frames,
+    the canonical 44-byte header."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] != channels:
+        raise ValueError(
+            "encode_wav: samples shape %r does not match channels=%d"
+            % (x.shape, channels)
+        )
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    block_align = 2 * channels
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, rate * block_align, block_align, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """REAL RIFF/WAVE PCM16 decoder: chunk-walk the container
+    (tolerating extra chunks between fmt and data — the LIST/INFO
+    blocks real encoders emit), validate PCM16, return
+    ``(rate, (n, channels) float64 in [-1, 1))``. Malformed payloads
+    raise — the NULL-on-failure policy lives in the operators."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("decode_wav: truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("decode_wav: missing fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            "decode_wav: only PCM16 supported (format=%d bits=%d)"
+            % (audio_format, bits)
+        )
+    if channels < 1:
+        raise ValueError("decode_wav: channels=%d" % channels)
+    n = len(data) // (2 * channels)
+    pcm = np.frombuffer(data[: n * 2 * channels], dtype="<i2").reshape(
+        n, channels
+    )
+    return rate, pcm.astype(np.float64) / 32768.0
+
+
+def decode_wav_meta(payload: bytes) -> dict:
+    """Header-only metadata (the :func:`decode_image_meta` twin for
+    audio): sample rate, channels, bit depth, sample count and
+    integer-milli duration without touching the PCM body beyond its
+    length. ``duration_ms = n_samples * 1000 // rate`` — integer
+    arithmetic, so the SQL oracle reproduces it exactly."""
+    rate, x = decode_wav(payload)
+    n = x.shape[0]
+    return {
+        "byte_len": len(bytes(payload)),
+        "sample_rate": rate,
+        "channels": int(x.shape[1]),
+        "bits_per_sample": 16,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        "format": "wav/pcm16",
+    }
+
+
+#: deterministic synthetic-audio geometry, shared VERBATIM by
+#: :func:`attach_wav_payload` and the q99ap/aq/ar oracles: per doc,
+#: n samples of a closed-form int16 signal at a doc-derived rate —
+#: the fake_decode_meta trick, except the payload is a REAL WAV
+#: container and the operators run the REAL codec; only the signal
+#: inside is closed-form.
+#:   n      = 256 + (doc_id % 512)
+#:   rate   = 8000 + (doc_id % 3) * 4000
+#:   pcm_k  = ((doc_id * 31 + k * 17) % 1999) - 999   (int16)
+#:   f_k    = pcm_k / 32768.0                          (float64, exact)
+WAV_SYNTH_SQL = {
+    "n": "CAST(256 + doc_id % 512 AS BIGINT)",
+    "rate": "CAST(8000 + (doc_id % 3) * 4000 AS BIGINT)",
+    "pcm": "((doc_id * 31 + {k} * 17) % 1999 - 999)",
+}
+
+
+def _synth_pcm(doc_id: int, n: int):
+    import numpy as np
+
+    k = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + k * 17) % 1999 - 999).astype(np.float64) / 32768.0
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL mono PCM16 WAV payload per row from the
+    closed-form signal above (the fixtures carry no audio blobs).
+    The bytes go through :func:`encode_wav` — downstream operators
+    exercise the genuine container parse, while the oracles recompute
+    the signal arithmetically and never touch bytes."""
+    ensure_serializable()
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("payload", T.BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 256 + did % 512
+                rate = 8000 + (did % 3) * 4000
+                payloads.append(encode_wav(_synth_pcm(did, n), rate))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def extract_audio_meta(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """mapInPandas audio-metadata extract over the opaque payload —
+    the :func:`extract_media_meta` twin running the REAL WAV parser.
+    ``on_error="null"`` NULLs the meta columns of an undecodable
+    payload (U6's per-item error-continue), keeping byte_len so the
+    bad row stays attributable."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"extract_audio_meta: unknown on_error {on_error!r}")
+    ensure_serializable()
+    meta_cols = [f.name for f in AUDIO_META_SCHEMA.fields if f.name != "doc_id"]
+
+    def safe(p) -> dict:
+        try:
+            return decode_wav_meta(p)
+        except Exception:
+            if on_error == "raise":
+                raise
+            return {
+                "byte_len": len(bytes(p)),
+                "sample_rate": None,
+                "channels": None,
+                "bits_per_sample": None,
+                "n_samples": None,
+                "duration_ms": None,
+                "format": None,
+            }
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [safe(p) for p in pdf["payload"]]
+            out = pd.DataFrame(metas, columns=meta_cols)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(gen, AUDIO_META_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("win_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame, window: int = 256, hop: int = 128
+) -> DataFrame:
+    """Windowed feature extraction — the audio analogue of
+    :func:`sample_frames`: decode once, slide a ``window``-sample
+    frame at ``hop`` stride (the last window may be short), emit
+    per-window RMS and peak. Variable fan-out per row → mapInPandas;
+    a real pipeline would emit spectral features from the same
+    window loop. RMS sums run in float64 and emit FULL precision —
+    rounding belongs to the query layer (sround on both sides), where
+    the epsilon-shift keeps python/DuckDB half-way cases aligned."""
+    import numpy as np
+
+    if window < 1 or hop < 1:
+        raise ValueError("audio_windows: window and hop must be >= 1")
+    ensure_serializable()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, x = decode_wav(bytes(p))
+                mono = x[:, 0]
+                n = len(mono)
+                for w in range(0, (n + hop - 1) // hop):
+                    seg = mono[w * hop : w * hop + window]
+                    if len(seg) == 0:
+                        continue
+                    rows.append(
+                        (
+                            did,
+                            w,
+                            len(seg),
+                            float(np.sqrt((seg * seg).mean())),
+                            float(np.abs(seg).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "win_idx", "win_samples", "rms", "peak"],
+            )
+
+    return df.mapInPandas(gen, AUDIO_WINDOW_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_rate", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("rms_out", T.DoubleType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resample_audio(df: DataFrame, target_rate: int = 16_000) -> DataFrame:
+    """Linear-interpolation resample to ``target_rate``, re-encoded as
+    a REAL WAV payload (decode → interp → encode round-trip — the
+    audio :func:`resize_media`). Output index i maps to input
+    position ``p = i * (n-1) / (n_out-1)`` with
+    ``s = f[lo] * (1 - frac) + f[lo+1] * frac`` — the formula is
+    written identically in the SQL oracle; the audited RMS emits full
+    precision (query-layer sround). ``n_out = max(2, n * target_rate // rate)``
+    (integer arithmetic, exact in both engines)."""
+    import numpy as np
+
+    if target_rate < 1:
+        raise ValueError("resample_audio: target_rate must be >= 1")
+    ensure_serializable()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, x = decode_wav(bytes(p))
+                mono = x[:, 0]
+                n = len(mono)
+                n_out = max(2, n * target_rate // rate)
+                i = np.arange(n_out, dtype=np.float64)
+                pos = i * float(n - 1) / float(n_out - 1)
+                lo = np.floor(pos).astype(np.int64)
+                hi = np.minimum(lo + 1, n - 1)
+                frac = pos - lo
+                out = mono[lo] * (1.0 - frac) + mono[hi] * frac
+                rows.append(
+                    (
+                        did,
+                        target_rate,
+                        int(n_out),
+                        float(np.sqrt((out * out).mean())),
+                        encode_wav(out, target_rate),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_rate", "n_out", "rms_out", "payload"],
+            )
+
+    return df.mapInPandas(gen, AUDIO_RESAMPLE_SCHEMA)

@@ -7333,3 +7333,137 @@ def q99ao(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+@register(
+    "q99ap_audio_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(44 + 2 * (256 + doc_id % 512) AS BIGINT) AS byte_len,
+               CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(16 AS INTEGER) AS bits_per_sample,
+               CAST(256 + doc_id % 512 AS BIGINT) AS n_samples,
+               CAST((256 + doc_id % 512) * 1000
+                    // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+               'wav/pcm16' AS format
+        FROM documents
+    """,
+    doc=(
+        "§2.11 multimodal AUDIO (r13): opaque binary payload + "
+        "mapInPandas metadata extract through a REAL dependency-free "
+        "RIFF/WAVE PCM16 parser (struct chunk walk — the "
+        "decode_image_meta posture for audio). The payload is a "
+        "genuine WAV container synthesized per doc from a closed-form "
+        "signal (attach_wav_payload), so the engine exercises real "
+        "encode→parse while the oracle recomputes the header fields "
+        "arithmetically: byte_len = 44 + 2n, integer-milli duration = "
+        "n*1000 // rate. One Arrow crossing, no shuffle"
+    ),
+)
+def q99ap(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return MM.extract_audio_meta(MM.attach_wav_payload(docs))
+
+
+@register(
+    "q99aq_audio_windows",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
+            FROM documents
+        ), w AS (
+            SELECT doc_id, n, CAST(w AS INTEGER) AS win_idx,
+                   w * 128 AS k0,
+                   least(CAST(256 AS BIGINT), n - w * 128) AS sz
+            FROM p, unnest(generate_series(0, (n + 127) // 128 - 1)) AS t(w)
+        ), s AS (
+            SELECT w.doc_id, w.win_idx, w.sz,
+                   ((w.doc_id * 31 + (w.k0 + i) * 17) % 1999 - 999)
+                       / 32768.0 AS f
+            FROM w, unnest(generate_series(0, w.sz - 1)) AS t(i)
+        )
+        SELECT doc_id, win_idx,
+               CAST(any_value(sz) AS BIGINT) AS win_samples,
+               round(1e-9 + sqrt(avg(f * f)), 6) AS rms,
+               round(1e-9 + max(abs(f)), 6) AS peak
+        FROM s GROUP BY doc_id, win_idx
+    """,
+    doc=(
+        "§2.11 multimodal AUDIO windowed feature extraction (r13) — "
+        "the audio analogue of q64's frame sampling: decode the REAL "
+        "WAV payload once, slide a 256-sample window at hop 128 "
+        "(last window short), emit per-window RMS + peak — variable "
+        "fan-out per row through one mapInPandas crossing, fan-out "
+        "bounded by ceil(n/hop), no shuffle. Oracle rebuilds every "
+        "window's samples from the closed-form signal "
+        "(generate_series × generate_series) and aggregates the same "
+        "RMS/peak, both sides epsilon-rounded at 6 dp"
+    ),
+)
+def q99aq(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    out = MM.audio_windows(MM.attach_wav_payload(docs), window=256, hop=128)
+    return out.select(
+        "doc_id",
+        "win_idx",
+        "win_samples",
+        sround(F.col("rms"), 6).alias("rms"),
+        sround(F.col("peak"), 6).alias("peak"),
+    )
+
+
+@register(
+    "q99ar_audio_resample",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(256 + doc_id % 512 AS BIGINT) AS n,
+                   CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate
+            FROM documents
+        ), q AS (
+            SELECT doc_id, n, rate,
+                   greatest(CAST(2 AS BIGINT), n * 16000 // rate) AS n_out
+            FROM p
+        ), v AS (
+            SELECT q.doc_id, q.n, q.n_out,
+                   CAST(floor(i * CAST(q.n - 1 AS DOUBLE)
+                              / CAST(q.n_out - 1 AS DOUBLE)) AS BIGINT) AS lo,
+                   i * CAST(q.n - 1 AS DOUBLE) / CAST(q.n_out - 1 AS DOUBLE)
+                       - floor(i * CAST(q.n - 1 AS DOUBLE)
+                               / CAST(q.n_out - 1 AS DOUBLE)) AS frac
+            FROM q, unnest(generate_series(0, q.n_out - 1)) AS t(i)
+        ), o AS (
+            SELECT doc_id, n_out,
+                   ((doc_id * 31 + lo * 17) % 1999 - 999) / 32768.0
+                       * (1.0 - frac)
+                   + ((doc_id * 31 + least(lo + 1, n - 1) * 17) % 1999 - 999)
+                       / 32768.0 * frac AS s
+            FROM v
+        )
+        SELECT doc_id, CAST(16000 AS BIGINT) AS out_rate, n_out,
+               round(1e-9 + sqrt(avg(s * s)), 6) AS rms_out
+        FROM o GROUP BY doc_id, n_out
+    """,
+    doc=(
+        "§2.11 multimodal AUDIO resample (r13) — the audio "
+        "resize_media: decode the REAL WAV payload, linear-interp to "
+        "16 kHz (s = f[lo]*(1-frac) + f[lo+1]*frac, the formula "
+        "written identically in the oracle), re-encode a REAL WAV "
+        "container at the target rate, audit n_out (integer "
+        "arithmetic, exact) and the resampled RMS (epsilon-rounded "
+        "6 dp). decode→transform→encode round-trips the genuine "
+        "codec; the binary payload column is dropped from the gate "
+        "(value-audited via rms_out) since hashes cover typed "
+        "columns only"
+    ),
+)
+def q99ar(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    out = MM.resample_audio(MM.attach_wav_payload(docs), target_rate=16_000)
+    return out.select(
+        "doc_id",
+        "out_rate",
+        "n_out",
+        sround(F.col("rms_out"), 6).alias("rms_out"),
+    )

@@ -673,3 +673,114 @@ def test_sample_frames_gif_real_bytes(spark):
         for k in range(0, len(a), 2)
     )
     assert rows == want
+
+
+def test_wav_codec_roundtrip_and_meta():
+    """r13 REAL audio codec: PCM16 encode→decode round-trips exactly
+    for int16-representable samples (mono and stereo), the header
+    parser reports exact meta, extra RIFF chunks between fmt and data
+    are tolerated (real encoders emit LIST/INFO), and malformed or
+    non-PCM16 payloads refuse with ValueError."""
+    import numpy as np
+
+    x = MM._synth_pcm(7, 300)
+    b = MM.encode_wav(x, 12_000)
+    rate, y = MM.decode_wav(b)
+    assert rate == 12_000 and y.shape == (300, 1)
+    # synth samples are k/32768 for integer k -> the round trip is EXACT
+    assert (np.round(x * 32768) == y[:, 0] * 32768).all()
+
+    st = np.stack([x, -x], axis=1)
+    r2, y2 = MM.decode_wav(MM.encode_wav(st, 44_100, channels=2))
+    assert r2 == 44_100 and y2.shape == (300, 2)
+    assert (y2[:, 0] == -y2[:, 1]).all()
+
+    m = MM.decode_wav_meta(b)
+    assert m == {
+        "byte_len": 44 + 2 * 300,
+        "sample_rate": 12_000,
+        "channels": 1,
+        "bits_per_sample": 16,
+        "n_samples": 300,
+        "duration_ms": 300 * 1000 // 12_000,
+        "format": "wav/pcm16",
+    }
+
+    # chunk-walk tolerance: a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b[:fmt_end] + b"LIST" + struct.pack("<I", 4) + b"INFO" + b[fmt_end:]
+    r3, y3 = MM.decode_wav(extra)
+    assert r3 == 12_000 and (y3 == y).all()
+
+    for bad in (b"nope", b[:20], b.replace(b"fmt ", b"fmx ")):
+        with pytest.raises(ValueError):
+            MM.decode_wav(bad)
+    # non-PCM16 refuses: flip bits_per_sample to 8
+    b8 = bytearray(b)
+    b8[34:36] = struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="PCM16"):
+        MM.decode_wav(bytes(b8))
+    with pytest.raises(ValueError, match="shape"):
+        MM.encode_wav(x, 8000, channels=2)
+
+
+def test_audio_operators_through_spark(spark):
+    """The three audio pipeline shapes over REAL WAV payloads: meta
+    extract matches the closed-form header math; windows cover every
+    sample exactly once at hop == window; resample to the SOURCE rate
+    is the identity mapping (frac == 0 at every output index); the
+    NULL-on-failure arm keeps byte_len for an undecodable payload."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    wav = MM.attach_wav_payload(docs)
+
+    meta = {r["doc_id"]: r for r in MM.extract_audio_meta(wav).collect()}
+    for did in (0, 7, 39):
+        n = 256 + did % 512
+        rate = 8000 + (did % 3) * 4000
+        m = meta[did]
+        assert m["n_samples"] == n and m["sample_rate"] == rate
+        assert m["byte_len"] == 44 + 2 * n
+        assert m["duration_ms"] == n * 1000 // rate
+
+    # hop == window -> windows partition the stream: sizes sum to n
+    wins = MM.audio_windows(wav, window=128, hop=128).collect()
+    per_doc: dict = {}
+    for r in wins:
+        per_doc.setdefault(r["doc_id"], 0)
+        per_doc[r["doc_id"]] += r["win_samples"]
+    assert per_doc == {d: 256 + d % 512 for d in range(40)}
+
+    # resample at the source rate: n_out == n and the signal is
+    # untouched (frac == 0 everywhere), so rms_out == rms of the synth
+    one = wav.filter(F.col("doc_id") == 6)  # rate 8000 + 0*4000? 6%3=0 -> 8000
+    out = MM.resample_audio(one, target_rate=8000).collect()[0]
+    n = 256 + 6 % 512
+    assert out["n_out"] == n
+    x = MM._synth_pcm(6, n)
+    assert abs(out["rms_out"] - float(np.sqrt((x * x).mean()))) < 1e-12
+    rate2, y2 = MM.decode_wav(bytes(out["payload"]))
+    assert rate2 == 8000 and (np.abs(y2[:, 0] - x) <= 1 / 32768).all()
+
+    # error-continue arm: a corrupt payload NULLs meta, keeps byte_len
+    broken = wav.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 3, F.lit(b"not audio")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in MM.extract_audio_meta(broken, on_error="null").collect()
+    }
+    assert rows[3]["sample_rate"] is None and rows[3]["byte_len"] == 9
+    assert rows[4]["sample_rate"] == 8000 + (4 % 3) * 4000
+    with pytest.raises(Exception):
+        MM.extract_audio_meta(broken).collect()
+    with pytest.raises(ValueError, match="window"):
+        MM.audio_windows(wav, window=0)
+    with pytest.raises(ValueError, match="target_rate"):
+        MM.resample_audio(wav, target_rate=0)
