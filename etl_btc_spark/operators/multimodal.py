@@ -19,6 +19,14 @@ it. The oracle-checked pipelines (q42/q64/q65) keep
 (oracle-expressible via octet_length), because the parquet fixtures
 carry text, not blobs. The Spark-side contract — schema, batch
 iteration, partition sizing — is identical for both decoders.
+
+Audio (round 13): a REAL dependency-free RIFF/WAVE PCM16 codec
+(:func:`encode_wav` / :func:`decode_wav` / :func:`decode_wav_meta`)
+with the three pipeline shapes — metadata extract, windowed RMS/peak
+features, linear-interp resample — each under a full value oracle
+(q99ap/q99aq/q99ar): :func:`attach_wav_payload` wraps a closed-form
+signal in genuine WAV containers, so the engine runs the real codec
+while the oracles recompute the signal arithmetically.
 """
 
 from __future__ import annotations
