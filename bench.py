@@ -27,6 +27,17 @@ for cross-round continuity — bench files are recorded on whatever
 machine the round landed on (VERDICT r6 found a 1.38x apparent
 slowdown that was pure machine drift).
 
+The compact line also carries ``calibration_version`` (r14): divisor
+semantics for ``value_normalized`` — 1 = linear range.sum scalar
+(r10-r12), 2 = mini-suite sum min-folded across two passes (r13+).
+Normalized numbers are comparable ONLY within a version; r12's 21.056
+vs r13's 6.261 is a unit change, not a speedup. Known residual noise:
+the FIRST bench process on a fresh box runs ~7-10% slower end-to-end
+than an immediate rerun (page cache + JIT profile cold start) — the
+settle sweep absorbs most per-query transients but not all of the
+process-level drift, so single-run cross-round deltas under ~10%
+should be read against ``queries_var`` before being called real.
+
 Phase order (VERDICT r12 #1a): builds → calibration → an UNTIMED
 settle sweep over every headline query → the timed loop. r12's
 driver file showed q15/q17 'regressions' (+39%/+64%) that a same-box
@@ -580,6 +591,14 @@ def main() -> None:
         # rounds' value_normalized compare directly; the old linear
         # range.sum scaling swung ±50% on machine drift alone.
         "value_normalized": round(value / suite_sec, 3) if suite_sec else None,
+        # calibration_version marks DIVISOR SEMANTICS so rounds are
+        # never cross-compared over a unit change (VERDICT r13 #3):
+        #   1 = linear range.sum scalar (r10-r12; r12's 21.056),
+        #   2 = workload-shaped 3-query mini-suite, min-folded across
+        #       the two passes bracketing the timed loop (r13+; 6.261).
+        # Only compare value_normalized between identical versions.
+        "calibration_version": 2,
+        "calibration_suite": calibration["suite"],
         "unit": "sec",
         "queries": timings,
         "sf": sf,

@@ -266,6 +266,14 @@ def build_ivfpq_index(
             "build_ivfpq_index",
         )
     k = len(cmat)
+    # Round the centroids through the dtype they will persist under
+    # BEFORE computing any residuals: a float32 corpus stores float32
+    # centroids, so training against unrounded float64 Lloyd centroids
+    # would fit codebooks the encoder (which reads the artifact back)
+    # never sees (ADVICE r13). Warm-start centroids are literal corpus
+    # rows, already representable — the round-trip is a no-op there.
+    if isinstance(vectors.schema[vec_col].dataType.elementType, T.FloatType):
+        cmat = cmat.astype(np.float32).astype(np.float64)
     cids = np.arange(1, k + 1, dtype=np.int64)
     sub_d = dim // m
     # --- residual codebooks (frozen at build) ---
@@ -337,11 +345,15 @@ def build_ivfpq_index(
     TS.clear_tombstones(path)
     TS.clear_fold_debris(path)
     _write_meta(path, m, n_codes, dim, k)
+    # cmat is already rounded through the persistence dtype above, so
+    # writing the float64 values under the corpus vec_col's dataType is
+    # lossless for BOTH float and double corpora (ADVICE r13: a blanket
+    # fp32 downcast silently truncated array<double> centroids).
     cent_pdf = pd.DataFrame(
         {
             "centroid_id": [int(i) for i in cids],
             "centroid_vec": [
-                [float(x) for x in cmat[i].astype(np.float32)] for i in range(k)
+                [float(x) for x in cmat[i]] for i in range(k)
             ],
         }
     )

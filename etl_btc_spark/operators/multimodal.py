@@ -1288,6 +1288,15 @@ def decode_wav(payload: bytes):
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if pos + 8 + size > len(b):
+            # A declared chunk size that overruns the buffer is a
+            # truncated payload — decoding a partial body would let
+            # shortened audio flow silently through meta/windows/
+            # resample, so refuse loudly (ADVICE r13).
+            raise ValueError(
+                "decode_wav: chunk %r declares %d bytes but only %d remain"
+                % (cid, size, len(b) - pos - 8)
+            )
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:
@@ -1463,27 +1472,64 @@ def audio_windows(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            dids, widx, wlen, rms, peak = [], [], [], [], []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
                 _, x = decode_wav(bytes(p))
                 mono = x[:, 0]
                 n = len(mono)
-                for w in range(0, (n + hop - 1) // hop):
+                if n == 0:
+                    continue
+                n_wins = (n + hop - 1) // hop
+                # Full windows in ONE strided pass — a 10-minute 16 kHz
+                # payload emits thousands of windows, so the hot path
+                # must not pay the interpreter per window. view*view is
+                # a fresh C-contiguous array, so the per-row pairwise
+                # mean reduces in the same order as the 1-D slice did —
+                # output stays bit-identical to the loop it replaced.
+                m = (n - window) // hop + 1 if n >= window else 0
+                if m > 0:
+                    view = np.lib.stride_tricks.sliding_window_view(
+                        mono, window
+                    )[:: hop][:m]
+                    sq = view * view
+                    dids.extend([did] * m)
+                    widx.append(np.arange(m, dtype=np.int64))
+                    wlen.append(np.full(m, window, dtype=np.int64))
+                    rms.append(np.sqrt(sq.mean(axis=1)))
+                    peak.append(np.abs(view).max(axis=1))
+                # Short tail windows (at most ceil(window/hop) of them)
+                # keep the original per-slice arithmetic.
+                for w in range(m, n_wins):
                     seg = mono[w * hop : w * hop + window]
                     if len(seg) == 0:
                         continue
-                    rows.append(
-                        (
-                            did,
-                            w,
-                            len(seg),
-                            float(np.sqrt((seg * seg).mean())),
-                            float(np.abs(seg).max()),
-                        )
+                    dids.append(did)
+                    widx.append(np.array([w], dtype=np.int64))
+                    wlen.append(np.array([len(seg)], dtype=np.int64))
+                    rms.append(
+                        np.array([float(np.sqrt((seg * seg).mean()))])
                     )
+                    peak.append(np.array([float(np.abs(seg).max())]))
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "win_idx", "win_samples", "rms", "peak"],
+                {
+                    "doc_id": np.asarray(dids, dtype=np.int64),
+                    "win_idx": (
+                        np.concatenate(widx)
+                        if widx
+                        else np.array([], dtype=np.int64)
+                    ).astype(np.int32),
+                    "win_samples": (
+                        np.concatenate(wlen)
+                        if wlen
+                        else np.array([], dtype=np.int64)
+                    ),
+                    "rms": (
+                        np.concatenate(rms) if rms else np.array([])
+                    ),
+                    "peak": (
+                        np.concatenate(peak) if peak else np.array([])
+                    ),
+                }
             )
 
     return df.mapInPandas(gen, AUDIO_WINDOW_SCHEMA)
@@ -1522,6 +1568,11 @@ def resample_audio(df: DataFrame, target_rate: int = 16_000) -> DataFrame:
                 rate, x = decode_wav(bytes(p))
                 mono = x[:, 0]
                 n = len(mono)
+                if n == 0:
+                    # max(2, 0) windows would index an empty array with
+                    # an opaque IndexError; follow the module's
+                    # loud-ValueError policy instead (ADVICE r13).
+                    raise ValueError("resample_audio: empty audio stream")
                 n_out = max(2, n * target_rate // rate)
                 i = np.arange(n_out, dtype=np.float64)
                 pos = i * float(n - 1) / float(n_out - 1)

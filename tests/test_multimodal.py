@@ -784,3 +784,60 @@ def test_audio_operators_through_spark(spark):
         MM.audio_windows(wav, window=0)
     with pytest.raises(ValueError, match="target_rate"):
         MM.resample_audio(wav, target_rate=0)
+
+
+def test_wav_truncation_empty_and_window_vectorization(spark):
+    """r14 ADVICE regressions: (1) a data chunk whose declared size
+    overruns the buffer refuses instead of decoding a silently-short
+    signal; (2) resample_audio refuses a zero-sample stream with the
+    module's loud ValueError, not an opaque IndexError; (3) the
+    strided-numpy audio_windows rewrite is row-identical to the
+    per-slice loop it replaced, including overlap and short tails."""
+    import numpy as np
+
+    x = MM._synth_pcm(1, 300)
+    b = MM.encode_wav(x, 8_000)
+    with pytest.raises(ValueError, match="remain"):
+        MM.decode_wav(b[:-10])
+    # header-only zero-sample WAV decodes to an empty signal…
+    z = MM.encode_wav(np.zeros((0, 1)), 8_000)
+    rate, y = MM.decode_wav(z)
+    assert rate == 8_000 and y.shape == (0, 1)
+    # …but resample refuses it loudly
+    one = spark.createDataFrame(
+        [(1, bytearray(z))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="empty audio stream"):
+        MM.resample_audio(one, target_rate=16_000).collect()
+    # meta still decodes (duration 0), and windows emit zero rows
+    m = MM.decode_wav_meta(z)
+    assert m["n_samples"] == 0 and m["duration_ms"] == 0
+    assert MM.audio_windows(one, window=64, hop=32).count() == 0
+
+    # vectorization identity: overlapping hop, short tail windows
+    docs = spark.createDataFrame(
+        [(d,) for d in range(8)], "doc_id long"
+    )
+    wav = MM.attach_wav_payload(docs)
+    got = {
+        (r["doc_id"], r["win_idx"]): r
+        for r in MM.audio_windows(wav, window=200, hop=96).collect()
+    }
+    want = {}
+    for d in range(8):
+        n = 256 + d % 512
+        mono = MM._synth_pcm(d, n)
+        for w in range(0, (n + 96 - 1) // 96):
+            seg = mono[w * 96 : w * 96 + 200]
+            if len(seg) == 0:
+                continue
+            want[(d, w)] = (
+                len(seg),
+                float(np.sqrt((seg * seg).mean())),
+                float(np.abs(seg).max()),
+            )
+    assert set(got) == set(want)
+    for key, (ln, rms, peak) in want.items():
+        assert got[key]["win_samples"] == ln
+        assert got[key]["rms"] == rms  # bit-identical, not approx
+        assert got[key]["peak"] == peak
