@@ -365,6 +365,23 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     DD.compact_minhash_index(spark, tmp)
     builds["minhash_compact"] = round(time.time() - t0, 3)
     shutil.rmtree(tmp, ignore_errors=True)
+
+    # r14: the learned-BPE tokenizer family — trained-arm vocab build
+    # (distributed word counts + driver-side greedy merges) and the
+    # one-crossing token-count probe over the whole corpus
+    from etl_btc_spark.operators import bpe as BP
+
+    bpv = SK.artifact_path(sf_dir, "bench_bpe_vocab")
+    shutil.rmtree(bpv, ignore_errors=True)
+    t0 = time.time()
+    BP.build_bpe_vocab(spark, docs, bpv, n_merges=64)
+    builds["bpe_vocab"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    BP.bpe_token_count(spark, docs, bpv).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    builds["bpe_token_count"] = round(time.time() - t0, 3)
+    shutil.rmtree(bpv, ignore_errors=True)
     # break-even context (VERDICT r6 #5): whether the refresh ran
     # incrementally or fell back to a rebuild, and why — kept OUT of
     # `builds` (review r7: that dict's contract is {name: seconds})

@@ -1,0 +1,434 @@
+"""Learned-merge BPE subword tokenizer family (r14 — VERDICT r13 #1).
+
+Training-data pipelines budget, pack and bill in the model
+tokenizer's tokens; the engine's token economy previously ran on
+whitespace tokens plus a regex "BPE-ish" count (textops.py:54,71),
+which drifts 2-3x from real subword budgets. This module adds a real
+byte-pair-encoding tokenizer (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units" — public), built like
+the index families:
+
+- :func:`build_bpe_vocab` — TRAINED arm learns merges from the
+  corpus with the classic greedy most-frequent-pair algorithm under
+  deterministic tie-breaks (count desc, then lexicographically
+  smallest pair). The word-frequency table is computed DISTRIBUTED
+  (explode + groupBy + bounded TakeOrdered), so the driver holds only
+  the top-``max_vocab_words`` (word, count) rows — never corpus text;
+  the merge loop itself is driver-side python over that bounded
+  table, the codebook-training posture. WARM-START arm accepts an
+  explicit merge list — the oracle-able arm, mirroring the index
+  families' warm centroids. Either way the merge table persists as a
+  parquet artifact (rank, left, right) + ``_BUILT`` marker, loaded
+  once per job and broadcast to executors inside the UDF closure.
+- :func:`bpe_encode` / :func:`bpe_token_count` — mapInPandas encode
+  over the broadcast merge list (one Arrow crossing, per-worker
+  unique-word cache; the corpus never shuffles).
+- :func:`bpe_count_sql` — generates the DuckDB oracle expression for
+  a FIXED merge list, see below.
+
+ENCODING SEMANTICS (shared verbatim with the SQL oracle):
+pre-tokenize with :data:`PRETOKEN_RE` (alpha runs | digit runs |
+other-non-ws runs; the whitespace set is exactly RE2's ``\\s`` =
+``[ \\t\\n\\f\\r]`` so both engines agree); within each pre-token,
+start from single characters and apply merges in rank order, ONE
+left-to-right non-overlapping pass each. One pass per rank is
+equivalent to the min-rank-iterate formulation (GPT-2 ``bpe()``):
+merging a pair only creates adjacencies involving the NEW token, and
+causal ordering (every merge's parts are single chars or outputs of
+EARLIER merges — enforced at build) means rank i's pair can never
+reappear after pass i. A left-to-right merge pass is exactly string
+``replace()`` semantics, which is what makes the warm arm
+SQL-expressible: the oracle applies the same merges as nested
+``replace()`` calls over single-char placeholder symbols (Unicode
+private-use area) and counts surviving non-whitespace symbols.
+
+Tokens are identified BY STRING VALUE (the standard implementation
+choice); the build refuses merge lists where two ranks would produce
+the same output string, keeping the by-value engine and the by-rank
+oracle in exact agreement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_btc_spark._pickle import ensure_serializable
+
+#: whitespace = RE2's ``\s`` exactly, so Spark/Python/DuckDB agree on
+#: what separates pre-tokens (Java's \s adds \x0B — never use bare \s)
+WS_CHARS = " \t\n\f\r"
+WS_CLASS = "[ \t\n\f\r]"
+#: pre-tokenizer: alpha runs | digit runs | other-non-ws runs.
+#: Maximal-munch runs mean two same-class pre-tokens are never
+#: adjacent, so a class-pure merge can never span a boundary — the
+#: property the whole-string replace() oracle relies on.
+PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9%s]+" % WS_CHARS
+
+_PRETOKEN_CRE = re.compile(PRETOKEN_RE)
+
+_FORMAT = "bpe-merges-v1"
+
+
+def _char_class(ch: str) -> int:
+    if ch.isascii() and ch.isalpha():
+        return 0
+    if ch.isascii() and ch.isdigit():
+        return 1
+    return 2
+
+
+def pretokenize(text: str | None) -> list[str]:
+    """Split text into pre-tokens; whitespace separates and is never
+    a token. None behaves as empty text."""
+    return _PRETOKEN_CRE.findall(text or "")
+
+
+def _merge_pass(seq: list[str], left: str, right: str, out: str) -> list[str]:
+    """One left-to-right non-overlapping merge pass — string
+    ``replace()`` semantics over the token sequence."""
+    res = []
+    i, n = 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+            res.append(out)
+            i += 2
+        else:
+            res.append(seq[i])
+            i += 1
+    return res
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """BPE-encode one pre-token: chars, then each merge in rank order
+    (one pass each — see the module docstring for why that equals the
+    min-rank iteration)."""
+    seq = list(word)
+    for left, right in merges:
+        if len(seq) < 2:
+            break
+        seq = _merge_pass(seq, left, right, left + right)
+    return seq
+
+
+def _validate_merges(merges: list[tuple[str, str]], where: str) -> None:
+    """Causality + by-value coherence: each part is a single char or
+    an earlier output; no two ranks produce the same output string
+    (by-value token identity would conflate them, and the by-rank
+    placeholder oracle would not)."""
+    produced: set[str] = set()
+    for rank, pair in enumerate(merges):
+        if len(pair) != 2:
+            raise ValueError(f"{where}: merge {rank} is not a (left, right) pair")
+        left, right = pair
+        for part in (left, right):
+            if not isinstance(part, str) or not part:
+                raise ValueError(f"{where}: merge {rank} has an empty/non-str part")
+            if len(part) > 1 and part not in produced:
+                raise ValueError(
+                    f"{where}: merge {rank} part {part!r} is neither a single "
+                    "character nor the output of an earlier merge (merges "
+                    "must be causally ordered)"
+                )
+            if any(ch in WS_CHARS for ch in part):
+                raise ValueError(
+                    f"{where}: merge {rank} part {part!r} contains whitespace "
+                    "— whitespace separates pre-tokens and is never a token"
+                )
+        out = left + right
+        if out in produced:
+            raise ValueError(
+                f"{where}: merges {merges.index((left, right))} and {rank} both "
+                f"produce {out!r} — by-value token identity requires distinct "
+                "output strings"
+            )
+        produced.add(out)
+
+
+def train_bpe_merges(
+    word_counts: dict[str, int],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge learning over a (word -> count) table —
+    deterministic: best pair by (count desc, left asc, right asc);
+    stops early when the best surviving pair occurs fewer than
+    ``min_pair_count`` times. Candidate pairs whose output string
+    collides with an already-produced token value are skipped (see
+    module docstring), as are cross-class pairs (impossible from
+    segmentations, asserted for safety)."""
+    segs = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    produced: set[str] = set()
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for w, cnt in word_counts.items():
+            seq = segs[w]
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] += cnt
+        best = None
+        for pair, cnt in sorted(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        ):
+            if cnt < min_pair_count:
+                break
+            if pair[0] + pair[1] in produced:
+                continue
+            best = pair
+            break
+        if best is None:
+            break
+        left, right = best
+        out = left + right
+        merges.append((left, right))
+        produced.add(out)
+        for w in segs:
+            seq = segs[w]
+            if len(seq) >= 2:
+                segs[w] = _merge_pass(seq, left, right, out)
+    return merges
+
+
+def _word_counts_distributed(
+    docs: DataFrame,
+    text_col: str,
+    max_vocab_words: int,
+) -> dict[str, int]:
+    """Distributed pre-token frequency table, bounded collect: explode
+    the pre-tokens, groupBy + count (map-side partial agg), TakeOrdered
+    the top-``max_vocab_words`` by (count desc, word asc). The driver
+    never sees corpus text — only the bounded vocabulary."""
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(PRETOKEN_RE),
+                    0,  # whole-match extraction; the pattern has no groups
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_vocab_words)
+        .collect()
+    )
+    return {r["w"]: int(r["n"]) for r in words}
+
+
+def build_bpe_vocab(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    n_merges: int = 64,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    max_vocab_words: int = 65_536,
+    min_pair_count: int = 2,
+) -> str:
+    """Write the BPE vocabulary artifact: ``path/merges`` parquet
+    (rank, left, right), ``path/meta.json`` (format + pre-token
+    convention), ``path/_BUILT`` marker last (marker-first
+    invalidation on rebuild, the index-family crash protocol).
+    ``merges`` warm-starts from an explicit causally-ordered list (the
+    oracle-able arm); None trains greedily from the corpus."""
+    if merges is None:
+        wc = _word_counts_distributed(docs, text_col, max_vocab_words)
+        merges = train_bpe_merges(wc, n_merges, min_pair_count)
+    else:
+        merges = [tuple(p) for p in merges]
+    _validate_merges(merges, "build_bpe_vocab")
+    os.makedirs(path, exist_ok=True)
+    try:
+        os.remove(os.path.join(path, "_BUILT"))
+    except FileNotFoundError:
+        pass
+    pdf = pd.DataFrame(
+        {
+            "rank": list(range(len(merges))),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "merges"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "format": _FORMAT,
+                "n_merges": len(merges),
+                "pretoken_re": PRETOKEN_RE,
+            },
+            f,
+        )
+    with open(os.path.join(path, "_BUILT"), "w") as f:
+        f.write(_FORMAT + "\n")
+    return path
+
+
+def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Read the merge table back in rank order (bounded — a vocab is
+    tens of thousands of rows at most). Refuses a crashed/partial
+    build via the marker, like the index probes."""
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        raise ValueError(
+            "no complete BPE vocab at %r (missing _BUILT marker — crashed "
+            "build? run build_bpe_vocab first)" % path
+        )
+    with open(marker) as f:
+        if f.read().strip() != _FORMAT:
+            raise ValueError("BPE vocab at %r has an unknown format" % path)
+    rows = (
+        spark.read.parquet(os.path.join(path, "merges"))
+        .orderBy("rank")
+        .collect()
+    )
+    return [(r["left"], r["right"]) for r in rows]
+
+
+#: schema for bpe_encode — token array + count in one crossing
+_ENCODE_SCHEMA_TAIL = [
+    T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+    T.StructField("n_bpe_tokens", T.LongType()),
+]
+
+
+def _encode_gen(merges, text_col, with_tokens):
+    """mapInPandas generator factory: consumes ``text_col``, passes
+    every OTHER input column through untouched (so callers can ride
+    precomputed per-doc stats in the same Arrow crossing). A
+    per-worker cache encodes each UNIQUE pre-token once — Zipf reuse
+    makes this the hot-path win; the cache resets when oversized to
+    stay bounded."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            if len(cache) > 1_000_000:
+                cache = {}
+            toks_out, counts = [], []
+            for text in pdf[text_col]:
+                n = 0
+                toks: list[str] = []
+                for w in pretokenize(text if isinstance(text, str) else None):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w, merges)
+                        cache[w] = enc
+                    n += len(enc)
+                    if with_tokens:
+                        toks.extend(enc)
+                counts.append(n)
+                if with_tokens:
+                    toks_out.append(toks)
+            out = pdf.drop(columns=[text_col])
+            if with_tokens:
+                out["bpe_tokens"] = toks_out
+            out["n_bpe_tokens"] = pd.array(counts, dtype="int64")
+            yield out
+
+    return gen
+
+
+def _out_schema(df: DataFrame, text_col: str, with_tokens: bool) -> T.StructType:
+    fields = [f for f in df.schema.fields if f.name != text_col]
+    if with_tokens:
+        fields.append(_ENCODE_SCHEMA_TAIL[0])
+    fields.append(_ENCODE_SCHEMA_TAIL[1])
+    return T.StructType(fields)
+
+
+def bpe_encode(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each row: all non-text input columns pass through, plus
+    (bpe_tokens array<string>, n_bpe_tokens). The merge list rides
+    inside the UDF closure (task-broadcast — a vocab is KBs); the
+    corpus never shuffles."""
+    merges = load_bpe_merges(spark, path)
+    ensure_serializable()
+    return df.mapInPandas(
+        _encode_gen(merges, text_col, with_tokens=True),
+        _out_schema(df, text_col, with_tokens=True),
+    )
+
+
+def bpe_token_count(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pass-through columns + n_bpe_tokens — the budget/packing arm:
+    same crossing as :func:`bpe_encode` without materializing token
+    arrays."""
+    merges = load_bpe_merges(spark, path)
+    ensure_serializable()
+    return df.mapInPandas(
+        _encode_gen(merges, text_col, with_tokens=False),
+        _out_schema(df, text_col, with_tokens=False),
+    )
+
+
+def bpe_count_sql(merges: list[tuple[str, str]], col: str) -> str:
+    """DuckDB oracle expression for the token COUNT of ``col`` under a
+    FIXED merge list: apply each merge as a nested ``replace()`` over
+    single-char placeholder symbols (rank i's output = U+E000+i, from
+    the private-use area — absent from any sane corpus and checked
+    against the merge alphabet), then count surviving non-whitespace
+    symbols. Exact because (a) a left-to-right non-overlapping
+    ``replace()`` IS one merge pass, (b) class-pure merges can never
+    span a pre-token boundary (maximal-munch runs), and (c) causal
+    order + distinct outputs make by-rank placeholders agree with the
+    engine's by-value tokens. Refuses merge lists outside that
+    SQL-expressible envelope — the engine itself has no such limit."""
+    _validate_merges(merges, "bpe_count_sql")
+    pl: dict[str, str] = {}
+    expr = f"coalesce({col}, '')"
+    for i, (left, right) in enumerate(merges):
+        for part in (left, right):
+            classes = {_char_class(ch) for ch in part}
+            if len(classes) > 1:
+                raise ValueError(
+                    "bpe_count_sql: merge %d part %r mixes character "
+                    "classes — a cross-class merge can span pre-token "
+                    "boundaries under whole-string replace(), so it has "
+                    "no SQL oracle (the engine still supports it)" % (i, part)
+                )
+            for ch in part:
+                if ch in ("'", "\\") or 0xE000 <= ord(ch) <= 0xF8FF:
+                    raise ValueError(
+                        "bpe_count_sql: merge %d contains %r — quotes, "
+                        "backslashes and private-use chars collide with "
+                        "the placeholder encoding" % (i, ch)
+                    )
+        lp = pl.get(left, left)
+        rp = pl.get(right, right)
+        out = chr(0xE000 + i)
+        pl[left + right] = out
+        expr = f"replace({expr}, '{lp}{rp}', '{out}')"
+    return (
+        f"length(regexp_replace({expr}, '{WS_CLASS}', '', 'g'))"
+    )

@@ -111,6 +111,7 @@ def token_packing(
     docs_per_shard: int = 65536,
     shard_col: str | None = None,
     order_col: str | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its position in the packed token stream:
     within a shard, docs concatenate in id order and the stream is
@@ -134,7 +135,12 @@ def token_packing(
     instead — e.g. :func:`training_shuffle`'s (shard, pos), so an
     epoch-shuffled corpus packs in shuffled order through the SAME
     cumsum implementation (one packing contract, used by q81, q86
-    and the q93 capstone)."""
+    and the q93 capstone).
+
+    ``tokens_col`` packs by a PRECOMPUTED per-doc token count instead
+    of counting whitespace tokens from ``text_col`` — the r14 hook
+    that lets the learned-BPE budget (operators/bpe.py) flow through
+    the SAME packing contract (q99av)."""
     if shard_col is not None:
         shard = F.col(shard_col).cast("bigint")
         order = order_col if order_col is not None else id_col
@@ -161,7 +167,11 @@ def token_packing(
                 f"CAST(({id_col} - pmod({id_col}, {docs_per_shard}))"
                 f" DIV {docs_per_shard} AS BIGINT)"
             )
-    toks = ws_token_count(F.col(text_col))
+    toks = (
+        F.col(tokens_col).cast("bigint")
+        if tokens_col is not None
+        else ws_token_count(F.col(text_col))
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy(order)

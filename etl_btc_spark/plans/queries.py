@@ -7467,3 +7467,127 @@ def q99ar(spark: SparkSession, sf: str) -> DataFrame:
         "n_out",
         sround(F.col("rms_out"), 6).alias("rms_out"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. Learned-BPE tokenizer family (r14 — VERDICT r13 #1)
+# ---------------------------------------------------------------------------
+
+from etl_btc_spark.operators import bpe as BP  # noqa: E402
+
+#: Frozen warm-start merge table for the BPE gates — LEARNED offline by
+#: train_bpe_merges (greedy Sennrich BPE, deterministic tie-breaks) on
+#: the documents corpus at n_merges=32, then frozen so the oracle is a
+#: fixed replace() chain (the index families' warm-centroid posture).
+#: The TRAINED arm stays pytest-pinned: determinism, prefix property,
+#: lifecycle round-trip (tests/test_bpe.py).
+_BPE_WARM_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"),
+]
+
+_BPE_COUNT_SQL = BP.bpe_count_sql(_BPE_WARM_MERGES, "text")
+_NWS_LEN_SQL = (
+    f"length(regexp_replace(coalesce(text, ''), '{BP.WS_CLASS}', '', 'g'))"
+)
+
+
+@register(
+    "q99au_bpe_vocab_lifecycle",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_NWS_LEN_SQL} AS BIGINT) AS n_chars_nws,
+               CAST({_BPE_COUNT_SQL} AS BIGINT) AS n_bpe_tokens,
+               CAST({_NWS_LEN_SQL} - ({_BPE_COUNT_SQL}) AS BIGINT)
+                   AS n_merges_applied
+        FROM documents
+    """,
+    doc=(
+        "Learned-merge BPE tokenizer LIFECYCLE under the value gate "
+        "(r14 — VERDICT r13 #1, extending SURVEY §2.11's token "
+        "economy from whitespace/regex counts to real subword "
+        "budgets): build_bpe_vocab persists the merge-table artifact "
+        "(warm-started from a FROZEN 32-merge list learned offline by "
+        "the trained arm — the warm-centroid posture), "
+        "bpe_token_count loads it back through the _BUILT marker and "
+        "encodes every document in ONE mapInPandas crossing "
+        "(broadcast merge list, per-worker unique-word cache, corpus "
+        "never shuffles). Encoding = pre-tokenize (alpha|digit|other "
+        "runs, RE2 \\s whitespace) then one left-to-right merge pass "
+        "per rank — provably equal to GPT-2's min-rank iteration for "
+        "causally-ordered merges, and EXACTLY string replace() "
+        "semantics, which is what the oracle runs: the same 32 merges "
+        "as nested replace() over private-use-area placeholder chars, "
+        "counting surviving non-whitespace symbols. n_merges_applied "
+        "audits the saving (chars - tokens) per doc"
+    ),
+)
+def q99au(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.length(
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")), BP.WS_CLASS, ""
+            )
+        )
+        .cast("bigint")
+        .alias("n_chars_nws"),
+        "text",
+    )
+    idx = SK.artifact_path(sf, "q99au_bpe_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES)
+    out = BP.bpe_token_count(spark, docs, idx)
+    return out.select(
+        "doc_id",
+        "n_chars_nws",
+        "n_bpe_tokens",
+        (F.col("n_chars_nws") - F.col("n_bpe_tokens")).alias(
+            "n_merges_applied"
+        ),
+    )
+
+
+@register(
+    "q99av_bpe_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SP.token_shard_sql('doc_id', 64)} AS shard,
+                   CAST({_BPE_COUNT_SQL} AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(cum / 2048.0) AS BIGINT) AS pack_id,
+               CAST(cum % 2048 AS BIGINT) AS pack_offset
+        FROM (
+            SELECT *, coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM t
+        )
+    """,
+    doc=(
+        "GPT-style sequence packing billed in REAL subword tokens "
+        "(r14 — the second arm VERDICT r13 #1 ordered: the learned-BPE "
+        "budget flows through the SAME packing contract as q81's "
+        "whitespace arm via token_packing's tokens_col hook): "
+        "bpe_token_count's per-doc counts feed the exclusive "
+        "prefix-sum window per derived shard, cutting every 2048 BPE "
+        "tokens. Oracle composes q81's packing SQL shape with the "
+        "replace()-chain token count"
+    ),
+)
+def q99av(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "q99av_bpe_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES)
+    counts = BP.bpe_token_count(spark, docs, idx)
+    return SP.token_packing(
+        counts, budget=2048, docs_per_shard=64, tokens_col="n_bpe_tokens"
+    )

@@ -1,0 +1,148 @@
+"""Learned-merge BPE tokenizer family (r14 — operators/bpe.py): the
+trained arm's determinism/prefix pins, encode equivalence against an
+independent GPT-2-style min-rank reference, the artifact lifecycle,
+and the misuse refusals the gate docstrings (q99au/q99av) cite."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_btc_spark.operators import bpe as BP
+from etl_btc_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+# --- independent reference: GPT-2 bpe() shape (min-rank iterate) ---
+
+
+def _ref_encode(word, merges):
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    seq = list(word)
+    while len(seq) >= 2:
+        pairs = [(ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(seq, seq[1:]))]
+        pairs = [(r, i) for r, i in pairs if r is not None]
+        if not pairs:
+            break
+        best_rank = min(r for r, _ in pairs)
+        left, right = merges[best_rank]
+        # merge ALL occurrences of the min-rank pair, left-to-right
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+WORDS = [
+    "the", "theory", "thermal", "ababab", "aaaa", "a", "", "xyz",
+    "mississippi", "tht", "hth", "joinjoin", "scan", "batch",
+]
+MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "b"), ("ab", "ab"), ("a", "a"),
+    ("i", "s"), ("is", "s"), ("i", "n"), ("j", "o"), ("jo", "in"),
+]
+
+
+def test_encode_matches_min_rank_reference():
+    """One pass per rank == GPT-2 min-rank iteration for causally
+    ordered merges (the equivalence the oracle relies on)."""
+    for w in WORDS:
+        assert BP.encode_word(w, MERGES) == _ref_encode(w, MERGES), w
+    # and token boundaries reconstruct the word exactly
+    for w in WORDS:
+        assert "".join(BP.encode_word(w, MERGES)) == w
+
+
+def test_train_determinism_and_prefix_property():
+    wc = {"the": 50, "theory": 10, "then": 20, "batch": 30, "scan": 25,
+          "than": 15, "that": 40, "cat": 5, "chat": 5}
+    a = BP.train_bpe_merges(wc, 12)
+    b = BP.train_bpe_merges(wc, 12)
+    assert a == b and len(a) > 0
+    longer = BP.train_bpe_merges(wc, 20)
+    assert longer[: len(a)] == a  # greedy merges are prefix-stable
+    BP._validate_merges(longer, "trained")  # causal by construction
+
+
+def test_misuse_refusals():
+    with pytest.raises(ValueError, match="causally"):
+        BP._validate_merges([("th", "e")], "t")  # 'th' never produced
+    with pytest.raises(ValueError, match="produce"):
+        # (a,bc) and (ab,c) both -> 'abc'
+        BP._validate_merges(
+            [("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")], "t"
+        )
+    with pytest.raises(ValueError, match="whitespace"):
+        BP._validate_merges([(" ", "a")], "t")
+    with pytest.raises(ValueError, match="empty"):
+        BP._validate_merges([("", "a")], "t")
+    # oracle-envelope refusals (engine itself allows these)
+    with pytest.raises(ValueError, match="classes"):
+        BP.bpe_count_sql([("a", "1"), ("a1", "b")], "text")
+    with pytest.raises(ValueError, match="placeholder"):
+        BP.bpe_count_sql([("'", "a")], "text")
+
+
+def test_vocab_lifecycle_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "vocab")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    BP.build_bpe_vocab(spark, docs, path, merges=MERGES)
+    assert BP.load_bpe_merges(spark, path) == MERGES
+    # crashed build: missing marker refuses
+    os.remove(os.path.join(path, "_BUILT"))
+    with pytest.raises(ValueError, match="_BUILT"):
+        BP.load_bpe_merges(spark, path)
+    # rebuild over the debris works (marker-first invalidation)
+    BP.build_bpe_vocab(spark, docs, path, merges=MERGES)
+    assert BP.load_bpe_merges(spark, path) == MERGES
+
+
+def test_spark_encode_counts_and_passthrough(spark, tmp_path):
+    path = str(tmp_path / "vocab")
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    BP.build_bpe_vocab(spark, docs, path, merges=MERGES)
+    enc = BP.bpe_encode(spark, docs, path).collect()
+    assert len(enc) == docs.count()
+    local = {
+        r["doc_id"]: (r["lang"], r["text"]) for r in docs.collect()
+    }
+    for r in enc:
+        lang, text = local[r["doc_id"]]
+        assert r["lang"] == lang  # pass-through column survives
+        want = []
+        for w in BP.pretokenize(text):
+            want.extend(BP.encode_word(w, MERGES))
+        assert r["bpe_tokens"] == want
+        assert r["n_bpe_tokens"] == len(want)
+    # count-only twin agrees with the full encode
+    cnt = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in BP.bpe_token_count(spark, docs, path).collect()
+    }
+    assert cnt == {r["doc_id"]: r["n_bpe_tokens"] for r in enc}
+
+
+def test_trained_arm_through_spark(spark, tmp_path):
+    """merges=None trains distributed (explode + groupBy + bounded
+    TakeOrdered) — must equal the local greedy trainer on the same
+    word-frequency table."""
+    path = str(tmp_path / "trained")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    BP.build_bpe_vocab(spark, docs, path, n_merges=16)
+    got = BP.load_bpe_merges(spark, path)
+    wc: dict[str, int] = {}
+    for r in docs.collect():
+        for w in BP.pretokenize(r["text"]):
+            wc[w] = wc.get(w, 0) + 1
+    assert got == BP.train_bpe_merges(wc, 16)
+    assert len(got) == 16
