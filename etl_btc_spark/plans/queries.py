@@ -7591,3 +7591,114 @@ def q99av(spark: SparkSession, sf: str) -> DataFrame:
     return SP.token_packing(
         counts, budget=2048, docs_per_shard=64, tokens_col="n_bpe_tokens"
     )
+
+
+_Q99AS_SHORT = 10
+
+
+def _q99as_oracle() -> str:
+    m, sd, k = _Q99AD_M, _Q99AD_SUBD, _Q99AD_K
+    return f"""
+        WITH cb AS (
+            SELECT r.j, e.vec_id AS c,
+                   e.embedding[r.j * {sd} + 1 : r.j * {sd} + {sd}] AS subvec
+            FROM embeddings e, unnest(range(0, {m})) AS r(j)
+            WHERE e.vec_id BETWEEN 0 AND {k - 1}
+        ),
+        docsub AS (
+            SELECT e.vec_id, r.j,
+                   e.embedding[r.j * {sd} + 1 : r.j * {sd} + {sd}] AS sub
+            FROM embeddings e, unnest(range(0, {m})) AS r(j)
+            WHERE e.embedding IS NOT NULL
+        ),
+        enc AS (
+            SELECT vec_id, j, c FROM (
+                SELECT d.vec_id, d.j, cb.c,
+                       row_number() OVER (
+                           PARTITION BY d.vec_id, d.j
+                           ORDER BY list_dot_product(d.sub, d.sub)
+                                    - 2 * list_dot_product(d.sub, cb.subvec)
+                                    + list_dot_product(cb.subvec, cb.subvec) ASC,
+                                    cb.c ASC
+                       ) AS rn
+                FROM docsub d JOIN cb ON d.j = cb.j
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
+        ),
+        qsub AS (
+            SELECT q.query_id, r.j,
+                   q.qv[r.j * {sd} + 1 : r.j * {sd} + {sd}] AS sub
+            FROM q, unnest(range(0, {m})) AS r(j)
+        ),
+        adc AS (
+            SELECT qs.query_id, enc.vec_id,
+                   sum(list_dot_product(qs.sub, cb.subvec)) AS adc_dot
+            FROM enc
+            JOIN cb ON enc.j = cb.j AND enc.c = cb.c
+            JOIN qsub qs ON qs.j = enc.j
+            GROUP BY qs.query_id, enc.vec_id
+        ),
+        short AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY adc_dot DESC, vec_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= {_Q99AS_SHORT}
+        )
+        SELECT query_id, vec_id, round(1e-9 + s, 6) AS cosine_sim FROM (
+            SELECT short.query_id, short.vec_id,
+                   {SIM.cosine_sql("e.embedding", "q.qv")} AS s,
+                   row_number() OVER (
+                       PARTITION BY short.query_id
+                       ORDER BY {SIM.cosine_sql("e.embedding", "q.qv")} DESC,
+                                short.vec_id ASC) AS rn
+            FROM short
+            JOIN embeddings e ON short.vec_id = e.vec_id
+            JOIN q ON short.query_id = q.query_id
+        ) WHERE rn <= 10
+    """
+
+
+@register(
+    "q99as_knn_pq_join_warm_oracle",
+    oracle=_q99as_oracle(),
+    doc=(
+        "Batched PQ kNN JOIN under a FULL value oracle (r14 — VERDICT "
+        "r13 #2: knn_pq_join was the last batched retrieval join "
+        "outside the driver's value matrix, pinned only by the "
+        "pytest twin-equivalence; the q99ao construction transplants "
+        "directly): warm-start codebooks = literal corpus rows 0-15's "
+        "subvectors (the q99ad posture), and the shortlist is CUT at "
+        "k (shortlist=10), so the batched ADC math — the query "
+        "batch's (Q × m × n_codes) lookup-table tensor broadcast over "
+        "ONE m-bytes-per-row codes scan, a single numpy gather+add "
+        "per subspace scoring every (row, query) pair — decides "
+        "MEMBERSHIP of the exact fp32 re-rank and is therefore "
+        "value-gated end to end, per query. The fp32 corpus never "
+        "shuffles; the only corpus-shaped work is the codes scan "
+        "amortized across the whole batch. Float posture: "
+        "rank-boundary membership compares raw numpy vs DuckDB "
+        "doubles — the accepted q99v/q99ao exposure"
+    ),
+)
+def q99as(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = SK.artifact_path(sf, "pq_warm_index")
+    if not PQ._is_built(idx, "pq"):
+        PQ.build_pq_index(
+            spark, emb, idx,
+            m=_Q99AD_M, n_codes=_Q99AD_K,
+            codebook_ids=list(range(_Q99AD_K)),
+        )
+    out = PQ.knn_pq_join(
+        spark, idx, emb, queries, k=10, shortlist=_Q99AS_SHORT
+    )
+    return out.select(
+        "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

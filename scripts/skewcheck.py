@@ -17,6 +17,18 @@ it under a UI-enabled session and pins, via the Spark status REST API
 straggler task: for every stage whose slowest task ran ≥ ``FLOOR_MS``,
 max task duration / median task duration must stay ≤ ``MAX_RATIO``.
 
+The r14 TEXT arm (VERDICT r13 #4) extends the same pin to the
+inverted-index family's hot-TOKEN shapes: the ×16-expanded fixture
+(boiler tokens in 77% of docs) drives ``build_text_index``, the
+hot-term ``bm25_probe`` (its aggregations are doc-keyed by
+construction, so it carries no hot-key shuffle — reported for the
+record) and the hot-trigram ``substring_search``; and a dedicated
+3.2M-doc STOPWORD corpus (one token = 25% of all postings rows)
+pins the salted postings write under a TIGHTER 3.0 bound — with
+``_posting_salt`` removed the same write measures a 5.1× straggler
+on this box, so the tightened bound turns salt-removal into a
+failing regression.
+
 AQE skew-split thresholds are lowered proportionally to the fixture
 (the hot shuffle partitions here are ~10^2 KB; at 100 TB the same
 join shape crosses the DEFAULT 256 MB threshold and splits without
@@ -46,6 +58,9 @@ N_COPIES = 2_400    # exact-template near-dup cluster (~18% of corpus)
 N_UNIQUE = 600      # fully unique tail
 FLOOR_MS = 1_000    # stages whose slowest task is below this are noise
 MAX_RATIO = 10.0    # max/median task-duration bound per heavy stage
+EX_TOKEN = 16       # corpus expansion for the text-index arm (r14)
+EX_TRIGRAM = 4      # trigram arm expansion (gram rows are ~6x postings)
+N_STOPDOCS = 3_200_000  # stopword-corpus docs (hot token = 25% of postings)
 
 BOILER = " ".join("boiler%d" % j for j in range(8))
 TEMPLATE = " ".join("tmpl%d" % j for j in range(40))
@@ -108,8 +123,11 @@ def stage_ratios(spark: SparkSession, seen: set[int]) -> tuple[list, set[int]]:
     return out, now
 
 
-def check(name: str, stages: list) -> dict:
-    """Worst max/median among stages heavy enough to matter."""
+def check(name: str, stages: list, bound: float = MAX_RATIO) -> dict:
+    """Worst max/median among stages heavy enough to matter. A per-op
+    ``bound`` tightens the pin where the fixture's measured skew
+    signal sits below the global 10× (the stopword build: salted 1.0,
+    salt-removed 5.1 — a 3.0 bound catches the regression)."""
     worst = {"stage": None, "ratio": 0.0, "max_ms": 0.0, "med_ms": 0.0}
     for sid, n, med, mx in stages:
         if mx < FLOOR_MS or n < 2:
@@ -124,7 +142,8 @@ def check(name: str, stages: list) -> dict:
         "n_stages": len(stages),
         "heaviest_stage_max_ms": heaviest[3] if heaviest else 0,
         "worst": worst,
-        "ok": worst["ratio"] <= MAX_RATIO,
+        "bound": bound,
+        "ok": worst["ratio"] <= bound,
     }
 
 
@@ -168,6 +187,71 @@ def main() -> int:
     stages, seen = stage_ratios(spark, seen)
     r = check("minhash_lsh_candidates", stages)
     r["candidate_pairs"] = n_pairs
+    results.append(r)
+
+    # --- text-index arm (r14, VERDICT r13 #4): the hot-TOKEN shapes —
+    # the boiler tokens occur in 77% of fixture docs, a worse-than-
+    # realistic stopword. The corpus expands ×EX (distinct ids) so the
+    # postings shuffle is heavy enough for the ratio to mean something;
+    # what is being pinned is the salted postings write (repartition by
+    # token ALONE put a stopword's postings — O(corpus docs) rows at
+    # 100 TB — through one task; _posting_salt spreads it) plus the
+    # hot-term BM25 probe and the hot-trigram substring search.
+    from etl_btc_spark.operators import text_index as TI
+
+    big = docs.crossJoin(
+        spark.range(EX_TOKEN).withColumnRenamed("id", "__r")
+    ).select(
+        (F.col("doc_id") * EX_TOKEN + F.col("__r")).alias("doc_id"), "text"
+    )
+    tix = os.path.join("spark-warehouse", "skew_text_index")
+    _, seen = stage_ratios(spark, seen)  # isolate from expansion noise
+    TI.build_text_index(spark, big, tix)
+    stages, seen = stage_ratios(spark, seen)
+    r = check("text_index_build_hot_token", stages)
+    results.append(r)
+
+    hot = TI.bm25_probe(spark, tix, ["boiler3", "u17a3"], n=20).collect()
+    stages, seen = stage_ratios(spark, seen)
+    r = check("bm25_probe_hot_token", stages)
+    r["rows"] = len(hot)
+    results.append(r)
+
+    trg_docs = big.filter(F.col("doc_id") % EX_TOKEN < EX_TRIGRAM)
+    trg = os.path.join("spark-warehouse", "skew_trigram_index")
+    TI.build_trigram_index(spark, trg_docs, trg)
+    stages, seen = stage_ratios(spark, seen)
+    r = check("trigram_index_build_hot_gram", stages)
+    results.append(r)
+
+    n_sub = TI.substring_search(spark, trg, trg_docs, "boiler3 boiler4").count()
+    stages, seen = stage_ratios(spark, seen)
+    r = check("substring_search_hot_trigram", stages)
+    r["matches"] = n_sub
+    results.append(r)
+
+    # --- true-STOPWORD postings write (r14): short docs where ONE
+    # token carries 25% of all postings rows (3.2M of 12.8M — the
+    # "the"-shaped vocabulary a real corpus has). Without
+    # _posting_salt this is a single 3.4M-row straggler task (measured
+    # ratio 5.09 on this box); salted it levels to ~1.0, and the
+    # TIGHTER 3.0 bound makes salt-removal a failing regression, not
+    # a under-10x near-miss.
+    stop = spark.range(N_STOPDOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("hotstop"),
+            F.format_string("s%da", "id"),
+            F.format_string("s%db", "id"),
+            F.format_string("s%dc", "id"),
+        ).alias("text"),
+    )
+    stix = os.path.join("spark-warehouse", "skew_stopword_index")
+    _, seen = stage_ratios(spark, seen)
+    TI.build_text_index(spark, stop, stix)
+    stages, seen = stage_ratios(spark, seen)
+    r = check("text_index_build_stopword25pct", stages, bound=3.0)
     results.append(r)
 
     ok = all(r["ok"] for r in results)
