@@ -1365,12 +1365,19 @@ def _synth_pcm(doc_id: int, n: int):
     return ((doc_id * 31 + k * 17) % 1999 - 999).astype(np.float64) / 32768.0
 
 
-def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", n_col: str | None = None
+) -> DataFrame:
     """Synthesize a REAL mono PCM16 WAV payload per row from the
     closed-form signal above (the fixtures carry no audio blobs).
     The bytes go through :func:`encode_wav` — downstream operators
     exercise the genuine container parse, while the oracles recompute
-    the signal arithmetically and never touch bytes."""
+    the signal arithmetically and never touch bytes.
+
+    ``n_col`` overrides the sample COUNT per row while the signal
+    stays keyed by ``id_col`` — two rows with the same id but
+    different n are the same recording at different trims, the
+    classic audio near-dup fixture (q99aw)."""
     ensure_serializable()
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("payload", T.BinaryType())]
@@ -1379,9 +1386,10 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for did in pdf[id_col]:
+            ns = pdf[n_col] if n_col is not None else None
+            for i, did in enumerate(pdf[id_col]):
                 did = int(did)
-                n = 256 + did % 512
+                n = int(ns.iloc[i]) if ns is not None else 256 + did % 512
                 rate = 8000 + (did % 3) * 4000
                 payloads.append(encode_wav(_synth_pcm(did, n), rate))
             out = pdf.copy()

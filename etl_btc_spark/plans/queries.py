@@ -7702,3 +7702,239 @@ def q99as(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", sround(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+_Q99AT_MODALITY_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'text' "
+    "WHEN doc_id % 3 = 1 THEN 'image' ELSE 'audio' END"
+)
+_Q99AT_WEIGHT_CASE = "CASE WHEN s = 'text' THEN 2 ELSE 1 END"
+
+
+def _q99at_weight(modality: str) -> int:
+    return 2 if modality == "text" else 1
+
+
+def _q99at_oracle() -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, {_Q99AT_MODALITY_SQL} AS modality
+            FROM documents
+        ),
+        {SP.domain_mix_rates_sql(_Q99AT_WEIGHT_CASE, stratum_col="modality", table="base")},
+        kept AS (
+            SELECT b.doc_id, b.text, b.modality
+            FROM base b JOIN r ON b.modality = r.s
+            WHERE {SP.hash_bucket_sql('b.doc_id')} < r.rate
+        ),
+        aw AS (
+            SELECT doc_id,
+                   avg(rms) AS mean_win_rms
+            FROM (
+                SELECT w.doc_id, w.win_idx, sqrt(avg(f * f)) AS rms
+                FROM (
+                    SELECT k.doc_id, k.n, CAST(w AS INTEGER) AS win_idx,
+                           w * 128 AS k0,
+                           least(CAST(256 AS BIGINT), k.n - w * 128) AS sz
+                    FROM (
+                        SELECT doc_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
+                        FROM kept
+                    ) k, unnest(generate_series(0, (k.n + 127) // 128 - 1)) AS t(w)
+                ) w, unnest(generate_series(0, w.sz - 1)) AS t(i),
+                LATERAL (SELECT ((w.doc_id * 31 + (w.k0 + i) * 17) % 1999 - 999)
+                                / 32768.0 AS f)
+                GROUP BY w.doc_id, w.win_idx
+            ) GROUP BY doc_id
+        )
+        SELECT k.doc_id,
+               k.modality,
+               {TX.WS_TOKEN_COUNT_SQL.format(col="k.text")} AS n_words,
+               round({TX.quality_score_sql("k.text")}, 6) AS quality,
+               CAST(64 + octet_length(encode(k.text)) % 640 AS INTEGER) AS width,
+               CAST(64 + (octet_length(encode(k.text)) * 7) % 480 AS INTEGER) AS height,
+               CAST(1 + octet_length(encode(k.text)) % 30 AS INTEGER) AS n_frames,
+               CAST(8000 + (k.doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+               CAST((256 + k.doc_id % 512) * 1000
+                    // (8000 + (k.doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+               round(1e-9 + aw.mean_win_rms, 6) AS mean_win_rms
+        FROM kept k JOIN aw ON k.doc_id = aw.doc_id
+    """
+
+
+@register(
+    "q99at_multimodal_capstone",
+    oracle=_q99at_oracle(),
+    doc=(
+        "MULTIMODAL training-manifest capstone (r14 — VERDICT r13 #5, "
+        "the q93 sibling for mixed-modality corpora) in ONE lazy "
+        "plan: a deterministic modality assignment feeds q91's "
+        "integer domain-mix machinery (one count aggregate derives "
+        "downsample-only keep rates, text weighted 2:1; the pass is "
+        "the pushed-down hash-bucket filter), then the kept manifest "
+        "joins all three modality feature extracts — q29's codegen "
+        "text quality, q42's image meta through the binary-payload "
+        "mapInPandas decode, and the REAL WAV path (q99ap header "
+        "meta + mean per-window RMS over q99aq's windows, decode "
+        "running the genuine RIFF parser). Every join is a doc_id "
+        "equi-join over the already-partitioned manifest (the same "
+        "key reused — one shuffle shape at 100 TB); the mix CTE, "
+        "window rebuild and header math compose the three sides' "
+        "oracles verbatim"
+    ),
+)
+def q99at(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    base = docs.withColumn(
+        "modality",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("text"))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("image"))
+        .otherwise(F.lit("audio")),
+    )
+    rates = SP.domain_mix_rates(
+        base, weight_fn=_q99at_weight, stratum_col="modality"
+    )
+    kept = SP.stratified_sample(base, rates, stratum_col="modality")
+    feats = TX.quality_features(F.col("text"))
+    txt = kept.select(
+        "doc_id",
+        "modality",
+        "text",
+        feats["n_words"].alias("n_words"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    img = MM.extract_media_meta(
+        MM.attach_binary_payload(kept.select("doc_id", "text"))
+    ).select("doc_id", "width", "height", "n_frames")
+    wav = MM.attach_wav_payload(kept.select("doc_id"))
+    ameta = MM.extract_audio_meta(wav).select(
+        "doc_id", "sample_rate", "duration_ms"
+    )
+    awin = (
+        MM.audio_windows(wav, window=256, hop=128)
+        .groupBy("doc_id")
+        .agg(sround(F.avg("rms"), 6).alias("mean_win_rms"))
+    )
+    return (
+        txt.join(img, "doc_id")
+        .join(ameta, "doc_id")
+        .join(awin, "doc_id")
+        .select(
+            "doc_id",
+            "modality",
+            "n_words",
+            "quality",
+            "width",
+            "height",
+            "n_frames",
+            "sample_rate",
+            "duration_ms",
+            "mean_win_rms",
+        )
+    )
+
+
+def _q99aw_oracle() -> str:
+    return f"""
+        WITH aug AS (
+            SELECT doc_id, doc_id % 40 AS sig_id,
+                   (256 + ((doc_id % 40) * 12) % 512)
+                       - 64 * ((doc_id // 40) % 2) AS n
+            FROM documents
+        ),
+        win AS (
+            SELECT a.doc_id, a.sig_id, CAST(w AS INTEGER) AS win_idx,
+                   w * 64 AS k0,
+                   least(CAST(64 AS BIGINT), a.n - w * 64) AS sz
+            FROM aug a, unnest(generate_series(0, (a.n + 63) // 64 - 1)) AS t(w)
+        ),
+        lvl AS (
+            SELECT doc_id, win_idx,
+                   'l' || CAST(floor(sqrt(avg(f * f)) * 4096 + 1e-9) AS BIGINT)
+                       AS tok
+            FROM (
+                SELECT w.doc_id, w.win_idx,
+                       ((w.sig_id * 31 + (w.k0 + i) * 17) % 1999 - 999)
+                           / 32768.0 AS f
+                FROM win w, unnest(generate_series(0, w.sz - 1)) AS t(i)
+            ) GROUP BY doc_id, win_idx
+        ),
+        w AS (
+            SELECT doc_id, list(tok ORDER BY win_idx) AS t
+            FROM lvl GROUP BY doc_id
+        ),
+        {DD.minhash_oracle_ctes()}
+        SELECT id_a, id_b, round(1e-9 + j, 6) AS jaccard
+        FROM (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS j
+            FROM mh_cand c
+            JOIN mh_sh sa ON c.id_a = sa.doc_id
+            JOIN mh_sh sb ON c.id_b = sb.doc_id
+        )
+        WHERE j >= 0.6
+    """
+
+
+@register(
+    "q99aw_audio_near_dupes",
+    oracle=_q99aw_oracle(),
+    doc=(
+        "AUDIO near-dup detection (r14 — VERDICT r13 #8 stretch, the "
+        "audio analogue of q40): decode REAL WAV payloads, quantize "
+        "each 64-sample window's RMS to an integer level "
+        "(floor(rms*4096 + eps) — the epsilon keeps the float boundary "
+        "off both engines' last ulp), serialize the level sequence as "
+        "a fingerprint token string, and push it through the EXACT "
+        "q40 machinery — 32-perm MinHash signatures, 8-band bucket "
+        "self-join, exact-Jaccard verify on candidates only. The "
+        "fixture synthesizes the classic case: docs sharing sig_id "
+        "(doc_id % 40) are the SAME recording, alternate group "
+        "members ((doc_id DIV 40) % 2) trimmed "
+        "by 64 samples — same-trim pairs fingerprint identically "
+        "(J=1.0), cross-trim pairs lose one trailing window "
+        "(J=(W-3)/(W-2), caught at the 0.6 threshold). Oracle "
+        "rebuilds the level tokens from the closed-form signal "
+        "(generate_series window rebuild keyed by sig_id) and reuses "
+        "minhash_oracle_ctes verbatim. One mapInPandas decode "
+        "crossing; the band join is the same bounded-bucket shape "
+        "q40 ships at 100 TB"
+    ),
+)
+def q99aw(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(40)).alias("sig_id"),
+        (
+            256
+            + F.pmod(F.pmod(F.col("doc_id"), F.lit(40)) * 12, F.lit(512))
+            - 64
+            * F.pmod(
+                F.expr("CAST(doc_id DIV 40 AS BIGINT)"), F.lit(2)
+            )
+        ).alias("n"),
+    )
+    wav = MM.attach_wav_payload(aug, id_col="sig_id", n_col="n")
+    wins = MM.audio_windows(wav, window=64, hop=64)
+    tok = F.concat(
+        F.lit("l"),
+        F.floor(F.col("rms") * 4096 + F.lit(1e-9)).cast("bigint").cast("string"),
+    )
+    fp = (
+        wins.select("doc_id", "win_idx", tok.alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("win_idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("fp_text")
+        )
+    )
+    pairs = DD.minhash_near_dupes(fp, threshold=0.6, text_col="fp_text")
+    return pairs.select(
+        "id_a", "id_b", sround(F.col("jaccard"), 6).alias("jaccard")
+    )

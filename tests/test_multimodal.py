@@ -841,3 +841,26 @@ def test_wav_truncation_empty_and_window_vectorization(spark):
         assert got[key]["win_samples"] == ln
         assert got[key]["rms"] == rms  # bit-identical, not approx
         assert got[key]["peak"] == peak
+
+
+def test_attach_wav_payload_n_override(spark):
+    """r14 (q99aw fixture hook): n_col overrides the sample count
+    while the signal stays keyed by id_col — same-id rows at
+    different n are the same recording at different trims."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, 7, 300), (2, 7, 236)], "doc_id long, sig_id long, n long"
+    )
+    rows = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in MM.attach_wav_payload(df, id_col="sig_id", n_col="n").collect()
+    }
+    r1, x1 = MM.decode_wav(rows[1])
+    r2, x2 = MM.decode_wav(rows[2])
+    assert x1.shape[0] == 300 and x2.shape[0] == 236
+    assert r1 == r2 == 8000 + (7 % 3) * 4000
+    # the trimmed payload is a PREFIX of the full one, sample-exact
+    assert (x2[:, 0] == x1[:236, 0]).all()
+    want = MM._synth_pcm(7, 300)
+    assert np.abs(x1[:, 0] - want).max() <= 1 / 32768
