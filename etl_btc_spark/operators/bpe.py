@@ -432,3 +432,112 @@ def bpe_count_sql(merges: list[tuple[str, str]], col: str) -> str:
     return (
         f"length(regexp_replace({expr}, '{WS_CLASS}', '', 'g'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-id layer (r14): byte-level base vocabulary + merge-rank ids —
+# the GPT-2 id convention restricted to Latin-1 base symbols. A packed
+# training batch is int arrays, not strings; this layer makes the
+# engine's BPE output model-consumable and keeps the id assignment
+# corpus-independent (id = codepoint for single chars < 256, 256+rank
+# for merge outputs, UNK = 256+n_merges for anything else).
+# ---------------------------------------------------------------------------
+
+
+def token_id_map(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """token string -> id for MERGE OUTPUTS only (single chars map by
+    codepoint, computed inline — the dict stays vocabulary-sized)."""
+    return {left + right: 256 + rank for rank, (left, right) in enumerate(merges)}
+
+
+def unk_id(merges: list[tuple[str, str]]) -> int:
+    return 256 + len(merges)
+
+
+def encode_word_ids(word: str, merges, id_map, unk: int) -> list[int]:
+    return [
+        id_map.get(t, ord(t) if len(t) == 1 and ord(t) < 256 else unk)
+        for t in encode_word(word, merges)
+    ]
+
+
+def decode_ids(ids: list[int], merges: list[tuple[str, str]]) -> str:
+    """Inverse of :func:`encode_word_ids` over any id sequence:
+    merge-output ids expand to their string; base ids to their char;
+    the UNK id decodes to U+FFFD. Token boundaries are not
+    recoverable (BPE is lossy only about boundaries, never bytes)."""
+    outs = {256 + r: left + right for r, (left, right) in enumerate(merges)}
+    unk = unk_id(merges)
+    return "".join(
+        "�" if i == unk else outs.get(i, chr(i) if i < 256 else "�")
+        for i in ids
+    )
+
+
+def bpe_encode_ids(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pass-through columns + (bpe_ids array<int>, n_bpe_tokens) in
+    one mapInPandas crossing — the model-consumable twin of
+    :func:`bpe_encode`."""
+    merges = load_bpe_merges(spark, path)
+    id_map = token_id_map(merges)
+    unk = unk_id(merges)
+    ensure_serializable()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+        for pdf in batches:
+            if len(cache) > 1_000_000:
+                cache = {}
+            ids_out, counts = [], []
+            for text in pdf[text_col]:
+                ids: list[int] = []
+                for w in pretokenize(text if isinstance(text, str) else None):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word_ids(w, merges, id_map, unk)
+                        cache[w] = enc
+                    ids.extend(enc)
+                ids_out.append(ids)
+                counts.append(len(ids))
+            out = pdf.drop(columns=[text_col])
+            out["bpe_ids"] = ids_out
+            out["n_bpe_tokens"] = pd.array(counts, dtype="int64")
+            yield out
+
+    fields = [f for f in df.schema.fields if f.name != text_col]
+    fields.append(T.StructField("bpe_ids", T.ArrayType(T.IntegerType())))
+    fields.append(_ENCODE_SCHEMA_TAIL[1])
+    return df.mapInPandas(gen, T.StructType(fields))
+
+
+def bpe_ids_csv_sql(merges: list[tuple[str, str]], col: str) -> str:
+    """DuckDB oracle for the FULL id SEQUENCE of ``col`` as a
+    comma-joined string: the replace-chain transform of
+    :func:`bpe_count_sql` yields the token sequence as one symbol
+    per char (placeholders for merge outputs); stripping whitespace
+    and mapping each symbol — PUA placeholder U+E000+r -> 256+r,
+    base char -> codepoint — reproduces the engine's id stream
+    exactly. Same SQL-expressibility envelope as bpe_count_sql."""
+    _validate_merges(merges, "bpe_ids_csv_sql")
+    # reuse the validated replace chain, then swap the final count for
+    # a per-char id mapping
+    count_expr = bpe_count_sql(merges, col)
+    prefix = "length(regexp_replace("
+    suffix = f", '{WS_CLASS}', '', 'g'))"
+    assert count_expr.startswith(prefix) and count_expr.endswith(suffix)
+    stripped = "regexp_replace(" + count_expr[len(prefix):-len(suffix)] + (
+        f", '{WS_CLASS}', '', 'g')"
+    )
+    return (
+        "(SELECT coalesce(array_to_string(list_transform("
+        "[substring(t, i, 1) FOR i IN range(1, length(t) + 1)], "
+        "c -> CASE WHEN unicode(c) >= 57344 THEN 256 + (unicode(c) - 57344) "
+        "WHEN unicode(c) < 256 THEN unicode(c) "
+        f"ELSE {unk_id(merges)} END), ','), '') "
+        f"FROM (SELECT {stripped} AS t))"
+    )

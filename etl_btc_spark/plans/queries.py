@@ -7938,3 +7938,41 @@ def q99aw(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", sround(F.col("jaccard"), 6).alias("jaccard")
     )
+
+
+@register(
+    "q99ax_bpe_encode_ids",
+    oracle=f"""
+        SELECT doc_id,
+               {BP.bpe_ids_csv_sql(_BPE_WARM_MERGES, "text")} AS ids_csv,
+               CAST({_BPE_COUNT_SQL} AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    doc=(
+        "BPE token-ID encoding under a FULL-SEQUENCE value gate (r14 "
+        "— the model-consumable layer of the tokenizer family): "
+        "bpe_encode_ids emits every document's complete id stream "
+        "(GPT-2 id convention restricted to Latin-1: codepoint for "
+        "base chars, 256+rank for merge outputs, 256+n_merges UNK) "
+        "in one mapInPandas crossing; the gate audits the ENTIRE "
+        "sequence, not just the count — the oracle's replace-chain "
+        "transform yields the token sequence as one symbol per char, "
+        "so mapping each surviving symbol (PUA placeholder -> "
+        "256+rank, base char -> codepoint) reproduces the id stream "
+        "exactly, joined as CSV on both sides so the hash covers "
+        "order. decode_ids inverts the stream (pytest round-trip)"
+    ),
+)
+def q99ax(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "q99ax_bpe_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES)
+    enc = BP.bpe_encode_ids(spark, docs, idx)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("bpe_ids"), lambda i: i.cast("string")), ","
+        ).alias("ids_csv"),
+        "n_bpe_tokens",
+    )

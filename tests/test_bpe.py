@@ -146,3 +146,31 @@ def test_trained_arm_through_spark(spark, tmp_path):
             wc[w] = wc.get(w, 0) + 1
     assert got == BP.train_bpe_merges(wc, 16)
     assert len(got) == 16
+
+
+def test_token_ids_and_decode_roundtrip(spark, tmp_path):
+    """r14 token-id layer: id assignment (codepoint | 256+rank | UNK),
+    bpe_encode_ids ≡ local encode, decode_ids inverts the stream."""
+    path = str(tmp_path / "vocab")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    BP.build_bpe_vocab(spark, docs, path, merges=MERGES)
+    id_map = BP.token_id_map(MERGES)
+    unk = BP.unk_id(MERGES)
+    assert id_map["th"] == 256 and unk == 256 + len(MERGES)
+    got = {r["doc_id"]: r for r in BP.bpe_encode_ids(spark, docs, path).collect()}
+    for r in docs.collect():
+        want = [
+            i
+            for w in BP.pretokenize(r["text"])
+            for i in BP.encode_word_ids(w, MERGES, id_map, unk)
+        ]
+        assert got[r["doc_id"]]["bpe_ids"] == want
+        assert got[r["doc_id"]]["n_bpe_tokens"] == len(want)
+        # ids decode back to the document's non-whitespace chars
+        assert BP.decode_ids(want, MERGES) == "".join(BP.pretokenize(r["text"]))
+    # UNK + non-Latin-1: é (U+00E9, Latin-1) keeps its codepoint,
+    # 中 (U+4E2D) maps to UNK and decodes to U+FFFD
+    ids = BP.encode_word_ids("héllo中", MERGES, id_map, unk)
+    assert 0xE9 in ids and ids.count(unk) == 1
+    ids2 = BP.encode_word_ids("中", MERGES, id_map, unk)
+    assert ids2 == [unk] and BP.decode_ids(ids2, MERGES) == "�"
