@@ -515,15 +515,16 @@ def bpe_encode_ids(
     return df.mapInPandas(gen, T.StructType(fields))
 
 
-def bpe_ids_csv_sql(merges: list[tuple[str, str]], col: str) -> str:
-    """DuckDB oracle for the FULL id SEQUENCE of ``col`` as a
-    comma-joined string: the replace-chain transform of
+def bpe_ids_list_sql(merges: list[tuple[str, str]], col: str) -> str:
+    """DuckDB oracle for the FULL id SEQUENCE of ``col`` as an INT
+    list (scalar subquery): the replace-chain transform of
     :func:`bpe_count_sql` yields the token sequence as one symbol
     per char (placeholders for merge outputs); stripping whitespace
     and mapping each symbol — PUA placeholder U+E000+r -> 256+r,
-    base char -> codepoint — reproduces the engine's id stream
-    exactly. Same SQL-expressibility envelope as bpe_count_sql."""
-    _validate_merges(merges, "bpe_ids_csv_sql")
+    base char -> codepoint, else UNK — reproduces the engine's id
+    stream exactly. Same SQL-expressibility envelope as
+    bpe_count_sql."""
+    _validate_merges(merges, "bpe_ids_list_sql")
     # reuse the validated replace chain, then swap the final count for
     # a per-char id mapping
     count_expr = bpe_count_sql(merges, col)
@@ -534,10 +535,18 @@ def bpe_ids_csv_sql(merges: list[tuple[str, str]], col: str) -> str:
         f", '{WS_CLASS}', '', 'g')"
     )
     return (
-        "(SELECT coalesce(array_to_string(list_transform("
+        "(SELECT list_transform("
         "[substring(t, i, 1) FOR i IN range(1, length(t) + 1)], "
         "c -> CASE WHEN unicode(c) >= 57344 THEN 256 + (unicode(c) - 57344) "
         "WHEN unicode(c) < 256 THEN unicode(c) "
-        f"ELSE {unk_id(merges)} END), ','), '') "
+        f"ELSE {unk_id(merges)} END) "
         f"FROM (SELECT {stripped} AS t))"
+    )
+
+
+def bpe_ids_csv_sql(merges: list[tuple[str, str]], col: str) -> str:
+    """Comma-joined form of :func:`bpe_ids_list_sql` (empty doc ->
+    empty string, matching the engine's join of an empty array)."""
+    return (
+        f"coalesce(array_to_string({bpe_ids_list_sql(merges, col)}, ','), '')"
     )

@@ -192,6 +192,66 @@ def token_packing(
     )
 
 
+def materialize_packs(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    ids_col: str = "bpe_ids",
+    docs_per_shard: int = 65536,
+) -> DataFrame:
+    """Materialize the ACTUAL packed training sequences (r14 — the
+    output half of the packing contract; :func:`token_packing` emits
+    the assignments, this emits the batches a trainer consumes):
+    within each derived shard, documents' token-id arrays concatenate
+    in id order and the stream is cut every ``budget`` tokens. Output
+    one row per (shard, pack_id): ``pack_ids`` in stream order and
+    ``n_tokens`` (the tail pack of a shard may be short — kept, the
+    padding/drop policy belongs to the trainer).
+
+    Scale shape: the exclusive prefix-sum window runs per shard
+    (parallelism grows with the corpus, the token_packing argument),
+    then ONE token-level posexplode — unavoidable, the tokens ARE the
+    output — shuffles into a (shard, pack_id) aggregation whose
+    groups are bounded by ``budget`` rows each: perfectly even keys,
+    no skew surface, and the per-group sort is an in-memory
+    ``array_sort`` over ≤ budget elements."""
+    from pyspark.sql import Window
+
+    shard = F.expr(
+        f"CAST(({id_col} - pmod({id_col}, {docs_per_shard}))"
+        f" DIV {docs_per_shard} AS BIGINT)"
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = (
+        df.select(F.col(id_col), shard.alias("shard"), F.col(ids_col).alias("__ids"))
+        .withColumn("__n", F.coalesce(F.size("__ids"), F.lit(0)))
+        .withColumn("__cum", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    )
+    tok = t.select(
+        "shard", "__cum", F.posexplode("__ids").alias("__i", "__tid")
+    ).select(
+        "shard",
+        (F.col("__cum") + F.col("__i")).alias("__pos"),
+        "__tid",
+    )
+    return (
+        tok.groupBy(
+            "shard", F.floor(F.col("__pos") / budget).cast("bigint").alias("pack_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tid"))),
+                lambda s: s["__tid"],
+            ).alias("pack_ids"),
+        )
+    )
+
+
 def _check_split_fractions(fractions: dict[str, int]) -> None:
     """Reject the two silently-wrong shapes: no labels at all, and
     widths past the bucket space (a label whose range starts beyond

@@ -7976,3 +7976,62 @@ def q99ax(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("ids_csv"),
         "n_bpe_tokens",
     )
+
+
+@register(
+    "q99ay_pack_materialize",
+    oracle=f"""
+        WITH enc AS (
+            SELECT doc_id, {SP.token_shard_sql('doc_id', 64)} AS shard,
+                   {BP.bpe_ids_list_sql(_BPE_WARM_MERGES, "text")} AS ids
+            FROM documents
+        ),
+        off AS (
+            SELECT doc_id, shard, ids, len(ids) AS n,
+                   coalesce(sum(len(ids)) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum
+            FROM enc
+        ),
+        tok AS (
+            SELECT shard, cum + i - 1 AS pos, ids[i] AS tid
+            FROM off, unnest(generate_series(1, n)) AS t(i)
+        )
+        SELECT shard, pos // 512 AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               string_agg(tid, ',' ORDER BY pos) AS ids_csv
+        FROM tok GROUP BY shard, pos // 512
+    """,
+    doc=(
+        "Packed-batch MATERIALIZATION under a full-content value gate "
+        "(r14 — the output half of the packing contract: q81/q99av "
+        "emit the assignments, this emits the int-id sequences a "
+        "trainer actually consumes): bpe_encode_ids' per-doc id "
+        "arrays flow through materialize_packs — per-shard exclusive "
+        "prefix sum, ONE token-level posexplode (the tokens ARE the "
+        "output), then a (shard, pack_id) aggregation whose groups "
+        "are bounded by the 512-token budget (perfectly even keys, "
+        "in-memory array_sort per group). The gate hashes every "
+        "pack's ENTIRE id stream (CSV-joined, order-covering); the "
+        "oracle rebuilds it from the replace-chain id lists + the "
+        "same prefix-sum/unnest/string_agg chain"
+    ),
+)
+def q99ay(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "q99ay_bpe_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES)
+    enc = BP.bpe_encode_ids(spark, docs, idx).select("doc_id", "bpe_ids")
+    packs = SP.materialize_packs(
+        enc, budget=512, ids_col="bpe_ids", docs_per_shard=64
+    )
+    return packs.select(
+        "shard",
+        "pack_id",
+        "n_tokens",
+        F.array_join(
+            F.transform(F.col("pack_ids"), lambda i: i.cast("string")), ","
+        ).alias("ids_csv"),
+    )

@@ -174,3 +174,61 @@ def test_token_ids_and_decode_roundtrip(spark, tmp_path):
     assert 0xE9 in ids and ids.count(unk) == 1
     ids2 = BP.encode_word_ids("中", MERGES, id_map, unk)
     assert ids2 == [unk] and BP.decode_ids(ids2, MERGES) == "�"
+
+
+def test_materialize_packs_consistent_with_assignments(spark, tmp_path):
+    """r14: the materialized packs agree with token_packing's
+    assignment contract — token conservation, stream order, full
+    packs everywhere but shard tails, and each doc's first token
+    landing exactly at its assigned (pack_id, pack_offset)."""
+    from etl_btc_spark.operators import sampling as SP
+
+    path = str(tmp_path / "vocab")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    BP.build_bpe_vocab(spark, docs, path, merges=MERGES)
+    enc = BP.bpe_encode_ids(spark, docs, path).select("doc_id", "bpe_ids")
+    budget, dps = 256, 32
+    packs = {
+        (r["shard"], r["pack_id"]): r
+        for r in SP.materialize_packs(
+            enc, budget=budget, ids_col="bpe_ids", docs_per_shard=dps
+        ).collect()
+    }
+    rows = enc.collect()
+    assert sum(r["n_tokens"] for r in packs.values()) == sum(
+        len(r["bpe_ids"]) for r in rows
+    )
+    # reconstruct each shard's stream locally and compare pack by pack
+    from collections import defaultdict
+
+    stream = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        stream[r["doc_id"] // dps].extend(r["bpe_ids"])
+    want = {}
+    for sh, ids in stream.items():
+        for p in range(0, (len(ids) + budget - 1) // budget):
+            want[(sh, p)] = ids[p * budget : (p + 1) * budget]
+    assert set(packs) == set(want)
+    for key, ids in want.items():
+        assert packs[key]["pack_ids"] == ids
+        assert packs[key]["n_tokens"] == len(ids)
+        # only a shard's last pack may be short
+        if key[1] < max(p for s, p in want if s == key[0]):
+            assert packs[key]["n_tokens"] == budget
+    # assignment agreement: each doc STARTS at its token_packing slot
+    asg = SP.token_packing(
+        enc.selectExpr("doc_id", "size(bpe_ids) AS n"),
+        budget=budget,
+        docs_per_shard=dps,
+        tokens_col="n",
+    ).collect()
+    pos_in_shard = defaultdict(int)
+    doc_first = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        sh = r["doc_id"] // dps
+        doc_first[r["doc_id"]] = pos_in_shard[sh]
+        pos_in_shard[sh] += len(r["bpe_ids"])
+    for a in asg:
+        pos = doc_first[a["doc_id"]]
+        assert a["pack_id"] == pos // budget
+        assert a["pack_offset"] == pos % budget
