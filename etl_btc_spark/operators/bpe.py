@@ -158,6 +158,7 @@ def train_bpe_merges(
     word_counts: dict[str, int],
     n_merges: int,
     min_pair_count: int = 2,
+    initial: list[tuple[str, str]] | None = None,
 ) -> list[tuple[str, str]]:
     """Greedy BPE merge learning over a (word -> count) table —
     deterministic: best pair by (count desc, left asc, right asc);
@@ -165,10 +166,22 @@ def train_bpe_merges(
     ``min_pair_count`` times. Candidate pairs whose output string
     collides with an already-produced token value are skipped (see
     module docstring), as are cross-class pairs (impossible from
-    segmentations, asserted for safety)."""
+    segmentations, asserted for safety).
+
+    ``initial`` continues training past an existing merge list (the
+    :func:`extend_bpe_vocab` arm): segmentations replay the existing
+    merges first, then ``n_merges`` NEW merges are learned. Returns
+    only the new merges. Because greedy training is prefix-stable,
+    train(N, initial=train(M)) == train(M+N)[M:] on the same table."""
     segs = {w: list(w) for w in word_counts}
     merges: list[tuple[str, str]] = []
     produced: set[str] = set()
+    for left, right in initial or []:
+        out = left + right
+        produced.add(out)
+        for w in segs:
+            if len(segs[w]) >= 2:
+                segs[w] = _merge_pass(segs[w], left, right, out)
     for _ in range(n_merges):
         pair_counts: Counter = Counter()
         for w, cnt in word_counts.items():
@@ -248,6 +261,14 @@ def build_bpe_vocab(
     else:
         merges = [tuple(p) for p in merges]
     _validate_merges(merges, "build_bpe_vocab")
+    _persist_merges(spark, path, merges)
+    return path
+
+
+def _persist_merges(
+    spark: SparkSession, path: str, merges: list[tuple[str, str]]
+) -> None:
+    """Marker-first artifact write shared by build and extend."""
     os.makedirs(path, exist_ok=True)
     try:
         os.remove(os.path.join(path, "_BUILT"))
@@ -281,6 +302,39 @@ def build_bpe_vocab(
         )
     with open(os.path.join(path, "_BUILT"), "w") as f:
         f.write(_FORMAT + "\n")
+
+
+def extend_bpe_vocab(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    n_more: int = 32,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    max_vocab_words: int = 65_536,
+    min_pair_count: int = 2,
+) -> str:
+    """Append-style maintenance for the vocab artifact — the index
+    families' append posture applied to merges: CONTINUE the merge
+    list past the persisted ranks without perturbing them (existing
+    token ids, budgets and packed batches stay valid; new merges only
+    refine future encodes). TRAINED arm: greedy training resumes from
+    the replayed segmentation state, so ``build(N) then extend(M)``
+    over the same corpus is IDENTICAL to ``build(N+M)`` (greedy
+    prefix-stability — pinned by pytest). WARM arm: explicit new
+    merges validated causally against the existing outputs. Same
+    marker-first window as build: probes refuse mid-extend."""
+    existing = load_bpe_merges(spark, path)
+    if merges is None:
+        wc = _word_counts_distributed(docs, text_col, max_vocab_words)
+        new = train_bpe_merges(
+            wc, n_more, min_pair_count, initial=existing
+        )
+    else:
+        new = [tuple(p) for p in merges]
+    combined = existing + new
+    _validate_merges(combined, "extend_bpe_vocab")
+    _persist_merges(spark, path, combined)
     return path
 
 

@@ -7541,7 +7541,13 @@ def q99au(spark: SparkSession, sf: str) -> DataFrame:
     )
     idx = SK.artifact_path(sf, "q99au_bpe_vocab")
     shutil.rmtree(idx, ignore_errors=True)
-    BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES)
+    # build → EXTEND lifecycle (r14): the artifact lands via two
+    # maintenance steps — warm build of the first 16 merges, then the
+    # append-posture extend of the remaining 16 — and must answer
+    # exactly like a single 32-merge build (the oracle below IS that
+    # single build; extend never perturbs existing ranks)
+    BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES[:16])
+    BP.extend_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES[16:])
     out = BP.bpe_token_count(spark, docs, idx)
     return out.select(
         "doc_id",

@@ -232,3 +232,28 @@ def test_materialize_packs_consistent_with_assignments(spark, tmp_path):
         pos = doc_first[a["doc_id"]]
         assert a["pack_id"] == pos // budget
         assert a["pack_offset"] == pos % budget
+
+
+def test_extend_equals_single_build(spark, tmp_path):
+    """r14 vocab append posture: trained extend resumes greedy
+    training from the replayed segmentation state, so build(N) then
+    extend(M) equals one build(N+M) — merge-table identity; warm
+    extend validates causality against existing outputs."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    a = str(tmp_path / "two_step")
+    b = str(tmp_path / "one_shot")
+    BP.build_bpe_vocab(spark, docs, a, n_merges=10)
+    BP.extend_bpe_vocab(spark, docs, a, n_more=8)
+    BP.build_bpe_vocab(spark, docs, b, n_merges=18)
+    assert BP.load_bpe_merges(spark, a) == BP.load_bpe_merges(spark, b)
+    # warm extend: a merge using an output that only exists AFTER the
+    # existing list is legal; one using a never-produced token refuses
+    w = str(tmp_path / "warm")
+    BP.build_bpe_vocab(spark, docs, w, merges=[("t", "h")])
+    BP.extend_bpe_vocab(spark, docs, w, merges=[("th", "e")])
+    assert BP.load_bpe_merges(spark, w) == [("t", "h"), ("th", "e")]
+    with pytest.raises(ValueError, match="causally"):
+        BP.extend_bpe_vocab(spark, docs, w, merges=[("ab", "c")])
+    # extend on a missing/crashed artifact refuses via the marker
+    with pytest.raises(ValueError, match="_BUILT"):
+        BP.extend_bpe_vocab(spark, docs, str(tmp_path / "none"), n_more=2)
