@@ -24,10 +24,10 @@ hot-term ``bm25_probe`` (its aggregations are doc-keyed by
 construction, so it carries no hot-key shuffle — reported for the
 record) and the hot-trigram ``substring_search``; and a dedicated
 3.2M-doc STOPWORD corpus (one token = 25% of all postings rows)
-pins the salted postings write under a TIGHTER 3.0 bound — with
-``_posting_salt`` removed the same write measures a 5.1× straggler
-on this box, so the tightened bound turns salt-removal into a
-failing regression.
+pins the range-partitioned postings write under a TIGHTER 3.0 bound
+— reverted to the old single-key hash repartition the same write
+measures a 5.1× straggler on this box, so the tightened bound turns
+a de-skew regression into a failing check.
 
 AQE skew-split thresholds are lowered proportionally to the fixture
 (the hot shuffle partitions here are ~10^2 KB; at 100 TB the same
@@ -126,8 +126,9 @@ def stage_ratios(spark: SparkSession, seen: set[int]) -> tuple[list, set[int]]:
 def check(name: str, stages: list, bound: float = MAX_RATIO) -> dict:
     """Worst max/median among stages heavy enough to matter. A per-op
     ``bound`` tightens the pin where the fixture's measured skew
-    signal sits below the global 10× (the stopword build: salted 1.0,
-    salt-removed 5.1 — a 3.0 bound catches the regression)."""
+    signal sits below the global 10× (the stopword build:
+    range-partitioned ~1.0, single-key hash 5.1 — a 3.0 bound catches
+    the regression)."""
     worst = {"stage": None, "ratio": 0.0, "max_ms": 0.0, "med_ms": 0.0}
     for sid, n, med, mx in stages:
         if mx < FLOOR_MS or n < 2:
@@ -193,10 +194,11 @@ def main() -> int:
     # the boiler tokens occur in 77% of fixture docs, a worse-than-
     # realistic stopword. The corpus expands ×EX (distinct ids) so the
     # postings shuffle is heavy enough for the ratio to mean something;
-    # what is being pinned is the salted postings write (repartition by
-    # token ALONE put a stopword's postings — O(corpus docs) rows at
-    # 100 TB — through one task; _posting_salt spreads it) plus the
-    # hot-term BM25 probe and the hot-trigram substring search.
+    # what is being pinned is the range-partitioned postings write
+    # (repartition by token ALONE put a stopword's postings — O(corpus
+    # docs) rows at 100 TB — through one task; the range exchange's
+    # sampler splits the hot run) plus the hot-term BM25 probe and the
+    # hot-trigram substring search.
     from etl_btc_spark.operators import text_index as TI
 
     big = docs.crossJoin(
@@ -232,11 +234,12 @@ def main() -> int:
 
     # --- true-STOPWORD postings write (r14): short docs where ONE
     # token carries 25% of all postings rows (3.2M of 12.8M — the
-    # "the"-shaped vocabulary a real corpus has). Without
-    # _posting_salt this is a single 3.4M-row straggler task (measured
-    # ratio 5.09 on this box); salted it levels to ~1.0, and the
-    # TIGHTER 3.0 bound makes salt-removal a failing regression, not
-    # a under-10x near-miss.
+    # "the"-shaped vocabulary a real corpus has). Under the old
+    # hash(token)-only repartition this is a single 3.4M-row straggler
+    # task (measured ratio 5.09 on this box); the range-partitioned
+    # write (_bucketed_postings_write) levels it to ~1.0, and the
+    # TIGHTER 3.0 bound makes reverting to single-key hashing a
+    # failing regression, not an under-10x near-miss.
     stop = spark.range(N_STOPDOCS).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(

@@ -7,9 +7,10 @@ MinHash band self-join WITHOUT a dominant straggler task.
 The r14 text arm extends the pin to the inverted-index family: the
 ×16 fixture's hot-token build/probe/substring shapes under the global
 10× bound, plus a 3.2M-doc stopword corpus (one token = 25% of all
-postings rows) whose salted postings write is pinned at ≤ 3.0 —
-removing text_index._posting_salt measures 5.1× on this box, so the
-tighter bound makes de-salting a failing regression.
+postings rows) whose range-partitioned postings write is pinned at
+≤ 3.0 — reverting text_index._bucketed_postings_write to the old
+single-key hash repartition measures 5.1× on this box, so the
+tighter bound makes a de-skew regression a failing check.
 
 Runs scripts/skewcheck.py as a subprocess: the harness needs its own
 JVM because the pytest session runs with spark.ui.enabled=false and
@@ -61,7 +62,7 @@ def test_hot_key_corpus_has_no_dominant_task():
     assert ops["trigram_index_build_hot_gram"]["ok"]
     assert ops["bm25_probe_hot_token"]["rows"] == 20
     assert sub["matches"] == 40_000  # every expanded boiler doc matched
-    assert stop["bound"] == 3.0  # de-salting measures ~5x -> must fail
+    assert stop["bound"] == 3.0  # single-key hash measures ~5x -> must fail
     # the pinned stages were real work, not floor noise
     assert tix["heaviest_stage_max_ms"] >= 1_000
     assert stop["heaviest_stage_max_ms"] >= 1_000
