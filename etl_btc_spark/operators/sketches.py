@@ -129,3 +129,152 @@ def hll_sql(
             GROUP BY {group}
         )
     """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (r14): the mergeable approximate-quantile
+# path next to q76's exact percentiles. Spark's approx_percentile (GK)
+# is engine-private like HLL++; a fixed-grid histogram is the classic
+# reproducible alternative (Prometheus/monitoring-style): two passes —
+# per-group (min, max), then fixed-width bin counts — O(n_bins) state
+# per group, mergeable by construction (bin counts add), and every
+# step is SQL-expressible, so the estimate carries a full value
+# oracle. Error is bounded by the bin width: |q_est - q_true| <=
+# (max-min)/n_bins per group.
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float] = (0.5, 0.95),
+    n_bins: int = 512,
+) -> DataFrame:
+    """Per-group approximate quantiles from a fixed-grid histogram,
+    pure codegen: pass 1 aggregates (min, max, n) per group; pass 2
+    bins every value against the broadcast grid and counts; one
+    window cumsum over <= n_bins rows per group; linear interpolation
+    inside the crossing bin. Output: group_cols + q_<pct> doubles
+    (UNROUNDED — query layer rounds). Degenerate groups (min == max)
+    answer the constant exactly."""
+    from pyspark.sql import Window
+
+    if not quantiles:
+        raise ValueError("histogram_quantiles: quantiles must be non-empty")
+    if any(not 0.0 < q < 1.0 for q in quantiles):
+        raise ValueError(
+            "histogram_quantiles: quantiles must lie strictly inside (0, 1)"
+        )
+    if n_bins < 2:
+        raise ValueError("histogram_quantiles: n_bins must be >= 2")
+    v = F.col(value_col)
+    bounds = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.min(v).alias("__lo"),
+            F.max(v).alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    binned = (
+        df.filter(v.isNotNull())
+        .join(F.broadcast(bounds), group_cols)
+        .select(
+            *group_cols,
+            "__lo",
+            "__hi",
+            "__n",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (v - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / n_bins)
+                    ),
+                )
+            )
+            .alias("__b"),
+        )
+        .groupBy(*group_cols, "__lo", "__hi", "__n", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = binned.withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    outs = []
+    for q in quantiles:
+        # the crossing bin: first bin whose cumulative count reaches
+        # q*n; inside it, interpolate by rank position
+        target = F.lit(q) * F.col("__n")
+        est = F.when(
+            F.col("__hi") == F.col("__lo"), F.col("__lo")
+        ).otherwise(
+            F.col("__lo")
+            + F.col("__b") * width
+            + ((target - F.col("__cb")) / F.col("__c")) * width
+        )
+        hit = F.when(
+            (F.col("__cb") < target) & (F.col("__cb") + F.col("__c") >= target),
+            est,
+        )
+        outs.append(F.max(hit).alias(f"q_{int(q * 100)}"))
+    return cum.groupBy(*group_cols).agg(*outs)
+
+
+def histogram_quantiles_sql(
+    value: str,
+    group: str,
+    table: str,
+    quantiles: list[float] = (0.5, 0.95),
+    n_bins: int = 512,
+) -> str:
+    """DuckDB mirror of :func:`histogram_quantiles` — identical
+    two-pass grid, cumsum window and interpolation."""
+    width = f"((hi - lo) / {n_bins})"
+    sel = []
+    for q in quantiles:
+        target = f"({q!r}::DOUBLE * n)"
+        est = (
+            f"CASE WHEN hi = lo THEN lo ELSE "
+            f"lo + b * {width} + (({target} - cb) / c) * {width} END"
+        )
+        sel.append(
+            f"max(CASE WHEN cb < {target} AND cb + c >= {target} "
+            f"THEN {est} END) AS q_{int(q * 100)}"
+        )
+    return f"""
+        SELECT {group}, {", ".join(sel)}
+        FROM (
+            SELECT *, coalesce(sum(c) OVER (
+                PARTITION BY {group} ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM (
+                SELECT {group}, lo, hi, n, b, count(*) AS c
+                FROM (
+                    SELECT t.{group}, g.lo, g.hi, g.n,
+                           CASE WHEN g.hi = g.lo THEN 0
+                                ELSE least({n_bins - 1}, floor(
+                                    (t.{value} - g.lo)
+                                    / ((g.hi - g.lo) / {n_bins})
+                                )) END AS b
+                    FROM {table} t
+                    JOIN (
+                        SELECT {group}, min({value}) AS lo, max({value}) AS hi,
+                               count(*) AS n
+                        FROM {table} WHERE {value} IS NOT NULL
+                        GROUP BY {group}
+                    ) g USING ({group})
+                    WHERE t.{value} IS NOT NULL
+                )
+                GROUP BY {group}, lo, hi, n, b
+            )
+        )
+        GROUP BY {group}
+    """

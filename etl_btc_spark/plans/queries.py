@@ -8087,3 +8087,37 @@ def q99az(spark: SparkSession, sf: str) -> DataFrame:
         "exact_users",
         "n_events",
     )
+
+
+@register(
+    "q99ba_histogram_quantiles",
+    oracle=f"""
+        WITH h AS ({SKT.histogram_quantiles_sql("value", "event_type", "events")})
+        SELECT event_type,
+               round(1e-9 + q_50, 4) AS q50_approx,
+               round(1e-9 + q_95, 4) AS q95_approx
+        FROM h
+    """,
+    doc=(
+        "Mergeable histogram quantile sketch under a FULL value "
+        "oracle (r14 — the approximate sibling of q76's exact "
+        "percentiles, which sort every group; this is the path a "
+        "100 TB profile job takes): two codegen passes — per-group "
+        "(min, max, n), then fixed-512-bin counts against the "
+        "broadcast grid — one <=512-row cumsum window per group, "
+        "linear interpolation inside the crossing bin. O(bins) "
+        "state, bin counts ADD (mergeable), error bounded by "
+        "(max-min)/512 per group (pytest-pinned). Spark's built-in "
+        "approx_percentile (GK) is engine-private like HLL++; the "
+        "fixed grid reproduces BIT-identically in DuckDB (measured "
+        "absdiff 0.0), so the whole sketch is value-gated"
+    ),
+)
+def q99ba(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    h = SKT.histogram_quantiles(ev, "value", ["event_type"])
+    return h.select(
+        "event_type",
+        sround(F.col("q_50"), 4).alias("q50_approx"),
+        sround(F.col("q_95"), 4).alias("q95_approx"),
+    )

@@ -60,3 +60,53 @@ def test_hll_misuse_and_nulls(spark):
     )
     out = SKT.hll_distinct(withnull, "user_id", ["event_type"]).collect()
     assert all(r["hll_distinct"] > 0 for r in out)
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark):
+    """Error <= bin width per group; estimate invariant to row
+    partitioning (bin counts add — the mergeable property); misuse
+    refusals."""
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "value")
+    n_bins = 512
+    got = {
+        r["event_type"]: r
+        for r in SKT.histogram_quantiles(
+            ev, "value", ["event_type"], n_bins=n_bins
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    for k, e in exact.items():
+        binw = (e["hi"] - e["lo"]) / n_bins
+        assert abs(got[k]["q_50"] - e["p50"]) <= binw * 1.5, k
+        assert abs(got[k]["q_95"] - e["p95"]) <= binw * 1.5, k
+    re = {
+        tuple(r)
+        for r in SKT.histogram_quantiles(
+            ev.repartition(13), "value", ["event_type"], n_bins=n_bins
+        ).collect()
+    }
+    assert re == {tuple(r) for r in got.values()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quantiles"):
+        SKT.histogram_quantiles(ev, "value", ["event_type"], quantiles=[])
+    with _pytest.raises(ValueError, match="inside"):
+        SKT.histogram_quantiles(ev, "value", ["event_type"], quantiles=[1.0])
+    with _pytest.raises(ValueError, match="n_bins"):
+        SKT.histogram_quantiles(ev, "value", ["event_type"], n_bins=1)
+    # degenerate group: constant values answer the constant
+    const = spark.createDataFrame(
+        [("a", 7.0)] * 5, "g string, value double"
+    )
+    row = SKT.histogram_quantiles(const, "value", ["g"]).collect()[0]
+    assert row["q_50"] == 7.0 and row["q_95"] == 7.0
