@@ -278,3 +278,127 @@ def histogram_quantiles_sql(
         )
         GROUP BY {group}
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter broadcast prefilter (r14): the decontamination /
+# membership pattern at 100 TB — build a fixed-size bitmap over the
+# SMALL side's keys (the eval set's shingles), ship it as a literal
+# inside the plan, and pre-filter the corpus with a pure-codegen
+# expression before any join. No false negatives ever; false
+# positives are deterministic functions of the md5 hashes, so the
+# WHOLE candidate set (FPs included) reproduces bit-for-bit in SQL
+# and the q99bb gate is value-checked. Words are 32-bit (stored in
+# BIGINTs) so every bitmap value stays nonnegative and the
+# (x >> b) & 1 probe avoids sign-extension semantics differences.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(key: Column, i: int, n_bits: int) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), key)), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(n_bits),
+    )
+
+
+def _bloom_pos_sql(key: str, i: int, n_bits: int) -> str:
+    return (
+        f"((('0x' || substring(md5('bloom{i}:' || {key}), 1, 8))::BIGINT)"
+        f" % {n_bits})"
+    )
+
+
+def build_bloom_bits(
+    df: DataFrame, key_col: str, n_bits: int = 16_384, k: int = 4
+) -> list[int]:
+    """Aggregate the bitmap distributed (explode k positions →
+    per-word bit_or), collect the BOUNDED word table (n_bits/32
+    longs). Returns the dense word list, index = bit // 32."""
+    if n_bits % 32 or n_bits < 32:
+        raise ValueError("build_bloom_bits: n_bits must be a multiple of 32")
+    if not 1 <= k <= 16:
+        raise ValueError(f"build_bloom_bits: k={k} hash count out of range")
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_bloom_pos(key, i, n_bits) for i in range(k)])
+    ).alias("__p")
+    rows = (
+        df.filter(key.isNotNull())
+        .select(pos)
+        .select(
+            F.floor(F.col("__p") / 32).cast("int").alias("__w"),
+            F.pmod(F.col("__p"), F.lit(32)).cast("int").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(
+            # 2^b as an exact long (b <= 31, double-exact); pyspark's
+            # shiftleft only takes literal shift amounts
+            F.bit_or(
+                F.pow(F.lit(2.0), F.col("__b")).cast("long")
+            ).alias("__m")
+        )
+        .collect()
+    )
+    bits = [0] * (n_bits // 32)
+    for r in rows:
+        bits[r["__w"]] = int(r["__m"])
+    return bits
+
+
+def bloom_contains(
+    key: Column, bits: list[int], n_bits: int = 16_384, k: int = 4
+) -> Column:
+    """Pure-codegen membership probe against the literal bitmap —
+    the broadcast-prefilter expression (no join, no Python)."""
+    bm = F.array(*[F.lit(int(x)).cast("long") for x in bits])
+    cond = None
+    for i in range(k):
+        p = _bloom_pos(key, i, n_bits)
+        w = F.floor(p / 32).cast("int")
+        b = F.pmod(p, F.lit(32)).cast("int")
+        # (word >> b) & 1 via exact power-of-two division (words are
+        # 32-bit nonnegative, so double division by 2^b is exact)
+        hit = (
+            F.floor(
+                F.element_at(bm, w + 1) / F.pow(F.lit(2.0), b)
+            ).cast("long")
+            % 2
+            == 1
+        )
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def bloom_contains_sql(
+    key: str, words_cte: str, n_bits: int = 16_384, k: int = 4
+) -> str:
+    """DuckDB membership predicate against ``words_cte`` — a CTE of
+    ONE row with a dense ``bm`` list (index = word + 1), built by
+    :func:`bloom_words_sql`."""
+    parts = []
+    for i in range(k):
+        p = _bloom_pos_sql(key, i, n_bits)
+        parts.append(
+            f"((((SELECT bm FROM {words_cte})[({p}) // 32 + 1])"
+            f" >> (({p}) % 32)) & 1) = 1"
+        )
+    return "(" + " AND ".join(parts) + ")"
+
+
+def bloom_words_sql(
+    keys_cte: str, key: str = "s", n_bits: int = 16_384, k: int = 4
+) -> str:
+    """CTE body producing the one-row dense word list ``bm`` from a
+    CTE of keys — the SQL twin of :func:`build_bloom_bits`."""
+    poses = ", ".join(_bloom_pos_sql(key, i, n_bits) for i in range(k))
+    return f"""(
+        SELECT list(coalesce(w.m, 0) ORDER BY g.i) AS bm
+        FROM generate_series(0, {n_bits // 32 - 1}) AS g(i)
+        LEFT JOIN (
+            SELECT p // 32 AS w32, bit_or(1::BIGINT << (p % 32)) AS m
+            FROM (SELECT unnest([{poses}]) AS p FROM {keys_cte})
+            GROUP BY 1
+        ) w ON w.w32 = g.i
+    )"""

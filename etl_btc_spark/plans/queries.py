@@ -8121,3 +8121,65 @@ def q99ba(spark: SparkSession, sf: str) -> DataFrame:
         sround(F.col("q_50"), 4).alias("q50_approx"),
         sround(F.col("q_95"), 4).alias("q95_approx"),
     )
+
+
+@register(
+    "q99bb_bloom_decontamination",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), d AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
+            FROM w
+        ), tk AS (
+            SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 23 = 0
+        ), bw AS {SKT.bloom_words_sql('tk', n_bits=131072)},
+        c AS (
+            SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 23 != 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN {SKT.bloom_contains_sql('s', 'bw', n_bits=131072)}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+               sum(CASE WHEN {SKT.bloom_contains_sql('s', 'bw', n_bits=131072)}
+                        THEN 1 ELSE 0 END) > 0 AS flagged
+        FROM c GROUP BY doc_id
+    """,
+    doc=(
+        "Bloom-filter BROADCAST decontamination prefilter under a "
+        "FULL value gate (r14 — the at-scale arm of q82's exact "
+        "inverted-index check): the eval set's word 5-gram shingles "
+        "aggregate into a fixed 131072-bit bitmap (distributed "
+        "per-word bit_or, BOUNDED 4096-long collect, ~0.3% FP at the "
+        "sf0.1 key count), which rides the "
+        "plan as a LITERAL and pre-filters the corpus with a "
+        "pure-codegen membership expression — no join, no shuffle, "
+        "no Python; the corpus side is one scan at 100 TB and only "
+        "bloom-positive docs proceed to the exact check. No false "
+        "negatives by construction; false positives are "
+        "deterministic md5 functions, so the gate hashes the ENTIRE "
+        "candidate set (FPs included) against the SQL twin — the "
+        "sketch is verified, not just bounded"
+    ),
+)
+def q99bb(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tsh = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
+    )
+    bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
+    csh = docs.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    )
+    member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
+    return csh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(member.cast("int")).cast("bigint").alias("n_bloom_hits"),
+        (F.sum(member.cast("int")) > 0).alias("flagged"),
+    )

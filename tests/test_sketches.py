@@ -110,3 +110,33 @@ def test_histogram_quantiles_error_bound_and_merge(spark):
     )
     row = SKT.histogram_quantiles(const, "value", ["g"]).collect()[0]
     assert row["q_50"] == 7.0 and row["q_95"] == 7.0
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Membership never misses a true key; FP rate stays near the
+    theoretical (1 - e^{-kn/m})^k; degenerate/misuse refusals."""
+    from pyspark.sql import functions as _F
+
+    n_bits, k, n_keys = 16_384, 4, 1_000
+    keys = spark.createDataFrame([(f"m{i}",) for i in range(n_keys)], "s string")
+    bits = SKT.build_bloom_bits(keys, "s", n_bits=n_bits, k=k)
+    probe = spark.createDataFrame(
+        [(f"m{i}",) for i in range(n_keys)] + [(f"x{i}",) for i in range(4_000)],
+        "s string",
+    )
+    got = {
+        r["s"]
+        for r in probe.filter(
+            SKT.bloom_contains(_F.col("s"), bits, n_bits, k)
+        ).collect()
+    }
+    assert all(f"m{i}" in got for i in range(n_keys))  # no false negatives
+    fp = len([s for s in got if s.startswith("x")]) / 4_000
+    import math
+
+    theo = (1 - math.exp(-k * n_keys / n_bits)) ** k
+    assert fp <= theo * 3 + 0.01, (fp, theo)
+    with pytest.raises(ValueError, match="multiple of 32"):
+        SKT.build_bloom_bits(keys, "s", n_bits=100)
+    with pytest.raises(ValueError, match="k="):
+        SKT.build_bloom_bits(keys, "s", k=0)
