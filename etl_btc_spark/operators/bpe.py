@@ -20,11 +20,20 @@ the index families:
   families' warm centroids. Either way the merge table persists as a
   parquet artifact (rank, left, right) + ``_BUILT`` marker, loaded
   once per job and broadcast to executors inside the UDF closure.
-- :func:`bpe_encode` / :func:`bpe_token_count` — mapInPandas encode
-  over the broadcast merge list (one Arrow crossing, per-worker
-  unique-word cache; the corpus never shuffles).
-- :func:`bpe_count_sql` — generates the DuckDB oracle expression for
-  a FIXED merge list, see below.
+- :func:`extend_bpe_vocab` — append-posture maintenance: continue
+  the merge list past the persisted ranks (trained extend resumes
+  from the replayed segmentation state, so build(N)+extend(M) ==
+  build(N+M); existing token ids and packed batches stay valid).
+- :func:`bpe_encode` / :func:`bpe_token_count` /
+  :func:`bpe_encode_ids` — mapInPandas encode over the broadcast
+  merge list (one Arrow crossing, per-worker unique-word cache; the
+  corpus never shuffles); the ids variant emits the GPT-2-style
+  int stream (codepoint | 256+rank | UNK) that
+  :func:`sampling.materialize_packs` cuts into training batches,
+  and :func:`decode_ids` inverts.
+- :func:`bpe_count_sql` / :func:`bpe_ids_list_sql` — generate the
+  DuckDB oracle expressions for a FIXED merge list, see below
+  (gates q99au/q99av/q99ax/q99ay).
 
 ENCODING SEMANTICS (shared verbatim with the SQL oracle):
 pre-tokenize with :data:`PRETOKEN_RE` (alpha runs | digit runs |
