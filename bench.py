@@ -348,12 +348,14 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
         release_scoped_broadcasts()
     # UNTIMED fine-geometry pass (r14, VERDICT r13 #7): at 64 parts the
     # LSH prune scans ~64/64 — NOT a pruning failure but balls-in-bins:
-    # a few hundred hash-scattered candidate ids saturate 64 dirs no
-    # matter how the data is laid out (vpart is a pure id-hash by the
-    # sink contract, so "band-clustered" layouts cannot exist). The
-    # 100 TB deployment runs thousands of parts, where the same probe
-    # touches only the candidates' directories — demonstrated here on
-    # a 512-part copy of the same base table.
+    # hash-scattered candidate ids saturate 64 dirs no matter how the
+    # data is laid out (vpart is a pure id-hash by the sink contract,
+    # so "band-clustered" layouts cannot exist). The 512-part copy
+    # makes the law legible: scanned/total ~ |candidates| / n_parts —
+    # IVF's k-bounded shortlist prunes hard here and keeps improving
+    # at 100 TB part counts; LSH's corpus-proportional band-collision
+    # candidates prune only as far as bucket selectivity allows (see
+    # PLANS.md §Pruned-probe scans).
     n_fine = 512
     rtab2 = SK.artifact_path(sf_dir, "bench_rerank_vectors_fine")
     shutil.rmtree(rtab2, ignore_errors=True)
