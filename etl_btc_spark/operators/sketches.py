@@ -402,3 +402,103 @@ def bloom_words_sql(
             GROUP BY 1
         ) w ON w.w32 = g.i
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (r14): frequency estimation / heavy hitters —
+# completing the classic sketch quartet (cardinality, quantiles,
+# membership, frequency). d independent md5-salted hash rows × w
+# counters; cells ADD (mergeable), the point estimate is the min over
+# d cells and NEVER undercounts (one-sided error <= 2N/w with
+# probability 1 - (1/2)^d). Deterministic hashes → the estimate —
+# overcounts included — reproduces bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _cms_pos(key: Column, i: int, w: int) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), key)), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(w),
+    )
+
+
+def _cms_pos_sql(key: str, i: int, w: int) -> str:
+    return (
+        f"((('0x' || substring(md5('cms{i}:' || {key}), 1, 8))::BIGINT) % {w})"
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> list[int]:
+    """Aggregate the d×w counter table distributed (one stacked
+    explode + sum), collect the BOUNDED cell list (d·w longs, dense,
+    index = row·w + col). One occurrence per input ROW — pre-weight
+    by exploding, or pass an already-exploded frame."""
+    if d < 1 or w < 2:
+        raise ValueError("cms_build: need d >= 1 hash rows and w >= 2 counters")
+    key = F.col(key_col)
+    cells = (
+        df.filter(key.isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            _cms_pos(key, i, w).alias("c"),
+                        )
+                        for i in range(d)
+                    ]
+                )
+            ).alias("__rc")
+        )
+        .groupBy("__rc.r", "__rc.c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out = [0] * (d * w)
+    for row in cells:
+        out[row["r"] * w + row["c"]] = int(row["n"])
+    return out
+
+
+def cms_estimate(key: Column, cells: list[int], d: int = 4, w: int = 1024) -> Column:
+    """Pure-codegen point estimate: min over the d rows' cells, the
+    table riding the plan as a literal array (d·w longs)."""
+    arr = F.array(*[F.lit(int(x)).cast("long") for x in cells])
+    return F.least(
+        *[
+            F.element_at(arr, (F.lit(i * w) + _cms_pos(key, i, w) + 1).cast("int"))
+            for i in range(d)
+        ]
+    )
+
+
+def cms_cells_sql(keys_cte: str, key: str = "tok", d: int = 4, w: int = 1024) -> str:
+    """CTE body: the dense one-row cell list from a CTE of key
+    OCCURRENCES (one row per occurrence)."""
+    poses = ", ".join(
+        f"struct_pack(r := {i}, c := {_cms_pos_sql(key, i, w)})" for i in range(d)
+    )
+    return f"""(
+        SELECT list(coalesce(t.n, 0) ORDER BY g.i) AS cm
+        FROM generate_series(0, {d * w - 1}) AS g(i)
+        LEFT JOIN (
+            SELECT rc.r * {w} + rc.c AS idx, count(*) AS n
+            FROM (SELECT unnest([{poses}]) AS rc FROM {keys_cte})
+            GROUP BY 1
+        ) t ON t.idx = g.i
+    )"""
+
+
+def cms_estimate_sql(key: str, cells_cte: str, d: int = 4, w: int = 1024) -> str:
+    """DuckDB point-estimate expression against the one-row
+    ``cells_cte`` (list ``cm``)."""
+    looks = ", ".join(
+        f"(SELECT cm FROM {cells_cte})[{i * w} + {_cms_pos_sql(key, i, w)} + 1]"
+        for i in range(d)
+    )
+    return f"least({looks})"

@@ -8183,3 +8183,59 @@ def q99bb(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(member.cast("int")).cast("bigint").alias("n_bloom_hits"),
         (F.sum(member.cast("int")) > 0).alias("flagged"),
     )
+
+
+@register(
+    "q99bc_cms_heavy_hitters",
+    oracle=f"""
+        WITH occ AS (
+            SELECT unnest(regexp_split_to_array(
+                trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'
+            )) AS tok
+            FROM documents
+        ), occ2 AS (
+            SELECT tok FROM occ WHERE tok <> ''
+        ), cm AS {SKT.cms_cells_sql('occ2')},
+        exact AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM occ2 GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        )
+        SELECT tok, n,
+               CAST({SKT.cms_estimate_sql('tok', 'cm')} AS BIGINT) AS cms_n,
+               CAST({SKT.cms_estimate_sql('tok', 'cm')} - n AS BIGINT)
+                   AS overcount
+        FROM exact
+    """,
+    doc=(
+        "Count-Min heavy hitters under a FULL value gate (r14 — "
+        "frequency estimation completes the sketch quartet next to "
+        "q99az cardinality, q99ba quantiles, q99bb membership): the "
+        "corpus token stream aggregates into a 4×1024 counter table "
+        "(one stacked explode + even-keyed sum, bounded 4096-long "
+        "collect) that rides the plan as a literal; the point "
+        "estimate is the min over 4 cells — NEVER undercounts "
+        "(one-sided error, pytest-pinned), cells ADD (mergeable). "
+        "The gate audits the top-20 exact hitters' estimates AND "
+        "their overcounts — deterministic md5 rows make even the "
+        "collision overcounts reproduce bit-for-bit in SQL"
+    ),
+)
+def q99bc(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("text")
+    occ = docs.select(
+        F.explode(TX.ws_tokens(TX.normalize_text(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cells = SKT.cms_build(occ, "tok")
+    exact = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = SKT.cms_estimate(F.col("tok"), cells)
+    return exact.select(
+        "tok",
+        "n",
+        est.cast("bigint").alias("cms_n"),
+        (est - F.col("n")).cast("bigint").alias("overcount"),
+    )

@@ -140,3 +140,32 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
         SKT.build_bloom_bits(keys, "s", n_bits=100)
     with pytest.raises(ValueError, match="k="):
         SKT.build_bloom_bits(keys, "s", k=0)
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    """Estimates never undercount; overcount bounded by 2N/w with
+    margin on this fixture; partition-invariant; misuse refusals."""
+    from pyspark.sql import functions as _F
+    import collections
+
+    rows = [(f"t{i % 111}",) for i in range(6_000)] + [("hot",)] * 800
+    occ = spark.createDataFrame(rows, "tok string")
+    d, w = 4, 1024
+    cells = SKT.cms_build(occ, "tok", d=d, w=w)
+    true = collections.Counter(t for t, in rows)
+    got = {
+        r["tok"]: r["e"]
+        for r in occ.select("tok")
+        .distinct()
+        .select("tok", SKT.cms_estimate(_F.col("tok"), cells, d, w).alias("e"))
+        .collect()
+    }
+    n_total = len(rows)
+    for t, n in true.items():
+        assert got[t] >= n, (t, got[t], n)  # one-sided, never under
+        assert got[t] - n <= 2 * n_total / w * 4, (t, got[t], n)
+    # mergeability: counters add — any partitioning gives the table
+    cells2 = SKT.cms_build(occ.repartition(9), "tok", d=d, w=w)
+    assert cells == cells2
+    with pytest.raises(ValueError, match="cms_build"):
+        SKT.cms_build(occ, "tok", d=0)
