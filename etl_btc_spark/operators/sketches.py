@@ -60,7 +60,16 @@ def hll_distinct(
     UNROUNDED — the query layer rounds, the sround convention)."""
     if not 4 <= p <= 16:
         raise ValueError(f"hll_distinct: p={p} out of the sane [4, 16] range")
-    m = 1 << p
+    regs = hll_registers(df, key_col, group_cols, p)
+    return hll_estimate_from_registers(regs, group_cols, p, out_col)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """The sketch STATE: (group..., __b register id, __mj max rank) —
+    the mergeable half (merge = max per register), shared by the
+    batch estimator and the streaming maintenance sink."""
     rem = 32 - p
     h = _hash32(F.col(key_col))
     bucket = F.shiftright(h, rem)
@@ -71,12 +80,23 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(rem + 1)).otherwise(
         F.lit(rem + 1) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.filter(F.col(key_col).isNotNull())
         .select(*group_cols, bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(*group_cols, "__b")
         .agg(F.max("__rho").alias("__mj"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 10,
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """The estimate half over a register frame — identical whether
+    the registers came from one batch pass or a streamed merge."""
+    m = 1 << p
     alpha = _alpha(m)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("__mj"))).alias("__s"),

@@ -8239,3 +8239,59 @@ def q99bc(spark: SparkSession, sf: str) -> DataFrame:
         est.cast("bigint").alias("cms_n"),
         (est - F.col("n")).cast("bigint").alias("overcount"),
     )
+
+
+@register(
+    "q99bd_hll_stream_maintain",
+    oracle=f"""
+        WITH h AS ({SKT.hll_sql("user_id", "event_type", "events")})
+        SELECT event_type, round(1e-9 + hll_distinct, 4) AS hll_users
+        FROM h
+    """,
+    doc=(
+        "STREAMED HLL register maintenance under the value gate (r14 "
+        "— the sketch family joins the streaming matrix like every "
+        "index family): four availableNow triggers drive "
+        "stream_hll_maintain — three disjoint thirds of the corpus, "
+        "then a FULL REDELIVERY of the second third (at-least-once) "
+        "— each folding its micro-batch registers into the persisted "
+        "table by per-register MAX (associative + commutative + "
+        "idempotent, shadow+rename publish with debris recovery). "
+        "The estimate off the streamed registers must equal the "
+        "one-pass batch answer EXACTLY — which is q99az's SQL chain, "
+        "so streamed ≡ batch ≡ oracle by value identity, the "
+        "mergeability claim proven in practice rather than asserted"
+    ),
+)
+def q99bd(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import incremental as INC9
+
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    landing = SK.artifact_path(sf, "q99bd_landing")
+    regs = SK.artifact_path(sf, "q99bd_regs")
+    ckpt = SK.artifact_path(sf, "q99bd_ckpt")
+    for p in (landing, regs, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = ev.schema
+
+    def run():
+        INC9.stream_hll_maintain(
+            spark, f"{landing}/*", schema, regs, ckpt,
+            key_col="user_id", group_cols=["event_type"],
+        )
+
+    for i in range(3):
+        ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(f"{landing}/b{i}")
+        run()
+    # at-least-once redelivery: the merge is idempotent, so replaying
+    # a whole third must not move any register
+    ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == 1).coalesce(1).write.parquet(
+        f"{landing}/b3_redelivery"
+    )
+    run()
+    est = INC9.hll_estimate_from_table(spark, regs, ["event_type"])
+    return est.select(
+        "event_type", sround(F.col("hll_distinct"), 4).alias("hll_users")
+    )

@@ -1732,3 +1732,108 @@ def stream_neardup_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def _recover_hll_regs(path: str) -> None:
+    """Heal an interrupted register swap (the stats-debris posture):
+    a crash between the two renames leaves ``regs`` missing with a
+    retired copy beside it — restore the retired copy; stray shadows
+    are garbage either way."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    regs = _os.path.join(path, "regs")
+    retired = sorted(_glob.glob(_os.path.join(path, ".regs_old_*")))
+    if not _os.path.exists(regs) and retired:
+        _os.rename(retired[-1], regs)
+        retired = retired[:-1]
+    for d in retired:
+        _shutil.rmtree(d, ignore_errors=True)
+    for d in _glob.glob(_os.path.join(path, ".regs_shadow_*")):
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def stream_hll_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    registers_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 10,
+) -> None:
+    """Streamed HLL register maintenance (r14) — the sketch family
+    joins the streaming matrix: each micro-batch folds its register
+    frame into the persisted (group..., __b, __mj) table by
+    per-register MAX. The merge is associative, commutative and
+    IDEMPOTENT, so any batching — and at-least-once redelivery —
+    lands on exactly the batch-pass registers (q99bd pins streamed ≡
+    batch ≡ SQL by value identity). Per-trigger I/O is sketch-sized
+    (≤ m rows per group), never corpus-sized; the rewrite publishes
+    via shadow + atomic rename with debris recovery (the text-index
+    stats idiom)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from etl_btc_spark.operators import sketches as SKT
+
+    _os.makedirs(registers_path, exist_ok=True)
+    _recover_hll_regs(registers_path)
+    regs_dir = _os.path.join(registers_path, "regs")
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def sink(micro_batch: DataFrame, epoch_id: int) -> None:
+        if micro_batch.isEmpty():  # T4
+            return
+        sess = micro_batch.sparkSession
+        _recover_hll_regs(registers_path)
+        regs = SKT.hll_registers(micro_batch, key_col, group_cols, p)
+        if _os.path.exists(regs_dir):
+            regs = (
+                sess.read.parquet(regs_dir)
+                .unionByName(regs)
+                .groupBy(*group_cols, "__b")
+                .agg(F.max("__mj").alias("__mj"))
+            )
+        shadow = _os.path.join(
+            registers_path, ".regs_shadow_%s" % _uuid.uuid4().hex[:8]
+        )
+        regs.coalesce(1).write.mode("overwrite").parquet(shadow)
+        if _os.path.exists(regs_dir):
+            retired = _os.path.join(
+                registers_path, ".regs_old_%s" % _uuid.uuid4().hex[:8]
+            )
+            _os.rename(regs_dir, retired)
+            _os.rename(shadow, regs_dir)
+            _shutil.rmtree(retired, ignore_errors=True)
+        else:
+            _os.rename(shadow, regs_dir)
+
+    (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def hll_estimate_from_table(
+    spark: SparkSession,
+    registers_path: str,
+    group_cols: list[str],
+    p: int = 10,
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """Estimate from the streamed register table — the identical
+    formula the batch estimator applies to its own registers."""
+    import os as _os
+
+    from etl_btc_spark.operators import sketches as SKT
+
+    _recover_hll_regs(registers_path)
+    regs = spark.read.parquet(_os.path.join(registers_path, "regs"))
+    return SKT.hll_estimate_from_registers(regs, group_cols, p, out_col)

@@ -169,3 +169,51 @@ def test_cms_one_sided_error_and_merge(spark):
     assert cells == cells2
     with pytest.raises(ValueError, match="cms_build"):
         SKT.cms_build(occ, "tok", d=0)
+
+
+def test_stream_hll_debris_recovery_and_identity(spark, tmp_path):
+    """The streamed register swap self-heals from a crash between the
+    two renames, and the streamed estimate is value-identical to the
+    one-pass batch estimator."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    from etl_btc_spark.streaming import incremental as INC
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "user_id")
+    landing = str(tmp_path / "landing")
+    regs = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(_F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{landing}/a"
+    )
+    INC.stream_hll_maintain(
+        spark, f"{landing}/*", ev.schema, regs, ckpt,
+        key_col="user_id", group_cols=["event_type"],
+    )
+    ev.filter(_F.col("user_id") % 2 != 0).coalesce(1).write.parquet(
+        f"{landing}/b"
+    )
+    INC.stream_hll_maintain(
+        spark, f"{landing}/*", ev.schema, regs, ckpt,
+        key_col="user_id", group_cols=["event_type"],
+    )
+    streamed = {
+        tuple(r)
+        for r in INC.hll_estimate_from_table(spark, regs, ["event_type"]).collect()
+    }
+    batch = {
+        tuple(r) for r in SKT.hll_distinct(ev, "user_id", ["event_type"]).collect()
+    }
+    assert streamed == batch
+    # simulate a crash between the renames: regs gone, retired present
+    os.rename(os.path.join(regs, "regs"), os.path.join(regs, ".regs_old_dead"))
+    os.makedirs(os.path.join(regs, ".regs_shadow_dead"))
+    healed = {
+        tuple(r)
+        for r in INC.hll_estimate_from_table(spark, regs, ["event_type"]).collect()
+    }
+    assert healed == batch
+    assert not os.path.exists(os.path.join(regs, ".regs_shadow_dead"))
