@@ -8295,3 +8295,77 @@ def q99bd(spark: SparkSession, sf: str) -> DataFrame:
     return est.select(
         "event_type", sround(F.col("hll_distinct"), 4).alias("hll_users")
     )
+
+
+@register(
+    "q99be_cms_stream_maintain",
+    oracle=f"""
+        WITH occ AS (
+            SELECT unnest(regexp_split_to_array(
+                trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'
+            )) AS tok
+            FROM documents
+        ), occ2 AS (
+            SELECT tok FROM occ WHERE tok <> ''
+        ), cm AS {SKT.cms_cells_sql('occ2')},
+        exact AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM occ2 GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        )
+        SELECT tok, n,
+               CAST({SKT.cms_estimate_sql('tok', 'cm')} AS BIGINT) AS cms_n
+        FROM exact
+    """,
+    doc=(
+        "STREAMED Count-Min maintenance under the value gate (r14 — "
+        "q99bd's frequency twin with the OPPOSITE merge algebra): "
+        "counters ADD (not idempotent), so the sink guards each "
+        "epoch with an applied-marker ledger — a replayed epoch (the "
+        "crash window between swap and checkpoint commit) is skipped "
+        "instead of double-counted, the transactional-foreachBatch "
+        "recipe. Three availableNow triggers stream disjoint thirds "
+        "of the corpus token stream; the top-20 hitters estimated "
+        "off the streamed counters must equal the one-pass batch "
+        "sketch EXACTLY (q99bc's SQL chain) — additive mergeability "
+        "proven in practice, epoch guard pinned by pytest"
+    ),
+)
+def q99be(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import incremental as INC10
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    occ_schema = "tok string"
+    landing = SK.artifact_path(sf, "q99be_landing")
+    cnt = SK.artifact_path(sf, "q99be_cells")
+    ckpt = SK.artifact_path(sf, "q99be_ckpt")
+    for p in (landing, cnt, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    occ = docs.select(
+        "doc_id",
+        F.explode(TX.ws_tokens(TX.normalize_text(F.col("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+    def run():
+        INC10.stream_cms_maintain(
+            spark,
+            f"{landing}/*",
+            spark.createDataFrame([], occ_schema).schema,
+            cnt,
+            ckpt,
+            key_col="tok",
+        )
+
+    for i in range(3):
+        occ.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).select(
+            "tok"
+        ).coalesce(1).write.parquet(f"{landing}/b{i}")
+        run()
+    cells = INC10.cms_cells_from_table(spark, cnt)
+    exact = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = SKT.cms_estimate(F.col("tok"), cells)
+    return exact.select("tok", "n", est.cast("bigint").alias("cms_n"))

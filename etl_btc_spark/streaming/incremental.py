@@ -1837,3 +1837,125 @@ def hll_estimate_from_table(
     _recover_hll_regs(registers_path)
     regs = spark.read.parquet(_os.path.join(registers_path, "regs"))
     return SKT.hll_estimate_from_registers(regs, group_cols, p, out_col)
+
+
+def stream_cms_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    counters_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> None:
+    """Streamed Count-Min maintenance (r14) — the frequency twin of
+    :func:`stream_hll_maintain` with the OPPOSITE merge algebra:
+    counters ADD, which is associative/commutative but NOT
+    idempotent, so a replayed epoch would silently double-count.
+    The sink therefore keeps an applied-epoch ledger (one marker file
+    per epoch id under ``_applied/``, written AFTER the swap): a
+    foreachBatch retry of an already-applied epoch — the crash window
+    between the sink completing and the checkpoint committing — is
+    detected and skipped, the standard transactional-foreachBatch
+    recipe. (APPLICATION-level redelivery — the same rows arriving as
+    new files — is out of scope by design: occurrence counting cannot
+    distinguish a replay from a genuine repeat; content-keyed dedup
+    belongs upstream, q50's watermark MERGE.) Publication is shadow +
+    atomic rename with debris recovery, sketch-sized per trigger."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from etl_btc_spark.operators import sketches as SKT
+
+    _os.makedirs(counters_path, exist_ok=True)
+    _os.makedirs(_os.path.join(counters_path, "_applied"), exist_ok=True)
+    cells_dir = _os.path.join(counters_path, "cells")
+
+    def _recover() -> None:
+        import glob as _glob
+
+        retired = sorted(_glob.glob(_os.path.join(counters_path, ".cells_old_*")))
+        if not _os.path.exists(cells_dir) and retired:
+            _os.rename(retired[-1], cells_dir)
+            retired = retired[:-1]
+        for dd in retired:
+            _shutil.rmtree(dd, ignore_errors=True)
+        for dd in _glob.glob(_os.path.join(counters_path, ".cells_shadow_*")):
+            _shutil.rmtree(dd, ignore_errors=True)
+
+    _recover()
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def sink(micro_batch: DataFrame, epoch_id: int) -> None:
+        if micro_batch.isEmpty():  # T4
+            return
+        marker = _os.path.join(counters_path, "_applied", str(epoch_id))
+        if _os.path.exists(marker):
+            return  # epoch replay after a crash past the swap: no-op
+        sess = micro_batch.sparkSession
+        _recover()
+        key = F.col(key_col)
+        fresh = (
+            micro_batch.filter(key.isNotNull())
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("r"),
+                                SKT._cms_pos(key, i, w).alias("c"),
+                            )
+                            for i in range(d)
+                        ]
+                    )
+                ).alias("__rc")
+            )
+            .groupBy(F.col("__rc.r").alias("r"), F.col("__rc.c").alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if _os.path.exists(cells_dir):
+            fresh = (
+                sess.read.parquet(cells_dir)
+                .unionByName(fresh)
+                .groupBy("r", "c")
+                .agg(F.sum("n").alias("n"))
+            )
+        shadow = _os.path.join(
+            counters_path, ".cells_shadow_%s" % _uuid.uuid4().hex[:8]
+        )
+        fresh.coalesce(1).write.mode("overwrite").parquet(shadow)
+        if _os.path.exists(cells_dir):
+            retired = _os.path.join(
+                counters_path, ".cells_old_%s" % _uuid.uuid4().hex[:8]
+            )
+            _os.rename(cells_dir, retired)
+            _os.rename(shadow, cells_dir)
+            _shutil.rmtree(retired, ignore_errors=True)
+        else:
+            _os.rename(shadow, cells_dir)
+        with open(marker, "w") as f:
+            f.write("applied\n")
+
+    (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def cms_cells_from_table(
+    spark: SparkSession, counters_path: str, d: int = 4, w: int = 1024
+) -> list[int]:
+    """The bounded dense cell list off the streamed counter table —
+    drop-in for :func:`sketches.cms_estimate`."""
+    import os as _os
+
+    rows = spark.read.parquet(_os.path.join(counters_path, "cells")).collect()
+    out = [0] * (d * w)
+    for r in rows:
+        out[r["r"] * w + r["c"]] = int(r["n"])
+    return out

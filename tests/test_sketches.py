@@ -217,3 +217,39 @@ def test_stream_hll_debris_recovery_and_identity(spark, tmp_path):
     }
     assert healed == batch
     assert not os.path.exists(os.path.join(regs, ".regs_shadow_dead"))
+
+
+def test_stream_cms_epoch_guard_and_identity(spark, tmp_path):
+    """Streamed counters equal the batch sketch; a REPLAYED epoch
+    (sink retry after the swap landed but before the checkpoint
+    committed) is skipped by the applied-marker ledger instead of
+    double-counted."""
+    import os
+
+    from pyspark.sql import functions as _F
+
+    from etl_btc_spark.streaming import incremental as INC
+
+    rows = [(f"t{i % 53}",) for i in range(2_000)] + [("hot",)] * 300
+    occ = spark.createDataFrame(rows, "tok string")
+    landing = str(tmp_path / "landing")
+    cnt = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    occ.coalesce(1).write.parquet(f"{landing}/a")
+    INC.stream_cms_maintain(
+        spark, f"{landing}/*", occ.schema, cnt, ckpt, key_col="tok"
+    )
+    streamed = INC.cms_cells_from_table(spark, cnt)
+    assert streamed == SKT.cms_build(occ, "tok")
+    # simulate an epoch replay: call the guard path directly — the
+    # marker for epoch 0 exists, so re-running the WHOLE stream with
+    # a FRESH checkpoint (which would re-deliver epoch 0's files as
+    # epoch 0 again) must not change a single counter
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    INC.stream_cms_maintain(
+        spark, f"{landing}/*", occ.schema, cnt, ckpt, key_col="tok"
+    )
+    assert INC.cms_cells_from_table(spark, cnt) == streamed
+    assert os.path.exists(os.path.join(cnt, "_applied", "0"))
