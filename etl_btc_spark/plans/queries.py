@@ -8369,3 +8369,40 @@ def q99be(spark: SparkSession, sf: str) -> DataFrame:
     )
     est = SKT.cms_estimate(F.col("tok"), cells)
     return exact.select("tok", "n", est.cast("bigint").alias("cms_n"))
+
+
+@register(
+    "q99bf_hll_windowed",
+    oracle=f"""
+        WITH src AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, user_id
+            FROM events
+        ),
+        h AS ({SKT.hll_sql("user_id", "event_type, day_ts", "src")})
+        SELECT event_type, day_ts,
+               round(1e-9 + hll_distinct, 4) AS hll_users
+        FROM h
+    """,
+    doc=(
+        "Time-windowed HLL — the canonical sketch workload (distinct "
+        "users per (type, day)) composed from pieces already proven "
+        "separately: q20's date_trunc bucketing parity × q99az's "
+        "cross-engine register math. Same two even-keyed "
+        "aggregations; the register state is O(m) PER WINDOW, so the "
+        "operator holds bounded state per bucket at 100 TB and "
+        "windows merge (register max) when buckets are coarsened — "
+        "the roll-up path a monitoring pipeline takes"
+    ),
+)
+def q99bf(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        "user_id",
+    )
+    h = SKT.hll_distinct(ev, "user_id", ["event_type", "day_ts"])
+    return h.select(
+        "event_type",
+        "day_ts",
+        sround(F.col("hll_distinct"), 4).alias("hll_users"),
+    )
