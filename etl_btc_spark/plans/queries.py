@@ -8406,3 +8406,39 @@ def q99bf(spark: SparkSession, sf: str) -> DataFrame:
         "day_ts",
         sround(F.col("hll_distinct"), 4).alias("hll_users"),
     )
+
+
+@register(
+    "q99bg_hll_rollup",
+    oracle=f"""
+        WITH h AS ({SKT.hll_sql("user_id", "event_type", "events")})
+        SELECT event_type, round(1e-9 + hll_distinct, 4) AS hll_users
+        FROM h
+    """,
+    doc=(
+        "Sketch ROLL-UP identity (r14): per-(type, day) HLL registers "
+        "coarsen to per-type by in-plan register MAX — and the rolled-"
+        "up estimate must equal the direct global sketch EXACTLY "
+        "(q99az's oracle verbatim), because register max over any "
+        "partition of the data is the global register. This is the "
+        "pre-aggregated-rollup serving pattern: a 100 TB pipeline "
+        "materializes daily register tables (q99bf's state) and "
+        "answers arbitrary coarser windows by merging them — never "
+        "re-touching raw events — with NO approximation drift from "
+        "the merge (unlike merged histograms or samples)"
+    ),
+)
+def q99bg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        "user_id",
+    )
+    daily = SKT.hll_registers(ev, "user_id", ["event_type", "day_ts"])
+    merged = daily.groupBy("event_type", "__b").agg(
+        F.max("__mj").alias("__mj")
+    )
+    est = SKT.hll_estimate_from_registers(merged, ["event_type"])
+    return est.select(
+        "event_type", sround(F.col("hll_distinct"), 4).alias("hll_users")
+    )
