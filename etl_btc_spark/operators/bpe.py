@@ -134,7 +134,7 @@ def _validate_merges(merges: list[tuple[str, str]], where: str) -> None:
     an earlier output; no two ranks produce the same output string
     (by-value token identity would conflate them, and the by-rank
     placeholder oracle would not)."""
-    produced: set[str] = set()
+    produced: dict[str, int] = {}
     for rank, pair in enumerate(merges):
         if len(pair) != 2:
             raise ValueError(f"{where}: merge {rank} is not a (left, right) pair")
@@ -155,12 +155,14 @@ def _validate_merges(merges: list[tuple[str, str]], where: str) -> None:
                 )
         out = left + right
         if out in produced:
+            # report the rank that actually produced the collision —
+            # it can be a DIFFERENT pair (('a','bc') vs ('ab','c'))
             raise ValueError(
-                f"{where}: merges {merges.index((left, right))} and {rank} both "
+                f"{where}: merges {produced[out]} and {rank} both "
                 f"produce {out!r} — by-value token identity requires distinct "
                 "output strings"
             )
-        produced.add(out)
+        produced[out] = rank
 
 
 def train_bpe_merges(
@@ -583,10 +585,14 @@ def bpe_ids_list_sql(merges: list[tuple[str, str]], col: str) -> str:
     list (scalar subquery): the replace-chain transform of
     :func:`bpe_count_sql` yields the token sequence as one symbol
     per char (placeholders for merge outputs); stripping whitespace
-    and mapping each symbol — PUA placeholder U+E000+r -> 256+r,
-    base char -> codepoint, else UNK — reproduces the engine's id
-    stream exactly. Same SQL-expressibility envelope as
-    bpe_count_sql."""
+    and mapping each symbol — PUA placeholder U+E000+r (r < n_merges
+    ONLY; higher PUA codepoints are corpus text, not placeholders)
+    -> 256+r, base char -> codepoint, else UNK — reproduces the
+    engine's id stream exactly. Same SQL-expressibility envelope as
+    bpe_count_sql, with one addition: corpus text containing the
+    actually-USED placeholder codepoints (U+E000..U+E000+n_merges-1)
+    remains outside the oracle envelope (the replace chain cannot
+    tell such a char from its own placeholder)."""
     _validate_merges(merges, "bpe_ids_list_sql")
     # reuse the validated replace chain, then swap the final count for
     # a per-char id mapping
@@ -600,7 +606,8 @@ def bpe_ids_list_sql(merges: list[tuple[str, str]], col: str) -> str:
     return (
         "(SELECT list_transform("
         "[substring(t, i, 1) FOR i IN range(1, length(t) + 1)], "
-        "c -> CASE WHEN unicode(c) >= 57344 THEN 256 + (unicode(c) - 57344) "
+        f"c -> CASE WHEN unicode(c) >= 57344 AND unicode(c) < {57344 + len(merges)} "
+        "THEN 256 + (unicode(c) - 57344) "
         "WHEN unicode(c) < 256 THEN unicode(c) "
         f"ELSE {unk_id(merges)} END) "
         f"FROM (SELECT {stripped} AS t))"

@@ -7696,12 +7696,15 @@ def q99as(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     idx = SK.artifact_path(sf, "pq_warm_index")
-    if not PQ._is_built(idx, "pq"):
-        PQ.build_pq_index(
-            spark, emb, idx,
-            m=_Q99AD_M, n_codes=_Q99AD_K,
-            codebook_ids=list(range(_Q99AD_K)),
-        )
+    # sibling posture (q99ad): rmtree + rebuild unconditionally — a
+    # stale artifact from regenerated fixtures or changed geometry
+    # constants must never be compared against a fresh oracle
+    shutil.rmtree(idx, ignore_errors=True)
+    PQ.build_pq_index(
+        spark, emb, idx,
+        m=_Q99AD_M, n_codes=_Q99AD_K,
+        codebook_ids=list(range(_Q99AD_K)),
+    )
     out = PQ.knn_pq_join(
         spark, idx, emb, queries, k=10, shortlist=_Q99AS_SHORT
     )

@@ -1853,12 +1853,20 @@ def stream_cms_maintain(
     :func:`stream_hll_maintain` with the OPPOSITE merge algebra:
     counters ADD, which is associative/commutative but NOT
     idempotent, so a replayed epoch would silently double-count.
-    The sink therefore keeps an applied-epoch ledger (one marker file
-    per epoch id under ``_applied/``, written AFTER the swap): a
+    The sink therefore keeps an applied-epoch ledger — marker files
+    named ``_applied_<epoch>`` INSIDE the cells directory (the ``_``
+    prefix makes Spark's parquet reader skip them), written into the
+    shadow BEFORE the rename so data and ledger publish in the same
+    atomic swap; there is no window in which the batch is folded in
+    but unmarked (r14 ADVICE: the old external ``_applied/`` dir was
+    written after the swap, leaving exactly that window). A
     foreachBatch retry of an already-applied epoch — the crash window
     between the sink completing and the checkpoint committing — is
     detected and skipped, the standard transactional-foreachBatch
-    recipe. (APPLICATION-level redelivery — the same rows arriving as
+    recipe; the ledger is pruned to the most recent 64 epochs on each
+    publish (replay only ever re-delivers the tail epoch, so a
+    bounded ledger is sufficient and it no longer grows one file per
+    epoch forever). (APPLICATION-level redelivery — the same rows arriving as
     new files — is out of scope by design: occurrence counting cannot
     distinguish a replay from a genuine repeat; content-keyed dedup
     belongs upstream, q50's watermark MERGE.) Publication is shadow +
@@ -1870,7 +1878,6 @@ def stream_cms_maintain(
     from etl_btc_spark.operators import sketches as SKT
 
     _os.makedirs(counters_path, exist_ok=True)
-    _os.makedirs(_os.path.join(counters_path, "_applied"), exist_ok=True)
     cells_dir = _os.path.join(counters_path, "cells")
 
     def _recover() -> None:
@@ -1891,11 +1898,12 @@ def stream_cms_maintain(
     def sink(micro_batch: DataFrame, epoch_id: int) -> None:
         if micro_batch.isEmpty():  # T4
             return
-        marker = _os.path.join(counters_path, "_applied", str(epoch_id))
-        if _os.path.exists(marker):
-            return  # epoch replay after a crash past the swap: no-op
         sess = micro_batch.sparkSession
         _recover()
+        if _os.path.exists(
+            _os.path.join(cells_dir, "_applied_%d" % epoch_id)
+        ):
+            return  # epoch replay after a crash past the swap: no-op
         key = F.col(key_col)
         fresh = (
             micro_batch.filter(key.isNotNull())
@@ -1926,6 +1934,19 @@ def stream_cms_maintain(
             counters_path, ".cells_shadow_%s" % _uuid.uuid4().hex[:8]
         )
         fresh.coalesce(1).write.mode("overwrite").parquet(shadow)
+        # carry the ledger forward into the shadow (pruned to the 64
+        # most recent epochs) and stamp THIS epoch — all of it rides
+        # the rename, so data + ledger publish atomically
+        carried: list[int] = []
+        if _os.path.exists(cells_dir):
+            carried = sorted(
+                int(f[len("_applied_"):])
+                for f in _os.listdir(cells_dir)
+                if f.startswith("_applied_")
+            )[-63:]
+        for eid in carried + [int(epoch_id)]:
+            with open(_os.path.join(shadow, "_applied_%d" % eid), "w") as f:
+                f.write("applied\n")
         if _os.path.exists(cells_dir):
             retired = _os.path.join(
                 counters_path, ".cells_old_%s" % _uuid.uuid4().hex[:8]
@@ -1935,8 +1956,6 @@ def stream_cms_maintain(
             _shutil.rmtree(retired, ignore_errors=True)
         else:
             _os.rename(shadow, cells_dir)
-        with open(marker, "w") as f:
-            f.write("applied\n")
 
     (
         src.writeStream.foreachBatch(sink)

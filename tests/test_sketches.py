@@ -252,4 +252,7 @@ def test_stream_cms_epoch_guard_and_identity(spark, tmp_path):
         spark, f"{landing}/*", occ.schema, cnt, ckpt, key_col="tok"
     )
     assert INC.cms_cells_from_table(spark, cnt) == streamed
-    assert os.path.exists(os.path.join(cnt, "_applied", "0"))
+    # the ledger rides INSIDE cells/ so it publishes atomically with
+    # the rename swap (r14 ADVICE: no marker-after-swap crash window)
+    assert os.path.exists(os.path.join(cnt, "cells", "_applied_0"))
+    assert not os.path.exists(os.path.join(cnt, "_applied"))
