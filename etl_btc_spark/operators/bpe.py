@@ -55,6 +55,27 @@ Tokens are identified BY STRING VALUE (the standard implementation
 choice); the build refuses merge lists where two ranks would produce
 the same output string, keeping the by-value engine and the by-rank
 oracle in exact agreement.
+
+BYTE-LEVEL MODE (r15 — VERDICT r14 #1): the char-level id layer UNKs
+every codepoint >= 256, so multilingual corpora degrade to UNK
+streams and cannot be budgeted/packed faithfully. Real GPT-2/tiktoken
+tokenizers are byte-level over UTF-8 for exactly this reason (no UNK
+ever exists). ``build_bpe_vocab(byte_level=True)`` switches the whole
+family: each pre-token is mapped to its UTF-8 bytes viewed as a
+Latin-1 string (byte b <-> chr(b), a bijection — every byte IS a
+Latin-1 char), merges operate over those byte symbols, and ids are
+base 0-255 = byte value, 256+rank = merge output — total, no UNK.
+EVERYTHING else transplants verbatim, because a byte symbol is just a
+char with ord < 256: the merge pass, the trainer, the per-worker
+cache, and — the payoff — the replace-chain SQL oracle, which simply
+gains a front-end expression converting the column to its
+UTF-8-bytes-as-Latin-1-chars form (pure codepoint arithmetic in SQL).
+Pre-token boundaries are PRESERVED by the byte mapping: ASCII bytes
+map to themselves (same regex class) and every byte of a multi-byte
+char is >= 0x80 (class "other"), matching the original char's class —
+so pretokenize(bytes(text)) == bytes(pretokenize(text)) per segment
+and the whole-string replace() argument carries over unchanged.
+``decode_ids(byte_level=True)`` inverts via Latin-1 -> UTF-8.
 """
 
 from __future__ import annotations
@@ -102,6 +123,19 @@ def pretokenize(text: str | None) -> list[str]:
     return _PRETOKEN_CRE.findall(text or "")
 
 
+def word_to_byte_symbols(word: str) -> str:
+    """UTF-8 bytes of ``word`` viewed as a Latin-1 string — the
+    byte-level symbol alphabet (byte b <-> chr(b), bijective)."""
+    return word.encode("utf-8").decode("latin-1")
+
+
+def byte_symbols_to_text(symbols: str) -> str:
+    """Inverse of :func:`word_to_byte_symbols`; invalid UTF-8 (ids
+    cut mid-codepoint by a pack boundary) decodes to U+FFFD, the
+    tiktoken/GPT-2 convention."""
+    return symbols.encode("latin-1").decode("utf-8", errors="replace")
+
+
 def _merge_pass(seq: list[str], left: str, right: str, out: str) -> list[str]:
     """One left-to-right non-overlapping merge pass — string
     ``replace()`` semantics over the token sequence."""
@@ -129,11 +163,16 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return seq
 
 
-def _validate_merges(merges: list[tuple[str, str]], where: str) -> None:
+def _validate_merges(
+    merges: list[tuple[str, str]], where: str, byte_level: bool = False
+) -> None:
     """Causality + by-value coherence: each part is a single char or
     an earlier output; no two ranks produce the same output string
     (by-value token identity would conflate them, and the by-rank
-    placeholder oracle would not)."""
+    placeholder oracle would not). Byte-level vocabularies
+    additionally require every part char to BE a byte symbol
+    (ord < 256) — a merge over raw unicode chars can never arise
+    from byte segmentations."""
     produced: dict[str, int] = {}
     for rank, pair in enumerate(merges):
         if len(pair) != 2:
@@ -142,6 +181,12 @@ def _validate_merges(merges: list[tuple[str, str]], where: str) -> None:
         for part in (left, right):
             if not isinstance(part, str) or not part:
                 raise ValueError(f"{where}: merge {rank} has an empty/non-str part")
+            if byte_level and any(ord(ch) >= 256 for ch in part):
+                raise ValueError(
+                    f"{where}: merge {rank} part {part!r} contains a "
+                    "non-byte symbol (ord >= 256) — byte-level merges "
+                    "operate over UTF-8 bytes as Latin-1 chars"
+                )
             if len(part) > 1 and part not in produced:
                 raise ValueError(
                     f"{where}: merge {rank} part {part!r} is neither a single "
@@ -259,25 +304,34 @@ def build_bpe_vocab(
     text_col: str = "text",
     max_vocab_words: int = 65_536,
     min_pair_count: int = 2,
+    byte_level: bool = False,
 ) -> str:
     """Write the BPE vocabulary artifact: ``path/merges`` parquet
     (rank, left, right), ``path/meta.json`` (format + pre-token
-    convention), ``path/_BUILT`` marker last (marker-first
-    invalidation on rebuild, the index-family crash protocol).
-    ``merges`` warm-starts from an explicit causally-ordered list (the
-    oracle-able arm); None trains greedily from the corpus."""
+    convention + byte_level flag), ``path/_BUILT`` marker last
+    (marker-first invalidation on rebuild, the index-family crash
+    protocol). ``merges`` warm-starts from an explicit
+    causally-ordered list (the oracle-able arm); None trains greedily
+    from the corpus. ``byte_level=True`` trains/encodes over UTF-8
+    byte symbols (module docstring) — the flag persists in the
+    artifact and every probe inherits it."""
     if merges is None:
         wc = _word_counts_distributed(docs, text_col, max_vocab_words)
+        if byte_level:
+            wc = {word_to_byte_symbols(w): n for w, n in wc.items()}
         merges = train_bpe_merges(wc, n_merges, min_pair_count)
     else:
         merges = [tuple(p) for p in merges]
-    _validate_merges(merges, "build_bpe_vocab")
-    _persist_merges(spark, path, merges)
+    _validate_merges(merges, "build_bpe_vocab", byte_level)
+    _persist_merges(spark, path, merges, byte_level)
     return path
 
 
 def _persist_merges(
-    spark: SparkSession, path: str, merges: list[tuple[str, str]]
+    spark: SparkSession,
+    path: str,
+    merges: list[tuple[str, str]],
+    byte_level: bool = False,
 ) -> None:
     """Marker-first artifact write shared by build and extend."""
     os.makedirs(path, exist_ok=True)
@@ -308,6 +362,7 @@ def _persist_merges(
                 "format": _FORMAT,
                 "n_merges": len(merges),
                 "pretoken_re": PRETOKEN_RE,
+                "byte_level": bool(byte_level),
             },
             f,
         )
@@ -334,18 +389,23 @@ def extend_bpe_vocab(
     over the same corpus is IDENTICAL to ``build(N+M)`` (greedy
     prefix-stability — pinned by pytest). WARM arm: explicit new
     merges validated causally against the existing outputs. Same
-    marker-first window as build: probes refuse mid-extend."""
+    marker-first window as build: probes refuse mid-extend. The
+    byte_level posture is INHERITED from the artifact — an extend can
+    never flip the base alphabet under existing ids."""
     existing = load_bpe_merges(spark, path)
+    byte_level = vocab_is_byte_level(path)
     if merges is None:
         wc = _word_counts_distributed(docs, text_col, max_vocab_words)
+        if byte_level:
+            wc = {word_to_byte_symbols(w): n for w, n in wc.items()}
         new = train_bpe_merges(
             wc, n_more, min_pair_count, initial=existing
         )
     else:
         new = [tuple(p) for p in merges]
     combined = existing + new
-    _validate_merges(combined, "extend_bpe_vocab")
-    _persist_merges(spark, path, combined)
+    _validate_merges(combined, "extend_bpe_vocab", byte_level)
+    _persist_merges(spark, path, combined, byte_level)
     return path
 
 
@@ -370,6 +430,16 @@ def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     return [(r["left"], r["right"]) for r in rows]
 
 
+def vocab_is_byte_level(path: str) -> bool:
+    """Read the persisted base-alphabet posture (False for pre-r15
+    artifacts that carry no flag — char-level back-compat)."""
+    try:
+        with open(os.path.join(path, "meta.json")) as f:
+            return bool(json.load(f).get("byte_level", False))
+    except FileNotFoundError:
+        return False
+
+
 #: schema for bpe_encode — token array + count in one crossing
 _ENCODE_SCHEMA_TAIL = [
     T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
@@ -377,13 +447,15 @@ _ENCODE_SCHEMA_TAIL = [
 ]
 
 
-def _encode_gen(merges, text_col, with_tokens):
+def _encode_gen(merges, text_col, with_tokens, byte_level=False):
     """mapInPandas generator factory: consumes ``text_col``, passes
     every OTHER input column through untouched (so callers can ride
     precomputed per-doc stats in the same Arrow crossing). A
     per-worker cache encodes each UNIQUE pre-token once — Zipf reuse
     makes this the hot-path win; the cache resets when oversized to
-    stay bounded."""
+    stay bounded. In byte mode each pre-token is mapped to its UTF-8
+    byte symbols first; token strings are then Latin-1 byte strings
+    (valid unicode — safe through Arrow/parquet)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
@@ -397,7 +469,10 @@ def _encode_gen(merges, text_col, with_tokens):
                 for w in pretokenize(text if isinstance(text, str) else None):
                     enc = cache.get(w)
                     if enc is None:
-                        enc = encode_word(w, merges)
+                        enc = encode_word(
+                            word_to_byte_symbols(w) if byte_level else w,
+                            merges,
+                        )
                         cache[w] = enc
                     n += len(enc)
                     if with_tokens:
@@ -433,9 +508,10 @@ def bpe_encode(
     inside the UDF closure (task-broadcast — a vocab is KBs); the
     corpus never shuffles."""
     merges = load_bpe_merges(spark, path)
+    byte_level = vocab_is_byte_level(path)
     ensure_serializable()
     return df.mapInPandas(
-        _encode_gen(merges, text_col, with_tokens=True),
+        _encode_gen(merges, text_col, with_tokens=True, byte_level=byte_level),
         _out_schema(df, text_col, with_tokens=True),
     )
 
@@ -450,14 +526,42 @@ def bpe_token_count(
     same crossing as :func:`bpe_encode` without materializing token
     arrays."""
     merges = load_bpe_merges(spark, path)
+    byte_level = vocab_is_byte_level(path)
     ensure_serializable()
     return df.mapInPandas(
-        _encode_gen(merges, text_col, with_tokens=False),
+        _encode_gen(merges, text_col, with_tokens=False, byte_level=byte_level),
         _out_schema(df, text_col, with_tokens=False),
     )
 
 
-def bpe_count_sql(merges: list[tuple[str, str]], col: str) -> str:
+def utf8_byte_symbols_sql(col: str) -> str:
+    """DuckDB expression mapping ``col`` to its UTF-8 bytes viewed as
+    Latin-1 chars (the byte-level symbol string — the SQL twin of
+    :func:`word_to_byte_symbols`): per character, emit its UTF-8
+    encoding by pure codepoint arithmetic (RFC 3629), each byte as
+    ``chr(byte)``. Pre-token boundaries survive (module docstring),
+    so the replace-chain oracle applies to this expression verbatim."""
+    return (
+        "(SELECT coalesce(array_to_string(list_transform("
+        "[substring(__u8, i, 1) FOR i IN range(1, length(__u8) + 1)], "
+        "c -> CASE "
+        "WHEN unicode(c) < 128 THEN c "
+        "WHEN unicode(c) < 2048 THEN "
+        "chr(192 + unicode(c) // 64) || chr(128 + unicode(c) % 64) "
+        "WHEN unicode(c) < 65536 THEN "
+        "chr(224 + unicode(c) // 4096) || "
+        "chr(128 + (unicode(c) // 64) % 64) || chr(128 + unicode(c) % 64) "
+        "ELSE chr(240 + unicode(c) // 262144) || "
+        "chr(128 + (unicode(c) // 4096) % 64) || "
+        "chr(128 + (unicode(c) // 64) % 64) || chr(128 + unicode(c) % 64) "
+        "END), ''), '') "
+        f"FROM (SELECT coalesce({col}, '') AS __u8))"
+    )
+
+
+def bpe_count_sql(
+    merges: list[tuple[str, str]], col: str, byte_level: bool = False
+) -> str:
     """DuckDB oracle expression for the token COUNT of ``col`` under a
     FIXED merge list: apply each merge as a nested ``replace()`` over
     single-char placeholder symbols (rank i's output = U+E000+i, from
@@ -468,20 +572,30 @@ def bpe_count_sql(merges: list[tuple[str, str]], col: str) -> str:
     span a pre-token boundary (maximal-munch runs), and (c) causal
     order + distinct outputs make by-rank placeholders agree with the
     engine's by-value tokens. Refuses merge lists outside that
-    SQL-expressible envelope — the engine itself has no such limit."""
-    _validate_merges(merges, "bpe_count_sql")
+    SQL-expressible envelope — the engine itself has no such limit.
+    ``byte_level=True`` prepends :func:`utf8_byte_symbols_sql` and the
+    chain runs over byte symbols — the class-purity and whitespace
+    arguments carry over byte-for-byte (module docstring)."""
+    _validate_merges(merges, "bpe_count_sql", byte_level)
     pl: dict[str, str] = {}
-    expr = f"coalesce({col}, '')"
+    expr = (
+        utf8_byte_symbols_sql(col) if byte_level else f"coalesce({col}, '')"
+    )
     for i, (left, right) in enumerate(merges):
+        # class purity over the WHOLE pair, not per part: a pair whose
+        # parts are pure but of DIFFERENT classes (e.g. ('th', 'п'))
+        # can never match inside a class-pure pre-token in the engine,
+        # yet whole-string replace() would merge it across an
+        # alpha-run/other-run boundary — outside the oracle envelope
+        classes = {_char_class(ch) for ch in left + right}
+        if len(classes) > 1:
+            raise ValueError(
+                "bpe_count_sql: merge %d (%r, %r) mixes character "
+                "classes — a cross-class merge can span pre-token "
+                "boundaries under whole-string replace(), so it has "
+                "no SQL oracle (the engine still supports it)" % (i, left, right)
+            )
         for part in (left, right):
-            classes = {_char_class(ch) for ch in part}
-            if len(classes) > 1:
-                raise ValueError(
-                    "bpe_count_sql: merge %d part %r mixes character "
-                    "classes — a cross-class merge can span pre-token "
-                    "boundaries under whole-string replace(), so it has "
-                    "no SQL oracle (the engine still supports it)" % (i, part)
-                )
             for ch in part:
                 if ch in ("'", "\\") or 0xE000 <= ord(ch) <= 0xF8FF:
                     raise ValueError(
@@ -500,12 +614,14 @@ def bpe_count_sql(merges: list[tuple[str, str]], col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Token-id layer (r14): byte-level base vocabulary + merge-rank ids —
-# the GPT-2 id convention restricted to Latin-1 base symbols. A packed
-# training batch is int arrays, not strings; this layer makes the
-# engine's BPE output model-consumable and keeps the id assignment
-# corpus-independent (id = codepoint for single chars < 256, 256+rank
-# for merge outputs, UNK = 256+n_merges for anything else).
+# Token-id layer (r14, byte mode r15) — the GPT-2 id convention. A
+# packed training batch is int arrays, not strings; this layer makes
+# the engine's BPE output model-consumable and keeps the id
+# assignment corpus-independent. Char mode (legacy): id = codepoint
+# for single chars < 256, 256+rank for merge outputs, UNK =
+# 256+n_merges for anything else. Byte mode: id = BYTE VALUE (0-255)
+# for base symbols, 256+rank for merge outputs — TOTAL over all
+# unicode text, UNK structurally unreachable (every symbol is a byte).
 # ---------------------------------------------------------------------------
 
 
@@ -526,12 +642,24 @@ def encode_word_ids(word: str, merges, id_map, unk: int) -> list[int]:
     ]
 
 
-def decode_ids(ids: list[int], merges: list[tuple[str, str]]) -> str:
+def decode_ids(
+    ids: list[int],
+    merges: list[tuple[str, str]],
+    byte_level: bool = False,
+) -> str:
     """Inverse of :func:`encode_word_ids` over any id sequence:
     merge-output ids expand to their string; base ids to their char;
     the UNK id decodes to U+FFFD. Token boundaries are not
-    recoverable (BPE is lossy only about boundaries, never bytes)."""
+    recoverable (BPE is lossy only about boundaries, never bytes).
+    Byte mode: the symbol string is Latin-1 bytes — decode through
+    UTF-8 (invalid tails -> U+FFFD), making the round-trip LOSSLESS
+    for every unicode string (no UNK id exists)."""
     outs = {256 + r: left + right for r, (left, right) in enumerate(merges)}
+    if byte_level:
+        syms = "".join(
+            outs.get(i, chr(i) if i < 256 else "�") for i in ids
+        )
+        return byte_symbols_to_text(syms)
     unk = unk_id(merges)
     return "".join(
         "�" if i == unk else outs.get(i, chr(i) if i < 256 else "�")
@@ -547,8 +675,10 @@ def bpe_encode_ids(
 ) -> DataFrame:
     """Pass-through columns + (bpe_ids array<int>, n_bpe_tokens) in
     one mapInPandas crossing — the model-consumable twin of
-    :func:`bpe_encode`."""
+    :func:`bpe_encode`. Byte-mode artifacts yield a TOTAL id stream
+    (no UNK can occur — every base symbol is a byte)."""
     merges = load_bpe_merges(spark, path)
+    byte_level = vocab_is_byte_level(path)
     id_map = token_id_map(merges)
     unk = unk_id(merges)
     ensure_serializable()
@@ -564,7 +694,10 @@ def bpe_encode_ids(
                 for w in pretokenize(text if isinstance(text, str) else None):
                     enc = cache.get(w)
                     if enc is None:
-                        enc = encode_word_ids(w, merges, id_map, unk)
+                        enc = encode_word_ids(
+                            word_to_byte_symbols(w) if byte_level else w,
+                            merges, id_map, unk,
+                        )
                         cache[w] = enc
                     ids.extend(enc)
                 ids_out.append(ids)
@@ -580,7 +713,9 @@ def bpe_encode_ids(
     return df.mapInPandas(gen, T.StructType(fields))
 
 
-def bpe_ids_list_sql(merges: list[tuple[str, str]], col: str) -> str:
+def bpe_ids_list_sql(
+    merges: list[tuple[str, str]], col: str, byte_level: bool = False
+) -> str:
     """DuckDB oracle for the FULL id SEQUENCE of ``col`` as an INT
     list (scalar subquery): the replace-chain transform of
     :func:`bpe_count_sql` yields the token sequence as one symbol
@@ -592,31 +727,48 @@ def bpe_ids_list_sql(merges: list[tuple[str, str]], col: str) -> str:
     bpe_count_sql, with one addition: corpus text containing the
     actually-USED placeholder codepoints (U+E000..U+E000+n_merges-1)
     remains outside the oracle envelope (the replace chain cannot
-    tell such a char from its own placeholder)."""
-    _validate_merges(merges, "bpe_ids_list_sql")
+    tell such a char from its own placeholder). Byte mode: the
+    chain runs over the UTF-8 byte-symbol string, every non-
+    placeholder symbol IS a byte, so the mapping is placeholder ->
+    256+r ELSE unicode(c) — no UNK branch exists, and corpus text
+    can never collide with a placeholder (bytes are < 256)."""
+    _validate_merges(merges, "bpe_ids_list_sql", byte_level)
     # reuse the validated replace chain, then swap the final count for
     # a per-char id mapping
-    count_expr = bpe_count_sql(merges, col)
+    count_expr = bpe_count_sql(merges, col, byte_level)
     prefix = "length(regexp_replace("
     suffix = f", '{WS_CLASS}', '', 'g'))"
     assert count_expr.startswith(prefix) and count_expr.endswith(suffix)
     stripped = "regexp_replace(" + count_expr[len(prefix):-len(suffix)] + (
         f", '{WS_CLASS}', '', 'g')"
     )
+    if byte_level:
+        id_case = (
+            "c -> CASE WHEN unicode(c) >= 57344 "
+            "THEN 256 + (unicode(c) - 57344) "
+            "ELSE unicode(c) END) "
+        )
+    else:
+        id_case = (
+            f"c -> CASE WHEN unicode(c) >= 57344 AND unicode(c) < {57344 + len(merges)} "
+            "THEN 256 + (unicode(c) - 57344) "
+            "WHEN unicode(c) < 256 THEN unicode(c) "
+            f"ELSE {unk_id(merges)} END) "
+        )
     return (
         "(SELECT list_transform("
         "[substring(t, i, 1) FOR i IN range(1, length(t) + 1)], "
-        f"c -> CASE WHEN unicode(c) >= 57344 AND unicode(c) < {57344 + len(merges)} "
-        "THEN 256 + (unicode(c) - 57344) "
-        "WHEN unicode(c) < 256 THEN unicode(c) "
-        f"ELSE {unk_id(merges)} END) "
-        f"FROM (SELECT {stripped} AS t))"
+        + id_case
+        + f"FROM (SELECT {stripped} AS t))"
     )
 
 
-def bpe_ids_csv_sql(merges: list[tuple[str, str]], col: str) -> str:
+def bpe_ids_csv_sql(
+    merges: list[tuple[str, str]], col: str, byte_level: bool = False
+) -> str:
     """Comma-joined form of :func:`bpe_ids_list_sql` (empty doc ->
     empty string, matching the engine's join of an empty array)."""
     return (
-        f"coalesce(array_to_string({bpe_ids_list_sql(merges, col)}, ','), '')"
+        "coalesce(array_to_string("
+        f"{bpe_ids_list_sql(merges, col, byte_level)}, ','), '')"
     )

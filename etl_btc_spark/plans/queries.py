@@ -8445,3 +8445,120 @@ def q99bg(spark: SparkSession, sf: str) -> DataFrame:
     return est.select(
         "event_type", sround(F.col("hll_distinct"), 4).alias("hll_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# r15 — byte-level BPE (VERDICT r14 #1): UTF-8 byte base alphabet, no UNK
+# ---------------------------------------------------------------------------
+
+def _u8(s: str) -> str:
+    """UTF-8 bytes of ``s`` as Latin-1 chars — byte-level merge parts."""
+    return s.encode("utf-8").decode("latin-1")
+
+
+#: warm byte-level merges: ASCII subwords (fire on the corpus), plus
+#: byte chains assembling the Cyrillic word "привет" (2-byte chars),
+#: the CJK bigram 日本 (3-byte chars) and the 🙂 emoji (4-byte) — each
+#: multi-byte char is built lead-byte-up, exactly how a trained
+#: byte-level vocab forms them. Causally ordered; all pairs are
+#: class-pure over the byte alphabet (ASCII letters class 0, every
+#: byte >= 0x80 class 2), so the replace-chain oracle applies.
+_BPE_BYTE_MERGES = (
+    [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("a", "n"),
+     ("s", "c"), ("sc", "an"), ("j", "o"), ("jo", "in")]
+    + [
+        ("\xd0", "\xbf"),                      # п
+        ("\xd1", "\x80"),                      # р
+        (_u8("п"), _u8("р")),                  # пр
+        ("\xd0", "\xb8"),                      # и
+        (_u8("пр"), _u8("и")),                 # при
+        ("\xd0", "\xb2"),                      # в
+        ("\xd0", "\xb5"),                      # е
+        ("\xd1", "\x82"),                      # т
+        (_u8("в"), _u8("е")),                  # ве
+        (_u8("при"), _u8("ве")),               # приве
+        (_u8("приве"), _u8("т")),              # привет
+    ]
+    + [
+        ("\xe6", "\x97"), ("\xe6\x97", "\xa5"),            # 日
+        ("\xe6", "\x9c"), ("\xe6\x9c", "\xac"),            # 本
+        (_u8("日"), _u8("本")),                             # 日本
+    ]
+    + [
+        ("\xf0", "\x9f"), ("\xf0\x9f", "\x99"),            # 🙂 prefix
+        ("\xf0\x9f\x99", "\x82"),                          # 🙂
+    ]
+)
+
+#: deterministic multilingual decoration — the documents fixture is
+#: pure ASCII, so the gate appends per-doc text spanning 2-, 3- and
+#: 4-byte UTF-8 (incl. chars with NO merges: мир raw bytes, ï/é,
+#: 👍's unmerged tail) — the exact corpus the char-level id layer
+#: degraded to UNK streams
+_BPE_BYTE_DECOS = ["привет мир", "日本語テスト", "naïve café", "🙂👍 ok"]
+_BPE_BYTE_DECO_SQL = (
+    "CASE doc_id % 4 "
+    + " ".join(
+        f"WHEN {i} THEN '{d}'" for i, d in enumerate(_BPE_BYTE_DECOS)
+    )
+    + " END"
+)
+
+
+@register(
+    "q99bh_bpe_byte_level_ids",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' ' || {_BPE_BYTE_DECO_SQL} AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {BP.bpe_ids_csv_sql(_BPE_BYTE_MERGES, "text", byte_level=True)}
+                   AS ids_csv,
+               CAST({BP.bpe_count_sql(_BPE_BYTE_MERGES, "text", byte_level=True)}
+                   AS BIGINT) AS n_bpe_tokens
+        FROM aug
+    """,
+    doc=(
+        "BYTE-LEVEL BPE under the FULL-sequence value gate (r15 — "
+        "VERDICT r14 #1: the char-level id layer UNKs every codepoint "
+        ">= 256, so multilingual corpora could not be budgeted or "
+        "packed faithfully; GPT-2/tiktoken are byte-level over UTF-8 "
+        "for exactly this reason). Base ids 0-255 = UTF-8 BYTES "
+        "(viewed as Latin-1 chars — a bijection), merges operate over "
+        "byte symbols, ids are total: NO UNK exists. The fixture "
+        "appends deterministic Cyrillic/CJK/accented/emoji text (2-, "
+        "3- and 4-byte chars, merged AND unmerged) to every ASCII "
+        "doc; the gate audits each document's ENTIRE id stream as "
+        "CSV. Oracle: utf8_byte_symbols_sql converts the column to "
+        "its byte-symbol string by pure codepoint arithmetic (RFC "
+        "3629 branches), then the q99ax replace-chain + placeholder "
+        "id mapping applies verbatim — byte boundaries preserve "
+        "pre-token boundaries (every multi-byte char's bytes are "
+        ">= 0x80, class-other, matching the char's class). decode is "
+        "lossless on ALL unicode (pytest round-trip); scale shape "
+        "identical to q99ax: one mapInPandas crossing, merge table "
+        "in-closure, corpus never shuffles"
+    ),
+)
+def q99bh(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    deco = F.element_at(
+        F.array(*[F.lit(d) for d in _BPE_BYTE_DECOS]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), deco).alias("text")
+    )
+    idx = SK.artifact_path(sf, "q99bh_bpe_byte_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, aug, idx, merges=_BPE_BYTE_MERGES, byte_level=True)
+    enc = BP.bpe_encode_ids(spark, aug, idx)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("bpe_ids"), lambda i: i.cast("string")), ","
+        ).alias("ids_csv"),
+        "n_bpe_tokens",
+    )

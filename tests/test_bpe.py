@@ -88,7 +88,9 @@ def test_misuse_refusals():
     with pytest.raises(ValueError, match="classes"):
         BP.bpe_count_sql([("a", "1"), ("a1", "b")], "text")
     with pytest.raises(ValueError, match="placeholder"):
-        BP.bpe_count_sql([("'", "a")], "text")
+        # same-class pair (both punctuation) so the quote refusal —
+        # not the r15 cross-class-pair refusal — is what fires
+        BP.bpe_count_sql([("'", "-")], "text")
 
 
 def test_vocab_lifecycle_roundtrip(spark, tmp_path):
@@ -257,3 +259,135 @@ def test_extend_equals_single_build(spark, tmp_path):
     # extend on a missing/crashed artifact refuses via the marker
     with pytest.raises(ValueError, match="_BUILT"):
         BP.extend_bpe_vocab(spark, docs, str(tmp_path / "none"), n_more=2)
+
+
+# --- r15: byte-level base alphabet (VERDICT r14 #1) ---
+
+
+def _u8(s):
+    return s.encode("utf-8").decode("latin-1")
+
+
+BYTE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"),
+    ("\xd0", "\xbf"), ("\xd1", "\x80"), (_u8("п"), _u8("р")),   # п р пр
+    ("\xe6", "\x97"), ("\xe6\x97", "\xa5"),                     # 日
+    ("\xf0", "\x9f"), ("\xf0\x9f", "\x99"), ("\xf0\x9f\x99", "\x82"),  # 🙂
+]
+
+MULTILINGUAL = [
+    "привет мир the",
+    "日本語テスト in the 日",
+    "naïve café résumé",
+    "🙂👍 mixed эmoji 中文",
+    "",
+    "   \t\n  ",
+    "ascii only batch scan",
+]
+
+
+def _byte_ids(text, merges):
+    id_map = BP.token_id_map(merges)
+    unk = BP.unk_id(merges)
+    return [
+        i
+        for w in BP.pretokenize(text)
+        for i in BP.encode_word_ids(
+            BP.word_to_byte_symbols(w), merges, id_map, unk
+        )
+    ]
+
+
+def test_byte_level_ids_total_no_unk_and_lossless():
+    """Byte mode is TOTAL: every unicode string encodes with ids in
+    [0, 256+n_merges) — the UNK id is structurally unreachable — and
+    decode_ids inverts losslessly (whitespace between pre-tokens is
+    the only thing BPE ever discards)."""
+    unk = BP.unk_id(BYTE_MERGES)
+    for t in MULTILINGUAL:
+        ids = _byte_ids(t, BYTE_MERGES)
+        assert all(0 <= i < unk for i in ids), t
+        assert BP.decode_ids(ids, BYTE_MERGES, byte_level=True) == "".join(
+            BP.pretokenize(t)
+        ), t
+
+
+def test_byte_level_ids_property_hypothesis():
+    """Property pin over arbitrary unicode text (hypothesis): no id
+    ever reaches the UNK slot and the decode round-trip holds —
+    including astral-plane chars the char-level layer UNK'd."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def check(t):
+        ids = _byte_ids(t, BYTE_MERGES)
+        assert all(0 <= i < BP.unk_id(BYTE_MERGES) for i in ids)
+        assert BP.decode_ids(ids, BYTE_MERGES, byte_level=True) == "".join(
+            BP.pretokenize(t)
+        )
+
+    check()
+
+
+def test_byte_level_oracle_matches_engine_duckdb():
+    """Engine ids == DuckDB replace-chain oracle over the byte-symbol
+    string for 2-/3-/4-byte chars, merged and unmerged — the exact
+    comparison the q99bh gate runs at scale."""
+    import duckdb
+
+    con = duckdb.connect()
+    csv_sql = BP.bpe_ids_csv_sql(BYTE_MERGES, "txt", byte_level=True)
+    cnt_sql = BP.bpe_count_sql(BYTE_MERGES, "txt", byte_level=True)
+    for t in MULTILINGUAL + [None]:
+        got = con.execute(
+            f"SELECT {csv_sql}, {cnt_sql} FROM (SELECT ?::VARCHAR AS txt)",
+            [t],
+        ).fetchone()
+        ids = _byte_ids(t or "", BYTE_MERGES)
+        assert got[0] == ",".join(map(str, ids)), t
+        assert got[1] == len(ids), t
+
+
+def test_byte_level_spark_lifecycle_and_trained_extend(spark, tmp_path):
+    """Artifact persists the byte_level flag; Spark encode matches the
+    local path on multilingual text; trained build→extend identity
+    holds in byte mode; extend INHERITS the flag."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" привет 日本 🙂")).alias("text"),
+    )
+    path = str(tmp_path / "bytevocab")
+    BP.build_bpe_vocab(spark, aug, path, merges=BYTE_MERGES, byte_level=True)
+    assert BP.vocab_is_byte_level(path)
+    got = {
+        r["doc_id"]: r for r in BP.bpe_encode_ids(spark, aug, path).collect()
+    }
+    for r in aug.collect():
+        want = _byte_ids(r["text"], BYTE_MERGES)
+        assert got[r["doc_id"]]["bpe_ids"] == want
+        assert got[r["doc_id"]]["n_bpe_tokens"] == len(want)
+    # trained byte-mode arm: two-step == one-shot, flag inherited
+    a, b = str(tmp_path / "two"), str(tmp_path / "one")
+    BP.build_bpe_vocab(spark, aug, a, n_merges=8, byte_level=True)
+    BP.extend_bpe_vocab(spark, aug, a, n_more=6)
+    BP.build_bpe_vocab(spark, aug, b, n_merges=14, byte_level=True)
+    assert BP.load_bpe_merges(spark, a) == BP.load_bpe_merges(spark, b)
+    assert BP.vocab_is_byte_level(a)
+    # a char-level artifact reads back as char-level (back-compat)
+    c = str(tmp_path / "charvocab")
+    BP.build_bpe_vocab(spark, docs, c, merges=MERGES)
+    assert not BP.vocab_is_byte_level(c)
+
+
+def test_byte_level_refusals():
+    """Byte-mode merges over raw unicode chars refuse (they can never
+    arise from byte segmentations); cross-class PAIRS refuse in the
+    SQL oracle (whole-string replace would merge across an
+    alpha-run/other-run boundary the engine never crosses)."""
+    with pytest.raises(ValueError, match="non-byte symbol"):
+        BP._validate_merges([("п", "р")], "t", byte_level=True)
+    with pytest.raises(ValueError, match="mixes character"):
+        BP.bpe_count_sql([("t", "h"), ("th", "\xd0")], "txt", byte_level=True)
