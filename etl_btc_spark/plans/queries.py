@@ -8562,3 +8562,95 @@ def q99bh(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("ids_csv"),
         "n_bpe_tokens",
     )
+
+
+@register(
+    "q99bi_training_prep_bpe",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, text, source,
+                   row_number() OVER (
+                       PARTITION BY {TX.FINGERPRINT_SQL.format(col='text')}
+                       ORDER BY doc_id) AS rn
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, text, source FROM ranked WHERE rn = 1
+        ), tr AS (
+            SELECT doc_id, text, source FROM kept
+            WHERE ({SP.train_val_test_split_sql()}) = 'train'
+        ),
+        {SP.domain_mix_rates_sql(_Q91_WEIGHT_CASE, table='tr')},
+        mixed AS (
+            SELECT tr.doc_id, tr.text FROM tr JOIN r ON tr.source = r.s
+            WHERE {SP.hash_bucket_sql('tr.doc_id')} < r.rate
+        ), shuf AS (
+            SELECT doc_id, text, okey,
+                   (('0x' || substring(okey, 1, 8))::BIGINT % 16) AS shard
+            FROM (SELECT doc_id, text,
+                         md5('epoch-0' || CAST(doc_id AS VARCHAR)) AS okey
+                  FROM mixed)
+        ), post AS (
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY okey, doc_id
+                   ) - 1 AS BIGINT) AS pos,
+                   CAST({_BPE_COUNT_SQL} AS BIGINT) AS n_tokens
+            FROM shuf
+        )
+        SELECT doc_id, shard, pos, n_tokens,
+               CAST(floor(cum / 1024.0) AS BIGINT) AS pack_id,
+               CAST(cum % 1024 AS BIGINT) AS pack_offset
+        FROM (
+            SELECT *, coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM post
+        )
+    """,
+    doc=(
+        "The q93 training-prep capstone billed in REAL BPE tokens "
+        "(r15 — VERDICT r14 #2: q99av proved the BPE arm of the "
+        "packing contract but the capstones still billed whitespace "
+        "counts; this composes them): exact dedup -> train split -> "
+        "domain-mixture rebalance -> seed-keyed epoch shuffle -> "
+        "token packing in SHUFFLED order, where the cumsum window "
+        "cuts every 1024 LEARNED-BPE tokens from bpe_token_count's "
+        "per-doc counts (one extra mapInPandas crossing on the "
+        "already-sampled slice — the corpus still never shuffles for "
+        "encoding; the merge table rides the closure). Oracle = "
+        "q93's CTE chain verbatim with the replace-chain BPE count "
+        "swapped into the packing CTE — the exact composition shape "
+        "VERDICT prescribed"
+    ),
+)
+def q99bi(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators.textops import fingerprint
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    idx = SK.artifact_path(sf, "q99bi_bpe_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES)
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    train = (
+        SP.train_val_test_split(kept)
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+    rates = SP.domain_mix_rates(train, weight_fn=_q91_weight)
+    mixed = SP.stratified_sample(train, rates, stratum_col="source").select(
+        "doc_id", "text"
+    )
+    shuf = SP.training_shuffle(mixed, seed="epoch-0", n_shards=16)
+    counts = BP.bpe_token_count(spark, shuf, idx)
+    return SP.token_packing(
+        counts,
+        budget=1024,
+        shard_col="shard",
+        order_col="pos",
+        tokens_col="n_bpe_tokens",
+    )
