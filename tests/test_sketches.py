@@ -256,3 +256,75 @@ def test_stream_cms_epoch_guard_and_identity(spark, tmp_path):
     # the rename swap (r14 ADVICE: no marker-after-swap crash window)
     assert os.path.exists(os.path.join(cnt, "cells", "_applied_0"))
     assert not os.path.exists(os.path.join(cnt, "_applied"))
+
+
+# --- r15: KMV/theta sketch with set operations (VERDICT r14 #3) ---
+
+
+def test_kmv_error_bound_and_exact_branch(spark):
+    """KMV cardinality error within the classic ~1/sqrt(k-2) regime
+    at k=256 over 5000 distinct keys; with k above the cardinality
+    the SAME formula returns the exact count (the sketch is the
+    whole hash set)."""
+    n = 5_000
+    df = spark.range(n * 3).select((F.col("id") % n).alias("key"))
+    est = SKT.kmv_estimate_from_sketch(
+        SKT.kmv_sketch(df.withColumn("g", F.lit("a")), "key", ["g"], k=256),
+        ["g"], k=256,
+    ).collect()[0]["kmv_distinct"]
+    assert abs(est - n) / n <= 4.0 / (256 ** 0.5), est  # ±25% is generous
+    small = spark.range(100).select((F.col("id")).alias("key"), F.lit("a").alias("g"))
+    exact = SKT.kmv_estimate_from_sketch(
+        SKT.kmv_sketch(small, "key", ["g"], k=256), ["g"], k=256
+    ).collect()[0]["kmv_distinct"]
+    assert exact == 100.0
+
+
+def test_kmv_merge_partition_invariance(spark):
+    """k-min of part sketches == k-min of the whole — the sketch is
+    invariant to HOW the rows were partitioned (set identity, not an
+    approximation), so distributed merges drift by zero."""
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "user_id")
+    whole = {
+        tuple(r)
+        for r in SKT.kmv_sketch(ev, "user_id", ["event_type"], k=64).collect()
+    }
+    parts = SKT.kmv_sketch(
+        ev.filter(F.col("user_id") % 2 == 0), "user_id", ["event_type"], k=64
+    ).unionByName(
+        SKT.kmv_sketch(
+            ev.filter(F.col("user_id") % 2 != 0), "user_id", ["event_type"], k=64
+        )
+    )
+    merged = {
+        tuple(r) for r in SKT.kmv_merge(parts, ["event_type"], k=64).collect()
+    }
+    assert merged == whole
+
+
+def test_kmv_overlap_exact_when_under_k(spark):
+    """When both sets fit under k the sketches are complete and the
+    union/intersection ESTIMATES equal the exact counts — same
+    formula, no special-casing (the q99bj sf0.001 regime)."""
+    a = spark.range(60).select(F.col("id").alias("key"), F.lit("g").alias("g"))
+    b = spark.range(40, 90).select(F.col("id").alias("key"), F.lit("g").alias("g"))
+    ska = SKT.kmv_sketch(a, "key", ["g"], k=256)
+    skb = SKT.kmv_sketch(b, "key", ["g"], k=256)
+    r = SKT.kmv_overlap(ska, skb, ["g"], k=256).collect()[0]
+    assert r["kmv_union"] == 90.0   # 0..89
+    assert r["kmv_intersection"] == 20.0  # 40..59
+
+
+def test_kmv_intersection_error_bound(spark):
+    """Estimator regime: two 4000-key sets overlapping in 2000 keys,
+    k=256 — union and intersection estimates land within the
+    published multiplicative bounds (generous 25%/35% envelopes)."""
+    a = spark.range(4_000).select(F.col("id").alias("key"), F.lit("g").alias("g"))
+    b = spark.range(2_000, 6_000).select(
+        F.col("id").alias("key"), F.lit("g").alias("g")
+    )
+    ska = SKT.kmv_sketch(a, "key", ["g"], k=256)
+    skb = SKT.kmv_sketch(b, "key", ["g"], k=256)
+    r = SKT.kmv_overlap(ska, skb, ["g"], k=256).collect()[0]
+    assert abs(r["kmv_union"] - 6_000) / 6_000 <= 0.25, r
+    assert abs(r["kmv_intersection"] - 2_000) / 2_000 <= 0.35, r
