@@ -328,3 +328,62 @@ def test_kmv_intersection_error_bound(spark):
     r = SKT.kmv_overlap(ska, skb, ["g"], k=256).collect()[0]
     assert abs(r["kmv_union"] - 6_000) / 6_000 <= 0.25, r
     assert abs(r["kmv_intersection"] - 2_000) / 2_000 <= 0.35, r
+
+
+# --- r15: literal-plan envelope + broadcast arms (VERDICT r14 wrong #1) ---
+
+
+def test_literal_sketch_envelope_refusals(spark):
+    """A 100 TB-honest geometry (33M words) must refuse the literal
+    arm instead of stalling the driver serializing a 33M-element
+    plan literal — the bcast arms are the documented path."""
+    with pytest.raises(ValueError, match="bloom_contains_bcast"):
+        SKT.bloom_contains(F.lit("x"), [0] * 2_000_000, n_bits=64_000_000)
+    with pytest.raises(ValueError, match="cms_estimate_bcast"):
+        SKT.cms_estimate(F.lit("x"), [0] * 2_000_000, d=4, w=500_000)
+
+
+def test_bloom_bcast_identity_with_literal(spark):
+    """The broadcast-variable probe answers EXACTLY the literal
+    codegen probe — same hashes, same bitmap, per key (FPs included)."""
+    n_bits, k = 16_384, 4
+    keys = spark.createDataFrame([(f"m{i}",) for i in range(800,)], "s string")
+    bits = SKT.build_bloom_bits(keys, "s", n_bits=n_bits, k=k)
+    probe = spark.createDataFrame(
+        [(f"m{i}",) for i in range(800)] + [(f"x{i}",) for i in range(2_000)],
+        "s string",
+    )
+    lit = {
+        r["s"]: r["hit"]
+        for r in probe.select(
+            "s", SKT.bloom_contains(F.col("s"), bits, n_bits, k).alias("hit")
+        ).collect()
+    }
+    bc = {
+        r["s"]: r["bloom_hit"]
+        for r in SKT.bloom_contains_bcast(
+            probe, "s", bits, n_bits, k
+        ).collect()
+    }
+    assert lit == bc
+
+
+def test_cms_bcast_identity_with_literal(spark):
+    """Broadcast CMS point estimates == literal-arm estimates for
+    every key (overcounts included)."""
+    rows = [(f"t{i % 97}",) for i in range(4_000)] + [("hot",)] * 500
+    occ = spark.createDataFrame(rows, "tok string")
+    d, w = 4, 1024
+    cells = SKT.cms_build(occ, "tok", d=d, w=w)
+    keys = occ.select("tok").distinct()
+    lit = {
+        r["tok"]: r["e"]
+        for r in keys.select(
+            "tok", SKT.cms_estimate(F.col("tok"), cells, d, w).alias("e")
+        ).collect()
+    }
+    bc = {
+        r["tok"]: r["cms_count"]
+        for r in SKT.cms_estimate_bcast(keys, "tok", cells, d, w).collect()
+    }
+    assert lit == bc
