@@ -221,6 +221,21 @@ def histogram_quantiles(
         .groupBy(*group_cols, "__lo", "__hi", "__n", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    return _hist_estimate_from_binned(binned, group_cols, quantiles, n_bins)
+
+
+def _hist_estimate_from_binned(
+    binned: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    n_bins: int,
+) -> DataFrame:
+    """The estimate tail over a binned frame (group..., __lo, __hi,
+    __n, __b, __c) — shared by the one-pass batch path and the
+    streamed bin-table path (streaming/incremental.py), so the two
+    can never drift."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("__b")
@@ -815,3 +830,56 @@ def cms_estimate_bcast(
 
     pos_arr = F.array(*[_cms_pos(F.col(key_col), i, w) for i in range(d)])
     return df.withColumn(out_col, probe(pos_arr))
+
+
+def histogram_quantiles_frozen_sql(
+    value: str,
+    group: str,
+    table: str,
+    grid_select: str,
+    quantiles: list[float] = (0.5, 0.95),
+    n_bins: int = 512,
+) -> str:
+    """DuckDB mirror of the STREAMED histogram path (r15): the grid
+    comes from ``grid_select`` (a SELECT of (group, lo, hi) — frozen
+    at first build, the mergeability design decision), values outside
+    it CLAMP into the edge bins, and n is the sum of bin counts.
+    Identical cumsum + interpolation tail to
+    :func:`histogram_quantiles_sql`."""
+    width = f"((hi - lo) / {n_bins})"
+    sel = []
+    for q in quantiles:
+        target = f"({q!r}::DOUBLE * n)"
+        est = (
+            f"CASE WHEN hi = lo THEN lo ELSE "
+            f"lo + b * {width} + (({target} - cb) / c) * {width} END"
+        )
+        sel.append(
+            f"max(CASE WHEN cb < {target} AND cb + c >= {target} "
+            f"THEN {est} END) AS q_{int(q * 100)}"
+        )
+    return f"""
+        SELECT {group}, {", ".join(sel)}
+        FROM (
+            SELECT *, coalesce(sum(c) OVER (
+                PARTITION BY {group} ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM (
+                SELECT {group}, lo, hi, b, count(*) AS c,
+                       sum(count(*)) OVER (PARTITION BY {group}) AS n
+                FROM (
+                    SELECT t.{group}, g.lo, g.hi,
+                           CASE WHEN g.hi = g.lo THEN 0
+                                ELSE least({n_bins - 1}, greatest(0, floor(
+                                    (t.{value} - g.lo)
+                                    / ((g.hi - g.lo) / {n_bins})
+                                ))) END AS b
+                    FROM {table} t
+                    JOIN ({grid_select}) g USING ({group})
+                    WHERE t.{value} IS NOT NULL
+                )
+                GROUP BY {group}, lo, hi, b
+            )
+        )
+        GROUP BY {group}
+    """

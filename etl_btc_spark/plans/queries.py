@@ -8713,3 +8713,158 @@ def q99bj(spark: SparkSession, sf: str) -> DataFrame:
         sround(F.col("kmv_union"), 4).alias("kmv_union"),
         sround(F.col("kmv_intersection"), 4).alias("kmv_intersection"),
     )
+
+
+@register(
+    "q99bk_bloom_stream_maintain",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), d AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
+            FROM w
+        ), tk AS (
+            SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 23 = 0
+        ), bw AS {SKT.bloom_words_sql('tk', n_bits=131072)},
+        c AS (
+            SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 23 != 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN {SKT.bloom_contains_sql('s', 'bw', n_bits=131072)}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+               sum(CASE WHEN {SKT.bloom_contains_sql('s', 'bw', n_bits=131072)}
+                        THEN 1 ELSE 0 END) > 0 AS flagged
+        FROM c GROUP BY doc_id
+    """,
+    doc=(
+        "STREAMED Bloom bitmap maintenance under the value gate (r15 "
+        "— VERDICT r14 #5, the sketch streaming matrix goes 3/4): "
+        "four availableNow triggers drive stream_bloom_maintain — "
+        "three disjoint thirds of the eval set's shingle stream, "
+        "then a FULL REDELIVERY of the second third — each folding "
+        "its word frame into the persisted bitmap table by per-word "
+        "BIT_OR (associative + commutative + IDEMPOTENT: q99bd's "
+        "recipe, no epoch ledger needed). The corpus decontamination "
+        "scan off the streamed bitmap must equal q99bb's one-pass "
+        "answer EXACTLY — same oracle verbatim, FPs included, so "
+        "streamed ≡ batch ≡ SQL by value identity"
+    ),
+)
+def q99bk(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import incremental as INC11
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    landing = SK.artifact_path(sf, "q99bk_landing")
+    bloom = SK.artifact_path(sf, "q99bk_bloom")
+    ckpt = SK.artifact_path(sf, "q99bk_ckpt")
+    for p in (landing, bloom, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    tsh = docs.filter(F.col("doc_id") % 23 == 0).select(
+        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    )
+    s_schema = tsh.select("s").schema
+
+    def run():
+        INC11.stream_bloom_maintain(
+            spark, f"{landing}/*", s_schema, bloom, ckpt,
+            key_col="s", n_bits=131_072,
+        )
+
+    for i in range(3):
+        tsh.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).select(
+            "s"
+        ).distinct().coalesce(1).write.parquet(f"{landing}/b{i}")
+        run()
+    # at-least-once redelivery: bit_or is idempotent — replaying a
+    # whole third must not flip a single bit
+    tsh.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1).select(
+        "s"
+    ).distinct().coalesce(1).write.parquet(f"{landing}/b3_redelivery")
+    run()
+    bits = INC11.bloom_bits_from_table(spark, bloom, n_bits=131_072)
+    csh = docs.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    )
+    member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
+    return csh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(member.cast("int")).cast("bigint").alias("n_bloom_hits"),
+        (F.sum(member.cast("int")) > 0).alias("flagged"),
+    )
+
+
+_Q99BL_GRID_SQL = (
+    "SELECT event_type, min(value) AS lo, max(value) AS hi "
+    "FROM events WHERE value IS NOT NULL AND event_id % 3 = 0 "
+    "GROUP BY event_type"
+)
+
+
+@register(
+    "q99bl_hist_stream_maintain",
+    oracle=f"""
+        WITH h AS ({SKT.histogram_quantiles_frozen_sql(
+            "value", "event_type", "events", _Q99BL_GRID_SQL
+        )})
+        SELECT event_type,
+               round(1e-9 + q_50, 4) AS p50,
+               round(1e-9 + q_95, 4) AS p95
+        FROM h
+    """,
+    doc=(
+        "STREAMED histogram-sketch maintenance under the value gate "
+        "(r15 — VERDICT r14 #5, the matrix completes at 4/4): bin "
+        "counts ADD (the CMS algebra, NOT idempotent), so each epoch "
+        "publishes through the in-directory applied-epoch ledger; "
+        "the gate drives three disjoint thirds AND an in-gate "
+        "fresh-checkpoint FULL REPLAY that re-delivers every file as "
+        "an already-applied epoch — the ledger must no-op it without "
+        "moving one count. The documented design decision: the "
+        "per-group grid FREEZES at first build (mergeability needs a "
+        "fixed grid), later values clamp into edge bins — so the "
+        "oracle derives the grid from the FIRST slice and bins the "
+        "whole table against it (histogram_quantiles_frozen_sql), "
+        "making the freeze itself value-checked rather than waved at"
+    ),
+)
+def q99bl(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import incremental as INC12
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    landing = SK.artifact_path(sf, "q99bl_landing")
+    hist = SK.artifact_path(sf, "q99bl_hist")
+    ckpt = SK.artifact_path(sf, "q99bl_ckpt")
+    for p in (landing, hist, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    slim = ev.select("event_type", "value")
+    schema = slim.schema
+
+    def run():
+        INC12.stream_hist_maintain(
+            spark, f"{landing}/*", schema, hist, ckpt,
+            value_col="value", group_cols=["event_type"],
+        )
+
+    for i in range(3):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).select(
+            "event_type", "value"
+        ).coalesce(1).write.parquet(f"{landing}/b{i}")
+        run()
+    # full replay with a FRESH checkpoint: every file re-delivers as
+    # epoch 0, which the in-directory ledger marks applied — counters
+    # must not move (the non-idempotent algebra done right)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run()
+    est = INC12.hist_quantiles_from_table(spark, hist, ["event_type"])
+    return est.select(
+        "event_type",
+        sround(F.col("q_50"), 4).alias("p50"),
+        sround(F.col("q_95"), 4).alias("p95"),
+    )

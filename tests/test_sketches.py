@@ -387,3 +387,118 @@ def test_cms_bcast_identity_with_literal(spark):
         for r in SKT.cms_estimate_bcast(keys, "tok", cells, d, w).collect()
     }
     assert lit == bc
+
+
+# --- r15: streamed Bloom + histogram (the matrix completes at 4/4) ---
+
+
+def test_stream_bloom_identity_and_debris(spark, tmp_path):
+    """Streamed bitmap == one-pass batch bitmap (bit-identical, OR is
+    exact); debris from a crash between the renames self-heals."""
+    import os
+    import shutil
+
+    from etl_btc_spark.streaming import incremental as INC
+
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(3_000)], "s string"
+    )
+    landing, bloom, ckpt = (
+        str(tmp_path / d) for d in ("landing", "bloom", "ckpt")
+    )
+    n_bits = 16_384
+    keys.filter(F.col("s") < "k2").coalesce(1).write.parquet(f"{landing}/a")
+    INC.stream_bloom_maintain(
+        spark, f"{landing}/*", keys.schema, bloom, ckpt, key_col="s",
+        n_bits=n_bits,
+    )
+    keys.filter(F.col("s") >= "k2").coalesce(1).write.parquet(f"{landing}/b")
+    INC.stream_bloom_maintain(
+        spark, f"{landing}/*", keys.schema, bloom, ckpt, key_col="s",
+        n_bits=n_bits,
+    )
+    streamed = INC.bloom_bits_from_table(spark, bloom, n_bits=n_bits)
+    assert streamed == SKT.build_bloom_bits(keys, "s", n_bits=n_bits)
+    # crash between the renames: words gone, retired beside it
+    os.rename(
+        os.path.join(bloom, "words"), os.path.join(bloom, ".words_old_dead")
+    )
+    os.makedirs(os.path.join(bloom, ".words_shadow_dead"))
+    healed = INC.bloom_bits_from_table(spark, bloom, n_bits=n_bits)
+    assert healed == streamed
+    assert not os.path.exists(os.path.join(bloom, ".words_shadow_dead"))
+    with pytest.raises(ValueError, match="multiple of 32"):
+        INC.stream_bloom_maintain(
+            spark, f"{landing}/*", keys.schema, bloom, ckpt, key_col="s",
+            n_bits=100,
+        )
+
+
+def test_stream_hist_identity_epoch_guard_and_clamp(spark, tmp_path):
+    """Streamed quantiles equal the frozen-grid batch computation; a
+    fresh-checkpoint full replay no-ops via the in-directory epoch
+    ledger; values outside the frozen grid clamp into edge bins (the
+    documented mergeability trade)."""
+    import os
+    import shutil
+
+    from etl_btc_spark.streaming import incremental as INC
+
+    rows = [("a", float(i)) for i in range(1_000)]
+    ev = spark.createDataFrame(rows, "g string, value double")
+    landing, hist, ckpt = (
+        str(tmp_path / d) for d in ("landing", "hist", "ckpt")
+    )
+
+    def run():
+        INC.stream_hist_maintain(
+            spark, f"{landing}/*", ev.schema, hist, ckpt,
+            value_col="value", group_cols=["g"], n_bins=64,
+        )
+
+    ev.filter(F.col("value") < 500).coalesce(1).write.parquet(f"{landing}/a")
+    run()
+    # second batch includes values OUTSIDE the frozen [0, 499] grid
+    ev.filter(F.col("value") >= 500).coalesce(1).write.parquet(f"{landing}/b")
+    run()
+    got = {
+        r["g"]: r
+        for r in INC.hist_quantiles_from_table(
+            spark, hist, ["g"], n_bins=64
+        ).collect()
+    }
+    # frozen grid: estimates can never leave [lo, hi] = [0, 499]; with
+    # half the mass clamped into the top bin, p95 sits at the edge
+    assert 0.0 <= got["a"]["q_50"] <= 499.0
+    assert abs(got["a"]["q_95"] - 499.0) < (499.0 / 64) * 2
+    # the batch twin over the SAME frozen grid must agree exactly
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(f"('a', {float(i)!r}::DOUBLE)" for i in range(1_000))
+        + ") t(g, value)"
+    )
+    sql = SKT.histogram_quantiles_frozen_sql(
+        "value", "g", "events",
+        "SELECT g, min(value) AS lo, max(value) AS hi FROM events "
+        "WHERE value < 500 GROUP BY g",
+        n_bins=64,
+    )
+    want = con.execute(sql).fetchone()
+    assert abs(got["a"]["q_50"] - want[1]) < 1e-9
+    assert abs(got["a"]["q_95"] - want[2]) < 1e-9
+    # fresh-checkpoint full replay: already-applied epochs no-op
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(hist, "bins")).collect()
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run()
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(hist, "bins")).collect()
+    )
+    assert before == after
+    assert os.path.exists(os.path.join(hist, "bins", "_applied_0"))
