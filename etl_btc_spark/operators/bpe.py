@@ -228,7 +228,24 @@ def train_bpe_merges(
     :func:`extend_bpe_vocab` arm): segmentations replay the existing
     merges first, then ``n_merges`` NEW merges are learned. Returns
     only the new merges. Because greedy training is prefix-stable,
-    train(N, initial=train(M)) == train(M+N)[M:] on the same table."""
+    train(N, initial=train(M)) == train(M+N)[M:] on the same table.
+
+    INCREMENTAL pair-count maintenance (r15 — VERDICT r14 #6): the
+    classic trainer optimization. Pair frequencies are counted ONCE;
+    each merge then touches only the words that actually contain the
+    merged pair (a pair→words occurrence index), applying count
+    deltas and pushing updated entries onto a lazy-deletion max-heap
+    ordered by (count desc, pair asc) — the same deterministic
+    tie-break the full re-scan used, so the selected sequence is
+    IDENTICAL (pinned by the determinism/prefix/extend pytests).
+    Cost drops from O(n_merges · Σ|word|) to O(Σ|word| + touched
+    work): a 32k-merge production vocab trains in seconds instead of
+    hours. A popped heap entry is used only if its count is current
+    (stale entries discard); an entry whose output string collides
+    with an already-produced token is permanently ineligible, exactly
+    the re-scan's skip."""
+    import heapq
+
     segs = {w: list(w) for w in word_counts}
     merges: list[tuple[str, str]] = []
     produced: set[str] = set()
@@ -238,32 +255,55 @@ def train_bpe_merges(
         for w in segs:
             if len(segs[w]) >= 2:
                 segs[w] = _merge_pass(segs[w], left, right, out)
-    for _ in range(n_merges):
-        pair_counts: Counter = Counter()
-        for w, cnt in word_counts.items():
-            seq = segs[w]
-            for a, b in zip(seq, seq[1:]):
-                pair_counts[(a, b)] += cnt
-        best = None
-        for pair, cnt in sorted(
-            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
-        ):
-            if cnt < min_pair_count:
-                break
-            if pair[0] + pair[1] in produced:
-                continue
-            best = pair
-            break
-        if best is None:
-            break
-        left, right = best
+    pair_counts: dict[tuple[str, str], int] = {}
+    occurs: dict[tuple[str, str], set[str]] = {}
+    for w, cnt in word_counts.items():
+        seq = segs[w]
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            occurs.setdefault(p, set()).add(w)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    while len(merges) < n_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        c = -negc
+        if pair_counts.get(pair, 0) != c:
+            continue  # stale (count changed since this entry was pushed)
+        if c < min_pair_count:
+            break  # valid top = current max → nothing eligible remains
+        left, right = pair
         out = left + right
-        merges.append((left, right))
+        if out in produced:
+            continue  # by-value collision: permanently ineligible
+        merges.append(pair)
         produced.add(out)
-        for w in segs:
-            seq = segs[w]
-            if len(seq) >= 2:
-                segs[w] = _merge_pass(seq, left, right, out)
+        for w in sorted(occurs.get(pair, ())):
+            old = segs[w]
+            new = _merge_pass(old, left, right, out)
+            if new == old:
+                continue
+            segs[w] = new
+            cnt = word_counts[w]
+            delta: Counter = Counter(zip(new, new[1:]))
+            delta.subtract(Counter(zip(old, old[1:])))
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                nc = pair_counts.get(p, 0) + d * cnt
+                if nc <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    pair_counts[p] = nc
+                    heapq.heappush(heap, (-nc, p))
+                if d > 0:
+                    occurs.setdefault(p, set()).add(w)
+            gone = set(zip(old, old[1:])) - set(zip(new, new[1:]))
+            for p in gone:
+                s = occurs.get(p)
+                if s is not None:
+                    s.discard(w)
+                    if not s:
+                        occurs.pop(p, None)
     return merges
 
 

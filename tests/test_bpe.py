@@ -391,3 +391,29 @@ def test_byte_level_refusals():
         BP._validate_merges([("п", "р")], "t", byte_level=True)
     with pytest.raises(ValueError, match="mixes character"):
         BP.bpe_count_sql([("t", "h"), ("th", "\xd0")], "txt", byte_level=True)
+
+
+def test_trainer_vocab_scale_smoke():
+    """r15 incremental pair-count trainer (VERDICT r14 #6): a
+    production-sized vocab (2k merges over a 40k-word table) trains
+    in seconds, not hours — the old full re-scan was O(n_merges x
+    total segmentation length). Correctness vs the re-scan is pinned
+    by the determinism/prefix/extend tests; this pins the WALL."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    wc = {}
+    for _ in range(40_000):
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(3, 14))
+        )
+        wc[w] = wc.get(w, 0) + rng.randint(1, 50)
+    t0 = time.time()
+    merges = BP.train_bpe_merges(wc, 2_000)
+    dt = time.time() - t0
+    assert len(merges) == 2_000
+    assert dt < 60, f"vocab-scale training took {dt:.1f}s"
+    # the learned list is a valid causal, collision-free merge table
+    BP._validate_merges(merges, "vocab_scale")
