@@ -417,6 +417,48 @@ def time_builds(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     ).save()
     builds["bpe_token_count"] = round(time.time() - t0, 3)
     shutil.rmtree(bpv, ignore_errors=True)
+
+    # r15 (VERDICT r14 #7): the sketch-family builds — the
+    # once-per-corpus-version cost of each cross-engine sketch, so
+    # regressions in the r14/r15 additions are visible round-over-
+    # round next to the q99az/q99bb headline probes
+    from etl_btc_spark.operators import sketches as SKT
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    SKT.hll_distinct(ev, "user_id", ["event_type"]).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    builds["hll_sketch"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SKT.histogram_quantiles(ev, "value", ["event_type"]).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    builds["histogram_sketch"] = round(time.time() - t0, 3)
+    from etl_btc_spark.operators.dedup import word_shingles
+
+    tsh = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(word_shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
+    )
+    t0 = time.time()
+    SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
+    builds["bloom_bits"] = round(time.time() - t0, 3)
+    from etl_btc_spark.operators.textops import normalize_text, ws_tokens
+
+    occ = docs.select(
+        F.explode(ws_tokens(normalize_text(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    t0 = time.time()
+    SKT.cms_build(occ, "tok")
+    builds["cms_cells"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SKT.kmv_sketch(ev, "user_id", ["event_type"], k=64).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    builds["kmv_sketch"] = round(time.time() - t0, 3)
+
     # break-even context (VERDICT r6 #5): whether the refresh ran
     # incrementally or fell back to a rebuild, and why — kept OUT of
     # `builds` (review r7: that dict's contract is {name: seconds})

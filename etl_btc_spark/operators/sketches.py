@@ -345,12 +345,19 @@ def _bloom_pos_sql(key: str, i: int, n_bits: int) -> str:
     )
 
 
-def build_bloom_bits(
-    df: DataFrame, key_col: str, n_bits: int = 16_384, k: int = 4
-) -> list[int]:
-    """Aggregate the bitmap distributed (explode k positions →
-    per-word bit_or), collect the BOUNDED word table (n_bits/32
-    longs). Returns the dense word list, index = bit // 32."""
+def bloom_word_frame(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    n_bits: int = 16_384,
+    k: int = 4,
+) -> DataFrame:
+    """The bitmap STATE as a frame: (group..., __w, __m) — the Bloom
+    twin of :func:`hll_registers`. Mergeable by per-word BIT_OR, so
+    per-partition bitmaps (per day, per shard, per micro-batch) roll
+    up to coarser windows with ZERO drift — OR over any partition of
+    the keys is the global bitmap. Bounded at n_bits/32 rows per
+    group."""
     if n_bits % 32 or n_bits < 32:
         raise ValueError("build_bloom_bits: n_bits must be a multiple of 32")
     if not 1 <= k <= 16:
@@ -359,14 +366,15 @@ def build_bloom_bits(
     pos = F.explode(
         F.array(*[_bloom_pos(key, i, n_bits) for i in range(k)])
     ).alias("__p")
-    rows = (
+    return (
         df.filter(key.isNotNull())
-        .select(pos)
+        .select(*group_cols, pos)
         .select(
+            *group_cols,
             F.floor(F.col("__p") / 32).cast("int").alias("__w"),
             F.pmod(F.col("__p"), F.lit(32)).cast("int").alias("__b"),
         )
-        .groupBy("__w")
+        .groupBy(*group_cols, "__w")
         .agg(
             # 2^b as an exact long (b <= 31, double-exact); pyspark's
             # shiftleft only takes literal shift amounts
@@ -374,12 +382,25 @@ def build_bloom_bits(
                 F.pow(F.lit(2.0), F.col("__b")).cast("long")
             ).alias("__m")
         )
-        .collect()
     )
+
+
+def bloom_bits_from_frame(rows: list, n_bits: int) -> list[int]:
+    """Dense word list from collected (__w, __m) rows."""
     bits = [0] * (n_bits // 32)
     for r in rows:
         bits[r["__w"]] = int(r["__m"])
     return bits
+
+
+def build_bloom_bits(
+    df: DataFrame, key_col: str, n_bits: int = 16_384, k: int = 4
+) -> list[int]:
+    """Aggregate the bitmap distributed (explode k positions →
+    per-word bit_or), collect the BOUNDED word table (n_bits/32
+    longs). Returns the dense word list, index = bit // 32."""
+    rows = bloom_word_frame(df, key_col, [], n_bits, k).collect()
+    return bloom_bits_from_frame(rows, n_bits)
 
 
 #: literal-plan ceiling (r15 — VERDICT r14 "What's wrong" #1): a

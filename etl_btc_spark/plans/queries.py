@@ -7499,6 +7499,7 @@ _NWS_LEN_SQL = (
 
 @register(
     "q99au_bpe_vocab_lifecycle",
+    headline=True,
     oracle=f"""
         SELECT doc_id,
                CAST({_NWS_LEN_SQL} AS BIGINT) AS n_chars_nws,
@@ -8051,6 +8052,7 @@ from etl_btc_spark.operators import sketches as SKT  # noqa: E402
 
 @register(
     "q99az_hll_sketch_oracle",
+    headline=True,
     oracle=f"""
         WITH h AS ({SKT.hll_sql("user_id", "event_type", "events")})
         SELECT e.event_type,
@@ -8128,6 +8130,7 @@ def q99ba(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q99bb_bloom_decontamination",
+    headline=True,
     oracle=f"""
         WITH w AS (
             SELECT doc_id,
@@ -8867,4 +8870,53 @@ def q99bl(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         sround(F.col("q_50"), 4).alias("p50"),
         sround(F.col("q_95"), 4).alias("p95"),
+    )
+
+
+@register(
+    "q99bm_bloom_rollup",
+    oracle=f"""
+        WITH tk AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS s
+            FROM events WHERE user_id IS NOT NULL
+        ), bw AS {SKT.bloom_words_sql('tk')},
+        p AS (
+            SELECT i AS probe_id, CAST(i AS VARCHAR) AS s
+            FROM range(4096) t(i)
+        )
+        SELECT probe_id,
+               {SKT.bloom_contains_sql('s', 'bw')} AS hit
+        FROM p
+    """,
+    doc=(
+        "Time-partitioned Bloom ROLL-UP identity (r15 — VERDICT r14 "
+        "#8 stretch: q99bg's serving pattern applied to membership): "
+        "per-(day) bitmap word frames over the user-id key set "
+        "coarsen to the global bitmap by in-plan per-word BIT_OR — "
+        "and every membership answer off the rolled-up bitmap must "
+        "equal the direct global bitmap EXACTLY (the oracle IS the "
+        "global bloom_words_sql CTE verbatim), because OR over any "
+        "partition of the keys is the global bitmap: zero drift, "
+        "false positives included. The 100 TB serving pattern: "
+        "materialize daily word tables (q99bk's streamed state keyed "
+        "by day), answer arbitrary date-range decontamination "
+        "questions by OR-merging just those days — never re-touching "
+        "raw keys. Probe set = ids 0..4095 (present AND absent keys, "
+        "so both hit and FP behavior are hashed)"
+    ),
+)
+def q99bm(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.col("user_id").cast("string").alias("s"),
+    )
+    daily = SKT.bloom_word_frame(ev, "s", ["day_ts"])
+    rolled = daily.groupBy("__w").agg(F.bit_or("__m").alias("__m"))
+    bits = SKT.bloom_bits_from_frame(rolled.collect(), 16_384)
+    probe = spark.range(4096).select(
+        F.col("id").alias("probe_id"),
+        F.col("id").cast("string").alias("s"),
+    )
+    return probe.select(
+        "probe_id", SKT.bloom_contains(F.col("s"), bits).alias("hit")
     )

@@ -2070,24 +2070,7 @@ def stream_bloom_maintain(
             return
         sess = micro_batch.sparkSession
         _recover_swap(bloom_path, "words")
-        key = F.col(key_col)
-        pos = F.explode(
-            F.array(*[SKT._bloom_pos(key, i, n_bits) for i in range(k)])
-        ).alias("__p")
-        fresh = (
-            micro_batch.filter(key.isNotNull())
-            .select(pos)
-            .select(
-                F.floor(F.col("__p") / 32).cast("int").alias("__w"),
-                F.pmod(F.col("__p"), F.lit(32)).cast("int").alias("__b"),
-            )
-            .groupBy("__w")
-            .agg(
-                F.bit_or(
-                    F.pow(F.lit(2.0), F.col("__b")).cast("long")
-                ).alias("__m")
-            )
-        )
+        fresh = SKT.bloom_word_frame(micro_batch, key_col, [], n_bits, k)
         if _os.path.exists(words_dir):
             fresh = (
                 sess.read.parquet(words_dir)
