@@ -432,7 +432,11 @@ def bloom_contains(
     word tables past :data:`_LITERAL_SKETCH_MAX` use
     :func:`bloom_contains_bcast`."""
     _check_literal_size(len(bits), "bloom_contains", "bloom_contains_bcast")
-    bm = F.array(*[F.lit(int(x)).cast("long") for x in bits])
+    # ONE parsed expression, not len(bits) py4j F.lit round-trips —
+    # element-wise construction costs ~2.5ms of driver time PER
+    # ELEMENT (a 4096-word bitmap spent ~10s building the plan, r15
+    # bench finding); the SQL parser swallows the same literal in ms
+    bm = F.expr("array(%s)" % ",".join("%dL" % int(x) for x in bits))
     cond = None
     for i in range(k):
         p = _bloom_pos(key, i, n_bits)
@@ -551,7 +555,9 @@ def cms_estimate(key: Column, cells: list[int], d: int = 4, w: int = 1024) -> Co
     tables past :data:`_LITERAL_SKETCH_MAX` use
     :func:`cms_estimate_bcast`."""
     _check_literal_size(len(cells), "cms_estimate", "cms_estimate_bcast")
-    arr = F.array(*[F.lit(int(x)).cast("long") for x in cells])
+    # single parsed literal — see bloom_contains (the py4j
+    # per-element construction cliff)
+    arr = F.expr("array(%s)" % ",".join("%dL" % int(x) for x in cells))
     return F.least(
         *[
             F.element_at(arr, (F.lit(i * w) + _cms_pos(key, i, w) + 1).cast("int"))
@@ -903,4 +909,19 @@ def histogram_quantiles_frozen_sql(
             )
         )
         GROUP BY {group}
+    """
+
+
+def kmv_estimate_sql(sk_cte: str, k: int = 256, out_col: str = "kmv_distinct") -> str:
+    """SELECT body: (g, out_col) off a sketch CTE of (g, h) — the
+    DuckDB twin of :func:`kmv_estimate_from_sketch`."""
+    return f"""
+        SELECT g,
+               CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                    ELSE {float(k - 1)!r}::DOUBLE * 4294967296.0 / hk
+               END AS {out_col}
+        FROM (
+            SELECT g, count(*) AS n, max(h) AS hk
+            FROM {sk_cte} GROUP BY g
+        )
     """

@@ -8920,3 +8920,68 @@ def q99bm(spark: SparkSession, sf: str) -> DataFrame:
     return probe.select(
         "probe_id", SKT.bloom_contains(F.col("s"), bits).alias("hit")
     )
+
+
+@register(
+    "q99bn_kmv_stream_maintain",
+    oracle=f"""
+        WITH sk AS {SKT.kmv_sketch_sql(
+            "SELECT event_type AS g, user_id AS key FROM events",
+            _Q99BJ_K,
+        )},
+        est AS ({SKT.kmv_estimate_sql("sk", _Q99BJ_K)})
+        SELECT g AS event_type,
+               round(1e-9 + kmv_distinct, 4) AS kmv_users
+        FROM est
+    """,
+    doc=(
+        "STREAMED KMV sketch maintenance under the value gate (r15 — "
+        "the new sketch family member joins the streaming matrix on "
+        "arrival): four availableNow triggers — three disjoint "
+        "thirds, then a FULL REDELIVERY of the second third — each "
+        "folding its micro-batch k-minimum-hash sketch into the "
+        "persisted table by kmv_merge (dedup + keep k smallest: a "
+        "set union, associative + commutative + IDEMPOTENT, q99bd's "
+        "recipe — no epoch ledger). The estimate off the streamed "
+        "sketch must equal the one-pass batch answer EXACTLY "
+        "(q99bj's sketch + estimate SQL verbatim). Unlike streamed "
+        "HLL registers, this maintained state still answers "
+        "INTERSECTION questions downstream (kmv_overlap over two "
+        "maintained sketches)"
+    ),
+)
+def q99bn(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import incremental as INC13
+
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    landing = SK.artifact_path(sf, "q99bn_landing")
+    sk_path = SK.artifact_path(sf, "q99bn_kmv")
+    ckpt = SK.artifact_path(sf, "q99bn_ckpt")
+    for p in (landing, sk_path, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = ev.schema
+
+    def run():
+        INC13.stream_kmv_maintain(
+            spark, f"{landing}/*", schema, sk_path, ckpt,
+            key_col="user_id", group_cols=["event_type"], k=_Q99BJ_K,
+        )
+
+    for i in range(3):
+        ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(f"{landing}/b{i}")
+        run()
+    # at-least-once redelivery: set union is idempotent — replaying a
+    # whole third must not move one hash
+    ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == 1).coalesce(1).write.parquet(
+        f"{landing}/b3_redelivery"
+    )
+    run()
+    est = INC13.kmv_estimate_from_table(
+        spark, sk_path, ["event_type"], k=_Q99BJ_K
+    )
+    return est.select(
+        F.col("event_type"),
+        sround(F.col("kmv_distinct"), 4).alias("kmv_users"),
+    )

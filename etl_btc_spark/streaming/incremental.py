@@ -2230,3 +2230,73 @@ def hist_quantiles_from_table(
         F.broadcast(n), group_cols
     )
     return SKT._hist_estimate_from_binned(binned, group_cols, quantiles, n_bins)
+
+
+def stream_kmv_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    sketch_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> None:
+    """Streamed KMV sketch maintenance (r15): each micro-batch's
+    k-minimum-hash sketch folds into the persisted (group..., __h)
+    table by kmv_merge — dedup + keep the k smallest, a set union
+    that is associative, commutative and IDEMPOTENT (re-delivering
+    the same keys re-adds the same hashes: a no-op), so the q99bd
+    recipe applies: no epoch ledger, shadow + atomic rename publish
+    with debris recovery. Per-trigger I/O is sketch-sized (≤ k rows
+    per group). Unlike HLL registers, the streamed KMV state also
+    keeps the INTERSECTION question answerable downstream
+    (kmv_overlap over two maintained sketches)."""
+    import os as _os
+
+    from etl_btc_spark.operators import sketches as SKT
+
+    _os.makedirs(sketch_path, exist_ok=True)
+    _recover_swap(sketch_path, "mins")
+    mins_dir = _os.path.join(sketch_path, "mins")
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def sink(micro_batch: DataFrame, epoch_id: int) -> None:
+        if micro_batch.isEmpty():  # T4
+            return
+        sess = micro_batch.sparkSession
+        _recover_swap(sketch_path, "mins")
+        fresh = SKT.kmv_sketch(micro_batch, key_col, group_cols, k)
+        if _os.path.exists(mins_dir):
+            fresh = SKT.kmv_merge(
+                sess.read.parquet(mins_dir).unionByName(fresh),
+                group_cols,
+                k,
+            )
+        _publish_swap(fresh, sketch_path, "mins")
+
+    (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def kmv_estimate_from_table(
+    spark: SparkSession,
+    sketch_path: str,
+    group_cols: list[str],
+    k: int = 256,
+    out_col: str = "kmv_distinct",
+) -> DataFrame:
+    """Estimate off the streamed sketch table — the identical formula
+    the batch estimator applies to its own sketch."""
+    import os as _os
+
+    from etl_btc_spark.operators import sketches as SKT
+
+    _recover_swap(sketch_path, "mins")
+    sk = spark.read.parquet(_os.path.join(sketch_path, "mins"))
+    return SKT.kmv_estimate_from_sketch(sk, group_cols, k, out_col)

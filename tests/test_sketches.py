@@ -502,3 +502,57 @@ def test_stream_hist_identity_epoch_guard_and_clamp(spark, tmp_path):
     )
     assert before == after
     assert os.path.exists(os.path.join(hist, "bins", "_applied_0"))
+
+
+def test_stream_kmv_identity_redelivery_and_debris(spark, tmp_path):
+    """Streamed KMV sketch == one-pass batch sketch (set identity);
+    redelivery is a no-op (union is idempotent); crash debris heals."""
+    import os
+
+    from etl_btc_spark.streaming import incremental as INC
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "user_id")
+    landing, skp, ckpt = (
+        str(tmp_path / d) for d in ("landing", "kmv", "ckpt")
+    )
+
+    def run():
+        INC.stream_kmv_maintain(
+            spark, f"{landing}/*", ev.schema, skp, ckpt,
+            key_col="user_id", group_cols=["event_type"], k=64,
+        )
+
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(f"{landing}/a")
+    run()
+    ev.filter(F.col("user_id") % 2 != 0).coalesce(1).write.parquet(f"{landing}/b")
+    run()
+    # redelivery of the first half: no hash may move
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(f"{landing}/c")
+    run()
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(skp, "mins")).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in SKT.kmv_sketch(ev, "user_id", ["event_type"], k=64).collect()
+    }
+    assert streamed == batch
+    # crash between the renames heals on next read
+    os.rename(os.path.join(skp, "mins"), os.path.join(skp, ".mins_old_dead"))
+    os.makedirs(os.path.join(skp, ".mins_shadow_dead"))
+    healed = {
+        tuple(r)
+        for r in INC.kmv_estimate_from_table(
+            spark, skp, ["event_type"], k=64
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in SKT.kmv_estimate_from_sketch(
+            SKT.kmv_sketch(ev, "user_id", ["event_type"], k=64),
+            ["event_type"], k=64,
+        ).collect()
+    }
+    assert healed == want
+    assert not os.path.exists(os.path.join(skp, ".mins_shadow_dead"))
