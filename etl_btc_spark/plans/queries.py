@@ -9036,3 +9036,74 @@ def q99bo(spark: SparkSession, sf: str) -> DataFrame:
     BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES)
     out = _q99al_impl(spark, sf, bpe_idx=idx)
     return out.withColumnRenamed("n_tokens", "n_bpe_tokens")
+
+
+@register(
+    "q99bp_pack_materialize_byte",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' ' || {_BPE_BYTE_DECO_SQL} AS text
+            FROM documents
+        ),
+        enc AS (
+            SELECT doc_id, {SP.token_shard_sql('doc_id', 64)} AS shard,
+                   {BP.bpe_ids_list_sql(_BPE_BYTE_MERGES, "text", byte_level=True)} AS ids
+            FROM aug
+        ),
+        off AS (
+            SELECT doc_id, shard, ids, len(ids) AS n,
+                   coalesce(sum(len(ids)) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum
+            FROM enc
+        ),
+        tok AS (
+            SELECT shard, cum + i - 1 AS pos, ids[i] AS tid
+            FROM off, unnest(generate_series(1, n)) AS t(i)
+        )
+        SELECT shard, pos // 512 AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               string_agg(tid, ',' ORDER BY pos) AS ids_csv
+        FROM tok GROUP BY shard, pos // 512
+    """,
+    doc=(
+        "MULTILINGUAL packed-batch materialization (r15 — the "
+        "byte-level capstone composing q99bh × q99ay): the decorated "
+        "Cyrillic/CJK/accented/emoji corpus encodes through the "
+        "byte-level vocab into a TOTAL id stream (no UNK exists — "
+        "every base symbol is a UTF-8 byte) and materialize_packs "
+        "cuts it into 512-token training sequences; the gate hashes "
+        "every pack's ENTIRE id stream. This is the claim the r14 "
+        "id layer couldn't make: a multilingual corpus budgeted, "
+        "packed and emitted faithfully, value-checked byte-for-byte "
+        "against the RFC-3629 + replace-chain oracle. Same 100 TB "
+        "shape as q99ay: one mapInPandas crossing, one token-level "
+        "posexplode, budget-bounded (shard, pack_id) groups"
+    ),
+)
+def q99bp(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    deco = F.element_at(
+        F.array(*[F.lit(d) for d in _BPE_BYTE_DECOS]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), deco).alias("text")
+    )
+    idx = SK.artifact_path(sf, "q99bp_bpe_byte_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, aug, idx, merges=_BPE_BYTE_MERGES, byte_level=True)
+    enc = BP.bpe_encode_ids(spark, aug, idx).select("doc_id", "bpe_ids")
+    packs = SP.materialize_packs(
+        enc, budget=512, ids_col="bpe_ids", docs_per_shard=64
+    )
+    return packs.select(
+        "shard",
+        "pack_id",
+        "n_tokens",
+        F.array_join(
+            F.transform(F.col("pack_ids"), lambda i: i.cast("string")), ","
+        ).alias("ids_csv"),
+    )
