@@ -188,7 +188,25 @@ def histogram_quantiles(
         )
     if n_bins < 2:
         raise ValueError("histogram_quantiles: n_bins must be >= 2")
+    binned = histogram_bins(df, value_col, group_cols, n_bins)
+    return _hist_estimate_from_binned(binned, group_cols, quantiles, n_bins)
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 512,
+    sub_cols: list[str] | None = None,
+) -> DataFrame:
+    """The binned STATE: (group..., [sub...], __lo, __hi, __n, __b,
+    __c) against the per-GROUP grid. ``sub_cols`` (r15) emits finer
+    state — e.g. per-day bin tables under the per-type grid — whose
+    counts SUM back to the group bins exactly (the roll-up identity
+    q99bq gates): bin-count addition over any sub-partitioning is the
+    global histogram, zero drift, because the grid is shared."""
     v = F.col(value_col)
+    sub_cols = sub_cols or []
     bounds = (
         df.filter(v.isNotNull())
         .groupBy(*group_cols)
@@ -198,11 +216,12 @@ def histogram_quantiles(
             F.count(F.lit(1)).alias("__n"),
         )
     )
-    binned = (
+    return (
         df.filter(v.isNotNull())
         .join(F.broadcast(bounds), group_cols)
         .select(
             *group_cols,
+            *sub_cols,
             "__lo",
             "__hi",
             "__n",
@@ -218,10 +237,9 @@ def histogram_quantiles(
             )
             .alias("__b"),
         )
-        .groupBy(*group_cols, "__lo", "__hi", "__n", "__b")
+        .groupBy(*group_cols, *sub_cols, "__lo", "__hi", "__n", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    return _hist_estimate_from_binned(binned, group_cols, quantiles, n_bins)
 
 
 def _hist_estimate_from_binned(

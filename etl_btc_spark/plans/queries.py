@@ -9107,3 +9107,124 @@ def q99bp(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(F.col("pack_ids"), lambda i: i.cast("string")), ","
         ).alias("ids_csv"),
     )
+
+
+@register(
+    "q99bq_hist_rollup",
+    oracle=f"""
+        WITH h AS ({SKT.histogram_quantiles_sql("value", "event_type", "events")})
+        SELECT event_type,
+               round(1e-9 + q_50, 4) AS q50_approx,
+               round(1e-9 + q_95, 4) AS q95_approx
+        FROM h
+    """,
+    doc=(
+        "Histogram ROLL-UP identity (r15 — the trilogy completes "
+        "next to q99bg's HLL register-max and q99bm's Bloom bit-or): "
+        "per-(type, day) bin-count tables under the per-type grid "
+        "coarsen to per-type by in-plan SUM — and the rolled-up "
+        "quantile estimate must equal the direct one-pass sketch "
+        "EXACTLY (q99ba's oracle verbatim), because bin-count "
+        "addition over any partition of the rows IS the global "
+        "histogram when the grid is shared. The monitoring serving "
+        "pattern: materialize daily bin tables (q99bl's streamed "
+        "state), answer arbitrary coarser windows by summing just "
+        "those days — no raw-event re-reads, no approximation drift "
+        "from the merge (samples and GK sketches both drift here)"
+    ),
+)
+def q99bq(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        "value",
+    )
+    daily = SKT.histogram_bins(
+        ev, "value", ["event_type"], sub_cols=["day_ts"]
+    )
+    rolled = daily.groupBy(
+        "event_type", "__lo", "__hi", "__n", "__b"
+    ).agg(F.sum("__c").alias("__c"))
+    est = SKT._hist_estimate_from_binned(
+        rolled, ["event_type"], (0.5, 0.95), 512
+    )
+    return est.select(
+        "event_type",
+        sround(F.col("q_50"), 4).alias("q50_approx"),
+        sround(F.col("q_95"), 4).alias("q95_approx"),
+    )
+
+
+@register(
+    "q99br_cms_rollup",
+    oracle=f"""
+        WITH occ AS (
+            SELECT unnest(regexp_split_to_array(
+                trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'
+            )) AS tok
+            FROM documents
+        ), occ2 AS (
+            SELECT tok FROM occ WHERE tok <> ''
+        ), cm AS {SKT.cms_cells_sql('occ2')},
+        exact AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM occ2 GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        )
+        SELECT tok, n,
+               CAST({SKT.cms_estimate_sql('tok', 'cm')} AS BIGINT) AS cms_n
+        FROM exact
+    """,
+    doc=(
+        "Count-Min ROLL-UP identity (r15 — the fourth roll-up: "
+        "counters ADD like histogram bins): per-(day) cell tables "
+        "coarsen to the global sketch by in-plan SUM per (r, c), and "
+        "the heavy-hitter estimates off the rolled-up cells must "
+        "equal the direct one-pass sketch EXACTLY (q99bc's oracle "
+        "verbatim, overcounts included). Daily CMS tables (q99be's "
+        "streamed state keyed by day) answer arbitrary date-range "
+        "frequency questions by summing just those days' 4096-cell "
+        "tables — sketch-sized merges, never corpus re-reads"
+    ),
+)
+def q99br(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    occ = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(7)).alias("day_key"),
+        F.explode(TX.ws_tokens(TX.normalize_text(F.col("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    d, w = 4, 1024
+    key = F.col("tok")
+    daily = (
+        occ.select(
+            "day_key",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            SKT._cms_pos(key, i, w).alias("c"),
+                        )
+                        for i in range(d)
+                    ]
+                )
+            ).alias("__rc"),
+        )
+        .groupBy(
+            "day_key",
+            F.col("__rc.r").alias("r"),
+            F.col("__rc.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rolled = daily.groupBy("r", "c").agg(F.sum("n").alias("n")).collect()
+    cells = [0] * (d * w)
+    for row in rolled:
+        cells[row["r"] * w + row["c"]] = int(row["n"])
+    exact = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = SKT.cms_estimate(F.col("tok"), cells, d, w)
+    return exact.select("tok", "n", est.cast("bigint").alias("cms_n"))
