@@ -771,9 +771,9 @@ def kmv_overlap_sql(sk_a_cte: str, sk_b_cte: str, k: int = 256) -> str:
     return f"""
         SELECT g,
                {est} AS kmv_union,
-               CAST(both AS DOUBLE) / n * ({est}) AS kmv_intersection
+               CAST(n_both AS DOUBLE) / n * ({est}) AS kmv_intersection
         FROM (
-            SELECT g, count(*) AS n, max(h) AS hk, sum(ia * ib) AS both
+            SELECT g, count(*) AS n, max(h) AS hk, sum(ia * ib) AS n_both
             FROM (
                 SELECT g, h, ia, ib FROM (
                     SELECT g, h, max(ia) AS ia, max(ib) AS ib,

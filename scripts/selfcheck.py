@@ -47,7 +47,22 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # resolve each requested name to an exact registry key or a
+    # unique prefix; REFUSE silently-matching-nothing (r15: short
+    # names like "q99bj" used to filter out everything and print a
+    # vacuous "0 failures")
+    only: set[str] = set()
+    for arg in sys.argv[2:]:
+        if arg in REGISTRY:
+            only.add(arg)
+            continue
+        pref = [n for n in REGISTRY if n.startswith(arg)]
+        if len(pref) != 1:
+            raise SystemExit(
+                f"selfcheck: {arg!r} matches {len(pref)} registry names "
+                f"({pref[:5]}) — pass an exact or uniquely-prefixed name"
+            )
+        only.add(pref[0])
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLE_NAMES:
