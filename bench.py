@@ -580,6 +580,23 @@ def calibrate(spark, repeats: int = 3, legacy: bool = True) -> dict:
     }
 
 
+#: the r4–r14 headline set (22 queries) — kept as an explicit constant
+#: so `value_r14_set` stays comparable across rounds even as the
+#: headline set grows (r15 added q99au/q99az/q99bb; a raw `value`
+#: delta across that change would read as a +7 s "regression")
+_R14_HEADLINE_SET = (
+    "q07_star_join_revenue", "q08_pricing_summary", "q15_sma30",
+    "q17_bollinger_signals", "q20_hourly_candles", "q21_asof_join",
+    "q23_series_features", "q29_quality_scores", "q31_exact_dedup",
+    "q32_sentiment_scores", "q34_knn_exact", "q37_knn_lsh",
+    "q40_minhash_near_dupes", "q43_news_pipeline",
+    "q56_embedding_near_dupes_lsh", "q59_corpus_prep",
+    "q86_corpus_pipeline", "q89_knn_hnsw_join",
+    "q93_training_prep_pipeline", "q97_cluster_best_dedup",
+    "q99_tfidf_keywords", "q99k_bm25_indexed",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -693,6 +710,21 @@ def main() -> None:
         # Only compare value_normalized between identical versions.
         "calibration_version": 2,
         "calibration_suite": calibration["suite"],
+        # cross-round continuity (r15): `value` sums the CURRENT
+        # headline set (25 queries since r15); these two fields pin
+        # the stable r4-r14 22-query subtotal and its normalized form
+        # so a grown set can never read as a regression
+        "headline_set_version": 3,
+        "value_r14_set": round(
+            sum(timings[k] for k in _R14_HEADLINE_SET if k in timings), 3
+        ),
+        "value_r14_set_normalized": round(
+            sum(timings[k] for k in _R14_HEADLINE_SET if k in timings)
+            / suite_sec,
+            3,
+        )
+        if suite_sec
+        else None,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

@@ -348,17 +348,31 @@ def histogram_quantiles_sql(
 
 
 def _bloom_pos(key: Column, i: int, n_bits: int) -> Column:
+    # r15: hash position i is the i%4-th 32-bit hex slice of ONE
+    # shared digest md5("bloom<i//4>:" || key) — at the default k=4
+    # that is ONE md5 per key instead of four (md5 dominated the
+    # corpus-side scan cost of q99bb/q99bk/q99bm; the 128 digest bits
+    # are uniform, so disjoint slices serve as the k hash family, the
+    # standard fewer-hash-calls construction). Salt groups extend the
+    # family past k=4. The SQL mirror slices identically, so FPs stay
+    # hash-checkable.
+    j, s = divmod(i, 4)
     return F.pmod(
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), key)), 1, 8), 16, 10
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{j}:"), key)), 1 + 8 * s, 8
+            ),
+            16,
+            10,
         ).cast("bigint"),
         F.lit(n_bits),
     )
 
 
 def _bloom_pos_sql(key: str, i: int, n_bits: int) -> str:
+    j, s = divmod(i, 4)
     return (
-        f"((('0x' || substring(md5('bloom{i}:' || {key}), 1, 8))::BIGINT)"
+        f"((('0x' || substring(md5('bloom{j}:' || {key}), {1 + 8 * s}, 8))::BIGINT)"
         f" % {n_bits})"
     )
 
@@ -518,17 +532,27 @@ def bloom_words_sql(
 
 
 def _cms_pos(key: Column, i: int, w: int) -> Column:
+    # one shared digest per 4 rows (the _bloom_pos r15 construction):
+    # row i reads hex slice i%4 of md5("cms<i//4>:" || key) — at the
+    # default d=4, one md5 per occurrence instead of four
+    j, s = divmod(i, 4)
     return F.pmod(
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), key)), 1, 8), 16, 10
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{j}:"), key)), 1 + 8 * s, 8
+            ),
+            16,
+            10,
         ).cast("bigint"),
         F.lit(w),
     )
 
 
 def _cms_pos_sql(key: str, i: int, w: int) -> str:
+    j, s = divmod(i, 4)
     return (
-        f"((('0x' || substring(md5('cms{i}:' || {key}), 1, 8))::BIGINT) % {w})"
+        f"((('0x' || substring(md5('cms{j}:' || {key}), {1 + 8 * s}, 8))::BIGINT)"
+        f" % {w})"
     )
 
 

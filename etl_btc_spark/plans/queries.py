@@ -8206,8 +8206,18 @@ def q99bb(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
-    csh = docs.filter(F.col("doc_id") % 23 != 0).select(
-        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    # fan-out repartition (r15): the corpus lands in ONE row group at
+    # test SFs, so the 50x shingle explode ran as a single task —
+    # parquet cannot split inside a row group, so the parallelism
+    # must be asked for in the plan. One narrow pre-explode shuffle
+    # of the raw docs buys 32x on the explode+hash stage; at 100 TB
+    # the file count makes this a no-op (AQE coalesces it away).
+    csh = (
+        docs.filter(F.col("doc_id") % 23 != 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+        )
     )
     member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
     return csh.groupBy("doc_id").agg(
@@ -8816,8 +8826,13 @@ def q99bk(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct().coalesce(1).write.parquet(f"{landing}/b3_redelivery")
     run()
     bits = INC11.bloom_bits_from_table(spark, bloom, n_bits=131_072)
-    csh = docs.filter(F.col("doc_id") % 23 != 0).select(
-        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    # fan-out repartition before the shingle explode — see q99bb
+    csh = (
+        docs.filter(F.col("doc_id") % 23 != 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+        )
     )
     member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
     return csh.groupBy("doc_id").agg(

@@ -40,6 +40,14 @@ DEFAULT_CONF = {
     # small dims (region/nation/supplier/part at test SFs) broadcast
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # r15: small-SF tables land in ONE parquet file, so without a
+    # split floor every scan-side stage (shingle explodes, hash
+    # probes) ran as a single task on one of 32 cores — q99bb's
+    # corpus side profiled 1/32 utilized. Parquet is splittable;
+    # floor the scan partitioning at the core count (a real cluster
+    # gets this for free from file counts; local small-file runs
+    # must ask). Pure parallelism — values unchanged.
+    "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }
