@@ -425,7 +425,10 @@ def minhash_near_dupes(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sub = df.join(cand_ids, id_col, "semi")
+    # spread before the re-shingle: the semi-join inherits the scan's
+    # partitioning (ONE split for a one-row-group fixture), which
+    # serialized the verify shingling onto a single core (r15)
+    sub = spread(df.join(cand_ids, id_col, "semi"))
     sh = _scoped_persist(sub.select(F.col(id_col), word_shingles(F.col(text_col), ngram).alias("sh")))
     j = (
         cands.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
@@ -659,9 +662,13 @@ def embedding_near_dupes_lsh(
 
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
     # persisted before the self-join: the projection UDF runs once,
-    # and the cached table is ids+ints only (vectors stay behind)
+    # and the cached table is ids+ints only (vectors stay behind);
+    # spread first — the projection is per-row CPU work that a
+    # one-row-group fixture would serialize onto one core (r15)
     banded = _scoped_persist(
-        df.select(F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"))
+        spread(df).select(
+            F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
+        )
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
