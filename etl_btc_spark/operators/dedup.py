@@ -425,10 +425,13 @@ def minhash_near_dupes(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # spread before the re-shingle: the semi-join inherits the scan's
-    # partitioning (ONE split for a one-row-group fixture), which
-    # serialized the verify shingling onto a single core (r15)
-    sub = spread(df.join(cand_ids, id_col, "semi"))
+    # spread the SCAN side before the semi-join: the join inherits
+    # its partitioning, so a one-row-group fixture would serialize
+    # the verify shingling onto a single core (r15). Spreading the
+    # joined frame instead would force plan->RDD introspection per
+    # call (and kick off the broadcast early) — spread the cheap
+    # file-source side and let the join inherit the width.
+    sub = spread(df).join(cand_ids, id_col, "semi")
     sh = _scoped_persist(sub.select(F.col(id_col), word_shingles(F.col(text_col), ngram).alias("sh")))
     j = (
         cands.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
