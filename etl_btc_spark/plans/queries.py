@@ -9243,3 +9243,64 @@ def q99br(spark: SparkSession, sf: str) -> DataFrame:
     )
     est = SKT.cms_estimate(F.col("tok"), cells, d, w)
     return exact.select("tok", "n", est.cast("bigint").alias("cms_n"))
+
+
+@register(
+    "q99bs_kmv_jaccard",
+    oracle=f"""
+        WITH ska AS {SKT.kmv_sketch_sql(
+            "SELECT event_type AS g, user_id AS key FROM events",
+            _Q99BJ_K,
+        )},
+        skb0 AS {SKT.kmv_sketch_sql(
+            "SELECT 0 AS g, user_id AS key FROM events "
+            "WHERE event_type = 'purchase'",
+            _Q99BJ_K,
+        )},
+        skb AS (
+            SELECT t.g, s.h
+            FROM (SELECT DISTINCT event_type AS g FROM events) t
+            CROSS JOIN skb0 s
+        ),
+        ov AS ({SKT.kmv_overlap_sql("ska", "skb", _Q99BJ_K)}),
+        eb AS ({SKT.kmv_estimate_sql("skb", _Q99BJ_K, out_col="est_b")})
+        SELECT ov.g AS event_type,
+               round(1e-9 + kmv_intersection
+                     / (kmv_union + 1e-12), 6) AS jaccard,
+               round(1e-9 + kmv_intersection
+                     / (eb.est_b + 1e-12), 6) AS containment_b
+        FROM ov JOIN eb ON ov.g = eb.g
+    """,
+    doc=(
+        "KMV set-similarity SERVING layer (r15 — the ratios the "
+        "overlap question is actually asked in): per event type, the "
+        "Jaccard (|A∩B|/|A∪B|) and eval-set containment (|A∩B|/|B| — "
+        "'what fraction of the purchase cohort does this type "
+        "cover') derived purely from q99bj's sketches plus the B-side "
+        "estimate, all cross-engine-reproducible so the RATIOS "
+        "themselves hash-match DuckDB. Sketch-sized math end to end; "
+        "the epsilon in the denominators guards empty-set division "
+        "identically in both engines"
+    ),
+)
+def q99bs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    ska = SKT.kmv_sketch(ev, "user_id", ["event_type"], k=_Q99BJ_K)
+    purch = ev.filter(F.col("event_type") == "purchase")
+    skb0 = SKT.kmv_sketch(purch, "user_id", [], k=_Q99BJ_K)
+    types = ev.select("event_type").distinct()
+    skb = types.crossJoin(F.broadcast(skb0))
+    ov = SKT.kmv_overlap(ska, skb, ["event_type"], k=_Q99BJ_K)
+    eb = SKT.kmv_estimate_from_sketch(
+        skb, ["event_type"], k=_Q99BJ_K, out_col="est_b"
+    )
+    out = ov.join(eb, "event_type")
+    return out.select(
+        "event_type",
+        sround(
+            F.col("kmv_intersection") / (F.col("kmv_union") + F.lit(1e-12)), 6
+        ).alias("jaccard"),
+        sround(
+            F.col("kmv_intersection") / (F.col("est_b") + F.lit(1e-12)), 6
+        ).alias("containment_b"),
+    )
