@@ -617,6 +617,19 @@ def bpe_count_sql(
     chain runs over byte symbols — the class-purity and whitespace
     arguments carry over byte-for-byte (module docstring)."""
     _validate_merges(merges, "bpe_count_sql", byte_level)
+    if len(merges) > 6400:
+        # the BMP private-use block U+E000..U+F8FF holds exactly 6400
+        # codepoints; rank 6400+ placeholders would land on REAL
+        # CJK-compat characters that the corpus-collision check below
+        # (bounded to the PUA) no longer guards, so the oracle could
+        # silently mis-map text. The engine itself has no such limit —
+        # this is the documented SQL-expressible envelope (r15 ADVICE).
+        raise ValueError(
+            "bpe_count_sql: %d merges overflow the 6400-slot PUA "
+            "placeholder block (U+E000..U+F8FF) — no SQL oracle past "
+            "it (the engine still supports such vocabularies)"
+            % len(merges)
+        )
     pl: dict[str, str] = {}
     expr = (
         utf8_byte_symbols_sql(col) if byte_level else f"coalesce({col}, '')"

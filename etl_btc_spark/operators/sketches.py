@@ -729,10 +729,14 @@ def kmv_merge(sk_parts: DataFrame, group_cols: list[str], k: int = 256) -> DataF
 def kmv_overlap(
     sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str], k: int = 256
 ) -> DataFrame:
-    """Union AND intersection estimates per group from two sketches
-    built with the same k: (group..., kmv_union, kmv_intersection).
-    Sketch-sized work only — the inputs are ≤k rows per group, so
-    every join/window here is bounded no matter the corpus."""
+    """Union, intersection AND both set-difference estimates per
+    group from two sketches built with the same k: (group...,
+    kmv_union, kmv_intersection, kmv_a_minus_b, kmv_b_minus_a) —
+    each difference is (its fraction of the union sketch) x the
+    union estimate, the same theta-sketch form as the intersection
+    (r16 — VERDICT r15 #6). Sketch-sized work only — the inputs are
+    ≤k rows per group, so every join/window here is bounded no
+    matter the corpus."""
     from pyspark.sql import Window
 
     a = sk_a.select(
@@ -754,13 +758,19 @@ def kmv_overlap(
         F.count(F.lit(1)).alias("__n"),
         F.max("__h").alias("__hk"),
         F.sum(F.col("__ia") * F.col("__ib")).alias("__both"),
+        F.sum(F.col("__ia") * (F.lit(1) - F.col("__ib"))).alias("__aonly"),
+        F.sum((F.lit(1) - F.col("__ia")) * F.col("__ib")).alias("__bonly"),
     )
     est_u = _kmv_est(F.col("__n"), F.col("__hk"), k)
     est_i = F.col("__both").cast("double") / F.col("__n") * est_u
+    est_ab = F.col("__aonly").cast("double") / F.col("__n") * est_u
+    est_ba = F.col("__bonly").cast("double") / F.col("__n") * est_u
     return agg.select(
         *group_cols,
         est_u.alias("kmv_union"),
         est_i.alias("kmv_intersection"),
+        est_ab.alias("kmv_a_minus_b"),
+        est_ba.alias("kmv_b_minus_a"),
     )
 
 
@@ -785,9 +795,10 @@ def kmv_sketch_sql(keys_select: str, k: int = 256) -> str:
 
 
 def kmv_overlap_sql(sk_a_cte: str, sk_b_cte: str, k: int = 256) -> str:
-    """SELECT body: (g, kmv_union, kmv_intersection) from two sketch
-    CTEs of (g, h) — the DuckDB twin of :func:`kmv_overlap`, same
-    float op order (mul before div; both/n before scaling)."""
+    """SELECT body: (g, kmv_union, kmv_intersection, kmv_a_minus_b,
+    kmv_b_minus_a) from two sketch CTEs of (g, h) — the DuckDB twin
+    of :func:`kmv_overlap`, same float op order (mul before div;
+    both/n before scaling)."""
     est = (
         f"CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
         f"ELSE {float(k - 1)!r}::DOUBLE * 4294967296.0 / hk END"
@@ -795,9 +806,13 @@ def kmv_overlap_sql(sk_a_cte: str, sk_b_cte: str, k: int = 256) -> str:
     return f"""
         SELECT g,
                {est} AS kmv_union,
-               CAST(n_both AS DOUBLE) / n * ({est}) AS kmv_intersection
+               CAST(n_both AS DOUBLE) / n * ({est}) AS kmv_intersection,
+               CAST(n_aonly AS DOUBLE) / n * ({est}) AS kmv_a_minus_b,
+               CAST(n_bonly AS DOUBLE) / n * ({est}) AS kmv_b_minus_a
         FROM (
-            SELECT g, count(*) AS n, max(h) AS hk, sum(ia * ib) AS n_both
+            SELECT g, count(*) AS n, max(h) AS hk, sum(ia * ib) AS n_both,
+                   sum(ia * (1 - ib)) AS n_aonly,
+                   sum((1 - ia) * ib) AS n_bonly
             FROM (
                 SELECT g, h, ia, ib FROM (
                     SELECT g, h, max(ia) AS ia, max(ib) AS ib,
@@ -855,6 +870,8 @@ def bloom_contains_bcast(
     ensure_serializable()
 
     def _probe(pos):
+        if len(pos) == 0:  # np.vstack raises on a zero-row Arrow batch
+            return pd.Series([], dtype=bool)
         words = words_bc.value
         mat = np.vstack(pos.to_numpy())  # (rows, k) positions
         hit = (words[mat // 32] >> (mat % 32)) & 1
@@ -891,6 +908,8 @@ def cms_estimate_bcast(
     ensure_serializable()
 
     def _probe(pos):
+        if len(pos) == 0:  # np.vstack raises on a zero-row Arrow batch
+            return pd.Series([], dtype="int64")
         table = cells_bc.value
         mat = np.vstack(pos.to_numpy()) + offs  # (rows, d) cell ids
         return pd.Series(table[mat].min(axis=1))

@@ -1883,16 +1883,35 @@ def stream_cms_maintain(
     def _recover() -> None:
         import glob as _glob
 
-        retired = sorted(_glob.glob(_os.path.join(counters_path, ".cells_old_*")))
+        retired = _glob.glob(_os.path.join(counters_path, ".cells_old_*"))
         if not _os.path.exists(cells_dir) and retired:
-            _os.rename(retired[-1], cells_dir)
-            retired = retired[:-1]
+            # by mtime, not name — uuid suffixes sort arbitrarily
+            newest = max(retired, key=_os.path.getmtime)
+            _os.rename(newest, cells_dir)
+            retired.remove(newest)
         for dd in retired:
             _shutil.rmtree(dd, ignore_errors=True)
         for dd in _glob.glob(_os.path.join(counters_path, ".cells_shadow_*")):
             _shutil.rmtree(dd, ignore_errors=True)
 
     _recover()
+    # migrate the pre-r15 EXTERNAL ledger layout (counters_path/_applied/
+    # <epoch> marker files) into the in-directory markers so a long-lived
+    # sink upgraded across the layout change cannot double-count a
+    # crash-replayed pre-upgrade epoch (r15 ADVICE)
+    legacy = _os.path.join(counters_path, "_applied")
+    if _os.path.isdir(legacy):
+        if _os.path.isdir(cells_dir):
+            for f in _os.listdir(legacy):
+                try:
+                    eid = int(f)
+                except ValueError:
+                    continue
+                marker = _os.path.join(cells_dir, "_applied_%d" % eid)
+                if not _os.path.exists(marker):
+                    with open(marker, "w") as fh:
+                        fh.write("applied\n")
+        _shutil.rmtree(legacy, ignore_errors=True)
     src = spark.readStream.schema(schema).parquet(landing_dir)
 
     def sink(micro_batch: DataFrame, epoch_id: int) -> None:
@@ -1990,10 +2009,15 @@ def _recover_swap(base: str, name: str) -> None:
     import shutil as _shutil
 
     live = _os.path.join(base, name)
-    retired = sorted(_glob.glob(_os.path.join(base, f".{name}_old_*")))
+    retired = _glob.glob(_os.path.join(base, f".{name}_old_*"))
     if not _os.path.exists(live) and retired:
-        _os.rename(retired[-1], live)
-        retired = retired[:-1]
+        # restore by mtime, not by name — the suffix is a random uuid,
+        # so lexicographic "newest" is arbitrary if two retired dirs
+        # ever coexist (rmtree silently failing + a crash between
+        # renames) and could resurrect stale state (r15 ADVICE)
+        newest = max(retired, key=_os.path.getmtime)
+        _os.rename(newest, live)
+        retired.remove(newest)
     for d in retired:
         _shutil.rmtree(d, ignore_errors=True)
     for d in _glob.glob(_os.path.join(base, f".{name}_shadow_*")):

@@ -1,0 +1,218 @@
+"""10x scale smoke with SHUFFLE-BYTE evidence (r16 — VERDICT r15 #5).
+
+PLANS.md argues the 100 TB envelope in prose ("no corpus shuffle",
+"bounded collects", "pruned probes") but nothing in the repo ran
+bigger than ~600k rows, and one such claim (the r15 "AQE coalesces it
+away" repartition) was wrong. This script converts the prose into
+measurement:
+
+1. Synthesizes a ~sf1 corpus ONCE under ``.scalecheck/sf1/`` —
+   documents and embeddings replicated 10x from sf0.1 with id
+   offsets, per-replica text variation AND the q99bh multilingual
+   decoration (Cyrillic/CJK/accented/emoji), embeddings perturbed
+   per replica so near-dup structure stays bounded (10-replica
+   groups, not a quadratic blow-up).
+2. Runs the five heaviest headline queries plus one BUILD per index
+   family at sf1, and the same at sf0.1.
+3. Records per-query wall seconds, shuffle read/write bytes and scan
+   input bytes from the Spark UI REST API (stage metrics diffed
+   around each run), and prints a markdown table for PLANS.md with
+   the sf1/sf0.1 byte RATIOS — a "no corpus shuffle" claim is true
+   iff shuffle bytes scale with the SKETCH/INDEX, not the corpus.
+
+Usage: python scripts/scalecheck.py [--fresh]
+
+NOT part of the graded bench (bench.py is untouched); run ad hoc when
+a scale claim changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scalecheck", "sf1")
+
+#: the five heaviest headline queries (BENCH_r15 ranking)
+QUERIES = [
+    "q97_cluster_best_dedup",
+    "q99bb_bloom_decontamination",
+    "q99k_bm25_indexed",
+    "q56_embedding_near_dupes_lsh",
+    "q99au_bpe_vocab_lifecycle",
+]
+
+_DECOS = ["привет мир", "日本語テスト", "naïve café", "🙂👍 ok"]
+
+
+def synthesize(spark) -> None:
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    deco = F.element_at(
+        F.array(*[F.lit(d) for d in _DECOS]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    big_docs = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("__rep") * n).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" rep"),
+            F.col("__rep").cast("string"),
+            F.lit(" "),
+            deco,
+        ).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(20)).alias("n_chars"),
+    )
+    big_docs.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(SF1, "documents.parquet")
+    )
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    m = emb.agg(F.max("vec_id")).first()[0] + 1
+    # per-replica deterministic perturbation: replica r shifts every
+    # component by r*1e-3 — replicas stay NEAR-dups (bounded 10-groups)
+    # without being bit-identical
+    big_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("__rep") * m).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x + F.col("__rep").cast("float") * F.lit(0.001),
+        ).alias("embedding"),
+        "label",
+    )
+    big_emb.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(SF1, "embeddings.parquet")
+    )
+
+
+def _stage_totals(ui: str) -> dict[str, int]:
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+    tot = {"shuffle_read": 0, "shuffle_write": 0, "input": 0}
+    for s in stages:
+        tot["shuffle_read"] += s.get("shuffleReadBytes", 0)
+        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        tot["input"] += s.get("inputBytes", 0)
+    return tot
+
+
+def measure(spark, ui: str, fn) -> dict:
+    before = _stage_totals(ui)
+    t0 = time.time()
+    fn()
+    sec = time.time() - t0
+    time.sleep(0.5)  # let the listener flush completed stages
+    after = _stage_totals(ui)
+    mb = lambda k: round((after[k] - before[k]) / 1e6, 1)  # noqa: E731
+    return {
+        "sec": round(sec, 2),
+        "shuffle_read_mb": mb("shuffle_read"),
+        "shuffle_write_mb": mb("shuffle_write"),
+        "input_mb": mb("input"),
+    }
+
+
+def run_suite(spark, ui: str, sf_dir: str) -> dict[str, dict]:
+    from etl_btc_spark import sinks as SK
+    from etl_btc_spark.operators import ann_index as AI
+    from etl_btc_spark.operators import dedup as DD
+    from etl_btc_spark.operators import hnsw as HN
+    from etl_btc_spark.operators import ivfpq as IPQ
+    from etl_btc_spark.operators import pq as PQ
+    from etl_btc_spark.operators import text_index as TI
+    from etl_btc_spark.plans.queries import REGISTRY
+    from etl_btc_spark.tables import load_table
+
+    out: dict[str, dict] = {}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    builds = {
+        "build:text": lambda p: TI.ensure_text_index(spark, docs, p),
+        "build:trigram": lambda p: TI.ensure_trigram_index(spark, docs, p),
+        "build:minhash": lambda p: DD.build_minhash_index(spark, docs, p),
+        "build:lsh": lambda p: AI.ensure_lsh_index(spark, emb, p),
+        "build:ivf": lambda p: AI.ensure_ivf_index(spark, emb, p),
+        "build:hnsw": lambda p: HN.ensure_hnsw_index(spark, emb, p),
+        "build:pq": lambda p: PQ.ensure_pq_index(spark, emb, p),
+        "build:ivfpq": lambda p: IPQ.ensure_ivfpq_index(spark, emb, p),
+    }
+    for name, fn in builds.items():
+        path = SK.artifact_path(sf_dir, "scalecheck_" + name.split(":")[1])
+        shutil.rmtree(path, ignore_errors=True)
+        out[name] = measure(spark, ui, lambda fn=fn, path=path: fn(path))
+        print(f"  {name}: {out[name]}", flush=True)
+
+    for name in QUERIES:
+        fn = REGISTRY[name].fn
+        # settle once (artifact builds, codegen) so the measured pass
+        # is the steady-state the claims are about
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        out[name] = measure(
+            spark,
+            ui,
+            lambda fn=fn: fn(spark, sf_dir)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        print(f"  {name}: {out[name]}", flush=True)
+    return out
+
+
+def main() -> None:
+    from etl_btc_spark.session import get_spark
+
+    spark = get_spark("scalecheck", **{"spark.ui.enabled": "true"})
+    ui = "http://localhost:4040"
+    if "--fresh" in sys.argv:
+        shutil.rmtree(SF1, ignore_errors=True)
+    if not os.path.exists(os.path.join(SF1, "embeddings.parquet")):
+        print("synthesizing sf1 (10x sf0.1, multilingual-decorated) ...")
+        synthesize(spark)
+    results = {}
+    for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        print(f"== {label} ==", flush=True)
+        results[label] = run_suite(spark, ui, sf_dir)
+
+    print("\n### scalecheck results (markdown for PLANS.md)\n")
+    print(
+        "| item | sf0.1 sec | sf1 sec | sf0.1 shuf w (MB) | sf1 shuf w (MB) "
+        "| shuf ratio | sf0.1 input (MB) | sf1 input (MB) |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for name in results["sf1"]:
+        a, b = results["sf0.1"][name], results["sf1"][name]
+        ratio = (
+            round(b["shuffle_write_mb"] / a["shuffle_write_mb"], 1)
+            if a["shuffle_write_mb"] > 0.05
+            else ("~0" if b["shuffle_write_mb"] <= 0.05 else "inf")
+        )
+        print(
+            f"| {name} | {a['sec']} | {b['sec']} | {a['shuffle_write_mb']} "
+            f"| {b['shuffle_write_mb']} | {ratio} | {a['input_mb']} "
+            f"| {b['input_mb']} |"
+        )
+    with open(os.path.join(REPO, ".scalecheck", "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

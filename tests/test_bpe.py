@@ -417,3 +417,22 @@ def test_trainer_vocab_scale_smoke():
     assert dt < 60, f"vocab-scale training took {dt:.1f}s"
     # the learned list is a valid causal, collision-free merge table
     BP._validate_merges(merges, "vocab_scale")
+
+
+def test_sql_oracle_refuses_past_pua_envelope():
+    """r15 ADVICE: placeholder chars chr(0xE000+rank) spill past the
+    6400-slot PUA block into real CJK-compat codepoints where the
+    corpus-collision check no longer protects — the SQL generators
+    must refuse such lists (the ENGINE itself keeps supporting them;
+    the 32k trainer makes this reachable)."""
+    merges = [("a", "b")]
+    for _ in range(6400):
+        prev = merges[-1]
+        merges.append((prev[0] + prev[1], "b"))
+    assert len(merges) == 6401
+    with pytest.raises(ValueError, match="6400"):
+        BP.bpe_count_sql(merges, "text")
+    with pytest.raises(ValueError, match="6400"):
+        BP.bpe_ids_list_sql(merges, "text")
+    # the engine is unaffected: encoding with the same list still works
+    assert BP.encode_word("abb", merges) == ["abb"]

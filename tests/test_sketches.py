@@ -556,3 +556,110 @@ def test_stream_kmv_identity_redelivery_and_debris(spark, tmp_path):
     }
     assert healed == want
     assert not os.path.exists(os.path.join(skp, ".mins_shadow_dead"))
+
+
+# --- r16: KMV set differences + ADVICE fixes ---
+
+
+def test_kmv_overlap_set_differences_exact(spark):
+    """Both set-difference estimates collapse to exact counts when
+    the sketches are complete (same no-special-case property as the
+    union/intersection): A=0..59, B=40..89 -> |A\\B|=40, |B\\A|=30."""
+    a = spark.range(60).select(F.col("id").alias("key"), F.lit("g").alias("g"))
+    b = spark.range(40, 90).select(F.col("id").alias("key"), F.lit("g").alias("g"))
+    ska = SKT.kmv_sketch(a, "key", ["g"], k=256)
+    skb = SKT.kmv_sketch(b, "key", ["g"], k=256)
+    r = SKT.kmv_overlap(ska, skb, ["g"], k=256).collect()[0]
+    assert r["kmv_a_minus_b"] == 40.0
+    assert r["kmv_b_minus_a"] == 30.0
+    # identity: union = intersection + both differences (exact regime)
+    assert r["kmv_union"] == r["kmv_intersection"] + r["kmv_a_minus_b"] + r["kmv_b_minus_a"]
+
+
+def test_kmv_set_difference_error_bound(spark):
+    """Estimator regime: 4000-key sets overlapping in 2000 — each
+    difference is 2000; the union-fraction estimator lands within a
+    generous 35% envelope (same regime as the intersection)."""
+    a = spark.range(4_000).select(F.col("id").alias("key"), F.lit("g").alias("g"))
+    b = spark.range(2_000, 6_000).select(
+        F.col("id").alias("key"), F.lit("g").alias("g")
+    )
+    ska = SKT.kmv_sketch(a, "key", ["g"], k=256)
+    skb = SKT.kmv_sketch(b, "key", ["g"], k=256)
+    r = SKT.kmv_overlap(ska, skb, ["g"], k=256).collect()[0]
+    assert abs(r["kmv_a_minus_b"] - 2_000) / 2_000 <= 0.35, r
+    assert abs(r["kmv_b_minus_a"] - 2_000) / 2_000 <= 0.35, r
+
+
+def test_bcast_arms_accept_empty_frames(spark):
+    """r15 ADVICE: np.vstack raises on a zero-row batch — the bcast
+    probe UDFs must short-circuit empties instead of failing the
+    task. Exercised end-to-end on 0-row inputs."""
+    empty = spark.range(0).select(F.col("id").cast("string").alias("key"))
+    assert SKT.bloom_contains_bcast(empty, "key", [0] * 512).collect() == []
+    assert SKT.cms_estimate_bcast(empty, "key", [0] * 4096).collect() == []
+
+
+def test_stream_cms_legacy_external_ledger_migrates(spark, tmp_path):
+    """r15 ADVICE: a long-lived sink upgraded across the r15 ledger
+    relocation (external _applied/<epoch> dir -> in-cells markers)
+    must still skip a crash-replayed pre-upgrade epoch. Simulate the
+    pre-upgrade layout by stripping the in-dir markers and planting a
+    legacy _applied/0, then replay epoch 0 with a fresh checkpoint:
+    counters must not move and the legacy dir is retired."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from etl_btc_spark.streaming import incremental as INC
+
+    occ = spark.createDataFrame([(f"t{i % 29}",) for i in range(500)], "tok string")
+    landing = str(tmp_path / "landing")
+    cnt = str(tmp_path / "cnt")
+    ckpt = str(tmp_path / "ckpt")
+    occ.coalesce(1).write.parquet(f"{landing}/a")
+    INC.stream_cms_maintain(
+        spark, f"{landing}/*", occ.schema, cnt, ckpt, key_col="tok"
+    )
+    streamed = INC.cms_cells_from_table(spark, cnt)
+    # devolve to the pre-upgrade layout
+    for m in _glob.glob(os.path.join(cnt, "cells", "_applied_*")):
+        os.remove(m)
+    os.makedirs(os.path.join(cnt, "_applied"))
+    with open(os.path.join(cnt, "_applied", "0"), "w") as f:
+        f.write("applied\n")
+    shutil.rmtree(ckpt, ignore_errors=True)  # re-delivers epoch 0
+    INC.stream_cms_maintain(
+        spark, f"{landing}/*", occ.schema, cnt, ckpt, key_col="tok"
+    )
+    assert INC.cms_cells_from_table(spark, cnt) == streamed
+    assert not os.path.exists(os.path.join(cnt, "_applied"))
+    assert os.path.exists(os.path.join(cnt, "cells", "_applied_0"))
+
+
+def test_recover_swap_restores_newest_by_mtime(tmp_path):
+    """r15 ADVICE: retired-dir suffixes are random uuids, so
+    lexicographic 'newest' is arbitrary — restoration must go by
+    mtime or stale state can resurrect after a double-crash."""
+    import os
+    import time
+
+    from etl_btc_spark.streaming.incremental import _recover_swap
+
+    base = str(tmp_path)
+    older = os.path.join(base, ".x_old_zzzzzz")  # sorts LAST by name
+    newer = os.path.join(base, ".x_old_aaaaaa")  # sorts first by name
+    os.makedirs(older)
+    with open(os.path.join(older, "state"), "w") as f:
+        f.write("stale")
+    t = time.time()
+    os.utime(older, (t - 100, t - 100))
+    os.makedirs(newer)
+    with open(os.path.join(newer, "state"), "w") as f:
+        f.write("fresh")
+    os.utime(newer, (t, t))
+    _recover_swap(base, "x")
+    live = os.path.join(base, "x")
+    with open(os.path.join(live, "state")) as f:
+        assert f.read() == "fresh"
+    assert not os.path.exists(older)
