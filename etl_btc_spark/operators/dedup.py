@@ -366,6 +366,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding: signature
     (tokens → shingles → minima in ONE vectorized pandas-UDF pass) →
@@ -383,10 +384,30 @@ def minhash_lsh_candidates(
     so total cost is O(sum of bucket sizes squared) — near-linear
     when near-dups are sparse. Exact-Jaccard verify on the candidate
     set afterward.
-    """
+
+    ``max_bucket`` (r16, off by default — gate semantics unchanged):
+    drop band buckets wider than the cap before the self-join. The
+    r16 scalecheck measured the failure mode this bounds: a corpus
+    where every doc sits in a 10-clone family shuffled 100× the
+    pairs on 10× the data — within-bucket pairs are QUADRATIC in
+    clone-family size. A bucket wider than the cap is a
+    near-identical flood (or a degenerate band); skipping it trades
+    bounded recall (members usually still pair through their other
+    n_bands-1 bands, and exact dedup upstream collapses true clones)
+    for a hard O(max_bucket²) per-bucket bound — the standard
+    stop-bucket practice in production MinHash dedup."""
     banded = _scoped_persist(
         _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("bkey")
+        banded = (
+            banded.withColumn("__bw", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bw") <= max_bucket)
+            .drop("__bw")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

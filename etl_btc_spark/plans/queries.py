@@ -6583,7 +6583,7 @@ _Q99AL_BUDGET = 256   # context-assembly packing budget (tokens)
 _Q99AL_TAU = 0.5      # retrieved-result near-dup threshold (3-gram Jaccard)
 
 
-def _q99al_oracle(bpe: bool = False) -> str:
+def _q99al_oracle(bpe: bool = False, byte_level: bool = False) -> str:
     """Composed oracle for the retrieval capstone: normalized 64-token
     chunking (q87's slice arithmetic) → closed-form stub embeddings
     (q43's formula) → batched chunk-level BM25 (q99l's CTE shape with
@@ -6623,13 +6623,18 @@ def _q99al_oracle(bpe: bool = False) -> str:
         "round(1e-9 + len(list_intersect(a.sh, b.sh))::DOUBLE"
         " / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)"
     )
-    # context billing: whitespace chunk sizes, or the learned-BPE
-    # replace-chain count over the chunk text (q99bo)
-    bill = (
-        f"CAST({BP.bpe_count_sql(_BPE_WARM_MERGES, 'c.chunk_text')} AS BIGINT)"
-        if bpe
-        else "c.n_tokens"
-    )
+    # context billing: whitespace chunk sizes, the learned-BPE
+    # replace-chain count over the chunk text (q99bo), or the
+    # BYTE-LEVEL count through the RFC-3629 byte-symbol chain (q99bv)
+    if byte_level:
+        bill = (
+            f"CAST({BP.bpe_count_sql(_BPE_BYTE_MERGES, 'c.chunk_text', byte_level=True)}"
+            " AS BIGINT)"
+        )
+    elif bpe:
+        bill = f"CAST({BP.bpe_count_sql(_BPE_WARM_MERGES, 'c.chunk_text')} AS BIGINT)"
+    else:
+        bill = "c.n_tokens"
     return f"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
@@ -9525,4 +9530,122 @@ def q99bu(spark: SparkSession, sf: str) -> DataFrame:
             F.col("kmv_intersection") / (F.col("kmv_union") + F.lit(1e-12)), 6
         ).alias("jaccard"),
         sround(F.col("est_r"), 4).alias("kmv_users_odd_days"),
+    )
+
+
+@register(
+    "q99bv_retrieval_capstone_bpe_bytes",
+    oracle=_q99al_oracle(bpe=True, byte_level=True),
+    doc=(
+        "The retrieval capstone billed through the BYTE-LEVEL vocab "
+        "(r16 — the q99bo half of VERDICT r15 #3, after q99bt "
+        "converted the training-prep half): identical hybrid "
+        "BM25⊕cosine retrieval, RRF fusion and diversity drop, but "
+        "the 256-token context assembly cuts on byte-level "
+        "bpe_token_count counts (vocab = q99bh's byte-level merges, "
+        "byte_level persisted in the artifact and inherited by the "
+        "probe — ids total over all unicode, no UNK). The retrieval "
+        "corpus is the ASCII fixture, so this gate pins the POSTURE "
+        "flowing end-to-end through the capstone (the multilingual "
+        "billing delta itself is value-gated by q99bt/q99bp); oracle "
+        "= q99al's CTE chain with the RFC-3629 byte-symbol "
+        "replace-chain count in the packing join. Same plan as "
+        "q99bo: one mapInPandas crossing over the bounded "
+        "surviving-chunk set, retrieval untouched"
+    ),
+)
+def q99bv(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = SK.artifact_path(sf, "q99bv_bpe_byte_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_BYTE_MERGES, byte_level=True)
+    out = _q99al_impl(spark, sf, bpe_idx=idx)
+    return out.withColumnRenamed("n_tokens", "n_bpe_tokens")
+
+
+@register(
+    "q99bw_decontamination_capstone",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), d AS (
+            SELECT doc_id, source,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
+            FROM w
+        ), tk AS (
+            SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 23 = 0
+        ), c AS (
+            SELECT doc_id, source, unnest(sh) AS s FROM d WHERE doc_id % 23 != 0
+        ), hits AS (
+            SELECT c.doc_id, count(*) AS n_hits
+            FROM c JOIN tk ON c.s = tk.s
+            GROUP BY c.doc_id
+        ), per_doc AS (
+            SELECT d.doc_id, d.source,
+                   CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END AS contam
+            FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 23 != 0
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(contam) AS BIGINT) AS n_contaminated,
+               round(1e-9 + CAST(sum(contam) AS DOUBLE) / count(*), 6)
+                   AS contamination_rate
+        FROM per_doc GROUP BY source
+    """,
+    doc=(
+        "DECONTAMINATION CAPSTONE (r16): the Bloom prefilter feeding "
+        "the EXACT verify, end-to-end — the composition a 100 TB "
+        "training pipeline actually runs. Per source: how many "
+        "corpus docs share at least one word 5-gram with the eval "
+        "set, exactly. The engine's plan: eval shingles -> 131072-"
+        "bit Bloom literal -> ONE corpus scan where the pure-codegen "
+        "membership expression kills ~all shingles BEFORE the exact "
+        "join -> the tiny surviving set exact-joins (broadcast) the "
+        "eval shingle table -> two bounded aggregations. The oracle "
+        "is ALL-EXACT with no Bloom anywhere: Bloom has no false "
+        "negatives, so prefilter-then-exact must equal exact-over-"
+        "everything VALUE-IDENTICALLY — the gate proves the pruned "
+        "plan changes the bill, never the answer (false positives "
+        "cost a join probe each, then the exact check drops them). "
+        "Scale shape: corpus never shuffles for the probe (q99bb's "
+        "audited plan), the exact join's build side is the EVAL set "
+        "(small by definition, broadcast), per-doc and per-source "
+        "groupBys are partial-aggregated"
+    ),
+)
+def q99bw(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    tsh = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
+    )
+    bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    csh = DD.spread(corpus).select(
+        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    )
+    member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
+    # Bloom kills ~all shingles BEFORE the exact join; no false
+    # negatives, so the survivors carry every true hit
+    exact_hits = (
+        csh.filter(member)
+        .join(F.broadcast(tsh), "s", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = corpus.join(exact_hits, "doc_id", "left").select(
+        "source",
+        F.when(F.col("n_hits").isNotNull(), 1).otherwise(0).alias("contam"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("contam").cast("bigint").alias("n_contaminated"),
+        sround(
+            F.sum("contam").cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination_rate"),
     )

@@ -1996,3 +1996,29 @@ def test_rrf_contract_enforced(spark):
     )
     got = SIM.rrf_fuse_batched([(ok, "s")], query_col="query_id").collect()
     assert {(r["query_id"], r["doc_id"]) for r in got} == {(0, 5), (1, 5)}
+
+
+def test_minhash_bucket_cap_bounds_clone_floods(spark):
+    """r16: max_bucket drops band buckets wider than the cap BEFORE
+    the self-join — the stop-bucket bound for clone floods (the r16
+    scalecheck measured 100x pair volume on 10x data when every doc
+    sits in a 10-clone family). A 40-clone flood vanishes under
+    cap=10 while an isolated near-dup pair (bucket width 2) survives;
+    with the cap off, flood pairs dominate quadratically."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [(i, base + f"clone{i}") for i in range(40)]
+    rows += [
+        (100, "completely different standalone text about spark shuffles and joins one"),
+        (101, "completely different standalone text about spark shuffles and joins two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = DD.minhash_lsh_candidates(df, ngram=3)
+    capped = DD.minhash_lsh_candidates(df, ngram=3, max_bucket=10)
+    unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in unc and (100, 101) in cap  # small bucket survives
+    flood_unc = {p for p in unc if p[0] < 40 and p[1] < 40}
+    flood_cap = {p for p in cap if p[0] < 40 and p[1] < 40}
+    assert len(flood_unc) > 100  # quadratic without the cap
+    assert len(flood_cap) == 0   # hard-bounded with it
+    assert cap <= unc            # the cap only ever drops pairs

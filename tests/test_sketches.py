@@ -663,3 +663,70 @@ def test_recover_swap_restores_newest_by_mtime(tmp_path):
     with open(os.path.join(live, "state")) as f:
         assert f.read() == "fresh"
     assert not os.path.exists(older)
+
+
+def test_stream_hist_group_absent_from_first_batch(spark, tmp_path):
+    """r15 ADVICE: a group with NO rows in the first batch freezes
+    its grid at FIRST SIGHT in a later batch — the engine must carry
+    it (grid = that batch's bounds) and the per-group first-slice
+    oracle (q99bl's _Q99BL_GRID_SQL shape) must agree exactly."""
+    import duckdb
+
+    from etl_btc_spark.streaming import incremental as INC
+
+    rows = [("a", float(i)) for i in range(200)] + [
+        ("late", 100.0 + float(i)) for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "g string, value double")
+    landing, hist, ckpt = (
+        str(tmp_path / d) for d in ("landing", "hist", "ckpt")
+    )
+
+    def run():
+        INC.stream_hist_maintain(
+            spark, f"{landing}/*", ev.schema, hist, ckpt,
+            value_col="value", group_cols=["g"], n_bins=64,
+        )
+
+    # batch 0: only group 'a'; batch 1: 'late' appears + more 'a'
+    ev.filter((F.col("g") == "a") & (F.col("value") < 100)).coalesce(
+        1
+    ).write.parquet(f"{landing}/b0")
+    run()
+    ev.filter((F.col("g") == "late") | (F.col("value") >= 100)).coalesce(
+        1
+    ).write.parquet(f"{landing}/b1")
+    run()
+    got = {
+        r["g"]: r
+        for r in INC.hist_quantiles_from_table(
+            spark, hist, ["g"], n_bins=64
+        ).collect()
+    }
+    assert set(got) == {"a", "late"}
+    # oracle with the per-group first-sight grid: 'a' froze on batch 0
+    # ([0, 99] — later values clamp), 'late' froze on batch 1 (its
+    # true bounds [100, 299])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{g}', {v!r}::DOUBLE, {0 if (g == 'a' and v < 100) else 1})"
+            for g, v in rows
+        )
+        + ") t(g, value, slice)"
+    )
+    grid = (
+        "SELECT e.g, min(e.value) AS lo, max(e.value) AS hi "
+        "FROM events e JOIN (SELECT g, min(slice) AS s0 FROM events "
+        "GROUP BY g) fs ON e.g = fs.g AND e.slice = fs.s0 GROUP BY e.g"
+    )
+    sql = SKT.histogram_quantiles_frozen_sql(
+        "value", "g", "events", grid, n_bins=64
+    )
+    want = {r[0]: r for r in con.execute(sql).fetchall()}
+    for g in ("a", "late"):
+        assert abs(got[g]["q_50"] - want[g][1]) < 1e-9, g
+        assert abs(got[g]["q_95"] - want[g][2]) < 1e-9, g
+    # 'late' was never clamped: its p95 sits inside (100, 300)
+    assert 100.0 < got["late"]["q_95"] <= 300.0
