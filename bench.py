@@ -711,10 +711,11 @@ def main() -> None:
         "calibration_version": 2,
         "calibration_suite": calibration["suite"],
         # cross-round continuity (r15): `value` sums the CURRENT
-        # headline set (25 queries since r15); these two fields pin
+        # headline set (25 queries since r15, 26 since r16 — q99bw
+        # decontamination capstone joined); these two fields pin
         # the stable r4-r14 22-query subtotal and its normalized form
         # so a grown set can never read as a regression
-        "headline_set_version": 3,
+        "headline_set_version": 4,
         "value_r14_set": round(
             sum(timings[k] for k in _R14_HEADLINE_SET if k in timings), 3
         ),

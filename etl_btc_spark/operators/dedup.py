@@ -533,6 +533,7 @@ def minhash_oracle_ctes(
     ngram: int = 3,
     tokens_cte: str = "w",
     prefix: str = "mh",
+    max_bucket: int | None = None,
 ) -> str:
     """DuckDB CTE chain reproducing :func:`minhash_lsh_candidates`:
     assumes a CTE ``{tokens_cte}({id_col}, t)`` of normalized
@@ -545,6 +546,11 @@ def minhash_oracle_ctes(
     Spark joins on ``xxhash64(band, slice)`` band keys; the oracle
     compares the signature slices directly — identical pairs short of
     a 64-bit xxhash collision, which the hash-compare would surface.
+
+    ``max_bucket`` mirrors :func:`minhash_lsh_candidates`'s r16
+    stop-bucket cap: buckets wider than the cap drop before the
+    self-join (the cap itself becomes value-gated — width counting
+    is deterministic on both engines).
     """
     params = _minhash_params(n_hashes, seed)
     base = MD5P32_SQL.format(x="s")
@@ -562,6 +568,14 @@ def minhash_oracle_ctes(
         f"'{b}:' || array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ',')"
         for b in range(n_bands)
     )
+    cap_where = (
+        ""
+        if max_bucket is None
+        else (
+            f" WHERE bkey IN (SELECT bkey FROM {prefix}_bands0 "
+            f"GROUP BY bkey HAVING count(*) <= {max_bucket})"
+        )
+    )
     return f"""
         {prefix}_sh AS (
             SELECT {id_col}, list_distinct(list_transform(
@@ -575,8 +589,10 @@ def minhash_oracle_ctes(
             SELECT {id_col},
                    [{mins}] AS sig
             FROM {prefix}_h
-        ), {prefix}_bands AS (
+        ), {prefix}_bands0 AS (
             SELECT {id_col}, unnest([{bands}]) AS bkey FROM {prefix}_sig
+        ), {prefix}_bands AS (
+            SELECT * FROM {prefix}_bands0{cap_where}
         ), {prefix}_cand AS (
             SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
             FROM {prefix}_bands a JOIN {prefix}_bands b

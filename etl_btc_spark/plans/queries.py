@@ -9565,6 +9565,7 @@ def q99bv(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q99bw_decontamination_capstone",
+    headline=True,
     oracle="""
         WITH w AS (
             SELECT doc_id, source,
@@ -9648,4 +9649,274 @@ def q99bw(spark: SparkSession, sf: str) -> DataFrame:
         sround(
             F.sum("contam").cast("double") / F.count(F.lit(1)), 6
         ).alias("contamination_rate"),
+    )
+
+
+#: deterministic boilerplate for the q99bx clone family — long enough
+#: that its shingles dominate every doc's minhash minima, so family
+#: members land in the same (wide) band buckets
+_Q99BX_BOILER = (
+    "terms and conditions apply this report is provided for information "
+    "purposes only and does not constitute investment advice past "
+    "performance does not guarantee future results all trademarks are "
+    "property of their respective owners redistribution prohibited "
+    "without prior written consent contact support for licensing details"
+)
+
+
+@register(
+    "q99bx_minhash_capped_near_dupes",
+    oracle=f"""
+        WITH w0 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN '{_Q99BX_BOILER} tail' || CAST(doc_id % 5 AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM w0
+        ), {DD.minhash_oracle_ctes(max_bucket=16)}
+        SELECT id_a, id_b, round(1e-9 + j, 6) AS jaccard
+        FROM (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS j
+            FROM mh_cand c
+            JOIN mh_sh sa ON c.id_a = sa.doc_id
+            JOIN mh_sh sb ON c.id_b = sb.doc_id
+        )
+        WHERE j >= 0.8
+    """,
+    doc=(
+        "MinHash near-dup under the STOP-BUCKET CAP, value-gated "
+        "(r16): the corpus is decorated with a deterministic "
+        "boilerplate clone family (every doc_id%9==0 doc becomes "
+        "boilerplate + one of five tails), recreating the flood the "
+        "r16 scalecheck measured at 100× pair volume; with "
+        "max_bucket=16 the band buckets wider than the cap drop "
+        "BEFORE the self-join, bounding per-bucket pair volume at "
+        "O(16²) while buckets at or under the cap keep their pairs. "
+        "The cap is deterministic width-counting, so the oracle "
+        "mirrors it with a HAVING clause in the band CTE and the "
+        "ENTIRE capped candidate set (recall loss included) "
+        "hash-matches DuckDB — the recall trade is measured, not "
+        "waved at. Scale shape unchanged from q40 (banded join, "
+        "verify only candidates); the cap adds one bkey-keyed window "
+        "count, co-partitioned with the self-join's own shuffle"
+    ),
+)
+def q99bx(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(_Q99BX_BOILER + " tail"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pairs = DD.minhash_near_dupes(aug, threshold=0.8, max_bucket=16)
+    return pairs.select(
+        "id_a", "id_b", sround(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
+    "q99by_kmv_contamination_by_source",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), d AS (
+            SELECT doc_id, source,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
+            FROM w
+        ),
+        ska AS {SKT.kmv_sketch_sql(
+            "SELECT source AS g, unnest(sh) AS key FROM d WHERE doc_id % 23 != 0",
+            _Q99BJ_K,
+        )},
+        skb0 AS {SKT.kmv_sketch_sql(
+            "SELECT 0 AS g, unnest(sh) AS key FROM d WHERE doc_id % 23 = 0",
+            _Q99BJ_K,
+        )},
+        skb AS (
+            SELECT t.g, s.h
+            FROM (SELECT DISTINCT source AS g FROM documents
+                  WHERE doc_id % 23 != 0) t
+            CROSS JOIN skb0 s
+        ),
+        ov AS ({SKT.kmv_overlap_sql("ska", "skb", _Q99BJ_K)}),
+        eb AS ({SKT.kmv_estimate_sql("skb", _Q99BJ_K, out_col="est_b")})
+        SELECT ov.g AS source,
+               round(1e-9 + kmv_intersection
+                     / (kmv_union + 1e-12), 6) AS shingle_jaccard,
+               round(1e-9 + kmv_intersection
+                     / (eb.est_b + 1e-12), 6) AS eval_containment
+        FROM ov JOIN eb ON ov.g = eb.g
+    """,
+    doc=(
+        "Per-source contamination SIMILARITY from sketches alone "
+        "(r16 — the KMV complement of q99bw's exact report): for "
+        "each corpus source, the shingle-set Jaccard against the "
+        "eval set and the eval-containment ratio ('how much of the "
+        "eval set does this source cover'), computed purely from "
+        "k=64 k-minimum-hash sketches — per-source sketches are "
+        "bounded at k rows by the salted two-level prune, the eval "
+        "sketch broadcast-joins to the source list, and NO exact "
+        "shingle join ever runs. The triage a 100 TB pipeline runs "
+        "BEFORE q99bw's exact pass: sketch-rank sources by "
+        "contamination, exact-verify the hot ones. Every hash and "
+        "ratio hash-matches DuckDB (the ESTIMATES are value-gated, "
+        "not just bounded)"
+    ),
+)
+def q99by(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    ev_sh = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
+    )
+    skb0 = SKT.kmv_sketch(ev_sh, "s", [], k=_Q99BJ_K)
+    corp = docs.filter(F.col("doc_id") % 23 != 0)
+    csh = DD.spread(corp).select(
+        "source", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    )
+    ska = SKT.kmv_sketch(csh, "s", ["source"], k=_Q99BJ_K)
+    sources = corp.select("source").distinct()
+    skb = sources.crossJoin(F.broadcast(skb0))
+    ov = SKT.kmv_overlap(ska, skb, ["source"], k=_Q99BJ_K)
+    eb = SKT.kmv_estimate_from_sketch(
+        skb, ["source"], k=_Q99BJ_K, out_col="est_b"
+    )
+    return ov.join(eb, "source").select(
+        "source",
+        sround(
+            F.col("kmv_intersection") / (F.col("kmv_union") + F.lit(1e-12)), 6
+        ).alias("shingle_jaccard"),
+        sround(
+            F.col("kmv_intersection") / (F.col("est_b") + F.lit(1e-12)), 6
+        ).alias("eval_containment"),
+    )
+
+
+@register(
+    "q99bz_kmv_stream_rollup_serve",
+    oracle=f"""
+        WITH ska AS {SKT.kmv_sketch_sql(
+            "SELECT event_type AS g, user_id AS key FROM events",
+            _Q99BJ_K,
+        )},
+        skb0 AS {SKT.kmv_sketch_sql(
+            "SELECT 0 AS g, user_id AS key FROM events "
+            "WHERE event_type = 'purchase'",
+            _Q99BJ_K,
+        )},
+        skb AS (
+            SELECT t.g, s.h
+            FROM (SELECT DISTINCT event_type AS g FROM events) t
+            CROSS JOIN skb0 s
+        ),
+        ov AS ({SKT.kmv_overlap_sql("ska", "skb", _Q99BJ_K)}),
+        skr AS {SKT.kmv_sketch_sql(
+            "SELECT event_type AS g, user_id AS key FROM events "
+            "WHERE extract(day FROM ts) % 2 = 1",
+            _Q99BJ_K,
+        )},
+        er AS ({SKT.kmv_estimate_sql("skr", _Q99BJ_K, out_col="est_r")})
+        SELECT ov.g AS event_type,
+               round(1e-9 + kmv_union, 4) AS kmv_union,
+               round(1e-9 + kmv_intersection, 4) AS kmv_intersection,
+               round(1e-9 + kmv_intersection
+                     / (kmv_union + 1e-12), 6) AS jaccard,
+               round(1e-9 + er.est_r, 4) AS kmv_users_odd_days
+        FROM ov LEFT JOIN er ON ov.g = er.g
+    """,
+    doc=(
+        "STREAM -> ROLL-UP -> SERVE, end to end for KMV (r16 — the "
+        "composition q99bu's audit said a 100 TB deployment runs): "
+        "events stream in three disjoint thirds PLUS a full "
+        "redelivery of the second third into a PER-(type, day) "
+        "k-min sketch table via stream_kmv_maintain (set-union fold: "
+        "idempotent, ledger-free, redelivery is a no-op by algebra); "
+        "the serving layer then answers q99bu's questions — global "
+        "union/intersection/Jaccard vs the purchase cohort AND the "
+        "odd-calendar-days range — purely by kmv_merge over the "
+        "MAINTAINED state, never re-touching raw events. Oracle = "
+        "the direct one-pass SQL verbatim (q99bj/q99bu's): streamed "
+        "≡ rolled-up ≡ batch ≡ SQL by set identity. Per-trigger I/O "
+        "is sketch-sized; the maintained table IS the daily roll-up"
+    ),
+)
+def q99bz(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.streaming import incremental as INC13
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+    )
+    landing = SK.artifact_path(sf, "q99bz_landing")
+    skp = SK.artifact_path(sf, "q99bz_kmv")
+    ckpt = SK.artifact_path(sf, "q99bz_ckpt")
+    for p in (landing, skp, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    slim = ev.select("event_type", "day_ts", "user_id")
+    schema = slim.schema
+
+    def run():
+        INC13.stream_kmv_maintain(
+            spark, f"{landing}/*", schema, skp, ckpt,
+            key_col="user_id",
+            group_cols=["event_type", "day_ts"],
+            k=_Q99BJ_K,
+        )
+
+    for i in range(3):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).select(
+            "event_type", "day_ts", "user_id"
+        ).coalesce(1).write.parquet(f"{landing}/b{i}")
+        run()
+    # at-least-once redelivery: set-union fold is idempotent — a
+    # replayed third must not move one hash
+    ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
+        "event_type", "day_ts", "user_id"
+    ).coalesce(1).write.parquet(f"{landing}/b3_redelivery")
+    run()
+    daily = spark.read.parquet(f"{skp}/mins")
+    ska = SKT.kmv_merge(daily, ["event_type"], k=_Q99BJ_K)
+    skb0 = SKT.kmv_merge(
+        daily.filter(F.col("event_type") == "purchase").select("__h"),
+        [],
+        k=_Q99BJ_K,
+    )
+    types = daily.select("event_type").distinct()
+    skb = types.crossJoin(F.broadcast(skb0))
+    ov = SKT.kmv_overlap(ska, skb, ["event_type"], k=_Q99BJ_K)
+    rng = SKT.kmv_merge(
+        daily.filter(F.dayofmonth(F.col("day_ts")) % 2 == 1),
+        ["event_type"],
+        k=_Q99BJ_K,
+    )
+    er = SKT.kmv_estimate_from_sketch(
+        rng, ["event_type"], k=_Q99BJ_K, out_col="est_r"
+    )
+    return ov.join(er, "event_type", "left").select(
+        "event_type",
+        sround(F.col("kmv_union"), 4).alias("kmv_union"),
+        sround(F.col("kmv_intersection"), 4).alias("kmv_intersection"),
+        sround(
+            F.col("kmv_intersection") / (F.col("kmv_union") + F.lit(1e-12)), 6
+        ).alias("jaccard"),
+        sround(F.col("est_r"), 4).alias("kmv_users_odd_days"),
     )

@@ -162,3 +162,16 @@ def test_q97_plan(plans):
     p = plans["q97_cluster_best_dedup"]
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_q99bw_plan(spark):
+    """Decontamination capstone: the Bloom literal kills shingles in
+    pure codegen BEFORE the exact join, the exact join's build side
+    is the (small) eval shingle set by BROADCAST — never a sort-merge
+    of the corpus, never a cartesian, never row-Python."""
+    p = pplan(REGISTRY["q99bw_decontamination_capstone"].fn(spark, SF))
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p  # membership + join stay JVM-side
