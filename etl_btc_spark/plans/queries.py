@@ -9920,3 +9920,176 @@ def q99bz(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("jaccard"),
         sround(F.col("est_r"), 4).alias("kmv_users_odd_days"),
     )
+
+
+@register(
+    "q99ca_token_budget_by_source",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' ' || {_BPE_BYTE_DECO_SQL} AS text,
+                   source, lang
+            FROM documents
+        ), c AS (
+            SELECT source, lang,
+                   CAST({_BPE_BYTE_COUNT_SQL} AS BIGINT) AS n
+            FROM aug
+        )
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_bpe_tokens,
+               round(1e-9 + CAST(sum(n) AS DOUBLE) / count(*), 4)
+                   AS mean_bpe_tokens
+        FROM c GROUP BY source, lang
+    """,
+    doc=(
+        "Token-budget dashboard (r16): per (source, lang), document "
+        "count, TOTAL and mean byte-level BPE tokens over the "
+        "multilingual-decorated corpus — the first question every "
+        "training-data owner asks ('how many tokens does each source "
+        "contribute, billed in the real vocab'), answered in the "
+        "byte-level posture so non-Latin-1 text is budgeted at its "
+        "true merge cost. One mapInPandas crossing (merge table "
+        "in-closure, corpus never shuffles for encoding) feeding one "
+        "partial-aggregated groupBy; the mean divides the two BIGINT "
+        "aggregates in one fixed order so the DOUBLE reproduces "
+        "bit-for-bit in DuckDB"
+    ),
+)
+def q99ca(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    deco = F.element_at(
+        F.array(*[F.lit(d) for d in _BPE_BYTE_DECOS]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), deco).alias("text"),
+        "source",
+        "lang",
+    )
+    idx = SK.artifact_path(sf, "q99ca_bpe_byte_vocab")
+    shutil.rmtree(idx, ignore_errors=True)
+    BP.build_bpe_vocab(spark, aug, idx, merges=_BPE_BYTE_MERGES, byte_level=True)
+    counts = BP.bpe_token_count(spark, aug, idx)
+    return counts.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        sround(
+            F.sum("n_bpe_tokens").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_bpe_tokens"),
+    )
+
+
+@register(
+    "q99cb_near_dup_threshold_sweep",
+    oracle=f"""
+        WITH {_TOKENS_W}, {DD.minhash_oracle_ctes()},
+        pairs AS (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS j
+            FROM mh_cand c
+            JOIN mh_sh sa ON c.id_a = sa.doc_id
+            JOIN mh_sh sb ON c.id_b = sb.doc_id
+        ),
+        th(threshold) AS (VALUES (0.5::DOUBLE), (0.7::DOUBLE),
+                                 (0.8::DOUBLE), (0.9::DOUBLE))
+        SELECT th.threshold,
+               CAST(count(p.id_a) AS BIGINT) AS n_pairs
+        FROM th LEFT JOIN pairs p ON p.j >= th.threshold
+        GROUP BY th.threshold
+    """,
+    doc=(
+        "Near-dup THRESHOLD SWEEP (r16): pair counts at four Jaccard "
+        "thresholds from ONE banded candidate pass — the curve a "
+        "dedup owner reads before choosing the production threshold "
+        "(too low deletes distinct docs, too high keeps near-clones; "
+        "the knee is data-dependent and must be measured). The "
+        "candidate set and exact Jaccard verify are q40's audited "
+        "chain verbatim; the sweep is a 4-row broadcast LEFT join "
+        "over the (already tiny) verified pair set, so zero extra "
+        "corpus work buys the whole curve. Thresholds that match no "
+        "pair report 0, not absence"
+    ),
+)
+def q99cb(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_near_dupes(docs, threshold=0.5)
+    th = spark.createDataFrame(
+        [(0.5,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    joined = th.join(
+        pairs, pairs["jaccard"] >= th["threshold"], "left"
+    )
+    return joined.groupBy("threshold").agg(
+        F.count(F.col("id_a")).cast("bigint").alias("n_pairs")
+    )
+
+
+@register(
+    "q99cc_clean_corpus_materialize",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents
+        ), d AS (
+            SELECT doc_id, source,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
+            FROM w
+        ), tk AS (
+            SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 23 = 0
+        ), contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, unnest(sh) AS s FROM d
+                  WHERE doc_id % 23 != 0) c
+            JOIN tk ON c.s = tk.s
+        )
+        SELECT d.doc_id, d.source
+        FROM d LEFT JOIN contaminated x ON d.doc_id = x.doc_id
+        WHERE d.doc_id % 23 != 0 AND x.doc_id IS NULL
+    """,
+    doc=(
+        "CLEAN-CORPUS MATERIALIZATION (r16 — q99bw's output half): "
+        "drop every corpus doc sharing a word 5-gram with the eval "
+        "set, WRITE the survivors through the K1 partitioned sink "
+        "(partitioned by source — the layout downstream training "
+        "reads prune on), read the table back and hash every "
+        "surviving (doc_id, source) row. Same Bloom-prefilter-then-"
+        "exact plan as q99bw for the flag, one anti-join for the "
+        "drop; oracle is all-exact (no Bloom), so the gate proves "
+        "the MATERIALIZED table — after the prefilter, the sink "
+        "round-trip and partition encoding — is row-identical to "
+        "the exact-decontamination answer. The missing last mile of "
+        "the decontamination story: not a report, the actual "
+        "training corpus artifact"
+    ),
+)
+def q99cc(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    tsh = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
+    )
+    bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    csh = DD.spread(corpus).select(
+        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    )
+    member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
+    contaminated = (
+        csh.filter(member)
+        .join(F.broadcast(tsh), "s", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "anti")
+    path = SK.artifact_path(sf, "q99cc_clean_corpus")
+    shutil.rmtree(path, ignore_errors=True)
+    SK.write_partitioned(clean.select("doc_id", "source"), path, ["source"])
+    return spark.read.parquet(path).select("doc_id", "source")
