@@ -2022,3 +2022,36 @@ def test_minhash_bucket_cap_bounds_clone_floods(spark):
     assert len(flood_unc) > 100  # quadratic without the cap
     assert len(flood_cap) == 0   # hard-bounded with it
     assert cap <= unc            # the cap only ever drops pairs
+
+
+def test_minhash_oracle_cap_generator_duckdb():
+    """The max_bucket arm of minhash_oracle_ctes parses and runs in
+    DuckDB, and its capped candidate set is a subset of the uncapped
+    one over a corpus with a clone flood (cross-engine parity of the
+    cap itself is value-gated by q99bx; this pins the generator)."""
+    import duckdb
+
+    rows = ", ".join(
+        f"({i}, 'the quick brown fox jumps over the lazy dog once more clone{i}')"
+        for i in range(30)
+    ) + ", (100, 'totally different words about spark one'), (101, 'totally different words about spark two')"
+    w = (
+        "w AS (SELECT doc_id, regexp_split_to_array(trim(lower("
+        "regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t "
+        f"FROM (VALUES {rows}) docs(doc_id, text))"
+    )
+    con = duckdb.connect()
+    unc = set(
+        con.execute(
+            f"WITH {w}, {DD.minhash_oracle_ctes()} SELECT * FROM mh_cand"
+        ).fetchall()
+    )
+    cap = set(
+        con.execute(
+            f"WITH {w}, {DD.minhash_oracle_ctes(max_bucket=8)} "
+            "SELECT * FROM mh_cand"
+        ).fetchall()
+    )
+    assert cap <= unc
+    assert len(unc) > len(cap)  # the 30-clone flood exceeds cap=8
+    assert (100, 101) in cap    # width-2 bucket survives

@@ -730,3 +730,19 @@ def test_stream_hist_group_absent_from_first_batch(spark, tmp_path):
         assert abs(got[g]["q_95"] - want[g][2]) < 1e-9, g
     # 'late' was never clamped: its p95 sits inside (100, 300)
     assert 100.0 < got["late"]["q_95"] <= 300.0
+
+
+def test_kmv_merge_global_no_group_cols(spark):
+    """The q99bu/q99bz global arm: kmv_merge with EMPTY group_cols
+    (one global sketch) over per-part sketches equals the direct
+    global sketch — the set identity with no grouping column."""
+    df = spark.range(1_000).select(
+        (F.col("id") % 300).alias("key"), (F.col("id") % 7).alias("part")
+    )
+    whole = {r["__h"] for r in SKT.kmv_sketch(df, "key", [], k=64).collect()}
+    daily = SKT.kmv_sketch(df, "key", ["part"], k=64)
+    merged = {
+        r["__h"]
+        for r in SKT.kmv_merge(daily.select("__h"), [], k=64).collect()
+    }
+    assert merged == whole and len(merged) == 64
