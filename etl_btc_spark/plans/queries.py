@@ -10093,3 +10093,106 @@ def q99cc(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     SK.write_partitioned(clean.select("doc_id", "source"), path, ["source"])
     return spark.read.parquet(path).select("doc_id", "source")
+
+
+@register(
+    "q99cd_corpus_health_report",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, text,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM documents WHERE doc_id % 23 != 0
+        ), d AS (
+            SELECT doc_id, source,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
+            FROM w
+        ), tk AS (
+            SELECT DISTINCT unnest(sh) AS s
+            FROM (
+                SELECT list_distinct([array_to_string(t2[i:i+4], ' ')
+                                      FOR i IN range(1, greatest(len(t2) - 4, 1) + 1)]) AS sh
+                FROM (
+                    SELECT regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t2
+                    FROM documents WHERE doc_id % 23 = 0
+                )
+            )
+        ), contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, unnest(sh) AS s FROM d) c
+            JOIN tk ON c.s = tk.s
+        ), flags AS (
+            SELECT w.doc_id, w.source,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY {TX.FINGERPRINT_SQL.format(col='w.text')}
+                       ORDER BY w.doc_id) > 1 THEN 1 ELSE 0 END AS is_dup,
+                   CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contam,
+                   {TX.WS_TOKEN_COUNT_SQL.format(col='w.text')} AS n_tok
+            FROM w LEFT JOIN contaminated x ON w.doc_id = x.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_exact_dup_docs,
+               CAST(sum(contam) AS BIGINT) AS n_contaminated,
+               CAST(sum(n_tok) AS BIGINT) AS total_ws_tokens
+        FROM flags GROUP BY source
+    """,
+    doc=(
+        "CORPUS HEALTH REPORT (r16): the one-page per-source summary "
+        "a data owner reads before training — doc count, exact-dup "
+        "docs (non-representative members of a content-fingerprint "
+        "group, corpus-wide min-id convention), eval-contaminated "
+        "docs (q99bw's Bloom-prefilter + exact-verify flag), and the "
+        "whitespace token total — composed entirely from "
+        "individually-audited pieces (q31's fingerprint dedup, "
+        "q99bw's decontamination plan, q28's token count) in ONE "
+        "gate so the composition itself is value-checked. Plan: one "
+        "corpus scan feeds the fingerprint window, the codegen "
+        "membership prefilter and the token count; the only "
+        "corpus-sized shuffle is the fingerprint window's hash "
+        "partition (inherent to corpus-wide dedup), the exact join "
+        "is eval-sized broadcast, the final groupBy is partial-"
+        "aggregated"
+    ),
+)
+def q99cd(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_btc_spark.operators.textops import fingerprint
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    tsh = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
+    )
+    bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    csh = DD.spread(corpus).select(
+        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    )
+    member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
+    contaminated = (
+        csh.filter(member)
+        .join(F.broadcast(tsh), "s", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__contam", F.lit(1))
+    )
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    flags = (
+        corpus.withColumn(
+            "is_dup", (F.row_number().over(w) > 1).cast("int")
+        )
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "source",
+            "is_dup",
+            F.coalesce(F.col("__contam"), F.lit(0)).alias("contam"),
+            TX.ws_token_count(F.col("text")).alias("n_tok"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_exact_dup_docs"),
+        F.sum("contam").cast("bigint").alias("n_contaminated"),
+        F.sum("n_tok").cast("bigint").alias("total_ws_tokens"),
+    )
