@@ -395,7 +395,17 @@ def minhash_lsh_candidates(
     bounded recall (members usually still pair through their other
     n_bands-1 bands, and exact dedup upstream collapses true clones)
     for a hard O(max_bucket²) per-bucket bound — the standard
-    stop-bucket practice in production MinHash dedup."""
+    stop-bucket practice in production MinHash dedup.
+
+    Collision caveat under the cap (r16 ADVICE): widths count over
+    the 64-bit ``xxhash64(band, slice)`` key, so a bkey collision
+    between two distinct (band, slice) buckets merges their widths —
+    the collision that merely added a false candidate pair (caught by
+    the exact-Jaccard verify) can, with the cap on, instead DROP rows
+    the exact band-string oracle keeps. Probability is ~n²/2^64 per
+    band (zero observed at any tested SF; the value-hash gates would
+    surface one); accepted for the same reason the join keys on the
+    hash — a fixed-width key at any scale."""
     banded = _scoped_persist(
         _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
     )
@@ -403,7 +413,11 @@ def minhash_lsh_candidates(
         from pyspark.sql import Window
 
         wb = Window.partitionBy("bkey")
-        banded = (
+        # persisted AFTER the filter too (r16 ADVICE): both self-join
+        # aliases read the capped frame, and without this second cache
+        # the width-count window (and its bkey shuffle) would execute
+        # once per alias
+        banded = _scoped_persist(
             banded.withColumn("__bw", F.count(F.lit(1)).over(wb))
             .filter(F.col("__bw") <= max_bucket)
             .drop("__bw")

@@ -1737,17 +1737,22 @@ def stream_neardup_ingest(
 def _recover_hll_regs(path: str) -> None:
     """Heal an interrupted register swap (the stats-debris posture):
     a crash between the two renames leaves ``regs`` missing with a
-    retired copy beside it — restore the retired copy; stray shadows
-    are garbage either way."""
+    retired copy beside it — restore the NEWEST retired copy by mtime
+    (r17 — the uuid suffixes sort arbitrarily, so name order could
+    resurrect stale registers when two retired dirs coexist: an
+    ignore_errors rmtree failure followed by a crash between renames;
+    same fix the CMS recovery and ``_recover_swap`` carry); stray
+    shadows are garbage either way."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
     regs = _os.path.join(path, "regs")
-    retired = sorted(_glob.glob(_os.path.join(path, ".regs_old_*")))
+    retired = _glob.glob(_os.path.join(path, ".regs_old_*"))
     if not _os.path.exists(regs) and retired:
-        _os.rename(retired[-1], regs)
-        retired = retired[:-1]
+        newest = max(retired, key=_os.path.getmtime)
+        _os.rename(newest, regs)
+        retired.remove(newest)
     for d in retired:
         _shutil.rmtree(d, ignore_errors=True)
     for d in _glob.glob(_os.path.join(path, ".regs_shadow_*")):
@@ -1911,7 +1916,11 @@ def stream_cms_maintain(
                 if not _os.path.exists(marker):
                     with open(marker, "w") as fh:
                         fh.write("applied\n")
-        _shutil.rmtree(legacy, ignore_errors=True)
+            # removed only AFTER a successful migration (r16 ADVICE):
+            # with no cells dir there is no state to double-count, but
+            # deleting the markers anyway would silently discard the
+            # applied-epoch history — leave them until cells exist
+            _shutil.rmtree(legacy, ignore_errors=True)
     src = spark.readStream.schema(schema).parquet(landing_dir)
 
     def sink(micro_batch: DataFrame, epoch_id: int) -> None:

@@ -120,7 +120,11 @@ def test_q99bb_plan(plans):
     assert "BatchEvalPython" not in p, p  # no row-at-a-time Python
     assert "ArrowEvalPython" not in p, p  # membership is pure codegen
     assert p.count("Exchange hashpartitioning") == 1, p
-    assert p.count("RoundRobinPartitioning") == 1, p
+    # <= 1 (r16 ADVICE — upper bound where the intent is "no EXTRA
+    # exchange"): spread() contributes exactly one fan-out over the
+    # single-split fixture today, zero at real partition counts; either
+    # is correct — two would be the r15 regression returning
+    assert p.count("RoundRobinPartitioning") <= 1, p
     assert "% 23" in p, p  # the cohort filter reaches the scan
 
 
@@ -132,7 +136,13 @@ def test_q99k_plan(plans):
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastHashJoin") >= 1, p
-    assert "token IN (" in p, p  # pushed IN-list on the posting scan
+    # tolerate both renderings of a literal IN-list (r16 ADVICE —
+    # Spark switches "IN (…)" to "INSET …" past a size threshold that
+    # can move between minor versions; either form IS the pushed
+    # static filter this pin is about)
+    import re
+
+    assert re.search(r"token IN(SET)?[ (]", p), p
     assert "BatchEvalPython" not in p, p
 
 

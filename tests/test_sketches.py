@@ -219,6 +219,54 @@ def test_stream_hll_debris_recovery_and_identity(spark, tmp_path):
     assert not os.path.exists(os.path.join(regs, ".regs_shadow_dead"))
 
 
+def test_hll_recovery_restores_newest_retired_by_mtime(spark, tmp_path):
+    """TWO coexisting retired register dirs (an ignore_errors rmtree
+    that silently failed, then a crash between the swap renames): the
+    recovery must restore the NEWEST by mtime, not by uuid-sorted name
+    (r16 VERDICT #3 — the name order is arbitrary hex, and the stale
+    dir here sorts LAST so a name-ordered recovery would resurrect the
+    half-corpus registers)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    from etl_btc_spark.streaming import incremental as INC
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "user_id")
+    landing = str(tmp_path / "landing")
+    regs = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(_F.col("user_id") % 2 == 0).coalesce(1).write.parquet(f"{landing}/a")
+    INC.stream_hll_maintain(
+        spark, f"{landing}/*", ev.schema, regs, ckpt,
+        key_col="user_id", group_cols=["event_type"],
+    )
+    # retire the half-corpus registers under a name that sorts LAST
+    # ('z' > any hex suffix) and backdate its mtime — stale by time,
+    # newest by name
+    stale = os.path.join(regs, ".regs_old_zzzz_stale")
+    shutil.copytree(os.path.join(regs, "regs"), stale)
+    old = os.path.getmtime(stale) - 3600
+    os.utime(stale, (old, old))
+    ev.filter(_F.col("user_id") % 2 != 0).coalesce(1).write.parquet(f"{landing}/b")
+    INC.stream_hll_maintain(
+        spark, f"{landing}/*", ev.schema, regs, ckpt,
+        key_col="user_id", group_cols=["event_type"],
+    )
+    # crash between the renames: regs gone, BOTH retired dirs present
+    os.rename(os.path.join(regs, "regs"), os.path.join(regs, ".regs_old_0000_good"))
+    healed = {
+        tuple(r)
+        for r in INC.hll_estimate_from_table(spark, regs, ["event_type"]).collect()
+    }
+    batch = {
+        tuple(r) for r in SKT.hll_distinct(ev, "user_id", ["event_type"]).collect()
+    }
+    assert healed == batch  # the full-corpus registers, not the stale half
+    assert not os.path.exists(stale)  # losers are swept
+
+
 def test_stream_cms_epoch_guard_and_identity(spark, tmp_path):
     """Streamed counters equal the batch sketch; a REPLAYED epoch
     (sink retry after the swap landed but before the checkpoint
