@@ -699,6 +699,7 @@ def embedding_near_dupes_lsh(
     dim: int = 64,
     n_bands: int = 8,
     bits_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path for :func:`embedding_near_dupes`: hyperplane-LSH
     band buckets generate candidate pairs (ids only — the ×n_bands
@@ -711,7 +712,21 @@ def embedding_near_dupes_lsh(
     p = 1-(1-p_bit^bits)^bands, p_bit = 1-arccos(θ)/π; the subset
     property (output ⊆ exact-verifier output) is absolute because the
     re-rank is exact (asserted in tests/test_approx_search.py).
-    """
+
+    ``max_bucket`` (r17, off by default — the
+    :func:`minhash_lsh_candidates` stop-bucket cap ported to the
+    embedding family, VERDICT r16 #1): drop band buckets wider than
+    the cap before the self-join. This family NEEDS its own knob —
+    the r16 scalecheck measured this query's shuffle growing 93× on
+    10× data under a perturbed-vector clone flood, and neither of the
+    text family's mitigations transfers (exact dedup can't collapse
+    byte-distinct perturbed vectors; boilerplate stripping doesn't
+    apply to embeddings). The width count runs over the EXACT join
+    key (band, sig) — no hashed-key collision caveat here — and is
+    co-partitioned with the self-join's own shuffle. Same recall
+    trade as the MinHash cap: flood members usually still pair
+    through their other n_bands-1 bands when sub-cap, and the whole
+    capped candidate set is value-gated (q99ce)."""
     from etl_btc_spark.operators.similarity import lsh_band_sig_udf
 
     sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
@@ -724,6 +739,19 @@ def embedding_near_dupes_lsh(
             F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
         )
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "sig")
+        # persisted after the filter too (the r16 ADVICE lesson from
+        # the MinHash cap): both self-join aliases read the capped
+        # frame, so without this cache the width-count window would
+        # execute once per alias
+        banded = _scoped_persist(
+            banded.withColumn("__bw", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bw") <= max_bucket)
+            .drop("__bw")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

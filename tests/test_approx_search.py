@@ -172,6 +172,31 @@ def test_embedding_lsh_pairs_subset_and_recall(spark, emb):
     assert len(lsh & exact) / len(exact) >= 0.6
 
 
+def test_embedding_bucket_cap_bounds_clone_floods(spark):
+    """r17 (VERDICT r16 #1): max_bucket drops embedding-LSH band
+    buckets wider than the cap BEFORE the self-join — the stop-bucket
+    bound ported from the MinHash family. A 40-member perturbed-vector
+    clone family (the flood the r16 scalecheck measured at 93× shuffle
+    on 10× data, which exact dedup CANNOT collapse — the vectors are
+    byte-distinct) vanishes under cap=10, while an isolated width-2
+    near-identical pair survives; capped ⊆ uncapped always."""
+    base = [float(((j * 37) % 13) - 6) or 1.0 for j in range(64)]
+    iso = [float(((j * 53) % 17) - 8) or 2.0 for j in range(64)]
+    rows = [(i, [x + i * 1e-6 for x in base]) for i in range(40)]
+    rows += [(100, iso), (101, [x + 1e-6 for x in iso])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = DD.embedding_near_dupes_lsh(df, threshold=0.3)
+    capped = DD.embedding_near_dupes_lsh(df, threshold=0.3, max_bucket=10)
+    unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in unc and (100, 101) in cap  # small bucket survives
+    flood_unc = {p for p in unc if p[0] < 40 and p[1] < 40}
+    flood_cap = {p for p in cap if p[0] < 40 and p[1] < 40}
+    assert len(flood_unc) > 100  # quadratic without the cap
+    assert len(flood_cap) == 0   # hard-bounded with it
+    assert cap <= unc            # the cap only ever drops pairs
+
+
 def test_simhash_near_dupes_exact_for_radius_3(spark, docs):
     """Chunk banding is pigeonhole-complete for Hamming <= 3 (4 chunks,
     64 bits): the banded result must EQUAL the brute-force all-pairs
