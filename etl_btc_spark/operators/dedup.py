@@ -435,6 +435,57 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_bucket_width_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Band-bucket WIDTH distribution of the MinHash family — the
+    measured basis for choosing ``max_bucket`` and the early-warning
+    signal for clone floods (r17, VERDICT r16 #4): candidate-pair
+    volume is Σ width²/2, so one bucket at width 10⁴ costs more than
+    a million at width 4, and this histogram is how you see it BEFORE
+    a probe detonates. Output (width, n_buckets). Two hash
+    aggregations with map-side partials over the ids+longs banded
+    frame — no text, no pairs, no self-join; safe to run at any scale
+    and cheap enough to run per ingest. Widths count on the xxhash64
+    band key (the join's own key), so the usual ~n²/2⁶⁴ collision
+    caveat applies to the histogram exactly as to the cap."""
+    banded = _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
+    widths = banded.groupBy("bkey").agg(F.count(F.lit(1)).alias("width"))
+    return widths.groupBy("width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    )
+
+
+def embedding_bucket_width_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """Band-bucket width distribution of the hyperplane-LSH embedding
+    family — :func:`minhash_bucket_width_histogram`'s vector twin
+    (r17): the datum behind ``embedding_near_dupes_lsh``'s
+    ``max_bucket``. Widths count on the exact (band, sig) join key
+    (no hashed-key caveat). Output (width, n_buckets)."""
+    from etl_btc_spark.operators.similarity import lsh_band_sig_udf
+
+    sig_udf = lsh_band_sig_udf(dim, n_bands, bits_per_band)
+    banded = spread(df).select(
+        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
+    )
+    widths = banded.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("width"))
+    return widths.groupBy("width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    )
+
+
 def minhash_near_dupes(
     df: DataFrame,
     threshold: float = 0.8,
@@ -1244,6 +1295,7 @@ def incremental_near_dupes(
     vpart_col: str | None = None,
     n_table_parts: int | None = None,
     stats_out: dict | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dups of ``batch`` against an indexed corpus: batch band
     keys (small — one hourly ingest) BROADCAST against a DIRECTORY-
@@ -1253,6 +1305,19 @@ def incremental_near_dupes(
     corpus data — the reference's 25 h-overlap ingest
     (news_etl_dag.py:38) runs this shape every hour with the batch as
     the new window.
+
+    ``max_bucket`` (r17, off by default — VERDICT r16 #5, the
+    stop-bucket cap threaded into the PROBE path): drop corpus band
+    buckets wider than the cap before the broadcast join. Without it,
+    one clone-flooded persisted bucket makes every trigger that
+    probes it pay O(bucket width) candidates per batch band key —
+    the streaming twin of the batch quadratic. The width counts LIVE
+    corpus rows per bkey (exact even under the directory prune:
+    ``bpart`` is a pure function of the bkey, so a bucket is never
+    split across pruned-in and pruned-out partitions), co-partitioned
+    with the join's own bkey shuffle. Same recall trade and the same
+    ~n²/2⁶⁴ hashed-key collision caveat as
+    :func:`minhash_lsh_candidates`.
 
     Band-scan pruning (r11, VERDICT r10 "What's missing" #4): the
     artifact is partitioned on ``bpart = pmod(xxhash64(bkey),
@@ -1346,6 +1411,15 @@ def incremental_near_dupes(
     corpus_bands = TS.live_rows(spark, bands_raw, index_path, id_col).select(
         F.col(id_col).alias("corpus_id"), "bkey"
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("bkey")
+        corpus_bands = (
+            corpus_bands.withColumn("__bw", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bw") <= max_bucket)
+            .drop("__bw")
+        )
     cands = _scoped_persist(
         corpus_bands.join(F.broadcast(batch_bands), "bkey")
         .select("batch_id", "corpus_id")

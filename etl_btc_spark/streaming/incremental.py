@@ -155,7 +155,9 @@ def _changed_vs_table(
     the prune predicate cannot drift between them (review r10).
     Callers localCheckpoint the result BEFORE merging: the lineage
     reads pre-merge corpus files, which the MERGE's partition swap
-    retires."""
+    retires. Versioned sinks drop merge LOSERS from the batch first
+    (:func:`_merge_losers`), so every row reaching this probe wins
+    its merge by construction."""
     touched = [r[0] for r in batch_v.select("vpart").distinct().collect()]
     pre = (
         sess.read.parquet(table_path)
@@ -167,6 +169,41 @@ def _changed_vs_table(
         .join(pre, id_col)
         .filter(~F.col(text_col).eqNullSafe(F.col("__old_text")))
         .drop("__old_text")
+    )
+
+
+def _merge_losers(
+    sess: SparkSession,
+    table_path: str,
+    batch_v: DataFrame,
+    id_col: str,
+    ver_col: str,
+) -> DataFrame:
+    """Ids of batch rows that would LOSE the highest-version-wins
+    MERGE against the pre-merge table (r17 — the ver_col CDC posture
+    extended to the text/near-dup sinks): a replayed STALE update must
+    neither regress the table (upsert_by_key already guarantees that)
+    nor supersede newer index rows nor append duplicate live band/
+    posting rows — so versioned sinks remove losers from the batch
+    BEFORE any index-facing classification. Batch wins ties (ver >=
+    old), mirroring the vector sink's classification and the merge's
+    own order; a NULL-version batch row loses to any versioned table
+    row. The scan prunes to the batch's touched vparts."""
+    touched = [r[0] for r in batch_v.select("vpart").distinct().collect()]
+    pre = (
+        sess.read.parquet(table_path)
+        .filter(F.col("vpart").isin(touched))
+        .select(F.col(id_col), F.col(ver_col).alias("__oldver"))
+    )
+    wins = (
+        F.col(ver_col).isNotNull()
+        & (F.col("__oldver").isNull() | (F.col(ver_col) >= F.col("__oldver")))
+    ) | (F.col(ver_col).isNull() & F.col("__oldver").isNull())
+    return (
+        batch_v.join(pre, id_col)  # ids absent from the table can't lose
+        .filter(~wins)
+        .select(id_col)
+        .distinct()
     )
 
 
@@ -1135,6 +1172,7 @@ def stream_text_index_append(
     n_table_parts: int = 64,
     compact_sidecar_after: int = 16,
     op_col: str | None = None,
+    ver_col: str | None = None,
 ) -> None:
     """Continuous TEXT index maintenance (r8) — the inverted-index
     twin of :func:`stream_hnsw_refresh`: stream document arrivals
@@ -1208,6 +1246,19 @@ def stream_text_index_append(
     carrying both ops in one batch. Idempotent halves converge under
     at-least-once replay; the unversioned-CDC caveat applies (an
     out-of-order late upsert of a deleted id re-ingests it).
+
+    Versioned updates (r17 — VERDICT r16 #6, the
+    :func:`stream_vector_index_maintain` ``ver_col`` posture on this
+    sink): pass ``ver_col`` when one key can recur across or within
+    triggers — a fresh-checkpoint replay drains the whole landing
+    zone into ONE batch, collapsing trigger order, so order must come
+    from data. In-batch resolution and the MERGE become
+    highest-version-wins (batch wins ties), and merge LOSERS are
+    dropped from the batch before the changed-text probe — a late
+    STALE row can then neither regress the table nor supersede newer
+    postings. Without it, the MIN-text rule and the documented
+    unversioned-late-upsert caveat apply. Deletes stay unversioned
+    either way.
     """
     import os as _os
 
@@ -1243,12 +1294,17 @@ def stream_text_index_append(
         # deterministic same-id resolution (ADVICE r8): dropDuplicates
         # keeps a partition-order-dependent row, so an at-least-once
         # replay could index a different text variant than the first
-        # attempt and force a spurious supersede — MIN text wins,
-        # same policy as stream_neardup_ingest. Persisted once
-        # (review r10): the window-dedup lineage otherwise recomputes
-        # for the touched collect, the changed probe, the merge's
-        # internal passes AND the fresh anti-join.
-        w = Window.partitionBy(id_col).orderBy(text_col)
+        # attempt and force a spurious supersede — highest version
+        # wins when ver_col is given (r17: a fresh-checkpoint replay
+        # collapses trigger order, so order must come from data), MIN
+        # text otherwise, same policy as stream_neardup_ingest.
+        # Persisted once (review r10): the window-dedup lineage
+        # otherwise recomputes for the touched collect, the changed
+        # probe, the merge's internal passes AND the fresh anti-join.
+        order = (
+            [F.col(ver_col).desc_nulls_last()] if ver_col is not None else []
+        ) + [F.col(text_col).asc_nulls_first()]
+        w = Window.partitionBy(id_col).orderBy(*order)
         batch = (
             ups.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -1260,6 +1316,14 @@ def stream_text_index_append(
         # the vpart layout before the merge; the merge below skips its
         # redundant re-check — VERDICT r10 "What's wrong" #3)
         _check_vparts(sess, table_path, n_table_parts, id_col)
+        batch0 = None
+        if ver_col is not None and _os.path.isdir(table_path):
+            # drop merge LOSERS before ANY index-facing classification
+            # (r17): a stale late row must not register as changed —
+            # it loses the merge, so its postings must stay untouched
+            losers = _merge_losers(sess, table_path, batch, id_col, ver_col)
+            batch0 = batch
+            batch = batch.join(losers, id_col, "left_anti").persist()
         # deletes apply FIRST (r11) — table row via the pruned
         # delete, then postings via the tombstone delete (exact-
         # integer stats adjust inside) — so this trigger's own
@@ -1327,7 +1391,7 @@ def stream_text_index_append(
                     pass
             _checked_upsert(
                 sess, batch, table_path, key=id_col, order_col=id_col,
-                n=n_table_parts, pre_checked=True,
+                n=n_table_parts, pre_checked=True, ver_col=ver_col,
             )
             batch_nv = batch.drop("vpart")
             if not was_built:
@@ -1405,6 +1469,8 @@ def stream_text_index_append(
                 fresh.unpersist()
         finally:
             batch.unpersist()
+            if batch0 is not None:
+                batch0.unpersist(False)
             if dels is not None:
                 dels.unpersist(False)
             if changed is not None:
@@ -1432,6 +1498,8 @@ def stream_neardup_ingest(
     n_table_parts: int = 64,
     compact_sidecar_after: int = 16,
     op_col: str | None = None,
+    max_bucket: int | None = None,
+    ver_col: str | None = None,
     **mh_kwargs,
 ) -> None:
     """Continuous NEAR-dup-deduplicated corpus ingestion (r8) — the
@@ -1513,6 +1581,30 @@ def stream_neardup_ingest(
     file carrying a pre-delete upsert of the same id re-ingests it —
     delete records must be final for their key, or the landing zone
     must be ordered.
+
+    Flood-proofing (r17, VERDICT r16 #5): pass ``max_bucket`` and the
+    stop-bucket cap applies to BOTH per-trigger quadratics — the
+    corpus-index probe (one clone-flooded persisted bucket otherwise
+    makes every trigger touching it pay O(width) candidates per batch
+    band key; see :func:`operators.dedup.incremental_near_dupes`) and
+    the in-batch cluster resolution (a clone-flooded single batch
+    otherwise self-joins quadratically). Off by default: with the cap
+    on, a flood member can slip past a saturated bucket and be KEPT
+    where the uncapped policy would have dropped it — the documented
+    recall trade, bounded because sub-cap buckets still pair through
+    the other bands. The streamed ≡ batch-sequential equivalence gate
+    (q99p) runs cap-off; with the cap on, equivalence holds against
+    the batch-mode operators RUN WITH THE SAME CAP.
+
+    Versioned updates (r17 — VERDICT r16 #6): pass ``ver_col`` and
+    in-batch resolution plus the MERGE become highest-version-wins
+    (batch wins ties; order from data, so a fresh-checkpoint replay
+    that collapses trigger order still converges), and merge LOSERS
+    drop from the batch BEFORE the corpus probe — a late stale row
+    can then neither regress the table, nor supersede newer band
+    rows, nor append duplicate live bands for an unchanged id.
+    Without it, the MIN-text rule and the documented unversioned-
+    late-upsert caveat apply. Deletes stay unversioned either way.
     """
     import os as _os
 
@@ -1547,7 +1639,8 @@ def stream_neardup_ingest(
         the empty-pairs short-circuit (equivalence to dup_clusters
         is pinned by pytest so the two encodings cannot diverge)."""
         pairs = minhash_near_dupes(
-            batch, threshold, id_col, text_col, **mh_kwargs
+            batch, threshold, id_col, text_col,
+            max_bucket=max_bucket, **mh_kwargs
         ).select("id_a", "id_b")
         if pairs.limit(1).count() == 0:
             return batch
@@ -1564,10 +1657,16 @@ def stream_neardup_ingest(
         ups, dels = _split_ops(micro_batch, op_col, id_col)
         if dels is not None:
             dels = dels.persist()
-        # deterministic same-id resolution: MIN text wins (review r8 —
-        # dropDuplicates keeps a partition-order-dependent row, so a
-        # replay could band a different text than it merged)
-        w = Window.partitionBy(id_col).orderBy(text_col)
+        # deterministic same-id resolution: highest version wins when
+        # ver_col is given (r17 — order from data, so a fresh-
+        # checkpoint replay that collapses trigger order converges),
+        # MIN text otherwise (review r8 — dropDuplicates keeps a
+        # partition-order-dependent row, so a replay could band a
+        # different text than it merged)
+        order = (
+            [F.col(ver_col).desc_nulls_last()] if ver_col is not None else []
+        ) + [F.col(text_col).asc_nulls_first()]
+        w = Window.partitionBy(id_col).orderBy(*order)
         batch = (
             ups.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -1580,6 +1679,17 @@ def stream_neardup_ingest(
         # with an opaque column error instead of the migration recipe;
         # the merge below skips its own check (pre_checked=True)
         _check_vparts(sess, table_path, n_table_parts, id_col)
+        if ver_col is not None and _os.path.isdir(table_path):
+            # merge LOSERS drop BEFORE the probe (r17): a stale late
+            # row that survives the near-dup probe would otherwise
+            # register as an update (superseding newer bands) or — if
+            # its text is unchanged-vs-stale — append duplicate live
+            # band rows for an id whose table row didn't change
+            losers = _merge_losers(
+                sess, table_path, batch.withColumn("vpart", part),
+                id_col, ver_col,
+            )
+            batch = batch.join(losers, id_col, "left_anti")
         # deletes apply FIRST — table row, then band tombstones — so
         # this same batch's probe no longer sees the forgotten doc
         # (delete X + ingest X's near-dup in one trigger keeps the
@@ -1621,6 +1731,7 @@ def stream_neardup_ingest(
                     sess, index_path, corpus, batch, threshold,
                     id_col, text_col,
                     vpart_col="vpart", n_table_parts=n_table_parts,
+                    max_bucket=max_bucket,
                     **mh_kwargs,
                 )
                 .select(F.col("batch_id").alias(id_col))
@@ -1673,7 +1784,7 @@ def stream_neardup_ingest(
                     pass
             _checked_upsert(
                 sess, kept_v, table_path, key=id_col, order_col=id_col,
-                n=n_table_parts, pre_checked=True,
+                n=n_table_parts, pre_checked=True, ver_col=ver_col,
             )
             if not have_index:
                 # first trigger (or post-crash self-heal handled

@@ -661,6 +661,252 @@ def test_stream_neardup_ingest_equals_sequential_batches(spark, tmp_path):
     assert 600 not in final_ids and 601 in final_ids
 
 
+def test_stream_text_sink_ver_col_stale_late_row(spark, tmp_path):
+    """r17 (VERDICT r16 #6): with ver_col the text sink is
+    highest-version-wins — a LATE STALE row (lower version, different
+    text) neither regresses the table nor supersedes newer postings;
+    a genuinely newer version still updates both; and a
+    fresh-checkpoint full replay (every trigger's files collapse into
+    ONE batch, trigger order gone) converges to the same state
+    because order comes from the data."""
+    import os
+
+    from etl_btc_spark.operators import text_index as TI
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, ver long")
+
+    vocab = [
+        "join", "hash", "scan", "merge", "probe", "spill", "sort",
+        "codegen", "exchange", "broadcast",
+    ]
+    b1 = [
+        (i, " ".join(vocab[(i + j) % len(vocab)] for j in range(8)), 2)
+        for i in range(10)
+    ]
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "docs")
+    index = str(tmp_path / "tindex")
+    ckpt = str(tmp_path / "ckpt")
+    schema = mk(b1).schema
+    terms = ["join", "hash", "stale", "fresher"]
+
+    def probe(idx):
+        return [tuple(r) for r in TI.bm25_probe(spark, idx, terms, n=30).collect()]
+
+    mk(b1).write.mode("append").parquet(landing)
+    INC.stream_text_index_append(
+        spark, landing, schema, table, index, ckpt, ver_col="ver"
+    )
+    # trigger 2: stale late update of 3 (ver 1 < 2), real update of 5
+    # (ver 3), fresh doc 100
+    b2 = [
+        (3, "stale stale stale text that must never land", 1),
+        (5, "fresher replacement body with novel words", 3),
+        (100, "brand new document about vectorized readers", 1),
+    ]
+    mk(b2).write.mode("append").parquet(landing)
+    INC.stream_text_index_append(
+        spark, landing, schema, table, index, ckpt, ver_col="ver"
+    )
+    rows = {
+        r["doc_id"]: (r["text"], r["ver"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert rows[3] == (b1[3][1], 2)  # stale row did NOT regress the table
+    assert rows[5] == (b2[1][1], 3)  # newer version landed
+    assert 100 in rows
+    # postings equal a from-scratch build over the final table — the
+    # stale text is in neither
+    full = str(tmp_path / "full")
+    TI.build_text_index(spark, spark.read.parquet(table).drop("vpart"), full)
+    assert probe(index) == probe(full)
+    # fresh-checkpoint FULL replay: both triggers drain into ONE batch
+    # (trigger order collapsed) — highest version must still win
+    table2, index2 = str(tmp_path / "docs2"), str(tmp_path / "tindex2")
+    INC.stream_text_index_append(
+        spark, landing, schema, table2, index2, str(tmp_path / "ckpt2"),
+        ver_col="ver",
+    )
+    rows2 = {
+        r["doc_id"]: (r["text"], r["ver"])
+        for r in spark.read.parquet(table2).collect()
+    }
+    assert rows2 == rows
+    assert probe(index2) == probe(full)
+
+
+def test_stream_neardup_sink_ver_col_stale_late_row(spark, tmp_path):
+    """r17 (VERDICT r16 #6): ver_col on the near-dup sink — a late
+    stale row is a merge LOSER and is dropped BEFORE the probe, so it
+    neither regresses the table, nor supersedes newer band rows, nor
+    appends duplicate live bands; a newer version updates table and
+    index; fresh-checkpoint full replay converges."""
+    from etl_btc_spark.operators import dedup as DD
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, ver long")
+
+    # genuinely distinct texts (suffixing every token): a shared-stem
+    # corpus would itself be a near-dup family and trigger 1 would
+    # keep only doc 0
+    texts = [
+        " ".join(
+            f"{w}{i}"
+            for w in (
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+            ).split()
+        )
+        for i in range(8)
+    ]
+    b1 = [(i, texts[i], 2) for i in range(8)]
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "corpus")
+    index = str(tmp_path / "mindex")
+    ckpt = str(tmp_path / "ckpt")
+    schema = mk(b1).schema
+    mk(b1).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(
+        spark, landing, schema, table, index, ckpt, ver_col="ver"
+    )
+    new5 = "entirely reworked narrative with novel uncommon vocabulary here"
+    b2 = [
+        (3, "stale body that must never land anywhere at all", 1),
+        (5, new5, 3),
+    ]
+    mk(b2).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(
+        spark, landing, schema, table, index, ckpt, ver_col="ver"
+    )
+    rows = {
+        r["doc_id"]: (r["text"], r["ver"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert rows[3] == (texts[3], 2)  # stale loser never landed
+    assert rows[5] == (new5, 3)      # newer version merged
+    # index semantics: a later duplicate of 5's NEW text is caught
+    # (bands upserted), a duplicate of the STALE text for 3 is NOT
+    # hidden by phantom stale bands — 3's live bands are its ver-2
+    # text, so the stale-text duplicate is kept as a fresh doc
+    b3 = [(600, new5, 1), (601, "stale body that must never land anywhere at all", 1)]
+    mk(b3).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(
+        spark, landing, schema, table, index, ckpt, ver_col="ver"
+    )
+    ids = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    assert 600 not in ids  # near-dup of the UPSERTED (ver-3) text
+    assert 601 in ids      # the stale text never entered the index
+    # no duplicate live band rows for any id
+    bands = spark.read.parquet(index + "/bands")
+    from etl_btc_spark.operators import tombstones as TS
+
+    live = TS.live_rows(spark, bands, index, "doc_id")
+    per_id = live.groupBy("doc_id").count().collect()
+    n_bands = {r["doc_id"]: r["count"] for r in per_id}
+    assert all(c == 8 for c in n_bands.values()), n_bands
+    # fresh-checkpoint FULL replay: all three triggers in ONE batch
+    table2, index2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    INC.stream_neardup_ingest(
+        spark, landing, schema, table2, index2, str(tmp_path / "ck2"),
+        ver_col="ver",
+    )
+    rows2 = {
+        r["doc_id"]: (r["text"], r["ver"])
+        for r in spark.read.parquet(table2).collect()
+    }
+    got = {r["doc_id"]: (r["text"], r["ver"]) for r in spark.read.parquet(table).collect()}
+    assert rows2 == got
+
+
+def test_stream_neardup_ingest_flood_proof_with_max_bucket(spark, tmp_path):
+    """r17 (VERDICT r16 #5): with ``max_bucket`` the probe and the
+    in-batch resolution are both stop-bucket-capped — a 40-clone flood
+    trigger completes with HARD-BOUNDED candidate pairs instead of the
+    O(width²) quadratic, while sub-cap buckets keep exact near-dup
+    semantics (a near-dup of a kept normal doc is still dropped). The
+    documented recall trade is asserted too: fully-flooded buckets
+    produce no edges, so flood members are KEPT under the cap — the
+    reason the cap is off by default and sized from q99cg's width
+    histogram."""
+    from etl_btc_spark.operators import dedup as DD
+
+    boiler = (
+        "quarterly market commentary boilerplate paragraph with many "
+        "shared tokens describing liquidity volatility spreads volumes "
+        "funding rates basis curves leverage positioning momentum "
+        "breadth dispersion correlation regimes and risk appetite "
+    ) * 2
+    normal_stem = (
+        "an entirely distinct research note about consensus protocols "
+        "quorum intersection leader election log replication snapshot "
+        "transfer membership changes lease renewal fencing tokens "
+        "linearizable reads witness replicas flexible paxos variant "
+    )
+    normal_a = normal_stem + "one"
+    normal_b = normal_stem + "two"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # --- operator level: capped probe against a flooded persisted index
+    corpus_rows = [(i, boiler + f"clone{i}") for i in range(40)]
+    corpus_rows += [(200, normal_a)]
+    corpus = mk(corpus_rows)
+    idx = str(tmp_path / "flood_idx")
+    DD.build_minhash_index(spark, corpus, idx)
+    probe = mk([(1000, boiler + "clone1000"), (1001, normal_b)])
+    unc = {
+        (r["batch_id"], r["corpus_id"])
+        for r in DD.incremental_near_dupes(spark, idx, corpus, probe, 0.8).collect()
+    }
+    cap = {
+        (r["batch_id"], r["corpus_id"])
+        for r in DD.incremental_near_dupes(
+            spark, idx, corpus, probe, 0.8, max_bucket=10
+        ).collect()
+    }
+    DD.release_scoped_caches()
+    assert cap <= unc  # the cap only ever drops candidates
+    assert len([p for p in unc if p[0] == 1000]) == 40  # uncapped: full flood
+    assert len([p for p in cap if p[0] == 1000]) == 0   # capped: bucket dropped
+    assert (1001, 200) in unc and (1001, 200) in cap    # width-2 bucket survives
+
+    # --- sink level: a flood trigger under the cap completes and keeps
+    # exact semantics for sub-cap buckets
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "corpus_t")
+    index = str(tmp_path / "corpus_i")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = mk(corpus_rows)
+    b1.write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(
+        spark, landing, b1.schema, table, index, ckpt, max_bucket=10
+    )
+    t1 = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    # fully-flooded buckets → no in-batch edges → all clones kept (the
+    # documented trade); the normal doc is kept regardless
+    assert t1 == {i for i in range(40)} | {200}
+    # trigger 2: one more flood member (slips past the saturated
+    # buckets → KEPT), one near-dup of the kept normal doc (sub-cap
+    # bucket → DROPPED), one fresh doc (kept)
+    mk(
+        [(1000, boiler + "clone1000"), (1001, normal_b),
+         (300, "completely fresh unrelated document about parquet readers")]
+    ).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(
+        spark, landing, b1.schema, table, index, ckpt, max_bucket=10
+    )
+    t2 = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    assert 1000 in t2      # flood member slips the saturated bucket
+    assert 1001 not in t2  # sub-cap near-dup still dropped
+    assert 300 in t2       # fresh doc kept
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(index + "/bands").select("doc_id").distinct().collect()
+    }
+    assert idx_ids == t2   # index covers exactly the kept ids
+
+
 def test_stream_sinks_table_merge_is_partition_pruned(spark, tmp_path):
     """r10 (VERDICT r9 "What's wrong" #1/#2): the streaming sinks'
     corpus-table MERGE must be partition-pruned — after a first
