@@ -174,6 +174,57 @@ def test_q97_plan(plans):
     assert "BatchEvalPython" not in p, p
 
 
+def test_q99cd_plan(spark):
+    """Corpus health report (r17 — VERDICT r16 #8): the eval shingle
+    side reaches the exact verify by BROADCAST (explicitly, it is
+    provably eval-sized), membership stays JVM-side codegen, and
+    nothing in the plan is cartesian or row-Python. The doc-level
+    left join's build side (contaminated ids) is NOT provably bounded
+    at 100 TB, so it is deliberately left to AQE's runtime-stats
+    choice rather than force-broadcast — the pin asserts it at least
+    doesn't plan as a cartesian."""
+    p = pplan(REGISTRY["q99cd_corpus_health_report"].fn(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+
+
+def test_q99cc_pre_sink_plan(spark):
+    """Clean-corpus materialization (r17): q99cc RETURNS the read-back
+    scan (the gate hashes the materialized table), so pin the frame
+    that feeds the sink — same posture as q99cd: broadcast eval side
+    on the exact verify, codegen membership, no cartesian, no
+    row-Python; the anti-join's build side follows AQE (bounded only
+    by the contamination rate)."""
+    from etl_btc_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "source")
+    tsh = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
+    )
+    bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    csh = DD.spread(corpus).select(
+        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
+    )
+    member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
+    contaminated = (
+        csh.filter(member)
+        .join(F.broadcast(tsh), "s", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "anti").select("doc_id", "source")
+    p = pplan(clean)
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+
+
 def test_q99bw_plan(spark):
     """Decontamination capstone: the Bloom literal kills shingles in
     pure codegen BEFORE the exact join, the exact join's build side
