@@ -583,7 +583,11 @@ def calibrate(spark, repeats: int = 3, legacy: bool = True) -> dict:
 #: the r4–r14 headline set (22 queries) — kept as an explicit constant
 #: so `value_r14_set` stays comparable across rounds even as the
 #: headline set grows (r15 added q99au/q99az/q99bb; a raw `value`
-#: delta across that change would read as a +7 s "regression")
+#: delta across that change would read as a +7 s "regression").
+#: r17 NOTE: q97_cluster_best_dedup keeps its slot but its PLAN
+#: changed from the exact all-pairs arm to the banded/capped scale arm
+#: (VERDICT r16 #2) — expect a genuine step-change drop in its timing
+#: (the exact formulation is preserved as the non-headline q99cf).
 _R14_HEADLINE_SET = (
     "q07_star_join_revenue", "q08_pricing_summary", "q15_sma30",
     "q17_bollinger_signals", "q20_hourly_candles", "q21_asof_join",

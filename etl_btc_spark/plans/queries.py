@@ -10423,3 +10423,186 @@ def q99cg(spark: SparkSession, sf: str) -> DataFrame:
         "n_buckets",
     )
     return mh.unionByName(em)
+
+
+@register(
+    "q99ch_capped_incremental_probe",
+    oracle=f"""
+        WITH hi AS (SELECT max(doc_id) AS hi FROM documents),
+        t20 AS (SELECT text AS t FROM documents WHERE doc_id = 20),
+        w0 AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 9 = 0 AND d.doc_id <= hi.hi - 50
+                            THEN '{_Q99BX_BOILER} tail' || CAST(d.doc_id % 5 AS VARCHAR)
+                        WHEN d.doc_id = hi.hi
+                            THEN '{_Q99BX_BOILER} tail0'
+                        WHEN d.doc_id = hi.hi - 1 THEN t20.t
+                        ELSE d.text END AS text
+            FROM documents d, hi, t20
+        ), w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM w0
+        ), {DD.minhash_oracle_ctes()},
+        okb AS (
+            SELECT b.bkey
+            FROM mh_bands0 b, hi
+            WHERE b.doc_id <= hi.hi - 50
+            GROUP BY b.bkey HAVING count(*) <= 16
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+            FROM mh_bands0 a
+            JOIN okb USING (bkey)
+            JOIN mh_bands0 b ON a.bkey = b.bkey
+            CROSS JOIN hi
+            WHERE a.doc_id <= hi.hi - 50 AND b.doc_id > hi.hi - 50
+        )
+        SELECT batch_id, corpus_id, round(1e-9 + j, 6) AS jaccard
+        FROM (
+            SELECT c.batch_id, c.corpus_id,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS j
+            FROM cand c
+            JOIN mh_sh sa ON c.corpus_id = sa.doc_id
+            JOIN mh_sh sb ON c.batch_id = sb.doc_id
+        )
+        WHERE j >= 0.8
+    """,
+    doc=(
+        "CAPPED incremental probe under a FULL oracle (r17 — the "
+        "q99bx move applied to the STREAMING/probe path VERDICT r16 "
+        "#5 flood-proofed): the corpus side is decorated with the "
+        "boilerplate clone family (doc_id%9, five tails) so the "
+        "persisted index carries genuinely flooded band buckets; the "
+        "batch plants one probe INTO the flood (doc hi becomes "
+        "boilerplate+tail0) and one duplicate of a normal kept doc "
+        "(doc hi-1 takes doc 20's text). With max_bucket=16 on "
+        "incremental_near_dupes, flooded corpus buckets drop before "
+        "the broadcast join — the flood probe's candidates vanish "
+        "with them — while the width-1 buckets serve the normal "
+        "duplicate exactly. The oracle mirrors the corpus-side-only "
+        "width cap as a HAVING over the corpus rows of the band CTE, "
+        "so the probe's entire capped answer (recall trade included) "
+        "hash-matches DuckDB at all three SFs. Plan unchanged from "
+        "q74: bpart-pruned band scan, batch bands broadcast, exact "
+        "verify on candidates only — the cap adds one bkey-keyed "
+        "window count co-partitioned with the join"
+    ),
+)
+def q99ch(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None or hi - 50 < 21:
+        raise ValueError(
+            "q99ch needs max(doc_id) >= 71 so doc 20 sits on the corpus "
+            "side of the hi-50 split (got hi=%r)" % hi
+        )
+    t20 = docs.filter(F.col("doc_id") == 20).first()["text"]
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 9 == 0) & (F.col("doc_id") <= hi - 50),
+            F.concat(
+                F.lit(_Q99BX_BOILER + " tail"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") == hi, F.lit(_Q99BX_BOILER + " tail0"))
+        .when(F.col("doc_id") == hi - 1, F.lit(t20))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = aug.filter(F.col("doc_id") <= hi - 50)
+    batch = aug.filter(F.col("doc_id") > hi - 50)
+    idx = SK.artifact_path(sf, "q99ch_capped_probe_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    DD.build_minhash_index(spark, corpus, idx)
+    out = DD.incremental_near_dupes(
+        spark, idx, corpus, batch, threshold=0.8, max_bucket=16
+    )
+    return out.select(
+        "batch_id", "corpus_id", sround(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
+    "q99ci_semantic_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {SIM.lsh_sigs_sql("embeddings")},
+        cand AS MATERIALIZED (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM ls_sigs x JOIN ls_sigs y
+              ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+        ),
+        pairs AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN embeddings a ON c.id_a = a.vec_id
+            JOIN embeddings b2 ON c.id_b = b2.vec_id
+            WHERE {_COS_AB2} >= 0.3
+        ),
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        clusters AS (
+            SELECT node AS vec_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        assigned AS (
+            SELECT e.vec_id,
+                   coalesce(c.cluster_id, e.vec_id) AS cluster_id
+            FROM embeddings e LEFT JOIN clusters c USING (vec_id)
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM assigned GROUP BY cluster_id
+        )
+        SELECT a.vec_id, a.cluster_id, s.n_members,
+               CAST(a.vec_id = a.cluster_id AS BOOLEAN) AS is_representative
+        FROM assigned a JOIN sizes s USING (cluster_id)
+    """,
+    doc=(
+        "SemDeDup-style SEMANTIC duplicate-cluster resolution (r17): "
+        "embedding near-dup pairs from the audited q56 banded chain "
+        "(hyperplane-LSH candidates, exact cosine >= 0.3 re-rank) -> "
+        "connected components (the q77 Pregel min-label loop, edges "
+        "never on the driver) -> per-vector cluster assignment with "
+        "cluster size and the min-id representative flag — "
+        "keep-one-per-semantic-cluster is then a filter on "
+        "is_representative, the Abbas 2023 SemDeDup curation shape "
+        "re-expressed over the engine's own CC operator. Oracle = "
+        "inlined-hyperplane candidate CTEs composed with the "
+        "recursive transitive closure; every assignment, size and "
+        "flag hash-matches DuckDB"
+    ),
+)
+def q99ci(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    pairs = DD.embedding_near_dupes_lsh(emb, threshold=0.3).select("id_a", "id_b")
+    cc = DD.connected_components(pairs)
+    assigned = (
+        emb.select("vec_id")
+        .join(cc.select(F.col("node").alias("vec_id"), "cluster_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "n_members",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_representative"),
+    )

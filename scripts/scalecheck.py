@@ -43,9 +43,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scalecheck", "sf1")
 
-#: the five heaviest headline queries (BENCH_r15 ranking)
+#: the five heaviest headline queries (BENCH_r15 ranking). r17: q97
+#: is now the banded/capped scale arm; its pre-r17 exact formulation
+#: rides along as q99cf so the capped-vs-exact shuffle ratio is
+#: measured side by side on the same corpus.
 QUERIES = [
     "q97_cluster_best_dedup",
+    "q99cf_cluster_best_dedup_exact_twin",
     "q99bb_bloom_decontamination",
     "q99k_bm25_indexed",
     "q56_embedding_near_dupes_lsh",
@@ -174,6 +178,35 @@ def run_suite(spark, ui: str, sf_dir: str) -> dict[str, dict]:
             .save(),
         )
         print(f"  {name}: {out[name]}", flush=True)
+
+    # r17 (VERDICT r16 #1 done-criterion): the CAPPED embedding arm
+    # next to the uncapped q56 measurement — on the 10-replica clone
+    # corpus the uncapped self-join measured 93× shuffle on 10× data;
+    # the stop-bucket cap must bring that near-linear
+    def _q56_capped() -> None:
+        DD.embedding_near_dupes_lsh(
+            emb, threshold=0.3, max_bucket=16
+        ).write.mode("overwrite").format("noop").save()
+
+    _q56_capped()  # settle
+    out["q56:capped"] = measure(spark, ui, _q56_capped)
+    print(f"  q56:capped: {out['q56:capped']}", flush=True)
+
+    # r17: q97's headline cap is 16, which deliberately does NOT bite
+    # on the synthetic 10-clone families (they are real near-dups a
+    # curator wants found; the measured 360 MB shuffle is the VERIFY
+    # join carrying the true-pair output, not a plan defect). cap8
+    # shows the knob's bite point: below family width, the flood
+    # edges drop and the pass goes near-free
+    def _q97_cap8() -> None:
+        clusters = DD.dup_clusters(
+            docs, threshold=0.8, ngram=3, exact=False, max_bucket=8
+        )
+        clusters.write.mode("overwrite").format("noop").save()
+
+    _q97_cap8()  # settle
+    out["q97:cap8"] = measure(spark, ui, _q97_cap8)
+    print(f"  q97:cap8: {out['q97:cap8']}", flush=True)
     return out
 
 
