@@ -10606,3 +10606,123 @@ def q99ci(spark: SparkSession, sf: str) -> DataFrame:
         "n_members",
         (F.col("vec_id") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+@register(
+    "q99cj_semantic_dup_clusters_capped",
+    oracle=f"""
+        WITH RECURSIVE b AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS base
+            FROM embeddings WHERE vec_id = 1
+        ), aug AS (
+            SELECT e.vec_id,
+                   CASE WHEN e.vec_id % 7 = 0
+                        THEN list_transform(b.base,
+                                 x -> x + e.vec_id * {1e-6!r}::DOUBLE)
+                        ELSE CAST(e.embedding AS DOUBLE[]) END AS embedding
+            FROM embeddings e, b
+        ),
+        {SIM.lsh_sigs_sql("aug")},
+        okb AS (
+            SELECT band, sig FROM ls_sigs
+            GROUP BY band, sig HAVING count(*) <= 16
+        ),
+        capped AS (
+            SELECT s.vec_id, s.band, s.sig
+            FROM ls_sigs s JOIN okb USING (band, sig)
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM capped x JOIN capped y
+              ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+        ),
+        pairs AS MATERIALIZED (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN aug a ON c.id_a = a.vec_id
+            JOIN aug b2 ON c.id_b = b2.vec_id
+            WHERE {_COS_AB2} >= 0.3
+        ),
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        clusters AS (
+            SELECT node AS vec_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        assigned AS (
+            SELECT e.vec_id,
+                   coalesce(c.cluster_id, e.vec_id) AS cluster_id
+            FROM aug e LEFT JOIN clusters c USING (vec_id)
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM assigned GROUP BY cluster_id
+        )
+        SELECT a.vec_id, a.cluster_id, s.n_members,
+               CAST(a.vec_id = a.cluster_id AS BOOLEAN) AS is_representative
+        FROM assigned a JOIN sizes s USING (cluster_id)
+    """,
+    doc=(
+        "Semantic dup clusters, CAPPED/100 TB arm (r17 — q99ci's "
+        "scale twin, completing the composition q99ce started): the "
+        "SAME perturbed-vector clone flood as q99ce (vec_id%7 -> "
+        "shared base + per-id 1e-6) feeds the capped banded chain "
+        "(max_bucket=16: flooded buckets drop pre-join, the r17 "
+        "scalecheck measured the capped pass at ~0 MB shuffle where "
+        "uncapped paid 522 MB on the 10x clone corpus), then "
+        "connected components and per-vector assignment + size + "
+        "representative flag. Under the cap a saturated flood forms "
+        "NO cluster (each member its own singleton representative) — "
+        "the documented recall trade, here hash-checked through the "
+        "full composition: capped candidates ∘ exact re-rank ∘ "
+        "recursive closure all mirror in the oracle. Together with "
+        "q99ci (uncapped arm) both semantic-dedup arms are "
+        "value-gated"
+    ),
+)
+def q99cj(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    base = F.broadcast(
+        emb.filter(F.col("vec_id") == 1).select(
+            F.col("embedding").cast("array<double>").alias("__base")
+        )
+    )
+    aug = emb.crossJoin(base).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 0,
+            F.expr("transform(__base, x -> x + CAST(vec_id AS DOUBLE) * 1e-6)"),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    pairs = DD.embedding_near_dupes_lsh(
+        aug, threshold=0.3, max_bucket=16
+    ).select("id_a", "id_b")
+    cc = DD.connected_components(pairs)
+    assigned = (
+        aug.select("vec_id")
+        .join(cc.select(F.col("node").alias("vec_id"), "cluster_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "n_members",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_representative"),
+    )
