@@ -907,6 +907,94 @@ def test_stream_neardup_ingest_flood_proof_with_max_bucket(spark, tmp_path):
     assert idx_ids == t2   # index covers exactly the kept ids
 
 
+def test_stream_neardup_capped_equals_capped_sequential(spark, tmp_path):
+    """r17: the docstring's equivalence claim under the cap, pinned —
+    with ``max_bucket`` on, the streamed (table, index) equals
+    applying the same keep policy batch by batch with the batch-mode
+    operators RUN WITH THE SAME CAP (the cap changes which near-dups
+    are caught, identically on both paths)."""
+    from etl_btc_spark.operators import dedup as DD
+
+    cap = 4
+    boiler = (
+        "shared boilerplate tokens about liquidity volatility spreads "
+        "volumes funding rates basis curves leverage positioning "
+    ) * 2
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 1: a 6-clone flood (bucket width 6 > cap=4 → no edges
+    # under the cap) + two distinct docs
+    b1 = [(i, boiler + f"clone{i}") for i in range(6)]
+    stem50 = (
+        "wholly distinct document about window functions frame bounds "
+        "rows between unbounded preceding ordering partitions rank "
+        "dense rank lag lead first value last value ntile cume dist "
+    )
+    b1 += [(50, stem50 + "etc")]
+    # batch 2: one more flood member + a near-dup of doc 50 (width-2
+    # buckets → caught on both paths) + a fresh doc
+    b2 = [
+        (100, boiler + "clone100"),
+        (51, stem50 + "too"),
+        (60, "completely fresh unrelated text about arrow batches"),
+    ]
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "corpus")
+    index = str(tmp_path / "mindex")
+    ckpt = str(tmp_path / "ckpt")
+    mk(b1).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(
+        spark, landing, mk(b1).schema, table, index, ckpt, max_bucket=cap
+    )
+    mk(b2).write.mode("append").parquet(landing)
+    INC.stream_neardup_ingest(
+        spark, landing, mk(b1).schema, table, index, ckpt, max_bucket=cap
+    )
+
+    # batch-sequential reference with the SAME cap
+    def in_batch_keep(df):
+        pairs = DD.minhash_near_dupes(df, 0.8, max_bucket=cap).select(
+            "id_a", "id_b"
+        )
+        if pairs.limit(1).count() == 0:
+            return df
+        losers = (
+            DD.connected_components(pairs)
+            .filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias("doc_id"))
+        )
+        return df.join(losers, "doc_id", "left_anti")
+
+    ref_table = str(tmp_path / "ref_corpus")
+    ref_index = str(tmp_path / "ref_index")
+    kept1 = in_batch_keep(mk(b1))
+    kept1.write.mode("overwrite").parquet(ref_table)
+    DD.build_minhash_index(spark, kept1, ref_index)
+    corpus = spark.read.parquet(ref_table)
+    dups = (
+        DD.incremental_near_dupes(
+            spark, ref_index, corpus, mk(b2), 0.8, max_bucket=cap
+        )
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+    )
+    kept2 = in_batch_keep(mk(b2).join(dups, "doc_id", "left_anti"))
+    kept2.write.mode("append").parquet(ref_table)
+    DD.release_scoped_caches()
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    want = {r["doc_id"]: r["text"] for r in spark.read.parquet(ref_table).collect()}
+    assert got == want
+    # identical cap semantics on both paths; specifics: the family's
+    # min-id representative survives (whatever subset of flood edges
+    # the cap leaves through sub-cap split buckets, min-id wins CC),
+    # the width-2 near-dup of doc 50 is dropped, fresh docs kept
+    assert 0 in got and 50 in got
+    assert 51 not in got and 60 in got
+
+
 def test_stream_sinks_table_merge_is_partition_pruned(spark, tmp_path):
     """r10 (VERDICT r9 "What's wrong" #1/#2): the streaming sinks'
     corpus-table MERGE must be partition-pruned — after a first
