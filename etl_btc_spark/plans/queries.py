@@ -10726,3 +10726,94 @@ def q99cj(spark: SparkSession, sf: str) -> DataFrame:
         "n_members",
         (F.col("vec_id") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+@register(
+    "q99ck_cap_impact_report",
+    oracle=f"""
+        WITH w0 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN '{_Q99BX_BOILER} tail' || CAST(doc_id % 5 AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+            FROM w0
+        ),
+        {DD.minhash_oracle_ctes(prefix="mu")},
+        {DD.minhash_oracle_ctes(prefix="mc", max_bucket=16)},
+        ju AS (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS j
+            FROM mu_cand c
+            JOIN mu_sh sa ON c.id_a = sa.doc_id
+            JOIN mu_sh sb ON c.id_b = sb.doc_id
+        ),
+        jc AS (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS j
+            FROM mc_cand c
+            JOIN mu_sh sa ON c.id_a = sa.doc_id
+            JOIN mu_sh sb ON c.id_b = sb.doc_id
+        )
+        SELECT 'uncapped' AS arm,
+               (SELECT CAST(count(*) AS BIGINT) FROM mu_cand) AS n_candidate_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM ju WHERE j >= 0.8) AS n_verified_pairs
+        UNION ALL
+        SELECT 'capped_16' AS arm,
+               (SELECT CAST(count(*) AS BIGINT) FROM mc_cand) AS n_candidate_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM jc WHERE j >= 0.8) AS n_verified_pairs
+    """,
+    doc=(
+        "CAP IMPACT REPORT (r17 — the last piece of the cap-sizing "
+        "story): from the q99bx flood-decorated corpus, candidate and "
+        "verified pair counts for the uncapped vs capped (max_bucket="
+        "16) MinHash arms side by side — q99cg's histogram says where "
+        "the cap WOULD bite, this gate measures what it actually "
+        "costs (candidates avoided = the quadratic bounded; verified "
+        "pairs lost = the recall price), the two numbers a dedup "
+        "owner weighs before turning the knob on. One banded pass "
+        "per arm over ids+longs frames (the capped pass reuses the "
+        "persisted banded table), verification only on candidates. "
+        "Both DuckDB chains share the shingle CTE; counts are exact "
+        "and the whole 2-row report hash-matches"
+    ),
+)
+def q99ck(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(_Q99BX_BOILER + " tail"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def arm(label: str, max_bucket: int | None) -> DataFrame:
+        cands = DD.minhash_lsh_candidates(aug, ngram=3, max_bucket=max_bucket)
+        n_c = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"))
+        verified = DD.minhash_near_dupes(
+            aug, threshold=0.8, ngram=3, max_bucket=max_bucket
+        )
+        n_v = verified.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_verified_pairs")
+        )
+        return (
+            n_c.crossJoin(n_v)
+            .select(
+                F.lit(label).alias("arm"),
+                "n_candidate_pairs",
+                "n_verified_pairs",
+            )
+        )
+
+    return arm("uncapped", None).unionByName(arm("capped_16", 16))
