@@ -83,6 +83,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 from collections import Counter
 from collections.abc import Iterator
 
@@ -373,29 +374,35 @@ def _persist_merges(
     merges: list[tuple[str, str]],
     byte_level: bool = False,
 ) -> None:
-    """Marker-first artifact write shared by build and extend."""
+    """Marker-first artifact write shared by build and extend.
+
+    r17 (optimization round, guide §5 — the driver should do almost
+    no data work, and a 32-row table IS driver work): the merge table
+    is vocabulary-bounded by contract (KBs), so it is written as one
+    parquet file via pyarrow directly instead of spinning a Spark
+    job (createDataFrame → coalesce(1) → write cost ~150 ms of
+    cluster scheduling per build/extend — q99au pays it twice per
+    run). Same directory layout, same schema, same marker-first
+    crash protocol; Spark readers of the directory are unaffected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(path, exist_ok=True)
     try:
         os.remove(os.path.join(path, "_BUILT"))
     except FileNotFoundError:
         pass
-    pdf = pd.DataFrame(
+    mdir = os.path.join(path, "merges")
+    shutil.rmtree(mdir, ignore_errors=True)
+    os.makedirs(mdir)
+    tbl = pa.table(
         {
-            "rank": list(range(len(merges))),
-            "left": [m[0] for m in merges],
-            "right": [m[1] for m in merges],
+            "rank": pa.array(range(len(merges)), pa.int32()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
         }
     )
-    schema = T.StructType(
-        [
-            T.StructField("rank", T.IntegerType()),
-            T.StructField("left", T.StringType()),
-            T.StructField("right", T.StringType()),
-        ]
-    )
-    spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "merges"))
+    pq.write_table(tbl, os.path.join(mdir, "part-00000.parquet"))
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -462,12 +469,14 @@ def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     with open(marker) as f:
         if f.read().strip() != _FORMAT:
             raise ValueError("BPE vocab at %r has an unknown format" % path)
-    rows = (
-        spark.read.parquet(os.path.join(path, "merges"))
-        .orderBy("rank")
-        .collect()
-    )
-    return [(r["left"], r["right"]) for r in rows]
+    # r17: read via pyarrow — the table is vocab-bounded (KBs) and
+    # lives on the artifact filesystem the markers already use, so a
+    # Spark scan job (~60 ms scheduling) per load is pure overhead
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(path, "merges")).to_pydict()
+    order = sorted(range(len(tbl["rank"])), key=lambda i: tbl["rank"][i])
+    return [(tbl["left"][i], tbl["right"][i]) for i in order]
 
 
 def vocab_is_byte_level(path: str) -> bool:

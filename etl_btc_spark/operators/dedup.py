@@ -165,6 +165,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def keep_first_by_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dedup representative ROWS (all columns of the min-id row
+    per normalized-content fingerprint) — the `ranked WHERE rn = 1`
+    shape every corpus-prep pipeline opens with.
+
+    r17 (optimization round, guide §2.3 "aggregate before you
+    shuffle"): one partial-aggregated ``min_by(struct(*), id)``
+    replaces the former ``row_number() OVER (PARTITION BY
+    fingerprint ORDER BY id)`` window. The window shipped EVERY row
+    through the fingerprint exchange and sorted each partition just
+    to keep rank 1; min_by's map-side combine ships one candidate
+    row per fingerprint per input partition and needs no sort —
+    at 100 TB the shuffle shrinks by the duplicate factor. Values
+    identical: ids are unique, so min-by-id ≡ first-by-id-order."""
+    cols = df.columns
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("__fp"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+    )
+
+
 def word_shingles(c: Column, n: int = 1) -> Column:
     """Distinct word n-gram shingles of normalized text."""
     toks = ws_tokens(normalize_text(c))
@@ -410,18 +434,28 @@ def minhash_lsh_candidates(
         _minhash_banded(df, id_col, text_col, n_hashes, n_bands, ngram)
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("bkey")
-        # persisted AFTER the filter too (r16 ADVICE): both self-join
-        # aliases read the capped frame, and without this second cache
-        # the width-count window (and its bkey shuffle) would execute
-        # once per alias
-        banded = _scoped_persist(
-            banded.withColumn("__bw", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bw") <= max_bucket)
-            .drop("__bw")
+        # r17 (optimization round, guide §2.3/§2.4): width counting as
+        # a partial-aggregated groupBy + ANTI JOIN against the (few)
+        # over-cap bucket keys, replacing the bkey window. The window
+        # shuffled EVERY banded row and sorted it just to count bucket
+        # widths; the aggregate ships one (bkey, count) row per map
+        # partition, and the anti join's build side is only the
+        # buckets wider than the cap — floods by definition, so tiny
+        # in count even when huge in membership. At bench scale AQE
+        # broadcasts it (the cap costs ~nothing on top of the
+        # uncapped path, measured −0.4 s on q97's candidates stage);
+        # under a pathological many-distinct-floods corpus AQE falls
+        # back to a bkey-partitioned join — exactly the shuffle the
+        # window version always paid. Values identical: dropping all
+        # rows of a bucket with count > cap ≡ the window filter
+        # (same bkey key, same count, same rows kept).
+        wide = (
+            banded.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("__bw"))
+            .filter(F.col("__bw") > max_bucket)
+            .select("bkey")
         )
+        banded = banded.join(wide, "bkey", "anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -791,18 +825,21 @@ def embedding_near_dupes_lsh(
         )
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "sig")
-        # persisted after the filter too (the r16 ADVICE lesson from
-        # the MinHash cap): both self-join aliases read the capped
-        # frame, so without this cache the width-count window would
-        # execute once per alias
-        banded = _scoped_persist(
-            banded.withColumn("__bw", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bw") <= max_bucket)
-            .drop("__bw")
+        # r17 (optimization round): same partial-agg + anti-join cap
+        # as minhash_lsh_candidates — the width count ships one
+        # ((band, sig), count) row per map partition instead of
+        # window-shuffling and sorting every banded row, and the anti
+        # join's build side is only the over-cap buckets (tiny in
+        # count; AQE broadcasts it here and falls back to the
+        # co-partitioned join under a many-floods corpus — never
+        # worse than the window's full shuffle). Values identical.
+        wide = (
+            banded.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__bw"))
+            .filter(F.col("__bw") > max_bucket)
+            .select("band", "sig")
         )
+        banded = banded.join(wide, ["band", "sig"], "anti")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -1517,6 +1554,7 @@ def connected_components(
     a: str = "id_a",
     b: str = "id_b",
     stats_out: dict | None = None,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Pregel-style min-label propagation WITH pointer jumping: every
     node starts labeled with itself; each round it adopts the smallest
@@ -1553,19 +1591,46 @@ def connected_components(
     canonical representative (same policy as :func:`exact_dedup`).
     """
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    edges = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
-    # the frame actually holding this round's checkpoint blocks —
-    # unpersist must target IT, not a projection derived from it
-    ckpt = labels
-    rounds = 0
-    for _ in range(max_iters):
+    # r17 (optimization round, guide §2.4): ``dedup_edges=False`` lets
+    # callers whose pair set is ALREADY distinct (every internal
+    # producer — minhash_near_dupes and jaccard_pairs both end in a
+    # per-pair aggregate/distinct, and id_a < id_b means the two
+    # directions can't collide) skip a full shuffle of the edge table.
+    # Duplicate edges would not change the fixpoint anyway (min over
+    # duplicates is the same min); the distinct only bounds per-round
+    # join volume, so it stays the default for external pair sources.
+    if dedup_edges:
+        edges = edges.distinct()
+    edges = edges.persist()
+    # round 1 runs SPECIALIZED (r17): with every label = its own node,
+    # the neighbor-min term is just min(src) per dst over the edge
+    # table — no join with a labels frame — and the pointer-jump term
+    # is provably a no-op (label-of-label ≡ label). One aggregation +
+    # one left join replaces the eager identity checkpoint job plus
+    # the three joins of a generic round; rounds 2+ run the full step.
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    prop0 = (
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nbr_min"))
+    )
+    stepped = (
+        nodes.join(prop0, "node", "left")
+        .select(
+            "node",
+            F.least(
+                F.col("node"), F.coalesce(F.col("nbr_min"), F.col("node"))
+            ).alias("label"),
+            (F.col("nbr_min") < F.col("node")).alias("__chg"),
+        )
+    ).localCheckpoint(eager=False)
+    changed = stepped.filter(F.col("__chg")).count()
+    ckpt = stepped
+    labels = stepped.drop("__chg")
+    rounds = 1
+    while changed and rounds < max_iters:
         rounds += 1
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -1610,9 +1675,7 @@ def connected_components(
         _unpersist_local_checkpoint(ckpt)
         ckpt = stepped
         labels = stepped.drop("__chg")
-        if changed == 0:
-            break
-    else:
+    if changed:
         # r7: exhausting max_iters used to RETURN the unconverged
         # labels — silently splitting one long-diameter component
         # (e.g. a chain of templated near-dups) into several clusters.
@@ -1661,9 +1724,11 @@ def dup_clusters(
         if exact
         else minhash_near_dupes(df, threshold, id_col, text_col, ngram, **lsh_kwargs)
     )
-    return connected_components(pairs.select("id_a", "id_b")).select(
-        F.col("node").alias(id_col), "cluster_id"
-    )
+    # both producers end in a per-pair aggregate/distinct, so the edge
+    # table needs no second dedup shuffle (r17, see connected_components)
+    return connected_components(
+        pairs.select("id_a", "id_b"), dedup_edges=False
+    ).select(F.col("node").alias(id_col), "cluster_id")
 
 
 # ---------------------------------------------------------------------------

@@ -474,13 +474,17 @@ def bloom_contains(
         p = _bloom_pos(key, i, n_bits)
         w = F.floor(p / 32).cast("int")
         b = F.pmod(p, F.lit(32)).cast("int")
-        # (word >> b) & 1 via exact power-of-two division (words are
-        # 32-bit nonnegative, so double division by 2^b is exact)
+        # (word >> b) & 1 as an INTEGER shift (r17 optimization round,
+        # guide §1.2 per-task work): the former exact power-of-two
+        # double division evaluated Math.pow per probe per shingle —
+        # a transcendental call on the hottest corpus-scan expression
+        # (q99bb/q99bw/q99bk run 4 of these per shingle). shiftright
+        # on the same nonnegative 32-bit word extracts the identical
+        # bit — values unchanged, oracle untouched (the SQL mirror
+        # already used >>).
         hit = (
-            F.floor(
-                F.element_at(bm, w + 1) / F.pow(F.lit(2.0), b)
-            ).cast("long")
-            % 2
+            F.call_function("shiftright", F.element_at(bm, w + 1), b)
+            .bitwiseAND(F.lit(1))
             == 1
         )
         cond = hit if cond is None else (cond & hit)

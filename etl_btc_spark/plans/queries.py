@@ -2106,12 +2106,11 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     from etl_btc_spark.operators.textops import fingerprint
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
-    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
-    kept = (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # r17 (optimization round): partial-aggregated min_by replaces the
+    # fingerprint window — one candidate row per fingerprint per map
+    # partition crosses the exchange, no sort (see
+    # dedup.keep_first_by_fingerprint; values identical, oracle unchanged)
+    kept = DD.keep_first_by_fingerprint(docs)
     scored = (
         kept.filter(TX.lang_id(F.col("text")) == "en")
         .withColumn("quality", sround(TX.quality_score(F.col("text")), 6))
@@ -3381,12 +3380,10 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
     clean = docs.withColumn("text", TX.scrub_pii(F.col("text")))
-    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
-    kept = (
-        clean.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .filter(sround(TX.quality_score(F.col("text")), 6) >= 0.45)
+    # r17: min_by dedup instead of the fingerprint window (see
+    # dedup.keep_first_by_fingerprint; values identical)
+    kept = DD.keep_first_by_fingerprint(clean).filter(
+        sround(TX.quality_score(F.col("text")), 6) >= 0.45
     )
     sampled = SP.stratified_sample(kept, _Q80_RATES)
     return SP.token_packing(sampled.select("doc_id", "text"), budget=2048, docs_per_shard=64)
@@ -3689,12 +3686,11 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     from etl_btc_spark.operators.textops import fingerprint
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
-    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
-    kept = (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # r17 (optimization round): partial-aggregated min_by replaces the
+    # fingerprint window — one candidate row per fingerprint per map
+    # partition crosses the exchange, no sort (see
+    # dedup.keep_first_by_fingerprint; values identical, oracle unchanged)
+    kept = DD.keep_first_by_fingerprint(docs)
     train = SP.train_val_test_split(kept).filter(F.col("split") == "train").drop("split")
     rates = SP.domain_mix_rates(train, weight_fn=_q91_weight)
     mixed = SP.stratified_sample(train, rates, stratum_col="source").select("doc_id", "text")
@@ -3906,20 +3902,31 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     clusters = DD.dup_clusters(
         docs, threshold=0.8, ngram=3, exact=False, max_bucket=16
     )
-    scored = (
-        docs.join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
-            sround(TX.quality_score(F.col("text")), 6).alias("quality"),
-        )
+    quality = sround(TX.quality_score(F.col("text")), 6).alias("quality")
+    # r17 (optimization round, guide §2.4): docs in NO duplicate
+    # cluster — the overwhelming majority of any curated corpus — are
+    # their own cluster and trivially rank rn=1, so they never need
+    # the per-cluster window. Splitting them out turns the former
+    # full-corpus hashpartitioning(cluster_id) + sort into a window
+    # over only the CLUSTERED docs (bounded by dup volume, not corpus
+    # size); the singleton branch is a pure map over the anti join.
+    # `clusters` is the CC output, localCheckpoint-materialized, so
+    # the anti + inner probes read the same blocks, no recompute.
+    # Values identical: coalesce(cluster_id, doc_id) ≡ the two
+    # branches, and rn=1 keeps exactly one row either way.
+    singles = docs.join(clusters, "doc_id", "anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id"), quality
+    )
+    clustered = docs.join(clusters, "doc_id").select(
+        "doc_id", "cluster_id", quality
     )
     w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
+    best = (
+        clustered.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return singles.unionByName(best)
 
 
 @register(
@@ -8238,8 +8245,12 @@ def q99ba(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q99bb(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # r17: spread the eval side too — its shingle+md5 pass ran on ONE
+    # task (one parquet split at test SFs; profiled ~260 ms serial
+    # before the corpus job can even be planned, since the bitmap is
+    # collected into a plan literal). No-op at real file counts.
     tsh = (
-        docs.filter(F.col("doc_id") % 23 == 0)
+        DD.spread(docs.filter(F.col("doc_id") % 23 == 0))
         .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
         .distinct()
     )
@@ -8705,12 +8716,11 @@ def q99bi(spark: SparkSession, sf: str) -> DataFrame:
     idx = SK.artifact_path(sf, "q99bi_bpe_vocab")
     shutil.rmtree(idx, ignore_errors=True)
     BP.build_bpe_vocab(spark, docs, idx, merges=_BPE_WARM_MERGES)
-    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
-    kept = (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # r17 (optimization round): partial-aggregated min_by replaces the
+    # fingerprint window — one candidate row per fingerprint per map
+    # partition crosses the exchange, no sort (see
+    # dedup.keep_first_by_fingerprint; values identical, oracle unchanged)
+    kept = DD.keep_first_by_fingerprint(docs)
     train = (
         SP.train_val_test_split(kept)
         .filter(F.col("split") == "train")
@@ -9452,12 +9462,9 @@ def q99bt(spark: SparkSession, sf: str) -> DataFrame:
     idx = SK.artifact_path(sf, "q99bt_bpe_byte_vocab")
     shutil.rmtree(idx, ignore_errors=True)
     BP.build_bpe_vocab(spark, aug, idx, merges=_BPE_BYTE_MERGES, byte_level=True)
-    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
-    kept = (
-        aug.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # r17: min_by dedup instead of the fingerprint window (see
+    # dedup.keep_first_by_fingerprint; values identical)
+    kept = DD.keep_first_by_fingerprint(aug)
     train = (
         SP.train_val_test_split(kept)
         .filter(F.col("split") == "train")
@@ -9653,8 +9660,14 @@ def q99bv(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q99bw(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
-    tsh = (
-        docs.filter(F.col("doc_id") % 23 == 0)
+    # r17 (optimization round, guide §2.6/§5): the eval shingle table
+    # is consumed TWICE — the bloom-bits collect and the exact verify's
+    # broadcast build side — and used to be recomputed for each, both
+    # times on a SINGLE task (the %23 filter rides one parquet split at
+    # test SFs; profiled ~350 ms + ~460 ms serial). spread() fans the
+    # shingle pass across cores and the scoped persist computes it once.
+    tsh = DD._scoped_persist(
+        DD.spread(docs.filter(F.col("doc_id") % 23 == 0))
         .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
         .distinct()
     )

@@ -48,6 +48,21 @@ DEFAULT_CONF = {
     # gets this for free from file counts; local small-file runs
     # must ask). Pure parallelism — values unchanged.
     "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # r17 (optimization round, guide §2.2/§2.5): AQE's partition
+    # coalescing with parallelismFirst=true packs reduce partitions
+    # to minPartitionSize (default 1 MB) — at bench scale every
+    # window/re-rank shuffle is sub-MB, so whole stages collapsed to
+    # ONE task on a 32-core box (q17's Bollinger window chain ran
+    # 595 ms single-threaded of an 894 ms query; q23/q59/q86 same
+    # shape — measured in .benchmarks/profile_stages.json). 256k keeps
+    # those stages parallel at small scale and is INERT at 100 TB,
+    # where real post-shuffle partitions are far above 1 MB anyway
+    # (interleaved A/B: scripts/ab_aqe_minpartition.py — window
+    # family −0.2..−0.4 s each, no regression at 256k). Env-overridable
+    # for clusters that want the stock 1 MB back.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "256k"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }

@@ -685,6 +685,94 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     assert got == {0, 1000}
 
 
+def test_connected_components_dedup_edges_off_same_labels(spark):
+    """r17 optimization: ``dedup_edges=False`` skips the edge-distinct
+    shuffle for callers whose pair set is already distinct — and must
+    give the SAME labels even when the caller lied and duplicates (or
+    both orientations) are present, because min-label propagation is
+    idempotent over duplicate edges."""
+    from etl_btc_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (0, 1), (2, 1)], "id_a: bigint, id_b: bigint"
+    )
+    ref = {
+        (r["node"], r["cluster_id"])
+        for r in DD.connected_components(pairs).collect()
+    }
+    fast = {
+        (r["node"], r["cluster_id"])
+        for r in DD.connected_components(pairs, dedup_edges=False).collect()
+    }
+    assert fast == ref
+    assert {c for _, c in fast} == {0, 5}
+
+
+def test_connected_components_round1_specialization_converges(spark):
+    """r17: round 1 runs the specialized identity-labels step (one
+    aggregation, no pointer join). A star graph whose hub is the min
+    converges in that single round — and a graph needing label
+    propagation through the hub still reaches the fixpoint."""
+    from etl_btc_spark.operators import dedup as DD
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a: bigint, id_b: bigint"
+    )
+    out = DD.connected_components(star, stats_out=(stats := {}))
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+    # one specialized change round + one generic confirm round
+    assert stats["rounds"] == 2
+    # reversed star (hub is the max): needs a second round to pull the
+    # min through the hub — exercises the generic-round path after the
+    # specialized first round
+    rstar = spark.createDataFrame(
+        [(i, 9) for i in range(1, 6)], "id_a: bigint, id_b: bigint"
+    )
+    out2 = DD.connected_components(rstar, stats_out=(stats2 := {}))
+    assert out2.filter(F.col("cluster_id") != 1).count() == 0
+    assert stats2["rounds"] >= 2
+
+
+def test_minhash_cap_anti_join_equals_width_filter(spark):
+    """r17: the stop-bucket cap now drops over-wide buckets via a
+    partial-agg + anti join instead of a bkey window — the kept row
+    set must equal the reference width-count filter exactly."""
+    from pyspark.sql import Window
+
+    from etl_btc_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, "flood common text body shared by everyone") for i in range(40)]
+        + [(100 + i, f"unique document number {i} with words {i * 7}") for i in range(20)],
+        "doc_id: bigint, text: string",
+    )
+    banded = DD._minhash_banded(docs, "doc_id", "text", 32, 8, 3)
+    wb = Window.partitionBy("bkey")
+    ref = {
+        (r["doc_id"], r["bkey"])
+        for r in banded.withColumn("__bw", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bw") <= 16)
+        .drop("__bw")
+        .collect()
+    }
+    capped_pairs = DD.minhash_lsh_candidates(docs, max_bucket=16, ngram=3)
+    # reconstruct the capped banded set the anti join kept: every pair
+    # side must come from a kept (id, bkey) row — weaker but direct:
+    # the capped candidate set must equal pairs generated from ref
+    import itertools
+
+    by_bucket: dict = {}
+    for doc_id, bkey in ref:
+        by_bucket.setdefault(bkey, set()).add(doc_id)
+    want = set()
+    for members in by_bucket.values():
+        for x, y in itertools.combinations(sorted(members), 2):
+            want.add((x, y))
+    got = {(r["id_a"], r["id_b"]) for r in capped_pairs.collect()}
+    assert got == want
+    DD.release_scoped_caches()
+
+
 @given(
     texts=st.lists(
         st.text(alphabet=" \t\naAbBcC.,!?0-", max_size=24), min_size=1, max_size=6
