@@ -1607,22 +1607,19 @@ def connected_components(
     edges = edges.persist()
     # round 1 runs SPECIALIZED (r17): with every label = its own node,
     # the neighbor-min term is just min(src) per dst over the edge
-    # table — no join with a labels frame — and the pointer-jump term
-    # is provably a no-op (label-of-label ≡ label). One aggregation +
-    # one left join replaces the eager identity checkpoint job plus
-    # the three joins of a generic round; rounds 2+ run the full step.
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    prop0 = (
+    # table and the pointer-jump term is provably a no-op
+    # (label-of-label ≡ label). Because the edge table is symmetric,
+    # EVERY node appears as a dst, so the groupBy's key set IS the
+    # node set — round 1 collapses to ONE aggregation over edges,
+    # replacing the eager identity-checkpoint job, the node distinct
+    # and the three joins of a generic round. Rounds 2+ run the full
+    # step.
+    stepped = (
         edges.groupBy(F.col("dst").alias("node"))
         .agg(F.min("src").alias("nbr_min"))
-    )
-    stepped = (
-        nodes.join(prop0, "node", "left")
         .select(
             "node",
-            F.least(
-                F.col("node"), F.coalesce(F.col("nbr_min"), F.col("node"))
-            ).alias("label"),
+            F.least(F.col("node"), F.col("nbr_min")).alias("label"),
             (F.col("nbr_min") < F.col("node")).alias("__chg"),
         )
     ).localCheckpoint(eager=False)

@@ -344,10 +344,22 @@ def score_documents(
     the correctness gate depends on this staying the default),
     ``"hf"`` (the reference's real pipelines; raises up front if the
     capability is missing rather than failing executor-side), or
-    ``"auto"`` (hf per model when available, stub otherwise)."""
+    ``"auto"`` (hf per model when available, stub otherwise).
+
+    r17 (optimization round, guide §4.4): the former shape — one
+    struct pandas UDF per model plus a DataFrame-level ``>= 1
+    success`` filter — made the optimizer push the filter below the
+    UDF projection and DUPLICATE every model evaluation (the q32 plan
+    carried two ArrowEvalPython nodes, each scoring all three models:
+    6 model passes per row instead of 3). All models now run in ONE
+    ``mapInPandas`` crossing with the success filter applied in
+    Python (mapInPandas may change cardinality), so each model scores
+    each row exactly once, only one Arrow round-trip is paid, and an
+    hf pipeline initializes once per task (guide §4.5). Values are
+    identical — same model fns, same NULL-on-failure rows dropped."""
     if engine not in ("stub", "hf", "auto"):
         raise ValueError(f"score_documents: unknown engine {engine!r}")
-    out = df
+    fns = []
     for m in models:
         use_hf = m in HF_MODEL_IDS and engine in ("hf", "auto") and hf_available(m)
         if engine == "hf" and m in HF_MODEL_IDS and not use_hf:
@@ -357,16 +369,35 @@ def score_documents(
                 "(hf_available() is False); use engine='auto' to fall "
                 "back to the stub scorer"
             )
-        udf = (
-            sentiment_udf(model_fn=hf_model_fn(m))
+        fn = (
+            hf_model_fn(m)
             if use_hf
-            else sentiment_udf(salt=MODEL_SALTS.get(m, 0))
+            else (lambda texts, _s=MODEL_SALTS.get(m, 0): stub_model_fn(texts, _s))
         )
-        out = out.withColumn(f"__{m}", udf(F.col(text_col)))
-        out = out.withColumn(f"{m}_label", F.col(f"__{m}.label")).withColumn(
-            f"{m}_score", F.col(f"__{m}.score")
-        ).drop(f"__{m}")
-    any_ok: Column = F.lit(False)
+        fns.append((m, fn))
+    ensure_serializable()
+    fields = list(df.schema.fields)
     for m in models:
-        any_ok = any_ok | F.col(f"{m}_label").isNotNull()
-    return out.filter(any_ok)
+        fields.append(T.StructField(f"{m}_label", T.StringType()))
+        fields.append(T.StructField(f"{m}_score", T.DoubleType()))
+    schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts = pdf[text_col]
+            ok = None
+            for m, fn in fns:
+                res = fn(texts)
+                pdf[f"{m}_label"] = res["label"].values
+                pdf[f"{m}_score"] = res["score"].values
+                nn = res["label"].notna().to_numpy()
+                ok = nn if ok is None else (ok | nn)
+            if ok is None:  # no models: the old filter(False) semantics
+                yield pdf.iloc[0:0][names] if names else pdf.iloc[0:0]
+                continue
+            yield pdf[ok][names]
+
+    return df.mapInPandas(gen, schema)

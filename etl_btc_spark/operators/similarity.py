@@ -197,8 +197,16 @@ def lsh_band_sig_udf(dim: int, n_bands: int, bits_per_band: int, seed: int = 42)
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
         null_mask = vecs.isna()
-        rows = [([0.0] * dim if m else list(v)) for m, v in zip(null_mask, vecs)]
-        mat = np.array(rows, dtype=np.float64)  # (batch, dim)
+        if not null_mask.any():
+            # r17 (optimization round, guide §4.2): the common all-
+            # non-null batch stacks the Arrow-provided float32 arrays
+            # directly — no per-row list() materialization. float32 →
+            # float64 upcast is exact, so projections (and signs) are
+            # bit-identical to the row-by-row path below.
+            mat = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        else:
+            rows = [([0.0] * dim if m else list(v)) for m, v in zip(null_mask, vecs)]
+            mat = np.array(rows, dtype=np.float64)  # (batch, dim)
         bits = (mat @ planes.T >= 0).astype(np.int64)  # (batch, planes)
         sigs = bits.reshape(len(mat), n_bands, bits_per_band) @ weights  # (batch, bands)
         out = pd.Series(sigs.tolist())

@@ -245,13 +245,16 @@ def build_text_index(
             os.remove(os.path.join(path, _DPARTS_FILE))
         except FileNotFoundError:
             pass
-    stats = df.agg(
+    # r17 (optimization round, guide §1.2): the stats row aggregates
+    # the just-WRITTEN doclen registry instead of re-scanning and
+    # re-tokenizing the corpus — dl is already materialized one long
+    # per doc, so this third full tokenization pass of the build was
+    # pure recompute. Values identical (same ws_token_count column).
+    stats = spark.read.parquet(os.path.join(path, "doclen")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         # coalesce: sum over an empty corpus is NULL, and a NULL
         # total_dl would poison the first append's exact-integer merge
-        F.coalesce(F.sum(ws_token_count(F.col(text_col))), F.lit(0)).alias(
-            "total_dl"
-        ),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     _mark_built(path, "text")

@@ -1347,7 +1347,15 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     clean = docs.select("doc_id", TX.html_strip(F.col("text")).alias("text"))
     scored = SC.score_documents(clean)
     emb = scored.withColumn("embedding", SC.embedding_udf(8)(F.col("text")))
-    query = emb.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("__qvec"))
+    # r17: derive the query vector from the CLEANED text directly —
+    # score_documents is now a mapInPandas barrier (guide §4.4 fix),
+    # so a doc_id filter above it could no longer push to the scan and
+    # the broadcast side would have scored the whole corpus just to
+    # keep one row. The embedding is a pure function of cleaned text,
+    # so this is the identical vector.
+    query = clean.filter(F.col("doc_id") == 0).select(
+        SC.embedding_udf(8)(F.col("text")).alias("__qvec")
+    )
     sim = SIM.cosine(F.col("embedding"), F.col("__qvec"))
     neighbors = (
         emb.crossJoin(F.broadcast(query))
