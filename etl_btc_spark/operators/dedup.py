@@ -1351,9 +1351,11 @@ def incremental_near_dupes(
     the streaming twin of the batch quadratic. The width counts LIVE
     corpus rows per bkey (exact even under the directory prune:
     ``bpart`` is a pure function of the bkey, so a bucket is never
-    split across pruned-in and pruned-out partitions), co-partitioned
-    with the join's own bkey shuffle. Same recall trade and the same
-    ~n²/2⁶⁴ hashed-key collision caveat as
+    split across pruned-in and pruned-out partitions) via a
+    partial-aggregated groupBy + anti join on the over-cap keys
+    (r17 — the probe join broadcasts the batch bands, so corpus band
+    rows stay entirely unshuffled per trigger). Same recall trade and
+    the same ~n²/2⁶⁴ hashed-key collision caveat as
     :func:`minhash_lsh_candidates`.
 
     Band-scan pruning (r11, VERDICT r10 "What's missing" #4): the
@@ -1449,14 +1451,23 @@ def incremental_near_dupes(
         F.col(id_col).alias("corpus_id"), "bkey"
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("bkey")
-        corpus_bands = (
-            corpus_bands.withColumn("__bw", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bw") <= max_bucket)
-            .drop("__bw")
+        # r17 (optimization round): partial-agg + anti join replaces
+        # the bkey window here too — and in THIS path the win is
+        # structural, not just constant-factor: the probe join itself
+        # is a BROADCAST of the batch bands (no shuffle of corpus
+        # rows at all), so the window's hashpartitioning(bkey) was
+        # the ONLY full shuffle of the pruned corpus bands in the
+        # trigger. The aggregate ships (bkey, count) partials and the
+        # anti join's build side is the over-cap buckets (floods —
+        # tiny in count), leaving the corpus band rows entirely
+        # unshuffled per trigger. Same kept-row set, same caveats.
+        wide = (
+            corpus_bands.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("__bw"))
+            .filter(F.col("__bw") > max_bucket)
+            .select("bkey")
         )
+        corpus_bands = corpus_bands.join(wide, "bkey", "anti")
     cands = _scoped_persist(
         corpus_bands.join(F.broadcast(batch_bands), "bkey")
         .select("batch_id", "corpus_id")

@@ -137,7 +137,11 @@ def quality_features(c: Column) -> dict[str, Column]:
     against zero denominators."""
     n_chars = F.length(c)
     toks = ws_tokens(F.lower(c))
-    n_words = ws_token_count(c)
+    # r17: count the LOWERED tokens (same count — lowercasing never
+    # changes whitespace) so the expression tree shares `toks` and
+    # codegen subexpression elimination runs ONE split per doc
+    # instead of two on the quality-score hot path (q29/q59/q86/q97).
+    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(toks))
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in QUALITY_STOPWORDS]))
     )

@@ -9757,8 +9757,9 @@ _Q99BX_BOILER = (
         "ENTIRE capped candidate set (recall loss included) "
         "hash-matches DuckDB — the recall trade is measured, not "
         "waved at. Scale shape unchanged from q40 (banded join, "
-        "verify only candidates); the cap adds one bkey-keyed window "
-        "count, co-partitioned with the self-join's own shuffle"
+        "verify only candidates); the cap adds one partial-aggregated "
+        "width count + an anti join on the over-cap bucket keys "
+        "(r17 — formerly a bkey window)"
     ),
 )
 def q99bx(spark: SparkSession, sf: str) -> DataFrame:
@@ -10507,8 +10508,10 @@ def q99cg(spark: SparkSession, sf: str) -> DataFrame:
         "so the probe's entire capped answer (recall trade included) "
         "hash-matches DuckDB at all three SFs. Plan unchanged from "
         "q74: bpart-pruned band scan, batch bands broadcast, exact "
-        "verify on candidates only — the cap adds one bkey-keyed "
-        "window count co-partitioned with the join"
+        "verify on candidates only — the cap is a partial-aggregated "
+        "width count + anti join on the over-cap keys (r17: the "
+        "probe join broadcasts the batch bands, so corpus band rows "
+        "stay unshuffled per trigger)"
     ),
 )
 def q99ch(spark: SparkSession, sf: str) -> DataFrame:
