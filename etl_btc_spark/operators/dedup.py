@@ -203,6 +203,224 @@ def word_shingles(c: Column, n: int = 1) -> Column:
     return F.array_distinct(grams)
 
 
+def _py_word_grams(norm: str | None, n: int) -> set[str] | None:
+    """Distinct word n-grams of an ALREADY-NORMALIZED text — the
+    Python twin of :func:`word_shingles`'s gram stage. ``norm`` must
+    be the output of :func:`normalize_text` (lowercased, trimmed,
+    whitespace squeezed to single spaces), so tokenization is an
+    exact ``split(' ')``: after squeezing, ``\\s+`` can only match a
+    lone space, and Java's ``split`` on an empty string yields
+    ``[""]`` exactly like Python's ``"".split(" ")``.
+
+    NULL text mirrors the JVM's (measured) behavior exactly: at
+    ``n == 1`` the array is NULL (explode drops the doc), but at
+    ``n >= 2`` the gram expression is ``concat_ws`` over a NULL
+    slice — concat_ws IGNORES null args — so the doc yields the
+    single empty-string shingle ``{''}``."""
+    if norm is None:
+        return None if n == 1 else {""}
+    toks = norm.split(" ")
+    return {
+        " ".join(toks[i : i + n])
+        for i in range(max(len(toks) - (n - 1), 1))
+    }
+
+
+def word_shingle_rows(
+    df: DataFrame,
+    ngram: int,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded distinct word n-gram rows ``(ids..., s)`` via ONE
+    mapInArrow crossing — the Arrow-native twin of
+    ``select(ids..., explode(word_shingles(text, n)))`` (r18
+    optimization round, guide §4.2, VERDICT r17 #4).
+
+    The JVM's gram stage evaluates an interpreted higher-order
+    ``transform(sequence, concat_ws(slice))`` per document plus
+    ``array_distinct`` + ``explode``; profiled as the single biggest
+    remaining stage of the decontamination queries (~1.1 s at sf0.1).
+    Here the risky part — whitespace/locale normalization — STAYS in
+    the JVM (``normalize_text``, byte-identical to every oracle), and
+    Python only splits on the single spaces that normalization
+    guarantees, joins slices, and dedups — pure ASCII-independent
+    string mechanics, pinned value-identical to the JVM path by
+    ``test_word_shingle_rows_equals_jvm_explode``."""
+    import pyarrow as pa
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    ids = list(id_cols)
+    src = df.select(*ids, normalize_text(F.col(text_col)).alias("__norm"))
+    out_schema = T.StructType(
+        [src.schema[c] for c in ids] + [T.StructField("s", T.StringType())]
+    )
+    n = ngram
+
+    def gen(batches):
+        for batch in batches:
+            cols = {c: batch.column(c).to_pylist() for c in ids}
+            norms = batch.column("__norm").to_pylist()
+            out_ids: dict[str, list] = {c: [] for c in ids}
+            out_s: list[str] = []
+            for row, norm in enumerate(norms):
+                grams = _py_word_grams(norm, n)
+                if not grams:
+                    continue
+                for c in ids:
+                    out_ids[c].extend([cols[c][row]] * len(grams))
+                out_s.extend(grams)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids[c]) for c in ids] + [pa.array(out_s, pa.string())],
+                names=ids + ["s"],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def _py_bloom_hit(s: str, bits: list[int], n_bits: int, k: int, md5) -> bool:
+    """Python twin of ``sketches.bloom_contains`` for one key: ONE
+    md5 digest per key at k<=4 (the i%4-th 8-hex-char slice of
+    md5("bloom{i//4}:" || key) is hash position i — identical slicing
+    to ``sketches._bloom_pos`` and its SQL mirror), bit test
+    ``(word >> (p % 32)) & 1`` against the same dense word list.
+    hashlib/JVM/DuckDB md5 agree on UTF-8 bytes, int(hex, 16) ==
+    conv(hex, 16, 10) for 8 hex chars, and ``%`` == pmod on
+    nonnegative values — so the hit set (false positives included) is
+    bit-identical; pinned by test_py_bloom_hit_equals_jvm_probe."""
+    digest = None
+    for i in range(k):
+        j, sl = divmod(i, 4)
+        if sl == 0:
+            digest = md5(("bloom%d:" % j + s).encode("utf-8")).hexdigest()
+        p = int(digest[8 * sl : 8 * sl + 8], 16) % n_bits
+        if not (bits[p // 32] >> (p % 32)) & 1:
+            return False
+    return True
+
+
+def bloom_shingle_doc_stats(
+    df: DataFrame,
+    bits: list[int],
+    n_bits: int,
+    ngram: int,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Bloom decontamination stats in ONE mapInArrow
+    crossing and ZERO shuffles (r18 optimization round, guide
+    §4.2/§2.4, VERDICT r17 #4): ``(doc_id, n_shingles, n_bloom_hits,
+    flagged)`` — value-identical to
+
+        explode(word_shingles(text, n)) → bloom_contains →
+        groupBy(doc_id).agg(count, sum(hit), sum(hit) > 0)
+
+    but the interpreted gram HOF, the per-shingle probe expressions,
+    the 50× explode and the groupBy exchange all disappear: a doc's
+    shingles never leave the Python worker that computed them.
+    Normalization stays in the JVM (oracle-exact); md5 probing is
+    hashlib — the same digest bytes. Docs whose text is NULL emit no
+    row (explode-of-NULL semantics)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    src = df.select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("n_shingles", T.LongType(), False),
+            T.StructField("n_bloom_hits", T.LongType(), False),
+            T.StructField("flagged", T.BooleanType(), False),
+        ]
+    )
+    n = ngram
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            norms = batch.column("__norm").to_pylist()
+            o_id, o_n, o_h, o_f = [], [], [], []
+            for did, norm in zip(ids, norms):
+                grams = _py_word_grams(norm, n)
+                if not grams:
+                    continue
+                hits = sum(
+                    1 for s in grams if _py_bloom_hit(s, bits, n_bits, k, md5)
+                )
+                o_id.append(did)
+                o_n.append(len(grams))
+                o_h.append(hits)
+                o_f.append(hits > 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id),
+                    pa.array(o_n, pa.int64()),
+                    pa.array(o_h, pa.int64()),
+                    pa.array(o_f, pa.bool_()),
+                ],
+                names=[id_col, "n_shingles", "n_bloom_hits", "flagged"],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def bloom_shingle_survivors(
+    df: DataFrame,
+    bits: list[int],
+    n_bits: int,
+    ngram: int,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-POSITIVE distinct word n-gram shingles ``(id, s)`` in ONE
+    mapInArrow crossing — the prefilter shape feeding an exact verify
+    join (q99bw). Value-identical to ``explode(word_shingles) →
+    filter(bloom_contains)``; only the surviving shingles (the tiny
+    true-hit + FP set) ever leave the Python worker."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from etl_btc_spark._pickle import ensure_serializable
+
+    ensure_serializable()
+    src = df.select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
+    out_schema = T.StructType(
+        [src.schema[id_col], T.StructField("s", T.StringType(), False)]
+    )
+    n = ngram
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            norms = batch.column("__norm").to_pylist()
+            o_id, o_s = [], []
+            for did, norm in zip(ids, norms):
+                grams = _py_word_grams(norm, n)
+                if not grams:
+                    continue
+                for s in grams:
+                    if _py_bloom_hit(s, bits, n_bits, k, md5):
+                        o_id.append(did)
+                        o_s.append(s)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id), pa.array(o_s, pa.string())],
+                names=[id_col, "s"],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
 def char_shingles(c: Column, n: int = 3) -> Column:
     """Distinct character n-gram shingles of normalized text."""
     norm = normalize_text(c)

@@ -376,6 +376,22 @@ def score_documents(
         )
         fns.append((m, fn))
     ensure_serializable()
+    # r18 (ADVICE r17): the old per-model withColumn path REPLACED an
+    # existing column of the same name; mapInPandas appends schema
+    # fields, so re-scoring an already-scored frame would emit a
+    # duplicate-named field and fail downstream in confusing ways —
+    # refuse up front instead.
+    clash = [
+        c
+        for m in models
+        for c in (f"{m}_label", f"{m}_score")
+        if c in df.columns
+    ]
+    if clash:
+        raise ValueError(
+            "score_documents: input already carries output column(s) "
+            f"{clash} — drop or rename them before re-scoring"
+        )
     fields = list(df.schema.fields)
     for m in models:
         fields.append(T.StructField(f"{m}_label", T.StringType()))

@@ -1353,7 +1353,16 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     # the broadcast side would have scored the whole corpus just to
     # keep one row. The embedding is a pure function of cleaned text,
     # so this is the identical vector.
-    query = clean.filter(F.col("doc_id") == 0).select(
+    # r18 (VERDICT r17 "What's wrong" #1 / ADVICE): the oracle's `q`
+    # CTE takes doc 0 from the ≥1-success-FILTERED set — if doc 0
+    # ever fails all three models (cleaned length % 29 == 0), the
+    # result must be EMPTY. Scoring just the pushed one-row doc-0
+    # slice applies the identical success filter at ~zero cost (the
+    # doc_id=0 predicate pushes to the scan below this mapInPandas;
+    # scoring one row is a single tiny Arrow batch), so a dropped
+    # doc 0 yields an empty query → empty tally, matching the oracle
+    # for ALL data. Pinned by test_q43_query_doc_all_models_fail.
+    query = SC.score_documents(clean.filter(F.col("doc_id") == 0)).select(
         SC.embedding_udf(8)(F.col("text")).alias("__qvec")
     )
     sim = SIM.cosine(F.col("embedding"), F.col("__qvec"))
@@ -3922,10 +3931,23 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     # the anti + inner probes read the same blocks, no recompute.
     # Values identical: coalesce(cluster_id, doc_id) ≡ the two
     # branches, and rn=1 keeps exactly one row either way.
-    singles = docs.join(clusters, "doc_id", "anti").select(
+    # r18 (VERDICT r17 #1, guide §3.1): BROADCAST the CC label table
+    # on both probes. Without the hint the anti join planned as SMJ
+    # LeftAnti with a full-corpus hashpartitioning(doc_id) Exchange +
+    # Sort (plans/r17/q97_..._after.txt nodes 2-3), and the inner
+    # probe only broadcast because AQE saw a tiny DOCS side at test
+    # SF — BuildLeft on the corpus, which flips to a corpus shuffle
+    # at scale. The CC output is bounded by clustered-duplicate
+    # volume (rows = docs that are in some near-dup cluster), the
+    # provably-small side of a curated corpus; broadcasting it makes
+    # BOTH probes zero-corpus-exchange and the two BroadcastExchanges
+    # reuse one another (identical child plan). Values unchanged —
+    # join keys and types identical, only the strategy moved.
+    bclusters = F.broadcast(clusters)
+    singles = docs.join(bclusters, "doc_id", "anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id"), quality
     )
-    clustered = docs.join(clusters, "doc_id").select(
+    clustered = docs.join(bclusters, "doc_id").select(
         "doc_id", "cluster_id", quality
     )
     w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
@@ -8240,15 +8262,18 @@ def q99ba(spark: SparkSession, sf: str) -> DataFrame:
         "inverted-index check): the eval set's word 5-gram shingles "
         "aggregate into a fixed 131072-bit bitmap (distributed "
         "per-word bit_or, BOUNDED 4096-long collect, ~0.3% FP at the "
-        "sf0.1 key count), which rides the "
-        "plan as a LITERAL and pre-filters the corpus with a "
-        "pure-codegen membership expression — no join, no shuffle, "
-        "no Python; the corpus side is one scan at 100 TB and only "
+        "sf0.1 key count), which ships in the closure of ONE "
+        "mapInArrow corpus pass (r18 — formerly a plan-literal "
+        "codegen probe over a 50x explode + groupBy shuffle): "
+        "shingling, md5 probing and the per-doc counts all run where "
+        "the shingles are born — no join, ZERO shuffles, one Arrow "
+        "crossing; the corpus side is one scan at 100 TB and only "
         "bloom-positive docs proceed to the exact check. No false "
         "negatives by construction; false positives are "
-        "deterministic md5 functions, so the gate hashes the ENTIRE "
-        "candidate set (FPs included) against the SQL twin — the "
-        "sketch is verified, not just bounded"
+        "deterministic md5 functions (hashlib == JVM == DuckDB md5 "
+        "bytes), so the gate hashes the ENTIRE candidate set (FPs "
+        "included) against the SQL twin — the sketch is verified, "
+        "not just bounded"
     ),
 )
 def q99bb(spark: SparkSession, sf: str) -> DataFrame:
@@ -8271,15 +8296,18 @@ def q99bb(spark: SparkSession, sf: str) -> DataFrame:
     # is a plan-side no-op — no exchange ever enters the plan (an
     # explicit repartition() would shuffle the whole corpus; AQE can
     # re-coalesce such an exchange but never eliminate it).
-    csh = DD.spread(docs.filter(F.col("doc_id") % 23 != 0)).select(
-        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
-    )
-    member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
-    return csh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(member.cast("int")).cast("bigint").alias("n_bloom_hits"),
-        (F.sum(member.cast("int")) > 0).alias("flagged"),
-    )
+    # r18 (VERDICT r17 #4, guide §4.2): the corpus side is ONE
+    # mapInArrow — normalization stays JVM (oracle-exact), the gram
+    # construction (formerly an interpreted transform/concat_ws HOF),
+    # the md5 probes (hashlib — same digest bytes) and the per-doc
+    # counts all happen where the shingles are born, so the 50×
+    # explode and the groupBy(doc_id) exchange disappear: a doc's
+    # shingles never leave the Python worker. Value-identical (FPs
+    # included) — pinned by test_bloom_shingle_kernels_equal_jvm_path
+    # + this oracle; measured 2.05 s → 0.65 s on the corpus stage
+    # (scripts/ab_arrow_shingles.py).
+    corpus = DD.spread(docs.filter(F.col("doc_id") % 23 != 0))
+    return DD.bloom_shingle_doc_stats(corpus, bits, 131_072, ngram=5)
 
 
 @register(
@@ -9651,8 +9679,8 @@ def q99bv(spark: SparkSession, sf: str) -> DataFrame:
         "training pipeline actually runs. Per source: how many "
         "corpus docs share at least one word 5-gram with the eval "
         "set, exactly. The engine's plan: eval shingles -> 131072-"
-        "bit Bloom literal -> ONE corpus scan where the pure-codegen "
-        "membership expression kills ~all shingles BEFORE the exact "
+        "bit Bloom bitmap -> ONE fused shingle+probe mapInArrow "
+        "corpus pass (r18) that kills ~all shingles BEFORE the exact "
         "join -> the tiny surviving set exact-joins (broadcast) the "
         "eval shingle table -> two bounded aggregations. The oracle "
         "is ALL-EXACT with no Bloom anywhere: Bloom has no false "
@@ -9681,15 +9709,20 @@ def q99bw(spark: SparkSession, sf: str) -> DataFrame:
     )
     bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
     corpus = docs.filter(F.col("doc_id") % 23 != 0)
-    csh = DD.spread(corpus).select(
-        "doc_id", F.explode(DD.word_shingles(F.col("text"), 5)).alias("s")
-    )
-    member = SKT.bloom_contains(F.col("s"), bits, n_bits=131_072)
     # Bloom kills ~all shingles BEFORE the exact join; no false
-    # negatives, so the survivors carry every true hit
+    # negatives, so the survivors carry every true hit.
+    # r18 (VERDICT r17 #4, guide §4.2): shingle construction + the
+    # bloom probe fused into ONE mapInArrow (normalization stays JVM;
+    # hashlib md5 == JVM md5 bytes) — only the tiny surviving
+    # true-hit+FP set ever leaves the Python worker, and the explode
+    # + interpreted gram HOF disappear. Value-identical, pinned by
+    # test_bloom_shingle_kernels_equal_jvm_path; corpus stage
+    # measured 1.07 s → 0.52 s (scripts/ab_arrow_shingles.py).
+    surv = DD.bloom_shingle_survivors(
+        DD.spread(corpus), bits, 131_072, ngram=5
+    )
     exact_hits = (
-        csh.filter(member)
-        .join(F.broadcast(tsh), "s", "semi")
+        surv.join(F.broadcast(tsh), "s", "semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

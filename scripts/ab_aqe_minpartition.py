@@ -38,6 +38,11 @@ QUERIES = [
     "q20_hourly_candles",
     "q93_training_prep_pipeline",
     "q97_cluster_best_dedup",
+    # r18 (VERDICT r17 #3): the two driver-regressed queries the floor
+    # was suspected of hurting — star-join over tiny AQE stages and
+    # the HNSW probe — interleaved against the same arms
+    "q07_star_join_revenue",
+    "q89_knn_hnsw_join",
 ]
 
 KEY = "spark.sql.adaptive.coalescePartitions.minPartitionSize"

@@ -110,16 +110,20 @@ def plans(spark):
 
 
 def test_q99bb_plan(plans):
-    """Decontamination: bitmap rides the plan as a literal — no join
-    of any kind, no Python, and exactly two exchanges at test scale
-    (spread's fan-out over the single-split fixture + the groupBy);
-    at real partition counts spread contributes nothing (pinned by
+    """Decontamination (r18 shape — VERDICT r17 #4): the whole corpus
+    side is ONE mapInArrow over the JVM-normalized text — no join, no
+    row-at-a-time Python, and ZERO hash exchanges (the per-doc counts
+    are finished where the shingles are born, so the former
+    groupBy(doc_id) shuffle is gone); spread() may contribute one
+    round-robin fan-out over the single-split fixture, none at real
+    partition counts (pinned by
     test_bloom_corpus_side_no_exchange_above_wide_scan)."""
     p = plans["q99bb_bloom_decontamination"]
     assert p.count("Join") == 0, p
     assert "BatchEvalPython" not in p, p  # no row-at-a-time Python
-    assert "ArrowEvalPython" not in p, p  # membership is pure codegen
-    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "ArrowEvalPython" not in p, p  # no scalar-UDF crossing
+    assert p.count("MapInArrow") == 1, p  # the fused shingle+probe pass
+    assert p.count("Exchange hashpartitioning") == 0, p
     # <= 1 (r16 ADVICE — upper bound where the intent is "no EXTRA
     # exchange"): spread() contributes exactly one fan-out over the
     # single-split fixture today, zero at real partition counts; either
@@ -168,10 +172,20 @@ def test_q99au_plan(plans):
 
 def test_q97_plan(plans):
     """Dedup capstone tail: banded candidates + connected components
-    — never cartesian, no row-at-a-time Python."""
+    — never cartesian, no row-at-a-time Python. r18 (VERDICT r17 #1):
+    the CC label table is explicitly broadcast on BOTH tail probes,
+    so the corpus pays ZERO exchange in the tail — the singleton
+    branch is BroadcastHashJoin LeftAnti (was SortMergeJoin LeftAnti
+    over a full-corpus hashpartitioning(doc_id) exchange) and the
+    clustered branch builds on the CC side (was BuildLeft on the
+    corpus, an AQE small-SF accident that would flip at scale)."""
     p = plans["q97_cluster_best_dedup"]
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
+    assert "SortMergeJoin" not in p, p
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight", p), p
 
 
 def test_q99cd_plan(spark):
@@ -235,4 +249,6 @@ def test_q99bw_plan(spark):
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastHashJoin") >= 1, p
     assert "BatchEvalPython" not in p, p
-    assert "ArrowEvalPython" not in p, p  # membership + join stay JVM-side
+    assert "ArrowEvalPython" not in p, p  # the exact join stays JVM-side
+    # r18: the corpus prefilter is the fused shingle+probe mapInArrow
+    assert p.count("MapInArrow") == 1, p

@@ -1024,3 +1024,98 @@ def test_repetition_features_edges_and_oracle_parity(spark):
     from etl_btc_spark.operators.dedup import release_scoped_caches
 
     release_scoped_caches()
+
+
+def test_word_shingle_rows_equals_jvm_explode(spark):
+    """r18 (VERDICT r17 #4): the Arrow-native shingler must emit the
+    EXACT row set of explode(word_shingles(text, n)) — adversarial
+    whitespace, empties, short docs, dup grams, NULLs."""
+    import pandas as pd
+
+    from etl_btc_spark.operators import dedup as DD
+
+    texts = [
+        "one two three four five six seven",
+        "  leading and   trailing  ",
+        "\t tab\nnewline\x0bvtab\ffeed\rcr end",
+        "",
+        " ",
+        "single",
+        "a a a a a a a a",          # dup grams collapse
+        "UPPER Case MiXeD",
+        "x" * 50,
+        None,
+        "five words here exactly now",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    for n in (1, 3, 5):
+        jvm = sorted(
+            tuple(r)
+            for r in df.select(
+                "doc_id", F.explode(DD.word_shingles(F.col("text"), n)).alias("s")
+            ).collect()
+        )
+        arw = sorted(
+            tuple(r) for r in DD.word_shingle_rows(df, n).collect()
+        )
+        assert jvm == arw, (n, jvm[:5], arw[:5])
+
+
+def test_bloom_shingle_kernels_equal_jvm_path(spark):
+    """r18: the fused shingle+probe kernels (doc stats / survivors)
+    must reproduce the JVM explode→bloom_contains→groupBy rows
+    EXACTLY, false positives included."""
+    import pandas as pd
+
+    from etl_btc_spark.operators import dedup as DD
+    from etl_btc_spark.operators import sketches as SKT
+
+    rng = __import__("random").Random(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 40)))
+        for _ in range(120)
+    ]
+    texts += ["", None, "alpha beta gamma delta eps"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    eval_side = df.filter(F.col("doc_id") % 7 == 0)
+    corpus = df.filter(F.col("doc_id") % 7 != 0)
+    n_bits = 4096
+    tsh = eval_side.select(
+        F.explode(DD.word_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    bits = SKT.build_bloom_bits(tsh, "s", n_bits=n_bits)
+
+    csh = corpus.select(
+        "doc_id", F.explode(DD.word_shingles(F.col("text"), 3)).alias("s")
+    )
+    member = SKT.bloom_contains(F.col("s"), bits, n_bits=n_bits)
+    jvm_stats = sorted(
+        tuple(r)
+        for r in csh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(member.cast("int")).cast("bigint").alias("n_bloom_hits"),
+            (F.sum(member.cast("int")) > 0).alias("flagged"),
+        )
+        .collect()
+    )
+    arw_stats = sorted(
+        tuple(r)
+        for r in DD.bloom_shingle_doc_stats(
+            corpus, bits, n_bits, ngram=3
+        ).collect()
+    )
+    assert jvm_stats == arw_stats
+
+    jvm_surv = sorted(tuple(r) for r in csh.filter(member).collect())
+    arw_surv = sorted(
+        tuple(r)
+        for r in DD.bloom_shingle_survivors(
+            corpus, bits, n_bits, ngram=3
+        ).collect()
+    )
+    assert jvm_surv == arw_surv
+    assert len(jvm_surv) > 0  # the probe actually fired

