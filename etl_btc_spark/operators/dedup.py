@@ -667,7 +667,15 @@ def minhash_lsh_candidates(
         # window version always paid. Values identical: dropping all
         # rows of a bucket with count > cap ≡ the window filter
         # (same bkey key, same count, same rows kept).
-        wide = (
+        # r18 (ADVICE r17 #3): `wide` is scoped-persisted — both
+        # self-join aliases re-derive the capped frame, and without
+        # this the width AGGREGATE ran once per alias over the cached
+        # banded table (two extra passes). The over-cap key set is
+        # tiny by definition (floods), so the cache write is ~free;
+        # persisting the whole capped frame instead measured slower
+        # (scripts/ab_cap_persist.py: current 1.314 / capped 1.176 /
+        # wide 1.095 s best-of-5, value-identical).
+        wide = _scoped_persist(
             banded.groupBy("bkey")
             .agg(F.count(F.lit(1)).alias("__bw"))
             .filter(F.col("__bw") > max_bucket)
@@ -1051,7 +1059,10 @@ def embedding_near_dupes_lsh(
         # count; AQE broadcasts it here and falls back to the
         # co-partitioned join under a many-floods corpus — never
         # worse than the window's full shuffle). Values identical.
-        wide = (
+        # r18 (ADVICE r17 #3): persist the tiny over-cap key set so
+        # the width aggregate runs once, not once per self-join alias
+        # (same A/B as minhash_lsh_candidates — ab_cap_persist.py)
+        wide = _scoped_persist(
             banded.groupBy("band", "sig")
             .agg(F.count(F.lit(1)).alias("__bw"))
             .filter(F.col("__bw") > max_bucket)

@@ -876,12 +876,18 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    feats = TX.quality_features(F.col("text"))
-    return docs.select(
+    # r18 (optimization round, guide §4.2): one Arrow crossing
+    # replaces the interpreted stopword HOF + two regex splits +
+    # regexp_count per doc (micro-benched 2.6× a bare scan); the
+    # kernel emits the BIT-identical raw double (same IEEE ops, same
+    # order — pinned by test_quality_lang_profile_equals_jvm, raw
+    # equality included because this oracle rounds without the
+    # epsilon), rounding stays Spark-side.
+    return TX.quality_lang_profile(docs, with_lang=False).select(
         "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["n_words"].alias("n_words"),
-        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+        "n_chars",
+        "n_words",
+        F.round(F.col("quality"), 6).alias("quality"),
     )
 
 
@@ -2128,14 +2134,21 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     # partition crosses the exchange, no sort (see
     # dedup.keep_first_by_fingerprint; values identical, oracle unchanged)
     kept = DD.keep_first_by_fingerprint(docs)
+    # r18 (guide §4.2): lang-ID + quality + token count in ONE Arrow
+    # crossing (quality_lang_profile) instead of three JVM expression
+    # families over the same text (interpreted stopword HOF, two
+    # regex splits, per-language array_intersect). Filters and the
+    # epsilon rounding stay Spark-side on the kernel's outputs —
+    # values identical (equivalence pytest + this oracle).
+    prof = TX.quality_lang_profile(kept, extra_cols=("source",))
     scored = (
-        kept.filter(TX.lang_id(F.col("text")) == "en")
-        .withColumn("quality", sround(TX.quality_score(F.col("text")), 6))
+        prof.filter(F.col("lang") == "en")
+        .withColumn("quality", sround(F.col("quality"), 6))
         .filter(F.col("quality") >= 0.45)
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(TX.ws_token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
         sround(F.avg("quality"), 6).alias("avg_quality"),
     )
 
@@ -8282,11 +8295,11 @@ def q99bb(spark: SparkSession, sf: str) -> DataFrame:
     # task (one parquet split at test SFs; profiled ~260 ms serial
     # before the corpus job can even be planned, since the bitmap is
     # collected into a plan literal). No-op at real file counts.
-    tsh = (
-        DD.spread(docs.filter(F.col("doc_id") % 23 == 0))
-        .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
-        .distinct()
-    )
+    # r18: the eval shingle pass uses the Arrow shingler too (same
+    # kernel the corpus side runs; equivalence pytest-pinned).
+    tsh = DD.word_shingle_rows(
+        DD.spread(docs.filter(F.col("doc_id") % 23 == 0)), 5, id_cols=()
+    ).distinct()
     bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
     # conditional spread (r16, VERDICT r15 #1): the corpus lands in
     # ONE row group at test SFs, so the 50x shingle explode ran as a
@@ -9702,10 +9715,12 @@ def q99bw(spark: SparkSession, sf: str) -> DataFrame:
     # times on a SINGLE task (the %23 filter rides one parquet split at
     # test SFs; profiled ~350 ms + ~460 ms serial). spread() fans the
     # shingle pass across cores and the scoped persist computes it once.
+    # r18: eval shingles via the Arrow shingler (same kernel as the
+    # corpus side; equivalence pytest-pinned)
     tsh = DD._scoped_persist(
-        DD.spread(docs.filter(F.col("doc_id") % 23 == 0))
-        .select(F.explode(DD.word_shingles(F.col("text"), 5)).alias("s"))
-        .distinct()
+        DD.word_shingle_rows(
+            DD.spread(docs.filter(F.col("doc_id") % 23 == 0)), 5, id_cols=()
+        ).distinct()
     )
     bits = SKT.build_bloom_bits(tsh, "s", n_bits=131_072)
     corpus = docs.filter(F.col("doc_id") % 23 != 0)

@@ -44,9 +44,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: r18 (optimization round, VERDICT r17 #6 — the per-query fixed
+#: floor): every ``load_table`` call paid a fresh ``spark.read
+#: .parquet`` — driver-side file listing + parquet footer schema
+#: read + py4j round-trips — per TABLE per QUERY (q07 alone touches
+#: six tables; profile_floor measured ~0.2-0.4 s of pure
+#: plan-construction time on scan-only queries). The cache below
+#: reuses the ANALYZED lazy DataFrame per (application, sf_dir,
+#: table). This is plan-object reuse, NOT result caching: a
+#: DataFrame is an immutable lazy plan, every action still reads the
+#: parquet bytes from disk, and nothing is persisted across runs —
+#: a new session (new applicationId) starts cold. The fixture tables
+#: are immutable by the driver contract (queries that write tables
+#: use their own artifact paths, never these).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
         # version/conf this surfaces two ways, and we normalize BOTH to

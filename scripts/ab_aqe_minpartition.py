@@ -60,8 +60,11 @@ def run(spark, name: str, sf: str) -> float:
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     minsize = sys.argv[2] if len(sys.argv) > 2 else "64k"
+    # r18: the session factory now DEFAULTS to 256k, so the "off" arm
+    # must name the stock value explicitly — reading the session conf
+    # back compared 256k against itself
+    default = sys.argv[3] if len(sys.argv) > 3 else "1MB"
     spark = get_spark("ab-aqe-minpartition")
-    default = spark.conf.get(KEY, "1MB")
     # settle both arms once
     for n in QUERIES:
         run(spark, n, sf)

@@ -148,18 +148,31 @@ def _inject_and_run(monkeypatch, path: str, crash_at: int, op) -> tuple[bool, in
 def _sweep(monkeypatch, tmp_path, tag, family, build, mutate, probe, recover):
     """The sweep proper: for each crash point — fresh artifact, crash
     the mutation there, assert complete-or-refused, recover, assert
-    convergence to the no-crash result."""
+    convergence to the no-crash result.
+
+    r18 (VERDICT r17 #2 — the driver's pytest gate must complete in
+    its budget): the fresh artifact per crash point comes from ONE
+    pristine build + ``shutil.copytree`` instead of a full rebuild
+    per point — builds here are deterministic (seeded), so the
+    pre-mutation state is byte-identical either way (the same
+    clone-the-built-artifact pattern bench.py's maintenance timings
+    use), and ``want_old`` is path-independent so it is probed once.
+    The sweep's coverage is unchanged: every crash point still runs
+    the real mutation against a real complete artifact."""
     ref = str(tmp_path / ("%s_ref" % tag))
     build(ref)
     mutate(ref, lambda f: f())
     want_final = probe(ref)
     assert want_final, "reference probe must return rows"
 
+    pristine = str(tmp_path / ("%s_pristine" % tag))
+    build(pristine)
+    want_old = probe(pristine)
+
     crash_at = 0
     while True:
         path = str(tmp_path / ("%s_%d" % (tag, crash_at)))
-        build(path)
-        want_old = probe(path)
+        shutil.copytree(pristine, path)
         crashed, _ = _inject_and_run(
             monkeypatch, path, crash_at, lambda: mutate(path, lambda f: f())
         )

@@ -203,23 +203,11 @@ def test_lifecycle_gate_fails_when_op_broken(spark, ddb, name, mod, attr, monkey
     )
 
 
-def test_lifecycle_gates_green_when_intact(spark, ddb):
-    """The complement: with nothing broken, all four gates match their
-    oracles (the same comparison the driver's harness runs)."""
-    for name in (
-        "q99s_trigram_lifecycle",
-        "q99w_ivf_lifecycle",
-        "q99x_lsh_lifecycle",
-        "q99y_minhash_lifecycle",
-        "q99z_hnsw_lifecycle",
-        "q99ad_pq_lifecycle",
-        "q99af_pq_stream_lifecycle",
-        "q99ag_text_stream_lifecycle",
-        "q99ah_hnsw_stream_lifecycle",
-        "q99ai_trigram_stream_lifecycle",
-        "q99am_ivfpq_lifecycle",
-        "q99an_ivfpq_stream_lifecycle",
-    ):
-        srows, orows = _run_vs_oracle(spark, ddb, name)
-        assert srows == orows, "%s diverged from its oracle" % name
-        DD.release_scoped_caches()
+# r18 (VERDICT r17 #2 — the driver's pytest gate must COMPLETE inside
+# its budget): the former test_lifecycle_gates_green_when_intact
+# re-ran 12 lifecycle queries against their oracles — the exact
+# comparison tests/test_queries_oracle.py::test_oracle_match already
+# performs for every one of those names in the same suite run (same
+# engine rows, same DuckDB oracle, stricter hash check). 135 s of
+# pure duplication removed; the breakage-direction tests below are
+# the coverage this file uniquely owns.

@@ -250,5 +250,8 @@ def test_q99bw_plan(spark):
     assert p.count("BroadcastHashJoin") >= 1, p
     assert "BatchEvalPython" not in p, p
     assert "ArrowEvalPython" not in p, p  # the exact join stays JVM-side
-    # r18: the corpus prefilter is the fused shingle+probe mapInArrow
-    assert p.count("MapInArrow") == 1, p
+    # r18: the corpus prefilter is the fused shingle+probe mapInArrow;
+    # the eval shingle side (scoped-persisted, read back by the
+    # broadcast build) may render its own MapInArrow under the
+    # InMemoryTableScan subtree
+    assert p.count("MapInArrow") >= 1, p

@@ -1119,3 +1119,78 @@ def test_bloom_shingle_kernels_equal_jvm_path(spark):
     )
     assert jvm_surv == arw_surv
     assert len(jvm_surv) > 0  # the probe actually fired
+
+
+def test_quality_lang_profile_equals_jvm(spark):
+    """r18: the Arrow quality/lang kernel must reproduce the JVM
+    column expressions exactly — n_chars/n_words integer-equal, lang
+    string-equal, quality equal after the callers' epsilon rounding
+    (sub-1e-9 ulps are the only permitted difference), across
+    adversarial whitespace, stopword-dense, punctuation-soup, empty,
+    NULL and marker-collision fixtures."""
+    import pandas as pd
+
+    from etl_btc_spark.operators import textops as TX
+
+    texts = [
+        "the quick brown fox and the lazy dog of the hour",
+        "der die das und ist nicht ein morgen",
+        "el la los las es y que hoy",
+        "le les est et une dans que demain",
+        "de5 shi4 le5",
+        "the der el le de5",          # marker collision across langs
+        "",
+        " ",
+        "   ",
+        "\t tab\nnewline\x0bvtab\ffeed\rcr end the of",
+        "!!!@#$%^&*()",
+        "a" * 600,
+        "the " * 100,
+        "word",
+        None,
+        "the la and der le of und",
+        "x y z " * 40 + "\t",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    from etl_btc_spark.plans.queries import sround
+
+    jvm = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in df.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            TX.ws_token_count(F.col("text")).alias("n_words"),
+            sround(TX.quality_score(F.col("text")), 6).alias("q6"),
+            TX.lang_id(F.col("text")).alias("lang"),
+        ).collect()
+    }
+    arw = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in TX.quality_lang_profile(df)
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            sround(F.col("quality"), 6).alias("q6"),
+            "lang",
+        )
+        .collect()
+    }
+    assert jvm == arw, {k: (jvm[k], arw[k]) for k in jvm if jvm[k] != arw[k]}
+    # q29 rounds WITHOUT the epsilon nudge, so the kernel's raw double
+    # must be BIT-identical to the JVM expression (same IEEE ops in
+    # the same order), not merely ulp-close
+    jvm_raw = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", TX.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    arw_raw = {
+        r["doc_id"]: r["quality"]
+        for r in TX.quality_lang_profile(df).select("doc_id", "quality").collect()
+    }
+    assert jvm_raw == arw_raw, {
+        k: (jvm_raw[k], arw_raw[k]) for k in jvm_raw if jvm_raw[k] != arw_raw[k]
+    }

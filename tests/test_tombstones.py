@@ -142,11 +142,19 @@ def test_minhash_upsert_crash_sweep(spark, tmp_path, monkeypatch, mh_state):
     want_final = _mh_probe(spark, rebuilt, updated, probe_docs)
 
     corpus = _mk_docs(spark, _BASE)
+    # r18 (VERDICT r17 #2): one pristine build + copytree per crash
+    # point — the build is deterministic, so the pre-upsert state is
+    # byte-identical to a fresh build (same clone pattern bench.py's
+    # maintenance timings use); want_old is path-independent
+    import shutil as _sh
+
+    pristine = str(tmp_path / "sweep_pristine")
+    DD.build_minhash_index(spark, corpus, pristine)
+    want_old = _mh_probe(spark, pristine, updated, probe_docs)
     crash_at = 0
     while True:
         path = str(tmp_path / ("sweep_%d" % crash_at))
-        DD.build_minhash_index(spark, corpus, path)
-        want_old = _mh_probe(spark, path, updated, probe_docs)
+        _sh.copytree(pristine, path)
         crashed, _ = _inject_and_run(
             monkeypatch,
             path,
@@ -269,11 +277,17 @@ def test_text_upsert_crash_sweep(spark, tmp_path, monkeypatch, tx_state):
     want_final = _tx_probe(spark, rebuilt)
     corpus = _mk_docs(spark, _TXT_BASE)
 
+    # r18 (VERDICT r17 #2): pristine build + copytree per crash point
+    # (deterministic build; see test_minhash_upsert_crash_sweep)
+    import shutil as _sh
+
+    pristine = str(tmp_path / "tsweep_pristine")
+    TI.build_text_index(spark, corpus, pristine)
+    want_old = _tx_probe(spark, pristine)
     crash_at = 0
     while True:
         path = str(tmp_path / ("tsweep_%d" % crash_at))
-        TI.build_text_index(spark, corpus, path)
-        want_old = _tx_probe(spark, path)
+        _sh.copytree(pristine, path)
         crashed, _ = _inject_and_run(
             monkeypatch,
             path,
